@@ -1,0 +1,280 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Semantics (reference Jinja template
+``ibm_data_engine/data_engine_offline_store.py:601-779``): for each spine
+row (entity keys + event timestamp) and each FeatureView, pick the feature
+row with equal entity keys and the greatest ``feature.ts`` satisfying
+``feature.ts <= spine.ts`` and — only when TTL != 0 —
+``feature.ts >= spine.ts - ttl`` (as-of ``:686``, TTL ``:688-690``, equi
+keys ``:692-694``). Ties on ``feature.ts`` are broken by greatest
+``created_timestamp_column`` when configured (dedup CTE ``:703-712``,
+window ordering ``:725-729``). The spine is the source of truth: every
+spine row survives via a final LEFT join (``:765-778``), with NULL features
+on no match. ``full_feature_names`` prefixes outputs ``<view>__<feature>``
+(``:660-662``, ``:770-773``).
+
+Deliberate fixes vs the reference (documented compat deltas):
+- Row-id collision hazard: the reference concatenates key casts with NO
+  separator (``:611-619``) so entities ("ab","c") and ("a","bc") collide.
+  We join winners back on the actual (keys, ts) columns instead of a
+  synthetic string id — collision-free and cheaper (no giant string column
+  through the shuffle).
+- The reference's dedup + latest + join-back triple (``:703-756``) folds
+  into ONE window (order by ts DESC, created DESC) carrying all feature
+  columns — two fewer self-joins.
+
+Physical strategies (chosen for 100 TB; see SURVEY.md §4):
+- ``broadcast``  — hint-broadcast the deduped spine; the PIT range join
+  becomes a BroadcastHashJoin on the entity keys with the range predicate
+  as a post-join filter, then one window per spine row. Right when
+  spine ≪ features (the common Feast case).
+- ``shuffle``    — no hint; AQE picks SMJ/broadcast at runtime from real
+  sizes and splits skewed keys.
+- ``union_window`` ("melt") — tag + union spine and feature rows, ONE
+  shuffle on the entity key, sort by (ts, tag), and take
+  ``last(features, ignorenulls=True)`` over an unbounded-preceding window;
+  TTL enforced by post-checking the matched timestamp. No join blowup even
+  when both sides are huge and many feature rows precede each spine row;
+  this is the scale path when the spine itself is feature-table-sized.
+
+The TTL prefilter rewrite (bound the feature side to
+``[min_spine_ts - ttl, max_spine_ts]`` before the join, reference
+``:664-674``) is kept: Catalyst cannot derive it, and at 100 TB it is the
+difference between scanning a day and scanning a decade. It needs the
+spine's min/max timestamp, computed with one tiny aggregate job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FeatureViewSpec:
+    """What the engine needs from a Feast FeatureView (reference consumes
+    these via ``feature_views: List[FeatureView]``, ``:358``, ``:366-367``)."""
+
+    name: str
+    source: DataFrame
+    join_keys: list[str]
+    features: list[str]
+    timestamp_field: str
+    created_timestamp_column: str | None = None
+    ttl_seconds: int = 0  # 0 => no lower bound (reference :669, :688-690)
+    field_mapping: dict[str, str] = dc_field(default_factory=dict)
+
+
+def _spine_time_range(spine: DataFrame, ts_col: str):
+    row = spine.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    return row["lo"], row["hi"]
+
+
+def _out_name(view: FeatureViewSpec, feat: str, full_feature_names: bool) -> str:
+    return f"{view.name}__{feat}" if full_feature_names else feat
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    feature_views: list[FeatureViewSpec],
+    spine_timestamp_field: str = "event_timestamp",
+    full_feature_names: bool = False,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Join every FeatureView onto the spine as-of the spine timestamp.
+
+    ``strategy``: ``broadcast`` | ``shuffle`` | ``union_window`` (see module
+    docstring). All spine columns (including label/pass-through columns,
+    reference ``tests/test_integration.py:160``) survive to the output.
+    """
+    if strategy not in ("broadcast", "shuffle", "union_window"):
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    lo, hi = _spine_time_range(spine, spine_timestamp_field)
+    out = spine
+    for view in feature_views:
+        if strategy == "union_window":
+            out = _join_one_view_union_window(
+                out, view, spine_timestamp_field, full_feature_names, lo, hi
+            )
+        else:
+            out = _join_one_view(
+                out, view, spine_timestamp_field, full_feature_names, lo, hi,
+                broadcast_spine=(strategy == "broadcast"),
+            )
+    return out
+
+
+def _prepared_feature_side(
+    view: FeatureViewSpec, lo, hi
+) -> tuple[DataFrame, list[str]]:
+    """Project + rename + TTL-bounded prefilter (reference subquery CTE
+    ``:655-676``): upper bound ts <= max_spine_ts always; lower bound
+    ts >= min_spine_ts - ttl only when TTL != 0."""
+    feat = view.source
+    if view.field_mapping:
+        feat = feat.withColumnsRenamed(view.field_mapping)
+    cols = list(
+        dict.fromkeys(
+            [
+                *view.join_keys,
+                view.timestamp_field,
+                *([view.created_timestamp_column] if view.created_timestamp_column else []),
+                *view.features,
+            ]
+        )
+    )
+    feat = feat.select(*cols)
+    cond = F.col(view.timestamp_field) <= F.lit(hi).cast("timestamp")
+    if view.ttl_seconds:
+        cond = cond & (
+            F.col(view.timestamp_field)
+            >= F.lit(lo).cast("timestamp") - F.expr(f"INTERVAL {view.ttl_seconds} SECOND")
+        )
+    return feat.filter(cond), cols
+
+
+def _join_one_view(
+    spine: DataFrame,
+    view: FeatureViewSpec,
+    spine_ts: str,
+    full_feature_names: bool,
+    lo,
+    hi,
+    broadcast_spine: bool,
+) -> DataFrame:
+    feat, _ = _prepared_feature_side(view, lo, hi)
+
+    # Distinct (keys, ts) — the reference's per-view spine dedup CTE
+    # (:626-636) — so the candidate join and window run once per unique
+    # entity/timestamp, not once per spine row.
+    key_ts = [*view.join_keys, spine_ts]
+    spine_keys = spine.select(*key_ts).distinct()
+    if broadcast_spine:
+        spine_keys = F.broadcast(spine_keys)
+
+    f = feat.alias("f")
+    s = spine_keys.alias("s")
+    cond = F.col(f"f.{view.timestamp_field}") <= F.col(f"s.{spine_ts}")
+    if view.ttl_seconds:
+        cond = cond & (
+            F.col(f"f.{view.timestamp_field}")
+            >= F.col(f"s.{spine_ts}") - F.expr(f"INTERVAL {view.ttl_seconds} SECOND")
+        )
+    for k in view.join_keys:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"s.{k}"))
+
+    cand = f.join(s, cond, "inner")
+
+    # One window replaces the reference's dedup/latest/cleaned CTE chain
+    # (:703-756): latest feature ts, tie-broken by created DESC.
+    order = [F.col(f"f.{view.timestamp_field}").desc()]
+    if view.created_timestamp_column:
+        order.append(F.col(f"f.{view.created_timestamp_column}").desc())
+    w = Window.partitionBy(
+        *[F.col(f"s.{k}") for k in view.join_keys], F.col(f"s.{spine_ts}")
+    ).orderBy(*order)
+
+    winners = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(f"s.{k}").alias(k) for k in view.join_keys],
+            F.col(f"s.{spine_ts}").alias(spine_ts),
+            *[
+                F.col(f"f.{feat_col}").alias(_out_name(view, feat_col, full_feature_names))
+                for feat_col in view.features
+            ],
+        )
+    )
+    if broadcast_spine:
+        # winners has at most one row per distinct spine (keys, ts): small.
+        winners = F.broadcast(winners)
+
+    # Final LEFT join — spine is the source of truth (:765-778). Joining on
+    # the real (keys, ts) columns avoids the reference's synthetic
+    # concatenated row id and its collision hazard (:611-619).
+    return spine.join(winners, on=key_ts, how="left")
+
+
+def _join_one_view_union_window(
+    spine: DataFrame,
+    view: FeatureViewSpec,
+    spine_ts: str,
+    full_feature_names: bool,
+    lo,
+    hi,
+) -> DataFrame:
+    """Melt as-of join: one equi-shuffle on the entity keys, no range join.
+
+    Union feature rows (tag 0) with distinct spine rows (tag 1), sort each
+    key partition by (ts, tag, created), and carry the latest feature row
+    forward with ``last(..., ignorenulls=True)``. A feature row at exactly
+    the spine timestamp sorts BEFORE the spine row (tag 0 < 1), preserving
+    the inclusive ``<=`` bound. TTL is enforced afterwards by nulling
+    matches whose timestamp is older than ``spine.ts - ttl``.
+    """
+    feat, _ = _prepared_feature_side(view, lo, hi)
+
+    # Pre-dedupe feature rows per (keys, ts): keep max created (folds the
+    # reference's dedup CTE :703-712 into the melt).
+    if view.created_timestamp_column:
+        wdup = Window.partitionBy(*view.join_keys, view.timestamp_field).orderBy(
+            F.col(view.created_timestamp_column).desc()
+        )
+        feat = (
+            feat.withColumn("__rn", F.row_number().over(wdup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", view.created_timestamp_column)
+        )
+
+    key_ts = [*view.join_keys, spine_ts]
+    spine_keys = spine.select(*key_ts).distinct()
+
+    feat_tagged = feat.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col(view.timestamp_field).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(view.timestamp_field).alias("__matched_ts"),
+            *[F.col(c) for c in view.features],
+        ).alias("__payload"),
+    )
+    spine_tagged = spine_keys.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col(spine_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(feat_tagged.schema["__payload"].dataType).alias("__payload"),
+    )
+
+    melted = feat_tagged.unionByName(spine_tagged)
+    w = (
+        Window.partitionBy(*view.join_keys)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = melted.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+
+    if view.ttl_seconds:
+        in_ttl = F.col("__match.__matched_ts") >= (
+            F.col("__ts") - F.expr(f"INTERVAL {view.ttl_seconds} SECOND")
+        )
+        carried = carried.withColumn(
+            "__match", F.when(in_ttl, F.col("__match"))
+        )
+
+    winners = carried.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col("__ts").alias(spine_ts),
+        *[
+            F.col(f"__match.{c}").alias(_out_name(view, c, full_feature_names))
+            for c in view.features
+        ],
+    )
+    return spine.join(winners, on=key_ts, how="left")

@@ -1,0 +1,75 @@
+"""Lazy retrieval job — the engine's result-delivery surface.
+
+Mirrors ``DataEngineRetrievalJob`` (reference
+``ibm_data_engine/data_engine_offline_store.py:313-348``): nothing executes
+until ``to_df()`` / ``to_arrow()`` is called, and the job carries retrieval
+metadata (feature names, join keys, min/max event timestamp, reference
+``:417``, ``:470-475``). Spark DataFrames are already lazy, so the job wraps
+a zero-arg DataFrame factory; ``persist`` — left ``NotImplementedError`` in
+the reference (``:321-327``) — is implemented here as a parquet write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class RetrievalMetadata:
+    features: list[str] = field(default_factory=list)
+    keys: list[str] = field(default_factory=list)
+    min_event_timestamp: datetime | None = None
+    max_event_timestamp: datetime | None = None
+
+
+class SparkRetrievalJob:
+    """Wraps a zero-arg ``evaluation_function`` returning a DataFrame
+    (laziness contract: reference ``:316-319``, ``:342-348``)."""
+
+    def __init__(
+        self,
+        evaluation_function: Callable[[], DataFrame],
+        metadata: RetrievalMetadata | None = None,
+        on_demand_feature_views: list | None = None,
+    ):
+        self.evaluation_function = evaluation_function
+        self._metadata = metadata
+        self.on_demand_feature_views = on_demand_feature_views or []
+        self._df: DataFrame | None = None
+
+    @property
+    def metadata(self) -> RetrievalMetadata | None:
+        return self._metadata
+
+    def to_spark_df(self) -> DataFrame:
+        """The Spark-native result — still lazy. New capability vs the
+        reference (which only had pandas/Arrow edges)."""
+        if self._df is None:
+            self._df = self.evaluation_function()
+        return self._df
+
+    def _to_df_internal(self, timeout: int | None = None):
+        return self.to_spark_df().toPandas()
+
+    def to_df(self, timeout: int | None = None):
+        return self._to_df_internal(timeout=timeout)
+
+    def _to_arrow_internal(self, timeout: int | None = None) -> pa.Table:
+        # The reference converts pandas -> Arrow the same way (:346-348).
+        return pa.Table.from_pandas(self._to_df_internal(timeout=timeout))
+
+    def to_arrow(self, timeout: int | None = None) -> pa.Table:
+        return self._to_arrow_internal(timeout=timeout)
+
+    def persist(self, path: str, mode: str = "error", partition_by: list[str] | None = None):
+        """Persist the result as parquet (reference raised NotImplementedError
+        at ``:321-327``; trivial on Spark)."""
+        writer = self.to_spark_df().write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)

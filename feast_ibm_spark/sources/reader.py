@@ -1,0 +1,77 @@
+"""Parquet reading with TIMESTAMP(NANOS) normalization.
+
+Spark (through 4.x) cannot represent nanosecond parquet timestamps and
+fails the scan with ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS))``.
+The driver's synthetic tables (and plenty of real-world pandas/polars
+output) store nanos. The shim here:
+
+1. inspects the parquet footer (metadata-only, no data read) with pyarrow
+   to find nanosecond timestamp columns,
+2. reads them as raw INT64 via the runtime-settable
+   ``spark.sql.legacy.parquet.nanosAsLong`` conf, and
+3. projects them back to ``TimestampType`` with integer division
+   (``ts div 1000`` — integer, not double, so 19-digit nanos don't lose
+   precision) + ``timestamp_micros``.
+
+Truncation (floor) to microseconds matches what DuckDB does when it reads
+the same files, so oracle comparisons stay exact. The conversion is a
+JVM-side projection inside whole-stage codegen — no UDF, no driver
+round-trip — and the footer inspection is O(1) per table, so this holds
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return None
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    f = _first_parquet_file(path)
+    if f is None:
+        return []
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(typ) and typ.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that transparently fixes nanos timestamps."""
+    nanos = _nano_timestamp_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    # Must stay enabled through action time: executors re-read footers when
+    # the scan actually runs, so restoring the conf here would break the job.
+    spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's synthetic tables
+    (``{sf_dir}/{name}.parquet``, TESTDATA.md)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))

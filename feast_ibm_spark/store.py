@@ -1,0 +1,183 @@
+"""SparkOfflineStore — the engine facade mirroring the reference's
+``DataEngineOfflineStore`` public surface
+(``ibm_data_engine/data_engine_offline_store.py:351-513``): three static
+retrieval entry points returning lazy jobs. The reference's entity-df
+staging dance (pandas -> parquet temp file -> COS upload -> CREATE TABLE ->
+query -> delete + DROP, ``:535-558``/``:526-532``) collapses into
+``spark.createDataFrame(pdf)`` — no object-storage round trip, no cleanup.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.pit_join import FeatureViewSpec, point_in_time_join
+from .operators.pull_all import time_range_scan
+from .operators.pull_latest import latest_per_key
+from .retrieval import RetrievalMetadata, SparkRetrievalJob
+from .sources.data_source import SparkDataSource
+
+
+def _ensure_spine(spark: SparkSession, entity_df) -> DataFrame:
+    """Accept a pandas DataFrame (the reference's only supported type,
+    ``:360``; the SQL-string variant raised NotImplementedError at
+    ``:552-555``) or a Spark DataFrame / SQL string — both lifted here."""
+    if isinstance(entity_df, DataFrame):
+        return entity_df
+    if isinstance(entity_df, pd.DataFrame):
+        df = entity_df.copy()
+        # Normalize string timestamps to UTC, as the reference does with
+        # pd.to_datetime(utc=True) (:584-585).
+        for col in df.columns:
+            if df[col].dtype == object and _looks_like_timestamp(df[col]):
+                df[col] = pd.to_datetime(df[col], utc=True).dt.tz_localize(None)
+        return spark.createDataFrame(df)
+    if isinstance(entity_df, str):
+        return spark.sql(entity_df)
+    raise TypeError(f"unsupported entity_df type: {type(entity_df)}")
+
+
+def _looks_like_timestamp(series: pd.Series) -> bool:
+    try:
+        sample = series.dropna().head(3)
+        if sample.empty:
+            return False
+        pd.to_datetime(sample, utc=True)
+        return True
+    except Exception:
+        return False
+
+
+def _infer_event_timestamp_col(columns: list[str]) -> str:
+    # Feast's offline_utils infers this (reference :371-373); we accept the
+    # conventional names.
+    for cand in ("event_timestamp", "ts", "timestamp"):
+        if cand in columns:
+            return cand
+    raise ValueError(
+        "could not infer the entity event-timestamp column; expected one of "
+        "event_timestamp/ts/timestamp in the entity dataframe"
+    )
+
+
+class SparkOfflineStore:
+    """Batch retrieval API. All methods return a lazy SparkRetrievalJob
+    (laziness contract: reference ``:313-348``, ``:381``, ``:416``)."""
+
+    @staticmethod
+    def get_historical_features(
+        spark: SparkSession,
+        entity_df,
+        feature_views: list[FeatureViewSpec],
+        full_feature_names: bool = False,
+        spine_timestamp_field: str | None = None,
+        strategy: str = "broadcast",
+    ) -> SparkRetrievalJob:
+        """Point-in-time join of every FeatureView onto the entity spine
+        (reference ``get_historical_features``, ``:355-418``)."""
+        spine = _ensure_spine(spark, entity_df)
+        ts_col = spine_timestamp_field or _infer_event_timestamp_col(spine.columns)
+
+        # Registry join-key validation (reference :386-392): every view's
+        # join keys must exist on the spine.
+        missing = {
+            k for v in feature_views for k in v.join_keys if k not in spine.columns
+        }
+        if missing:
+            raise ValueError(f"entity_df is missing join key columns: {sorted(missing)}")
+
+        feature_names = [
+            (f"{v.name}__{f}" if full_feature_names else f)
+            for v in feature_views
+            for f in v.features
+        ]
+        keys = sorted({k for v in feature_views for k in v.join_keys})
+
+        def evaluate() -> DataFrame:
+            return point_in_time_join(
+                spine,
+                feature_views,
+                spine_timestamp_field=ts_col,
+                full_feature_names=full_feature_names,
+                strategy=strategy,
+            )
+
+        lo_hi = spine.agg({ts_col: "min"}).collect()[0][0], None
+        meta = RetrievalMetadata(
+            features=feature_names,
+            keys=keys,
+            min_event_timestamp=lo_hi[0],
+        )
+        return SparkRetrievalJob(evaluate, metadata=meta)
+
+    @staticmethod
+    def pull_latest_from_table_or_query(
+        spark: SparkSession,
+        data_source: SparkDataSource,
+        join_key_columns: list[str],
+        feature_name_columns: list[str],
+        timestamp_field: str,
+        created_timestamp_column: str | None,
+        start_date: datetime | str,
+        end_date: datetime | str,
+        keep_ties: bool = False,
+    ) -> SparkRetrievalJob:
+        """Latest row per key in range (reference ``:421-476``)."""
+
+        def evaluate() -> DataFrame:
+            return latest_per_key(
+                data_source.load(spark),
+                join_key_columns,
+                feature_name_columns,
+                timestamp_field,
+                created_timestamp_column,
+                start_date,
+                end_date,
+                keep_ties=keep_ties,
+            )
+
+        return SparkRetrievalJob(
+            evaluate,
+            metadata=RetrievalMetadata(
+                features=list(feature_name_columns), keys=list(join_key_columns)
+            ),
+        )
+
+    @staticmethod
+    def pull_all_from_table_or_query(
+        spark: SparkSession,
+        data_source: SparkDataSource,
+        join_key_columns: list[str],
+        feature_name_columns: list[str],
+        timestamp_field: str,
+        start_date: datetime | str,
+        end_date: datetime | str,
+    ) -> SparkRetrievalJob:
+        """Time-range scan (reference ``:479-513``; note its signature takes
+        no created_timestamp_column either, ``:480-487``)."""
+
+        def evaluate() -> DataFrame:
+            return time_range_scan(
+                data_source.load(spark),
+                join_key_columns,
+                feature_name_columns,
+                timestamp_field,
+                start_date,
+                end_date,
+            )
+
+        return SparkRetrievalJob(
+            evaluate,
+            metadata=RetrievalMetadata(
+                features=list(feature_name_columns), keys=list(join_key_columns)
+            ),
+        )
+
+    @staticmethod
+    def offline_write_batch(df: DataFrame, path: str, mode: str = "append") -> None:
+        """Persist a batch (the reference's ``persist`` raised
+        NotImplementedError, ``:321-327``)."""
+        df.write.mode(mode).parquet(path)

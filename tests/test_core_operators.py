@@ -1,0 +1,215 @@
+"""Semantic tests for the three reference retrieval shapes.
+
+The reference only golden-tests generated SQL strings (it cannot execute);
+we execute and assert results — including the reference's canonical
+``driver_stats`` scenario (reference ``tests/test_integration.py:183-196``)
+computed from raw inputs, which the mocked reference test never actually
+did."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_ibm_spark.operators import (
+    FeatureViewSpec,
+    latest_per_key,
+    point_in_time_join,
+    time_range_scan,
+)
+
+TS = datetime
+
+
+def _driver_stats(spark):
+    """The reference's canonical fixture (tests/test_integration.py:29-49
+    and FIXTURES.md §1/§2)."""
+    feat = spark.createDataFrame(
+        [
+            # driver_id, event_timestamp, created, conv_rate, acc_rate, avg_daily_trips
+            (1001, TS(2021, 4, 12, 10, 0, 0), TS(2021, 4, 12, 10, 0, 0), 1.0, 1.0, 200),
+            (1001, TS(2021, 4, 12, 8, 0, 0), TS(2021, 4, 12, 8, 0, 0), 0.5, 0.5, 100),
+            (1002, TS(2021, 4, 12, 8, 0, 0), TS(2021, 4, 12, 8, 0, 0), 2.0, 1.0, 300),
+            (1003, TS(2021, 4, 12, 16, 0, 0), TS(2021, 4, 12, 16, 0, 0), 3.0, 0.0, 400),
+            # stale row outside 1-day TTL for 1003's spine ts
+            (1003, TS(2021, 4, 10, 16, 0, 0), TS(2021, 4, 10, 16, 0, 0), 9.9, 9.9, 999),
+            # tie on event_timestamp for 1002, later created wins
+            (1002, TS(2021, 4, 12, 8, 0, 0), TS(2021, 4, 12, 9, 0, 0), 2.5, 1.5, 301),
+        ],
+        "driver_id bigint, event_timestamp timestamp, created timestamp, "
+        "conv_rate double, acc_rate double, avg_daily_trips bigint",
+    )
+    spine = spark.createDataFrame(
+        [
+            (1001, TS(2021, 4, 12, 10, 59, 42), 1),
+            (1002, TS(2021, 4, 12, 8, 12, 10), 5),
+            (1003, TS(2021, 4, 12, 16, 40, 26), 3),
+            (1004, TS(2021, 4, 12, 16, 40, 26), 7),  # no features -> NULLs
+        ],
+        "driver_id bigint, event_timestamp timestamp, "
+        "label_driver_reported_satisfaction bigint",
+    )
+    view = FeatureViewSpec(
+        name="driver_hourly_stats",
+        source=feat,
+        join_keys=["driver_id"],
+        features=["conv_rate", "acc_rate", "avg_daily_trips"],
+        timestamp_field="event_timestamp",
+        created_timestamp_column="created",
+        ttl_seconds=86400,
+    )
+    return spine, view
+
+
+def test_time_range_scan_inclusive_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", TS(2024, 1, 1)),
+            (2, "b", TS(2024, 1, 2)),
+            (3, "c", TS(2024, 1, 3)),
+            (4, "d", TS(2024, 1, 4)),
+        ],
+        "docid bigint, source string, timestamp timestamp",
+    )
+    out = time_range_scan(
+        df, ["docid"], ["source"], "timestamp", TS(2024, 1, 2), TS(2024, 1, 3)
+    )
+    rows = sorted(r.docid for r in out.collect())
+    assert rows == [2, 3]  # BETWEEN is inclusive both ends (reference :79)
+    assert out.columns == ["docid", "source", "timestamp"]
+
+
+def test_latest_per_key_tie_break_by_created(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "old", TS(2024, 1, 1), TS(2024, 1, 1)),
+            (1, "newer_created", TS(2024, 1, 2), TS(2024, 1, 5)),
+            (1, "tie_older_created", TS(2024, 1, 2), TS(2024, 1, 3)),
+            (2, "only", TS(2024, 1, 1), TS(2024, 1, 1)),
+        ],
+        "k bigint, v string, ts timestamp, created timestamp",
+    )
+    out = latest_per_key(df, ["k"], ["v"], "ts", "created", TS(2024, 1, 1), TS(2024, 1, 9))
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "newer_created", 2: "only"}
+
+
+def test_latest_per_key_keep_ties_compat(spark):
+    """Reference compat: created column unused, ties all kept (:428, :461-464)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", TS(2024, 1, 2)),
+            (1, "b", TS(2024, 1, 2)),
+            (1, "c", TS(2024, 1, 1)),
+        ],
+        "k bigint, v string, ts timestamp",
+    )
+    out = latest_per_key(df, ["k"], ["v"], "ts", None, TS(2024, 1, 1), TS(2024, 1, 9),
+                         keep_ties=True)
+    assert sorted(r.v for r in out.collect()) == ["a", "b"]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle", "union_window"])
+def test_pit_join_driver_stats(spark, strategy):
+    spine, view = _driver_stats(spark)
+    out = point_in_time_join(spine, [view], strategy=strategy).orderBy("driver_id")
+    rows = out.collect()
+    assert [r.driver_id for r in rows] == [1001, 1002, 1003, 1004]
+    by_id = {r.driver_id: r for r in rows}
+    # expected values per reference tests/test_integration.py:183-196 shape
+    assert by_id[1001].conv_rate == 1.0 and by_id[1001].avg_daily_trips == 200
+    assert by_id[1002].conv_rate == 2.5  # created-ts tiebreak winner
+    assert by_id[1003].conv_rate == 3.0  # stale row excluded by TTL
+    assert by_id[1004].conv_rate is None  # left join NULL padding
+    # label column survives (reference tests/test_integration.py:160)
+    assert by_id[1002].label_driver_reported_satisfaction == 5
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union_window"])
+def test_pit_join_ttl_zero_means_no_lower_bound(spark, strategy):
+    spine, view = _driver_stats(spark)
+    view.ttl_seconds = 0  # reference :669, :688-690
+    out = point_in_time_join(spine, [view], strategy=strategy)
+    by_id = {r.driver_id: r for r in out.collect()}
+    assert by_id[1003].conv_rate == 3.0  # latest still wins even without bound
+
+
+def test_pit_join_full_feature_names(spark):
+    spine, view = _driver_stats(spark)
+    out = point_in_time_join(spine, [view], full_feature_names=True)
+    assert "driver_hourly_stats__conv_rate" in out.columns
+
+
+def test_pit_join_inclusive_asof_bound(spark):
+    """feature.ts == spine.ts must match (<=, reference :686)."""
+    feat = spark.createDataFrame(
+        [(1, TS(2024, 1, 2), 42.0)], "k bigint, event_timestamp timestamp, v double"
+    )
+    spine = spark.createDataFrame(
+        [(1, TS(2024, 1, 2))], "k bigint, event_timestamp timestamp"
+    )
+    view = FeatureViewSpec("fv", feat, ["k"], ["v"], "event_timestamp")
+    for strategy in ("broadcast", "union_window"):
+        assert point_in_time_join(spine, [view], strategy=strategy).first().v == 42.0
+
+
+def test_pit_join_multiple_views(spark):
+    spine, view = _driver_stats(spark)
+    extra = spark.createDataFrame(
+        [(1001, TS(2021, 4, 12, 9, 0, 0), 7.0)],
+        "driver_id bigint, event_timestamp timestamp, bonus double",
+    )
+    view2 = FeatureViewSpec("bonus_view", extra, ["driver_id"], ["bonus"],
+                            "event_timestamp", ttl_seconds=86400)
+    out = point_in_time_join(spine, [view, view2])
+    by_id = {r.driver_id: r for r in out.collect()}
+    assert by_id[1001].bonus == 7.0 and by_id[1002].bonus is None
+    assert by_id[1002].conv_rate == 2.5
+
+
+def _brute_force_pit(spine_rows, feat_rows, ttl):
+    """Per-row oracle (FIXTURES.md §6)."""
+    out = {}
+    for k, sts in spine_rows:
+        best = None
+        for fk, fts, created, v in feat_rows:
+            if fk != k or fts > sts:
+                continue
+            if ttl and fts < sts - timedelta(seconds=ttl):
+                continue
+            cand = (fts, created, v)
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        out[(k, sts)] = best[2] if best else None
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle", "union_window"])
+@pytest.mark.parametrize("ttl", [0, 3600])
+def test_pit_join_randomized_against_brute_force(spark, strategy, ttl):
+    import random
+
+    rng = random.Random(42)
+    base = TS(2024, 1, 1)
+    instants = [base + timedelta(minutes=30 * i) for i in range(20)]
+    feat_rows = [
+        # unique created per row so the (ts, created) tiebreak is total
+        (rng.randint(1, 5), rng.choice(instants),
+         rng.choice(instants) + timedelta(seconds=i), float(i))
+        for i in range(120)
+    ]
+    spine_rows = [(rng.randint(1, 6), rng.choice(instants)) for _ in range(40)]
+    spine_rows = list(dict.fromkeys(spine_rows))
+
+    feat = spark.createDataFrame(
+        feat_rows, "k bigint, event_timestamp timestamp, created timestamp, v double"
+    )
+    spine = spark.createDataFrame(spine_rows, "k bigint, event_timestamp timestamp")
+    view = FeatureViewSpec("fv", feat, ["k"], ["v"], "event_timestamp",
+                           created_timestamp_column="created", ttl_seconds=ttl)
+    got = {
+        (r.k, r.event_timestamp): r.v
+        for r in point_in_time_join(spine, [view], strategy=strategy).collect()
+    }
+    expected = _brute_force_pit(spine_rows, feat_rows, ttl)
+    assert got == expected
