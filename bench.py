@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is executed once after a warm-up pass of the input scans
+(parquet footer/OS page cache), timed wall-clock to a count()-style
+materialization (collect of aggregates / write-less full evaluation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # the reference surface
+    "pull_all_time_range",
+    "pull_latest_per_key",
+    "pit_join_ttl",
+    "pit_join_union_window",
+    # analytics shapes
+    "agg_pricing_summary",
+    "join_top_orders",
+    "join_region_revenue",
+    # north-star extensions
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_topk",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from feast_ibm_spark.queries import QUERIES
+    from feast_ibm_spark.session import get_spark
+
+    spark = get_spark(app_name="feast-ibm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the page cache + JVM (one cheap pass over each input)
+    from feast_ibm_spark.sources.reader import load_table
+
+    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = QUERIES[name]
+        t0 = time.time()
+        # full materialization without driver transfer of payloads
+        n = qd.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "feast_ibm_spark headline queries wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+from .text import (
+    tokens_col,
+    token_count_col,
+    char_codes_col,
+    fingerprint_col,
+    stopword_count_col,
+    LANG_STOPWORDS,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_count_col",
+    "char_codes_col",
+    "fingerprint_col",
+    "stopword_count_col",
+    "LANG_STOPWORDS",
+]

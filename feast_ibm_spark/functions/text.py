@@ -1,0 +1,122 @@
+"""Text-analysis column expressions (north-star extension; no reference
+counterpart — BASELINE.json ``north_star``).
+
+Everything here is a *pure Catalyst expression* built from
+``pyspark.sql.functions`` higher-order functions: no Python UDFs, so the
+hot path stays inside whole-stage codegen on the JVM and scales linearly
+per-token/per-char at 100 TB.
+
+Every function is designed to be exactly replicable in ANSI/DuckDB SQL
+(integer arithmetic, left-to-right folds) so the driver's oracle
+comparison can hash-match the results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Rolling-hash parameters (shared with the DuckDB oracles; all arithmetic
+# stays below 2^63: acc < P, acc*31 + code < 2^35).
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+# Tiny per-language stopword lists for the n-gram/lexicon language-ID
+# heuristic. Deterministic and trivially replicable in SQL.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "les", "des", "et", "est", "un"],
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_codes_col(text: str | Column = "text") -> Column:
+    """array<int> of unicode codepoints, 1 per character (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(c.substr(i, F.lit(1))),
+    )
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    """Deterministic document fingerprint: left-to-right polynomial rolling
+    hash over characters, ``acc = (acc * 31 + codepoint) mod 1e9+7``.
+
+    Same recurrence is expressible in DuckDB as
+    ``list_reduce(list_transform(range(...), i -> unicode(...)), ...)``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(c.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % FP_MOD,
+    )
+
+
+def token_fingerprint_expr(token: Column) -> Column:
+    """Rolling hash of a single token (nested-lambda safe)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(token)),
+        lambda i: F.ascii(token.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % FP_MOD,
+    )
+
+
+def stopword_count_col(text: str | Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (case-insensitive)."""
+    toks = tokens_col(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_id_col(text: str | Column = "text") -> Column:
+    """Argmax language over the stopword-hit counts, priority-ordered
+    en > es > de > fr on ties; 'unknown' when nothing matches."""
+    counts = {lang: stopword_count_col(text, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    # build from lowest priority up so the highest-priority WHEN wins
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_col(text: str | Column = "text") -> Column:
+    """Composite quality score from deterministic integer ratios:
+    alpha ratio, stopword ratio, mean token length. All arithmetic on
+    exact integers -> IEEE-exact doubles, replicable in any SQL engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+    n_tok = token_count_col(c).cast("double")
+    n_stop = stopword_count_col(c, LANG_STOPWORDS["en"]).cast("double")
+    alpha_ratio = n_alpha / n_chars
+    stop_ratio = n_stop / n_tok
+    mean_tok_len = n_alpha / n_tok
+    score = alpha_ratio * 0.5 + stop_ratio * 0.3 + (mean_tok_len / 10.0) * 0.2
+    return F.struct(
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )

@@ -114,10 +114,20 @@ def _prepared_feature_side(
 ) -> tuple[DataFrame, list[str]]:
     """Project + rename + TTL-bounded prefilter (reference subquery CTE
     ``:655-676``): upper bound ts <= max_spine_ts always; lower bound
-    ts >= min_spine_ts - ttl only when TTL != 0."""
+    ts >= min_spine_ts - ttl only when TTL != 0. The range predicate is
+    routed through filter_ts_range so it reaches the parquet scan even on
+    nanos-timestamp sources."""
+    import datetime as _dt
+
+    from ..sources.reader import filter_ts_range
+
     feat = view.source
     if view.field_mapping:
         feat = feat.withColumnsRenamed(view.field_mapping)
+    lo_bound = None
+    if view.ttl_seconds and lo is not None:
+        lo_bound = lo - _dt.timedelta(seconds=view.ttl_seconds)
+    feat = filter_ts_range(feat, view.timestamp_field, lo_bound, hi)
     cols = list(
         dict.fromkeys(
             [
@@ -128,14 +138,7 @@ def _prepared_feature_side(
             ]
         )
     )
-    feat = feat.select(*cols)
-    cond = F.col(view.timestamp_field) <= F.lit(hi).cast("timestamp")
-    if view.ttl_seconds:
-        cond = cond & (
-            F.col(view.timestamp_field)
-            >= F.lit(lo).cast("timestamp") - F.expr(f"INTERVAL {view.ttl_seconds} SECOND")
-        )
-    return feat.filter(cond), cols
+    return feat.select(*cols), cols
 
 
 def _join_one_view(

@@ -30,8 +30,13 @@ def time_range_scan(
     end_date: datetime | str,
 ) -> DataFrame:
     """Project the needed columns and keep rows with
-    ``start_date <= ts <= end_date`` (inclusive, reference ``:79``)."""
+    ``start_date <= ts <= end_date`` (inclusive, reference ``:79``).
+
+    The range predicate goes through :func:`filter_ts_range` so that on
+    nanos-parquet sources it is rewritten into raw-int64 space and reaches
+    the scan (row-group pruning) instead of stopping at the
+    ``timestamp_micros`` projection."""
+    from ..sources.reader import filter_ts_range
+
     cols = list(dict.fromkeys([*join_key_columns, *feature_name_columns, timestamp_field]))
-    lo = F.lit(start_date).cast("timestamp")
-    hi = F.lit(end_date).cast("timestamp")
-    return df.select(*cols).filter(F.col(timestamp_field).between(lo, hi))
+    return filter_ts_range(df, timestamp_field, start_date, end_date).select(*cols)

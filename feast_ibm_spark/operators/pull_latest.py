@@ -55,13 +55,11 @@ def latest_per_key(
             ]
         )
     )
-    out = df.select(*cols)
     if start_date is not None and end_date is not None:
-        out = out.filter(
-            F.col(timestamp_field).between(
-                F.lit(start_date).cast("timestamp"), F.lit(end_date).cast("timestamp")
-            )
-        )
+        from ..sources.reader import filter_ts_range
+
+        df = filter_ts_range(df, timestamp_field, start_date, end_date)
+    out = df.select(*cols)
 
     order = [F.col(timestamp_field).desc()]
     if created_timestamp_column and not keep_ties:

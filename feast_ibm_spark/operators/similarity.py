@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``cosine_topk``      — brute-force cosine top-k: broadcast the (small)
+  query set against the full corpus; one pass, no shuffle of the corpus.
+  The baseline and the correctness oracle for approximate variants.
+- ``near_dup_pairs``   — all corpus pairs with cosine >= threshold
+  (embedding-based near-duplicate detection).
+- ``lsh_cosine_topk``  — random-hyperplane LSH bucketing: candidates meet
+  in sign-pattern buckets; top-k computed over candidates only. The scale
+  path when the query set is large: turns the q x n product into an
+  equi-join on bucket signatures.
+
+Numerics: dot products are strict left-to-right folds over
+``double``-cast elements (``F.aggregate`` over ``zip_with``), so results
+are bit-identical to any engine folding the same way (the DuckDB oracle
+uses list_reduce over the same element order). No Pandas UDF — stays in
+whole-stage codegen; with dim=64 the expression work is ~128 flops/pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_sq(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a, b):
+    """cos(a, b) as a deterministic double expression."""
+    return _dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector (cosine).
+
+    Physical shape: broadcast(queries) x corpus -> BroadcastNestedLoopJoin
+    producing |q| x |n| candidate rows WITHOUT shuffling the corpus, then a
+    window top-k per query (shuffle keyed by query id — |q| keys). Ties
+    broken by corpus id for full determinism. Self-matches excluded.
+    """
+    qid = query_id_col or f"q_{id_col}"
+    # precompute each side's squared norm ONCE per vector (not per pair):
+    # same fold -> bit-identical to recomputing, but 3x fewer flops
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(qid),
+            F.col(vec_col).alias("q_vec"),
+            _norm_sq(F.col(vec_col)).alias("q_nsq"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm_sq(F.col(vec_col)).alias("c_nsq")
+    )
+    scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col(vec_col))
+        / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(qid, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered corpus pairs with cosine >= threshold.
+
+    Brute-force O(n^2/2) — exact baseline. At 100 TB replace the self-join
+    with ``lsh_cosine_topk``-style sign-bucket blocking; the comparison
+    kernel (this expression) is reused unchanged. Norms are precomputed
+    per vector (n folds) instead of per pair (n^2 folds)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm_sq(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm_sq(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0x51AE5):
+    """Deterministic pseudo-random hyperplanes (fixed seed)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each vector gets ``n_tables`` bucket signatures (one per table,
+    ``n_planes`` sign bits each); query and corpus rows meet via an
+    equi-join on (table, signature). Probe cost ~ bucket occupancy instead
+    of |corpus|. Recall is tunable with n_planes/n_tables; results are a
+    subset of the exact ``cosine_topk`` output (same scoring kernel).
+    """
+    planes = _hyperplanes(dim, n_planes * n_tables)
+
+    def sig_cols(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            bits = []
+            for pj in range(n_planes):
+                plane = planes[t * n_planes + pj]
+                dot = None
+                arr = F.col(vec_col)
+                dot = F.aggregate(
+                    F.zip_with(
+                        arr,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+            out = out.withColumn(f"{prefix}sig{t}", F.concat(*bits))
+        return out
+
+    qid = f"q_{id_col}"
+    q = sig_cols(
+        queries.select(F.col(id_col).alias(qid), F.col(vec_col)), "q"
+    )
+    c = sig_cols(corpus.select(id_col, vec_col), "c")
+
+    q_m = q.select(
+        qid,
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"qsig{t}").alias("sig"))
+                for t in range(n_tables)
+            ])
+        ).alias("b"),
+    ).select(qid, "q_vec", "b.t", "b.sig")
+    c_m = c.select(
+        id_col,
+        F.col(vec_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"csig{t}").alias("sig"))
+                for t in range(n_tables)
+            ])
+        ).alias("b"),
+    ).select(id_col, vec_col, "b.t", "b.sig")
+
+    cand = (
+        F.broadcast(q_m)
+        .join(c_m, ["t", "sig"])
+        .filter(F.col(qid) != F.col(id_col))
+        .select(qid, "q_vec", id_col, vec_col)
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", cosine_col(F.col("q_vec"), F.col(vec_col)))
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(qid, id_col, "cosine", F.col("__rn").alias("rank"))
+    )

@@ -1,0 +1,686 @@
+"""Named queries + DuckDB oracle SQL — the driver-facing inventory.
+
+Each entry implements one operator family from SURVEY.md §2 (reference
+surface) or the north-star extensions (dedup / similarity / text /
+multimodal). Every query is paired with ANSI SQL the DuckDB oracle runs on
+the same parquet; the driver hash-compares values, so queries are designed
+for cross-engine determinism:
+
+- float aggregations accumulate in DECIMAL (order-independent, exact) and
+  convert to double only at the end;
+- dot products / rolling hashes are strict left-to-right folds over the
+  same element order on both engines;
+- threshold tests are integer comparisons (no float epsilon);
+- every tie is broken by a unique id column.
+
+All timestamps are µs UTC (nanos parquet is truncated identically by both
+engines — see sources/reader.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    FP_BASE,
+    FP_MOD,
+    LANG_STOPWORDS,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from .operators.pit_join import FeatureViewSpec, point_in_time_join
+from .operators.pull_all import time_range_scan
+from .operators.pull_latest import latest_per_key
+from .operators.similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs
+from .session import configure_runtime
+from .sources.reader import load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered views; None => rows-only
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference surface: time-range scan (S2+P1+F1, reference :479-513)
+# --------------------------------------------------------------------------
+
+PULL_ALL_START, PULL_ALL_END = "2024-01-08 00:00:00", "2024-01-22 00:00:00"
+
+
+def q_pull_all_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return time_range_scan(
+        ev, ["user_id"], ["event_id", "event_type", "value"], "ts",
+        PULL_ALL_START, PULL_ALL_END,
+    )
+
+
+ORACLE_PULL_ALL = f"""
+SELECT user_id, event_id, event_type, value, ts
+FROM events
+WHERE ts BETWEEN TIMESTAMP '{PULL_ALL_START}' AND TIMESTAMP '{PULL_ALL_END}'
+"""
+
+# --------------------------------------------------------------------------
+# Reference surface: latest row per key (A1+J2 -> W1, reference :421-476)
+# --------------------------------------------------------------------------
+
+
+def q_pull_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id"], ["event_id", "event_type", "value"], "ts",
+        None, "2024-01-01 00:00:00", "2024-01-15 00:00:00",
+    )
+
+
+ORACLE_PULL_LATEST = """
+SELECT user_id, event_id, event_type, value, ts
+FROM (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+  WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00'
+) WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# Reference flagship: point-in-time join (J1+A2+W1+J5, reference :601-779)
+# --------------------------------------------------------------------------
+
+PIT_TTL = 86400  # 1 day
+
+
+def _pit_spine(ev: DataFrame) -> DataFrame:
+    """Deterministic spine derived from the data itself: per user, one row
+    at min(ts)+12h and one at max(ts)-3d (so some rows fall outside TTL)."""
+    agg = ev.groupBy("user_id").agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    return agg.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.col("mn") + F.expr("INTERVAL 12 HOURS"),
+                F.col("mx") - F.expr("INTERVAL 3 DAYS"),
+            )
+        ).alias("event_timestamp"),
+    )
+
+
+def _pit_query(spark, sf_dir, ttl, strategy):
+    ev = _t(spark, sf_dir, "events")
+    spine = _pit_spine(ev)
+    view = FeatureViewSpec(
+        name="user_events",
+        source=ev,
+        join_keys=["user_id"],
+        features=["value", "event_type"],
+        timestamp_field="ts",
+        created_timestamp_column="event_id",  # unique tiebreak
+        ttl_seconds=ttl,
+    )
+    return point_in_time_join(spine, [view], strategy=strategy)
+
+
+def q_pit_join_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_query(spark, sf_dir, PIT_TTL, "broadcast")
+
+
+def q_pit_join_nottl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pit_query(spark, sf_dir, 0, "broadcast")
+
+
+def q_pit_join_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_pit_join_ttl via the melt/union-window physical
+    strategy (the huge-spine scale path) — same oracle must match."""
+    return _pit_query(spark, sf_dir, PIT_TTL, "union_window")
+
+
+def _oracle_pit(ttl_clause: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, mn + INTERVAL 12 HOUR AS event_timestamp FROM agg
+  UNION ALL
+  SELECT user_id, mx - INTERVAL 3 DAY FROM agg
+),
+cand AS (
+  SELECT s.user_id, s.event_timestamp, f.value, f.event_type,
+         row_number() OVER (
+           PARTITION BY s.user_id, s.event_timestamp
+           ORDER BY f.ts DESC, f.event_id DESC
+         ) AS rn
+  FROM spine s
+  JOIN events f
+    ON s.user_id = f.user_id
+   AND f.ts <= s.event_timestamp
+   {ttl_clause}
+)
+SELECT s.user_id, s.event_timestamp, c.value, c.event_type
+FROM spine s
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  USING (user_id, event_timestamp)
+"""
+
+
+ORACLE_PIT_TTL = _oracle_pit(
+    "AND f.ts >= s.event_timestamp - INTERVAL 1 DAY"
+)
+ORACLE_PIT_NOTTL = _oracle_pit("")
+
+# --------------------------------------------------------------------------
+# Scan + filter + projection over a dimension table (S2/P1/F-pushdown)
+# --------------------------------------------------------------------------
+
+
+def q_scan_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 25) & (F.col("p_brand") == "Brand#13"))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+ORACLE_SCAN_PART = """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part WHERE p_size >= 25 AND p_brand = 'Brand#13'
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: aggregation pipeline (TPC-H Q1 shape) — scaled-integer sums
+#
+# Money columns in the testdata are exact 2-decimal values (verified:
+# round(x*100) is integral for every row), so sums accumulate in BIGINT
+# "cents" — order-independent, overflow-safe to ~10^18, and identical in
+# every engine; doubles appear only in one final division. This also
+# avoids double->decimal cast-rounding differences between engines.
+# --------------------------------------------------------------------------
+
+
+def _cents(col: str, scale: int = 100):
+    return F.round(F.col(col) * scale).cast("bigint")
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    disc = _cents("l_discount")
+    tax = _cents("l_tax")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(cents * (100 - disc)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(cents * (100 - disc) * (100 + tax)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_L_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_L_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_L_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+_L_QTY = "CAST(round(l_quantity) AS BIGINT)"
+
+ORACLE_AGG_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({_L_QTY}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_L_CENTS}) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM({_L_CENTS} * (100 - {_L_DISC}) * (100 + {_L_TAX})) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM({_L_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({_L_DISC}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: multi-join + agg + top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+
+
+def q_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_JOIN_TOP_ORDERS = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: star-schema join through region (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_JOIN_REGION = f"""
+SELECT n_name,
+       CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+# --------------------------------------------------------------------------
+# North-star: deduplication
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+JACCARD_THRESHOLD = 0.5
+NGRAM_N = 3
+
+# DuckDB shingle set expression (1-based inclusive slices)
+_DUCK_SHINGLES = f"""
+list_distinct(
+  list_transform(
+    range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - {NGRAM_N - 1}, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+{NGRAM_N - 1}], ' ')
+  )
+)
+"""
+
+_ORACLE_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path, exact-verified; with k=32,b=16,r=2 the recall at
+    J>=0.5 is 1-(1-0.25)^16 ≈ 0.99 — validated against the exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_TOKEN_FP = f"""
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+  (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+)
+"""
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform({_DUCK_TOKENS}, t -> {_DUCK_TOKEN_FP}) AS hashes
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), j ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(hashes, h ->
+                 CAST(floor(CAST(h AS DOUBLE) / (2 ** j)) AS BIGINT) % 2 * 2 - 1)),
+             (a, b) -> a + b
+           )
+         ) AS v
+  FROM tok
+)
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(0, 32), j ->
+             CASE WHEN v[j + 1] > 0 THEN 2.0 ** j ELSE 0.0 END)),
+         (a, b) -> a + b
+       ) AS BIGINT) AS simhash
+FROM votes
+"""
+
+# --------------------------------------------------------------------------
+# North-star: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_QUERY_IDS = 8  # vec_id < 8 are the query vectors
+
+_DUCK_DOT = """
+list_reduce(
+  list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 65),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+  (acc, x) -> acc + x
+)
+"""
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return cosine_topk(emb, queries, k=KNN_K)
+
+
+ORACLE_KNN = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {KNN_QUERY_IDS}),
+scored AS (
+  SELECT q.q_vec_id, e.vec_id,
+         {_duck_cosine('q.qe', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.q_vec_id
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+NEAR_DUP_COS = 0.4
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=NEAR_DUP_COS)
+
+
+ORACLE_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH (no oracle — approximate
+    by design; rows-only check). Validated in tests against exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return lsh_cosine_topk(emb, queries, k=KNN_K)
+
+
+# --------------------------------------------------------------------------
+# North-star: text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col("text").alias("n_tokens"))
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(unicode(text[i:i]) AS BIGINT))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+  ) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+def _duck_stop_count(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({inlist})))"
+
+
+def _oracle_lang_id() -> str:
+    counts = {lang: _duck_stop_count(ws) for lang, ws in LANG_STOPWORDS.items()}
+    cols = ", ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN c_{lg} > 0 AND c_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH counted AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, CASE {whens} ELSE 'unknown' END AS lang_pred FROM counted
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = quality_score_col("text")
+    return docs.select(
+        "doc_id",
+        s.alpha_ratio.alias("alpha_ratio"),
+        s.stop_ratio.alias("stop_ratio"),
+        s.mean_tok_len.alias("mean_tok_len"),
+        s.quality_score.alias("quality_score"),
+    )
+
+
+_DUCK_EN_STOPS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+    CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  n_alpha / n_chars AS alpha_ratio,
+  n_stop / n_tok AS stop_ratio,
+  n_alpha / n_tok AS mean_tok_len,
+  (n_alpha / n_chars) * 0.5 + (n_stop / n_tok) * 0.3 + ((n_alpha / n_tok) / 10.0) * 0.2
+    AS quality_score
+FROM base
+"""
+
+# --------------------------------------------------------------------------
+# North-star: multimodal columns (binary payload + Arrow-batched Pandas UDF)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas plumbing over binary payloads; the payload here is
+    the utf-8 encoding of the document text (the container has no media
+    codecs — see operators/multimodal.py). Because the corpus is pure
+    ASCII, byte statistics == codepoint statistics, which the DuckDB
+    oracle computes from the text directly."""
+    from .operators.multimodal import attach_media_columns, byte_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image", "raw"
+    )
+    return byte_features(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(unicode(text[1:1]) AS BIGINT) AS first_byte,
+  CAST(unicode(text[length(text):length(text)]) AS BIGINT) AS last_byte,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(unicode(text[i:i]) AS BIGINT))),
+    (acc, x) -> (acc + x) % 1000000007
+  ) AS byte_sum_mod
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryDef] = {
+    "pull_all_time_range": QueryDef(q_pull_all_time_range, ORACLE_PULL_ALL,
+                                    "S2+P1+F1 time-range scan"),
+    "pull_latest_per_key": QueryDef(q_pull_latest_per_key, ORACLE_PULL_LATEST,
+                                    "A1+J2->W1 latest per key"),
+    "pit_join_ttl": QueryDef(q_pit_join_ttl, ORACLE_PIT_TTL,
+                             "J1 flagship as-of join, TTL=1d (broadcast)"),
+    "pit_join_nottl": QueryDef(q_pit_join_nottl, ORACLE_PIT_NOTTL,
+                               "J1 as-of join, TTL=0 (no lower bound)"),
+    "pit_join_union_window": QueryDef(q_pit_join_union_window, ORACLE_PIT_TTL,
+                                      "J1 via melt/union-window strategy"),
+    "scan_part_filter": QueryDef(q_scan_part_filter, ORACLE_SCAN_PART,
+                                 "S2 scan + F pushdown + P1 projection"),
+    "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,
+                                    "hash agg w/ decimal accumulation (Q1 shape)"),
+    "join_top_orders": QueryDef(q_join_top_orders, ORACLE_JOIN_TOP_ORDERS,
+                                "3-way join + agg + deterministic top-k (Q3)"),
+    "join_region_revenue": QueryDef(q_join_region_revenue, ORACLE_JOIN_REGION,
+                                    "star join through region/nation (Q5)"),
+    "dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT,
+                            "exact dedup via hash groupBy"),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _ORACLE_JACCARD_PAIRS,
+                                    "exact n-gram Jaccard pairs"),
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _ORACLE_JACCARD_PAIRS,
+                                  "MinHash+LSH candidates, exact-verified"),
+    "dedup_simhash": QueryDef(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
+                              "32-bit SimHash signatures"),
+    "knn_cosine_topk": QueryDef(q_knn_cosine_topk, ORACLE_KNN,
+                                "brute-force cosine top-k"),
+    "knn_lsh": QueryDef(q_knn_lsh, None,
+                        "hyperplane-LSH ANN (approximate; rows-only)"),
+    "embedding_near_dup": QueryDef(q_embedding_near_dup, ORACLE_NEAR_DUP,
+                                   "embedding-cosine near-dup pairs"),
+    "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
+                                 "whitespace token counting"),
+    "text_fingerprint": QueryDef(q_text_fingerprint, ORACLE_FINGERPRINT,
+                                 "rolling-hash document fingerprint"),
+    "text_lang_id": QueryDef(q_text_lang_id, ORACLE_LANG_ID,
+                             "stopword-lexicon language ID"),
+    "text_quality": QueryDef(q_text_quality, ORACLE_QUALITY,
+                             "quality scoring (ratios)"),
+    "multimodal_byte_features": QueryDef(q_multimodal_byte_features, ORACLE_MULTIMODAL,
+                                         "binary payload + mapInPandas extraction"),
+}

@@ -65,10 +65,61 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # Must stay enabled through action time: executors re-read footers when
     # the scan actually runs, so restoring the conf here would break the job.
     spark.conf.set(_NANOS_CONF, "true")
-    df = spark.read.parquet(path)
-    return df.withColumns(
+    raw = spark.read.parquet(path)
+    df = _convert_nanos(raw, nanos)
+    # stash the pre-conversion frame so filter_ts_range can push range
+    # predicates down to the parquet scan in raw-int64 space
+    df._fis_nanos_raw = (raw, set(nanos))  # type: ignore[attr-defined]
+    return df
+
+
+def _convert_nanos(raw: DataFrame, nanos) -> DataFrame:
+    return raw.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
     )
+
+
+def filter_ts_range(df: DataFrame, ts_col: str, lo, hi) -> DataFrame:
+    """Inclusive ``lo <= ts_col <= hi`` filter that reaches the parquet scan.
+
+    The nanos->timestamp projection (``timestamp_micros(c div 1000)``) is
+    opaque to parquet filter pushdown: a predicate written against the
+    converted column leaves only ``IsNotNull`` in ``PushedFilters`` and
+    every row group is read. The conversion is monotonic, so the predicate
+    is rewritten into raw-int64 nanos space —
+    ``raw >= lo_us*1000 AND raw <= hi_us*1000 + 999`` is exactly
+    equivalent to ``lo <= trunc_us(raw) <= hi`` — and applied BEFORE the
+    conversion, where it pushes down to row-group pruning. At 100 TB this
+    is the difference between scanning a day and scanning the decade.
+
+    ``lo``/``hi`` may be datetime or ISO strings (µs precision).
+    Falls back to a plain timestamp BETWEEN when ``df`` did not come from
+    :func:`read_parquet` or the column is not a converted nanos column.
+    """
+    import pandas as pd
+
+    info = getattr(df, "_fis_nanos_raw", None)
+    if info is not None and ts_col in info[1]:
+        raw, nanos = info
+        cond = None
+        if lo is not None:
+            lo_us = pd.Timestamp(lo).value // 1000
+            cond = F.col(ts_col) >= F.lit(lo_us * 1000)
+        if hi is not None:
+            hi_us = pd.Timestamp(hi).value // 1000
+            c2 = F.col(ts_col) <= F.lit(hi_us * 1000 + 999)
+            cond = c2 if cond is None else (cond & c2)
+        filtered = raw.filter(cond) if cond is not None else raw
+        out = _convert_nanos(filtered, nanos)
+        out._fis_nanos_raw = (filtered, nanos)  # type: ignore[attr-defined]
+        return out
+    cond = None
+    if lo is not None:
+        cond = F.col(ts_col) >= F.lit(lo).cast("timestamp")
+    if hi is not None:
+        c2 = F.col(ts_col) <= F.lit(hi).cast("timestamp")
+        cond = c2 if cond is None else (cond & c2)
+    return df.filter(cond) if cond is not None else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Tests for the north-star extension operators (dedup, similarity, text,
+multimodal) — semantics on small in-memory data; oracle cross-checks run
+separately via scripts/check_oracle.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_ibm_spark.operators.dedup import (
+    dedup_keep_latest,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from feast_ibm_spark.operators.multimodal import (
+    attach_media_columns,
+    byte_features,
+    decode_stub,
+)
+from feast_ibm_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    near_dup_pairs,
+)
+from feast_ibm_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    token_count_col,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "el gato y el perro en la casa de la abuela"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert out[1] == 2 and 2 not in out and out[3] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_matches_exact(docs):
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert approx == exact
+
+
+def test_simhash_similarity_structure(spark, docs):
+    out = {r.doc_id: r.sh for r in
+           docs.select("doc_id", simhash_col("text").alias("sh")).collect()}
+    assert out[1] == out[2]  # identical text -> identical simhash
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+    assert all(0 <= v < 2**32 for v in out.values())
+
+
+def test_dedup_keep_latest(spark):
+    from datetime import datetime as TS
+
+    df = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), "old"), (1, TS(2024, 1, 2), "new"), (2, TS(2024, 1, 1), "x")],
+        "k bigint, ts timestamp, v string",
+    )
+    got = {r.k: r.v for r in dedup_keep_latest(df, ["k"], "ts").collect()}
+    assert got == {1: "new", 2: "x"}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]), # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_cosine_topk_ordering(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [1, 2] or rows[0].vec_id == 1
+    assert rows[0].cosine == pytest.approx(
+        0.9 / math.sqrt(0.81 + 0.01), rel=1e-12
+    )
+    # self-match excluded
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_near_dup_pairs_threshold(vectors):
+    pairs = {(r.id_a, r.id_b) for r in near_dup_pairs(vectors, threshold=0.9).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 4) not in pairs  # cosine -1
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.q_vec_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.q_vec_id, r.vec_id) for r in lsh_cosine_topk(emb, q, k=5).collect()}
+    # LSH returns a subset of the exact neighbors with decent recall
+    assert len(approx & exact) >= int(0.6 * len(exact))
+
+
+def test_text_functions(docs):
+    row = docs.filter(F.col("doc_id") == 1).select(
+        token_count_col("text").alias("n"),
+        fingerprint_col("text").alias("fp"),
+        lang_id_col("text").alias("lang"),
+    ).first()
+    assert row.n == 9
+    assert 0 <= row.fp < 1_000_000_007
+    assert row.lang == "en"
+    es = docs.filter(F.col("doc_id") == 5).select(lang_id_col("text").alias("l")).first()
+    assert es.l == "es"
+
+
+def test_multimodal_byte_features(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id bigint, text string")
+    media = attach_media_columns(df, "doc_id", F.encode(F.col("text"), "utf-8"),
+                                 "image", "raw")
+    assert media.columns == ["media_id", "payload", "media_type", "format", "n_bytes"]
+    out = {r.media_id: r for r in byte_features(media).collect()}
+    assert out[1].n_bytes == 3 and out[1].first_byte == 97 and out[1].last_byte == 99
+    assert out[1].byte_sum_mod == 97 + 98 + 99
+    assert out[2].n_bytes == 0 and out[2].first_byte == -1
+
+
+def test_decode_stub_raises_at_execution(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    media = attach_media_columns(df, "doc_id", F.encode(F.col("text"), "utf-8"),
+                                 "image", "png")
+    stub = decode_stub(media)  # plan construction must succeed
+    assert [f.name for f in stub.schema.fields] == [
+        "media_id", "width", "height", "n_channels"]
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        stub.collect()
