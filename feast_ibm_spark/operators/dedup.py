@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import FP_BASE, FP_MOD, tokens_col, token_fingerprint_expr
 
@@ -65,6 +66,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    persist: bool = True,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold (exact).
 
@@ -72,8 +74,17 @@ def ngram_jaccard_pairs(
     shuffle key is the shingle. The threshold test is done in integer
     arithmetic (``common * 10 >= t*10 * union``) so it is exactly
     reproducible across engines; the reported ``jaccard`` is a single
-    IEEE-exact division of two integers."""
-    sh = _exploded_shingles(df, text_col, id_col, n)
+    IEEE-exact division of two integers.
+
+    ``persist`` materializes the exploded-shingle index once
+    (MEMORY_AND_DISK) instead of re-tokenizing the corpus for each of the
+    three consumers (self-join left/right + size agg) — at scale the
+    shingle index is the expensive part, and Spark would otherwise
+    recompute it per branch."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -110,6 +121,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 16,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -122,6 +134,14 @@ def minhash_lsh_pairs(
       3. candidates are verified with EXACT shingle-set Jaccard, so false
          positives are eliminated; recall at J>=0.8 with k=32, b=16, r=2
          is 1 - (1 - 0.8^2)^16 ~ 1 - 2e-8.
+
+    ``persist`` (default) materializes the two subplans that feed multiple
+    consumers — the per-doc shingle arrays (signature path + both verify
+    sides) and the banded signatures (both sides of the bucket self-join)
+    — as MEMORY_AND_DISK. Without it Spark recomputes the whole
+    tokenize->shingle->minhash pipeline once per branch (5x the work). At
+    100 TB both artifacts are O(corpus) and spill cleanly to local disk;
+    this is the standard persist-the-index pattern, not a driver collect.
 
     At 100 TB: the bucket-join key (band, signature) is high-cardinality
     and uniform, so the shuffle is balanced; hot buckets (boilerplate
@@ -137,8 +157,21 @@ def minhash_lsh_pairs(
     rng = random.Random(0xFEA57)
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
 
-    sh = _exploded_shingles(df, text_col, id_col, n)
-    # shingle fingerprint: murmur3 (JVM built-in) folded into [0, p)
+    # per-doc shingle arrays, computed ONCE and shared by the signature
+    # path and the exact-verification joins. The explicit repartition
+    # spreads the CPU-heavy tokenize/shingle/minhash expression work across
+    # all cores even when the source is a single small file (one input
+    # partition otherwise serializes the whole pipeline); the explicit
+    # partition count keeps AQE from coalescing it back down.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs_sh = df.repartition(par, id_col).select(
+        F.col(id_col), shingles_col(text_col, n).alias("sh")
+    )
+    if persist:
+        docs_sh = docs_sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    sh = docs_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # shingle fingerprint: xxhash64 (JVM built-in) folded into [0, p)
     shf = sh.withColumn("x", (F.xxhash64("shingle") % p + p) % p)
 
     sig = shf.groupBy(id_col).agg(
@@ -167,6 +200,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+    if persist:
+        bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -183,8 +218,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    docs_sh = df.select(F.col(id_col), shingles_col(text_col, n).alias("sh"))
+    # exact verification of candidates only (docs_sh reused from above)
     va = docs_sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     vb = docs_sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     thr_num = int(round(threshold * 1000))
