@@ -190,6 +190,127 @@ ORACLE_PIT_TTL = _oracle_pit(
 ORACLE_PIT_NOTTL = _oracle_pit("")
 
 # --------------------------------------------------------------------------
+# PIT join, multi-FeatureView: J5 chaining + P2 renames (full_feature_names
+# + field_mapping) + per-view TTL (reference :660-662, :765-778)
+# --------------------------------------------------------------------------
+
+
+def q_pit_join_multiview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two FeatureViews over the same spine: ``recent`` (TTL=1d) and
+    ``all_time`` (TTL=0, field_mapping value->amount), with
+    ``full_feature_names=True`` prefixing outputs ``<view>__<feature>``."""
+    ev = _t(spark, sf_dir, "events")
+    spine = _pit_spine(ev)
+    recent = FeatureViewSpec(
+        name="recent", source=ev, join_keys=["user_id"],
+        features=["value", "event_type"], timestamp_field="ts",
+        created_timestamp_column="event_id", ttl_seconds=PIT_TTL,
+    )
+    all_time = FeatureViewSpec(
+        name="all_time", source=ev, join_keys=["user_id"],
+        features=["amount"], timestamp_field="ts",
+        created_timestamp_column="event_id", ttl_seconds=0,
+        field_mapping={"value": "amount"},
+    )
+    return point_in_time_join(spine, [recent, all_time], full_feature_names=True)
+
+
+ORACLE_PIT_MULTIVIEW = """
+WITH agg AS (
+  SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, mn + INTERVAL 12 HOUR AS event_timestamp FROM agg
+  UNION ALL
+  SELECT user_id, mx - INTERVAL 3 DAY FROM agg
+),
+c_recent AS (
+  SELECT s.user_id, s.event_timestamp, f.value, f.event_type,
+         row_number() OVER (
+           PARTITION BY s.user_id, s.event_timestamp
+           ORDER BY f.ts DESC, f.event_id DESC
+         ) AS rn
+  FROM spine s
+  JOIN events f
+    ON s.user_id = f.user_id
+   AND f.ts <= s.event_timestamp
+   AND f.ts >= s.event_timestamp - INTERVAL 1 DAY
+),
+c_all AS (
+  SELECT s.user_id, s.event_timestamp, f.value AS amount,
+         row_number() OVER (
+           PARTITION BY s.user_id, s.event_timestamp
+           ORDER BY f.ts DESC, f.event_id DESC
+         ) AS rn
+  FROM spine s
+  JOIN events f
+    ON s.user_id = f.user_id AND f.ts <= s.event_timestamp
+)
+SELECT s.user_id, s.event_timestamp,
+       a.value AS recent__value, a.event_type AS recent__event_type,
+       b.amount AS all_time__amount
+FROM spine s
+LEFT JOIN (SELECT * FROM c_recent WHERE rn = 1) a USING (user_id, event_timestamp)
+LEFT JOIN (SELECT * FROM c_all    WHERE rn = 1) b USING (user_id, event_timestamp)
+"""
+
+# --------------------------------------------------------------------------
+# pull_latest with a real tiebreak: truncate ts to days so (key, day) ties
+# exist, break them by created column (fixes reference bug at :428); the
+# keep_ties variant reproduces the reference's multiple-rows behavior.
+# --------------------------------------------------------------------------
+
+TIEBREAK_START, TIEBREAK_END = "2024-01-01 00:00:00", "2024-01-15 00:00:00"
+
+
+def _events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("day_ts", F.date_trunc("day", F.col("ts")))
+
+
+def q_pull_latest_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_per_key(
+        _events_by_day(spark, sf_dir),
+        ["user_id"], ["value", "event_type"], "day_ts",
+        "event_id", TIEBREAK_START, TIEBREAK_END,
+    )
+
+
+ORACLE_PULL_LATEST_TIEBREAK = f"""
+SELECT user_id, value, event_type, day_ts, event_id FROM (
+  SELECT user_id, value, event_type, date_trunc('day', ts) AS day_ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('day', ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE date_trunc('day', ts)
+        BETWEEN TIMESTAMP '{TIEBREAK_START}' AND TIMESTAMP '{TIEBREAK_END}'
+) WHERE rn = 1
+"""
+
+
+def q_pull_latest_keep_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compat mode: RANK keeps every row tied on max(ts)
+    (the reference's USING-join behavior, :461-464)."""
+    return latest_per_key(
+        _events_by_day(spark, sf_dir),
+        ["user_id"], ["value", "event_type"], "day_ts",
+        None, TIEBREAK_START, TIEBREAK_END, keep_ties=True,
+    )
+
+
+ORACLE_PULL_LATEST_KEEP_TIES = f"""
+SELECT user_id, value, event_type, day_ts FROM (
+  SELECT user_id, value, event_type, date_trunc('day', ts) AS day_ts,
+         rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts) DESC) AS rn
+  FROM events
+  WHERE date_trunc('day', ts)
+        BETWEEN TIMESTAMP '{TIEBREAK_START}' AND TIMESTAMP '{TIEBREAK_END}'
+) WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
 # Scan + filter + projection over a dimension table (S2/P1/F-pushdown)
 # --------------------------------------------------------------------------
 
@@ -651,6 +772,14 @@ QUERIES: dict[str, QueryDef] = {
                                "J1 as-of join, TTL=0 (no lower bound)"),
     "pit_join_union_window": QueryDef(q_pit_join_union_window, ORACLE_PIT_TTL,
                                       "J1 via melt/union-window strategy"),
+    "pit_join_multiview": QueryDef(q_pit_join_multiview, ORACLE_PIT_MULTIVIEW,
+                                   "J5 multi-view chain + P2 full_feature_names"),
+    "pull_latest_tiebreak": QueryDef(q_pull_latest_tiebreak,
+                                     ORACLE_PULL_LATEST_TIEBREAK,
+                                     "A3 created-ts tiebreak on day-level ties"),
+    "pull_latest_keep_ties": QueryDef(q_pull_latest_keep_ties,
+                                      ORACLE_PULL_LATEST_KEEP_TIES,
+                                      "J2 reference-compat keep-all-ties (RANK)"),
     "scan_part_filter": QueryDef(q_scan_part_filter, ORACLE_SCAN_PART,
                                  "S2 scan + F pushdown + P1 projection"),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,

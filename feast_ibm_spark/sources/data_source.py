@@ -49,6 +49,10 @@ class SparkDataSource:
     timestamp_field: str | None = None
     created_timestamp_column: str | None = None
     field_mapping: dict[str, str] = field(default_factory=dict)
+    # reader options (csv delimiter, json multiline, ...). CSV defaults to
+    # header+inferSchema so column names and types survive the round trip —
+    # the remote engine the reference delegated to did its own inference.
+    options: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self):
         n_set = sum(x is not None for x in (self.table, self.query, self.path))
@@ -84,7 +88,11 @@ class SparkDataSource:
 
             df = read_parquet(spark, self.path)
         else:
-            df = spark.read.format(self.format).load(self.path)
+            opts = dict(self.options)
+            if self.format == "csv":
+                opts.setdefault("header", "true")
+                opts.setdefault("inferSchema", "true")
+            df = spark.read.format(self.format).options(**opts).load(self.path)
         return df
 
     # -- validation (S4, reference :202-220) ---------------------------------
@@ -134,6 +142,7 @@ class SparkDataSource:
                 "timestamp_field": self.timestamp_field,
                 "created_timestamp_column": self.created_timestamp_column,
                 "field_mapping": self.field_mapping,
+                "options": self.options,
             },
             sort_keys=True,
         )
@@ -150,4 +159,5 @@ class SparkDataSource:
             timestamp_field=d.get("timestamp_field"),
             created_timestamp_column=d.get("created_timestamp_column"),
             field_mapping=d.get("field_mapping") or {},
+            options=d.get("options") or {},
         )

@@ -43,18 +43,31 @@ def _first_parquet_file(path: str) -> str | None:
 
 
 def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as physical INT64 + logical TIMESTAMP(nanoseconds).
+
+    Checked against the PARQUET schema, not the arrow-inferred one: legacy
+    INT96 timestamps (Spark's default output format) come back from
+    ``pq.read_schema`` as ``timestamp[ns]`` too, but Spark reads INT96
+    natively — only true INT64-nanos columns need the raw-long shim."""
     f = _first_parquet_file(path)
     if f is None:
         return []
     try:
-        schema = pq.read_schema(f)
+        schema = pq.ParquetFile(f).schema
     except Exception:
         return []
-    return [
-        name
-        for name, typ in zip(schema.names, schema.types)
-        if pa.types.is_timestamp(typ) and typ.unit == "ns"
-    ]
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and getattr(lt, "type", None) == "TIMESTAMP"
+            and "nanoseconds" in str(lt)
+        ):
+            out.append(col.name)
+    return out
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,161 @@
+"""SparkDataSource contract tests — the reference's DataSource surface
+(``ibm_data_engine/data_engine_offline_store.py:103-299``) re-expressed:
+three-way constructor (table | query | path+format, error otherwise
+``:140-141``), format validation (``:147``), name defaulting (``:149-153``),
+validation probes (``:202-220``), schema introspection (``:228-251``), and
+serialization round-trip (``:165-200``) — plus the formats the reference
+supports for object-store sources: parquet, csv, json.
+"""
+
+import datetime
+
+import pytest
+
+from feast_ibm_spark.sources.data_source import (
+    DataSourceValidationError,
+    SparkDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def sample_rows():
+    return [
+        (1, "a", 10.5, datetime.datetime(2024, 1, 1, 8, 0, 0)),
+        (2, "b", 20.25, datetime.datetime(2024, 1, 2, 9, 30, 0)),
+        (3, "c", 30.0, datetime.datetime(2024, 1, 3, 10, 45, 0)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark, sample_rows):
+    return spark.createDataFrame(sample_rows, "id bigint, name string, value double, ts timestamp")
+
+
+# -- constructor contract ----------------------------------------------------
+
+
+def test_exactly_one_of_table_query_path_required():
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource()
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(table="t", query="select 1")
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(table="t", path="/p", query="select 1")
+
+
+def test_format_must_be_supported():
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(path="/p", format="avro")
+
+
+def test_name_defaults_to_table_then_path():
+    assert SparkDataSource(table="events").name == "events"
+    assert SparkDataSource(path="/data/x.parquet").name == "/data/x.parquet"
+    assert SparkDataSource(query="select 1").name == "query_source"
+    assert SparkDataSource(table="t", name="custom").name == "custom"
+
+
+# -- path sources in all three formats --------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_path_source_roundtrip(spark, sample_df, tmp_path_factory, fmt):
+    path = str(tmp_path_factory.mktemp("src") / f"data_{fmt}")
+    writer = sample_df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+    src = SparkDataSource(path=path, format=fmt, timestamp_field="ts")
+    src.validate(spark)
+    df = src.load(spark)
+    # csv without a schema infers strings; json loses column order — check
+    # content by name, not dtype
+    rows = {r["id"] for r in df.select("id").collect()}
+    assert {int(x) for x in rows} == {1, 2, 3}
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert set(cols) == {"id", "name", "value", "ts"}
+
+
+def test_csv_source_retrieval_end_to_end(spark, sample_df, tmp_path_factory):
+    """A retrieval operator (time-range scan) over a CSV source with an
+    explicit read; csv types come back as strings without a schema, so load
+    through a query source casting them — the composition the reference
+    supports via its query sources."""
+    path = str(tmp_path_factory.mktemp("src") / "ev_csv")
+    sample_df.write.mode("overwrite").option("header", True).csv(path)
+
+    from feast_ibm_spark.operators.pull_all import time_range_scan
+
+    raw = SparkDataSource(path=path, format="csv", timestamp_field="ts")
+    df = raw.load(spark).selectExpr(
+        "cast(id as bigint) id", "name", "cast(value as double) value",
+        "cast(ts as timestamp) ts",
+    )
+    out = time_range_scan(
+        df, ["id"], ["name", "value"], "ts",
+        "2024-01-01 00:00:00", "2024-01-02 23:59:59",
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
+
+
+# -- table and query sources -------------------------------------------------
+
+
+def test_table_source(spark, sample_df):
+    sample_df.createOrReplaceTempView("src_table_test")
+    src = SparkDataSource(table="src_table_test")
+    src.validate(spark)
+    assert src.load(spark).count() == 3
+
+
+def test_query_source_schema_introspection(spark, sample_df):
+    """The reference REFUSES schema-from-query (``:240-248``); we support it."""
+    sample_df.createOrReplaceTempView("src_query_test")
+    src = SparkDataSource(query="SELECT id, value * 2 AS dbl FROM src_query_test")
+    cols = dict(src.get_table_column_names_and_types(spark))
+    assert cols == {"id": "bigint", "dbl": "double"}
+
+
+def test_validate_failures(spark):
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(table="no_such_table_xyz").validate(spark)
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(query="SELECT * FROM no_such_table_xyz").validate(spark)
+    with pytest.raises(DataSourceValidationError):
+        SparkDataSource(path="/no/such/path.parquet").validate(spark)
+
+
+# -- field_mapping, serialization, feast types -------------------------------
+
+
+def test_field_mapping_applied_on_load(spark, sample_df):
+    sample_df.createOrReplaceTempView("src_fm_test")
+    src = SparkDataSource(table="src_fm_test", field_mapping={"value": "feature_value"})
+    assert "feature_value" in src.load(spark).columns
+    # introspection reports the RAW schema (reference behavior)
+    raw_cols = dict(src.get_table_column_names_and_types(spark))
+    assert "value" in raw_cols and "feature_value" not in raw_cols
+
+
+def test_json_serialization_roundtrip():
+    src = SparkDataSource(
+        path="/data/x.parquet",
+        timestamp_field="ts",
+        created_timestamp_column="created",
+        field_mapping={"a": "b"},
+    )
+    back = SparkDataSource.from_json(src.to_json())
+    assert back == src
+
+
+def test_feast_schema_type_mapping(spark, sample_df):
+    sample_df.createOrReplaceTempView("src_feast_test")
+    got = dict(SparkDataSource(table="src_feast_test").feast_schema(spark))
+    assert got["id"] == "INT64"
+    assert got["name"] == "STRING"
+    assert got["value"] == "DOUBLE"
+    assert got["ts"] == "UNIX_TIMESTAMP"
