@@ -19,6 +19,8 @@ whole-stage codegen; with dim=64 the expression work is ~128 flops/pair.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -144,63 +146,50 @@ def lsh_cosine_topk(
     equi-join on (table, signature). Probe cost ~ bucket occupancy instead
     of |corpus|. Recall is tunable with n_planes/n_tables; results are a
     subset of the exact ``cosine_topk`` output (same scoring kernel).
-    """
-    planes = _hyperplanes(dim, n_planes * n_tables)
 
-    def sig_cols(df: DataFrame, prefix: str) -> DataFrame:
-        out = df
-        for t in range(n_tables):
-            bits = []
-            for pj in range(n_planes):
-                plane = planes[t * n_planes + pj]
-                dot = None
-                arr = F.col(vec_col)
-                dot = F.aggregate(
-                    F.zip_with(
-                        arr,
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, w: x.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-            out = out.withColumn(f"{prefix}sig{t}", F.concat(*bits))
-        return out
+    Physical shape: the signature stage is a *vectorized Pandas UDF* — one
+    Arrow batch in, one (batch x planes) numpy matmul + sign + bit-pack
+    out. This is the documented exception to "stay in built-ins": a dense
+    dot against ``n_tables * n_planes`` hyperplanes per row is exactly the
+    workload where an interpreted higher-order-function fold is 100x
+    slower than BLAS. The FINAL scoring still uses the strict fold kernel
+    (``cosine_col``) so reported cosines stay bit-identical to the exact
+    path. Candidates are deduped on the id pair BEFORE scoring so each
+    surviving pair pays the O(dim) kernel once; the corpus side is
+    repartitioned so signature work parallelizes even off a 1-file source.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = _hyperplanes(dim, n_planes * n_tables)
+    plane_mat = np.asarray(planes, dtype=np.float64)  # (T*P, dim)
+    pack_w = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def table_sigs(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ plane_mat.T >= 0).astype(np.int64)  # (batch, T*P)
+        packed = bits.reshape(len(mat), n_tables, n_planes) @ pack_w
+        return pd.Series(list(packed))
+
+    def melt(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
+        )
 
     qid = f"q_{id_col}"
-    q = sig_cols(
-        queries.select(F.col(id_col).alias(qid), F.col(vec_col)), "q"
-    )
-    c = sig_cols(corpus.select(id_col, vec_col), "c")
-
-    q_m = q.select(
-        qid,
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"qsig{t}").alias("sig"))
-                for t in range(n_tables)
-            ])
-        ).alias("b"),
-    ).select(qid, "q_vec", "b.t", "b.sig")
-    c_m = c.select(
-        id_col,
-        F.col(vec_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"csig{t}").alias("sig"))
-                for t in range(n_tables)
-            ])
-        ).alias("b"),
-    ).select(id_col, vec_col, "b.t", "b.sig")
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    q_m = melt(queries, qid, "q_vec")
+    c_m = melt(corpus.repartition(par, id_col), id_col, vec_col)
 
     cand = (
         F.broadcast(q_m)
         .join(c_m, ["t", "sig"])
         .filter(F.col(qid) != F.col(id_col))
-        .select(qid, "q_vec", id_col, vec_col)
-        .distinct()
+        .groupBy(qid, id_col)
+        .agg(F.first("q_vec").alias("q_vec"), F.first(vec_col).alias(vec_col))
     )
     scored = cand.withColumn("cosine", cosine_col(F.col("q_vec"), F.col(vec_col)))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
