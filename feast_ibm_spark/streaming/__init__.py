@@ -1,7 +1,10 @@
 from .latest import streaming_latest_per_key, streaming_window_counts, stream_parquet_source
+from .stateful import streaming_first_seen, streaming_sessionize
 
 __all__ = [
     "streaming_latest_per_key",
     "streaming_window_counts",
     "stream_parquet_source",
+    "streaming_first_seen",
+    "streaming_sessionize",
 ]

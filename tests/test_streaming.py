@@ -53,6 +53,87 @@ def test_streaming_latest_per_key(spark, event_dir):
     assert got == {1: 2.0, 2: 5.0, 3: 9.0}
 
 
+def test_streaming_sessionize_across_batches(spark):
+    """Gap sessionization with REAL cross-batch state: two parquet files
+    processed as separate micro-batches (maxFilesPerTrigger=1), sessions
+    closed in either batch are emitted exactly once."""
+    import os
+
+    from feast_ibm_spark.streaming import streaming_sessionize
+
+    d = tempfile.mkdtemp(prefix="fis_sess_")
+    schema = "user_id bigint, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0)),
+            (1, TS(2024, 1, 1, 10, 10)),   # same session (gap 30m)
+            (1, TS(2024, 1, 1, 12, 0)),    # closes session 1, opens session 2
+            (2, TS(2024, 1, 1, 9, 0)),     # open session for user 2
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 12, 5)),    # extends user 1's open session
+            (1, TS(2024, 1, 1, 14, 0)),    # closes it, opens another
+            (2, TS(2024, 1, 1, 9, 40)),    # beyond gap: closes user 2's session
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(os.path.join(d, "b1"))
+    batch2.coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    src = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sessions = streaming_sessionize(src, ["user_id"], "ts", gap_seconds=1800)
+    _run_stream(sessions, "t_sessions", "append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got == {
+        (1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 10), 2),
+        (1, TS(2024, 1, 1, 12, 0), TS(2024, 1, 1, 12, 5), 2),
+        (2, TS(2024, 1, 1, 9, 0), TS(2024, 1, 1, 9, 0), 1),
+    }
+
+
+def test_streaming_first_seen_dedup_across_batches(spark):
+    import os
+
+    from feast_ibm_spark.streaming import streaming_first_seen
+
+    d = tempfile.mkdtemp(prefix="fis_seen_")
+    schema = "user_id bigint, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0), 1.0), (1, TS(2024, 1, 1, 11, 0), 2.0),
+         (2, TS(2024, 1, 1, 10, 30), 5.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, TS(2024, 1, 2, 10, 0), 7.0),   # dup across batches: dropped
+         (3, TS(2024, 1, 2, 11, 0), 9.0)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(d, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_first_seen(src, ["user_id"])
+    _run_stream(out, "t_first_seen", "append")
+    rows = spark.table("t_first_seen").collect()
+    assert sorted(r.user_id for r in rows) == [1, 2, 3]
+    # the cross-batch duplicate for user 1 kept the FIRST batch's row
+    assert {r.user_id: r.value for r in rows}[3] == 9.0
+
+
 def test_streaming_window_counts(spark, event_dir):
     # NOTE: availableNow processes everything in one trigger, so the
     # watermark never advances past the data and append mode would emit
