@@ -41,6 +41,20 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-ish, simplified to the subset
+# shared by Java regex and DuckDB's RE2): letter runs, digit runs, single
+# non-space symbols. Subword merging itself needs a trained vocab; the
+# pre-tokenize + count step below is what pipelines use for length
+# filtering and cost estimation at corpus scale.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    """Number of BPE-style pre-tokens (regex matches), JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def char_codes_col(text: str | Column = "text") -> Column:
     """array<int> of unicode codepoints, 1 per character (JVM-side)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -26,9 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
+    BPE_TOKEN_PATTERN,
     FP_BASE,
     FP_MOD,
     LANG_STOPWORDS,
+    bpe_token_count_col,
     fingerprint_col,
     lang_id_col,
     quality_score_col,
@@ -43,7 +45,12 @@ from .operators.dedup import (
 from .operators.pit_join import FeatureViewSpec, point_in_time_join
 from .operators.pull_all import time_range_scan
 from .operators.pull_latest import latest_per_key
-from .operators.similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs
+from .operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    near_dup_pairs,
+)
 from .session import configure_runtime
 from .sources.reader import load_table
 
@@ -625,6 +632,14 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
 """
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via an IVF index (no oracle — approximate by
+    design; rows-only check). Recall vs exact top-k asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivf_cosine_topk(emb, queries, k=KNN_K)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH (no oracle — approximate
     by design; rows-only check). Validated in tests against exact top-k."""
@@ -645,6 +660,19 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_COUNT = f"""
 SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens FROM documents
+"""
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count_col("text").alias("n_bpe_tokens"))
+
+
+ORACLE_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens
+FROM documents
 """
 
 
@@ -800,10 +828,14 @@ QUERIES: dict[str, QueryDef] = {
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,
                         "hyperplane-LSH ANN (approximate; rows-only)"),
+    "knn_ivf": QueryDef(q_knn_ivf, None,
+                        "IVF cell-probe ANN (approximate; rows-only)"),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, ORACLE_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
+    "text_bpe_tokens": QueryDef(q_text_bpe_tokens, ORACLE_BPE_TOKENS,
+                                "BPE-style regex pre-token counting"),
     "text_fingerprint": QueryDef(q_text_fingerprint, ORACLE_FINGERPRINT,
                                  "rolling-hash document fingerprint"),
     "text_lang_id": QueryDef(q_text_lang_id, ORACLE_LANG_ID,

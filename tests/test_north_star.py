@@ -123,6 +123,23 @@ def test_lsh_topk_subset_of_exact(spark, sf_dir):
     assert len(approx & exact) >= int(0.6 * len(exact))
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from feast_ibm_spark.operators.similarity import ivf_cosine_topk
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.q_vec_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx_df = ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=3)
+    approx = {(r.q_vec_id, r.vec_id) for r in approx_df.collect()}
+    # IVF probes 3/8 cells; candidates it does return score identically
+    assert len(approx & exact) >= int(0.5 * len(exact))
+    # determinism: same call twice gives identical rows
+    again = {(r.q_vec_id, r.vec_id) for r in ivf_cosine_topk(
+        emb, q, k=5, n_cells=8, n_probe=3).collect()}
+    assert approx == again
+
+
 def test_text_functions(docs):
     row = docs.filter(F.col("doc_id") == 1).select(
         token_count_col("text").alias("n"),
