@@ -318,6 +318,42 @@ SELECT user_id, value, event_type, day_ts FROM (
 """
 
 # --------------------------------------------------------------------------
+# Gap sessionization over the event stream table (north-star; batch twin of
+# streaming_sessionize)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 7200  # 2h — events arrive hourly-ish, so sessions are real
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", SESSION_GAP_S, tiebreak_cols=["event_id"])
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
 # Scan + filter + projection over a dimension table (S2/P1/F-pushdown)
 # --------------------------------------------------------------------------
 
@@ -808,6 +844,8 @@ QUERIES: dict[str, QueryDef] = {
     "pull_latest_keep_ties": QueryDef(q_pull_latest_keep_ties,
                                       ORACLE_PULL_LATEST_KEEP_TIES,
                                       "J2 reference-compat keep-all-ties (RANK)"),
+    "sessionize_events": QueryDef(q_sessionize_events, ORACLE_SESSIONIZE,
+                                  "gap sessionization (lag + running sum)"),
     "scan_part_filter": QueryDef(q_scan_part_filter, ORACLE_SCAN_PART,
                                  "S2 scan + F pushdown + P1 projection"),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,

@@ -213,3 +213,26 @@ def test_pit_join_randomized_against_brute_force(spark, strategy, ttl):
     }
     expected = _brute_force_pit(spine_rows, feat_rows, ttl)
     assert got == expected
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, TS(2024, 1, 1, 10, 0, 0)),
+            (1, 2, TS(2024, 1, 1, 10, 30, 0)),   # exactly at gap edge: extends
+            (1, 3, TS(2024, 1, 1, 11, 0, 1)),    # 1s beyond gap: new session
+            (2, 4, TS(2024, 1, 1, 9, 0, 0)),
+        ],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800,
+                     tiebreak_cols=["event_id"])
+    rows = {(r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+            for r in out.collect()}
+    assert rows[(1, 1)] == (TS(2024, 1, 1, 10, 0, 0), TS(2024, 1, 1, 10, 30, 0), 2)
+    assert rows[(1, 2)] == (TS(2024, 1, 1, 11, 0, 1), TS(2024, 1, 1, 11, 0, 1), 1)
+    assert rows[(2, 1)][2] == 1

@@ -87,6 +87,16 @@ def test_latest_per_key_single_shuffle(spark, events):
     assert count_shuffles(out) == 1, explain_str(out)
 
 
+def test_sessionize_single_shuffle(spark, events):
+    from feast_ibm_spark.operators.sessionize import sessionize
+    from feast_ibm_spark.plans.inspect import count_shuffles
+
+    out = sessionize(events, ["user_id"], "ts", 7200, tiebreak_cols=["event_id"])
+    # lag window, running-sum window and the final groupBy all reuse ONE
+    # exchange on user_id
+    assert count_shuffles(out) == 1, explain_str(out)
+
+
 def test_broadcast_hint_survives_in_star_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
