@@ -25,15 +25,19 @@ BENCH_QUERIES = [
     "pull_latest_per_key",
     "pit_join_ttl",
     "pit_join_union_window",
+    "pit_join_multiview",
     # analytics shapes
     "agg_pricing_summary",
     "join_top_orders",
     "join_region_revenue",
+    "sessionize_events",
     # north-star extensions
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_topk",
+    "knn_ivf",
     "text_fingerprint",
+    "multimodal_byte_features",
 ]
 
 
@@ -53,6 +57,13 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+
+    # warm the Python UDF workers too (Arrow lanes spawn on first use; that
+    # one-time daemon fork is session setup, not query cost)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _noop = _pudf(lambda s: s, "long")
+    spark.range(1000).select(_noop("id")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

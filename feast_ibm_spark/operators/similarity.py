@@ -195,7 +195,12 @@ def lsh_cosine_topk(
         .groupBy(qid, id_col)
         .agg(F.first("q_vec").alias("q_vec"), F.first(vec_col).alias(vec_col))
     )
-    scored = cand.withColumn("cosine", cosine_col(F.col("q_vec"), F.col(vec_col)))
+    # norms once per surviving pair side; the dot is the only per-pair fold
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col(vec_col))
+        / (F.sqrt(_norm_sq(F.col("q_vec"))) * F.sqrt(_norm_sq(F.col(vec_col)))),
+    )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -255,22 +260,31 @@ def ivf_cosine_topk(
 
     qid = f"q_{id_col}"
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    # norms precomputed ONCE per vector (1 fold each side) so each candidate
+    # pair pays a single dot-product fold, not three
     c_assigned = corpus.repartition(par, id_col).select(
-        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_sq(F.col(vec_col)).alias("c_nsq"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
     )
     q_m = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
+        _norm_sq(F.col(vec_col)).alias("q_nsq"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
 
-    cand = (
+    scored = (
         F.broadcast(q_m)
         .join(c_assigned, "cell")
         .filter(F.col(qid) != F.col(id_col))
-        .select(qid, "q_vec", id_col, vec_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col(vec_col))
+            / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
+        )
     )
-    scored = cand.withColumn("cosine", cosine_col(F.col("q_vec"), F.col(vec_col)))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
