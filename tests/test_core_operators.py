@@ -236,3 +236,36 @@ def test_sessionize_gap_semantics(spark):
     assert rows[(1, 1)] == (TS(2024, 1, 1, 10, 0, 0), TS(2024, 1, 1, 10, 30, 0), 2)
     assert rows[(1, 2)] == (TS(2024, 1, 1, 11, 0, 1), TS(2024, 1, 1, 11, 0, 1), 1)
     assert rows[(2, 1)][2] == 1
+
+
+def test_retrieval_job_lazy_to_df_to_arrow(spark, tmp_path):
+    """K3 result delivery + laziness contract (reference :313-348): nothing
+    executes until to_df/to_arrow; both edges deliver the same rows."""
+    import pyarrow as pa
+
+    from feast_ibm_spark.retrieval import SparkRetrievalJob
+
+    calls = []
+
+    def evaluate():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+
+    job = SparkRetrievalJob(evaluate)
+    assert calls == []  # lazy: building the job ran nothing
+    pdf = job.to_df()
+    assert sorted(pdf["id"].tolist()) == [1, 2]
+    tbl = job.to_arrow()
+    assert isinstance(tbl, pa.Table) and tbl.num_rows == 2
+
+
+def test_offline_write_batch_persist(spark, tmp_path):
+    """K4 persist — the reference raises NotImplementedError (:321-327);
+    here it writes parquet that reads back identically."""
+    from feast_ibm_spark.store import SparkOfflineStore
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k bigint, v double")
+    path = str(tmp_path / "persisted")
+    SparkOfflineStore.offline_write_batch(df, path, mode="overwrite")
+    back = spark.read.parquet(path)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, 2.0), (2, 3.0)}
