@@ -320,3 +320,81 @@ def dedup_keep_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_blocks: int = 4,
+    persist: bool = True,
+) -> DataFrame:
+    """All unordered pairs whose SimHash signatures differ in at most
+    ``max_hamming`` bits — the classic near-dup shape for SimHash.
+
+    Pigeonhole blocking: split the ``bits``-bit signature into
+    ``n_blocks`` contiguous blocks; any pair within ``max_hamming``
+    (< n_blocks) differing bits must agree EXACTLY on at least one block,
+    so candidates meet via an equi-join on (block_idx, block_value) —
+    never an all-pairs product — and are verified with the true hamming
+    distance (xor + popcount, one JVM expression). The same
+    candidates-then-verify discipline as minhash_lsh_pairs; at 100 TB the
+    block-join key is near-uniform, and the signature table persists once
+    for both self-join sides.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            "pigeonhole blocking needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    if bits % n_blocks:
+        raise ValueError("bits must be divisible by n_blocks")
+    block_bits = bits // n_blocks
+
+    sigs = df.select(F.col(id_col), simhash_col(text_col, bits).alias("simhash"))
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("simhash"), bi * block_bits)
+                        % F.lit(1 << block_bits)
+                    )
+                    for bi in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -41,6 +41,7 @@ from .operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_near_dup_pairs,
 )
 from .operators.pit_join import FeatureViewSpec, point_in_time_join
 from .operators.pull_all import time_range_scan
@@ -607,6 +608,24 @@ SELECT doc_id,
 FROM votes
 """
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (pigeonhole-blocked
+    candidate join + exact xor/popcount verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM ({ORACLE_DEDUP_SIMHASH}) a
+JOIN ({ORACLE_DEDUP_SIMHASH}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
 # --------------------------------------------------------------------------
 # North-star: similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -862,6 +881,8 @@ QUERIES: dict[str, QueryDef] = {
                                   "MinHash+LSH candidates, exact-verified"),
     "dedup_simhash": QueryDef(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
                               "32-bit SimHash signatures"),
+    "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
+                                    "hamming<=3 pairs, pigeonhole-blocked"),
     "knn_cosine_topk": QueryDef(q_knn_cosine_topk, ORACLE_KNN,
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,

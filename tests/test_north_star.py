@@ -173,3 +173,30 @@ def test_decode_stub_raises_at_execution(spark):
         "media_id", "width", "height", "n_channels"]
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         stub.collect()
+
+
+def test_simhash_near_dup_pairs_blocking(spark):
+    from feast_ibm_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different text with nothing shared at all here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text -> identical simhash
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_simhash_near_dup_pairs_validates_params(spark):
+    import pytest as _pytest
+
+    from feast_ibm_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=4, n_blocks=4)
