@@ -20,8 +20,10 @@ from .operators import (
     FeatureViewSpec,
 )
 from .store import SparkOfflineStore
+from .feast_adapter import SparkFeastOfflineStore
 
 __all__ = [
+    "SparkFeastOfflineStore",
     "get_spark",
     "configure_runtime",
     "spark_type_to_feast_value_type",
