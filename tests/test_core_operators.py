@@ -269,3 +269,73 @@ def test_offline_write_batch_persist(spark, tmp_path):
     SparkOfflineStore.offline_write_batch(df, path, mode="overwrite")
     back = spark.read.parquet(path)
     assert {(r.k, r.v) for r in back.collect()} == {(1, 2.0), (2, 3.0)}
+
+
+# --- hypothesis property test: arbitrary event sets vs the brute-force
+# oracle (the reference DECLARED hypothesis as a dev-dep but never used
+# it, SURVEY.md §5; here it actually runs) ---------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        feat=st.lists(
+            st.tuples(
+                st.integers(1, 3),      # key
+                st.integers(0, 48),     # event offset (hours)
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        spine=st.lists(
+            st.tuples(st.integers(1, 4), st.integers(0, 48)),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        ttl=st.sampled_from([0, 7200]),
+        strategy=st.sampled_from(["broadcast", "union_window"]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_pit_join_property_matches_brute_force(spark, feat, spine, ttl, strategy):
+        base = TS(2024, 1, 1)
+        feat_rows = [
+            # unique created per row -> the (ts DESC, created DESC) order
+            # is total, so the winner is unambiguous
+            (k, base + timedelta(hours=h), base + timedelta(seconds=i), float(i))
+            for i, (k, h) in enumerate(feat)
+        ]
+        spine_rows = [(k, base + timedelta(hours=h)) for k, h in spine]
+
+        feat_df = spark.createDataFrame(
+            feat_rows or [(0, base, base, 0.0)],
+            "k bigint, event_timestamp timestamp, created timestamp, v double",
+        )
+        if not feat_rows:
+            feat_df = feat_df.filter("k < 0")  # genuinely empty feature side
+        spine_df = spark.createDataFrame(
+            spine_rows, "k bigint, event_timestamp timestamp"
+        )
+        view = FeatureViewSpec(
+            "fv", feat_df, ["k"], ["v"], "event_timestamp",
+            created_timestamp_column="created", ttl_seconds=ttl,
+        )
+        got = {
+            (r.k, r.event_timestamp): r.v
+            for r in point_in_time_join(
+                spine_df, [view], strategy=strategy
+            ).collect()
+        }
+        assert got == _brute_force_pit(spine_rows, feat_rows, ttl)
