@@ -177,7 +177,55 @@ class SparkOfflineStore:
         )
 
     @staticmethod
-    def offline_write_batch(df: DataFrame, path: str, mode: str = "append") -> None:
+    def offline_write_batch(
+        df: DataFrame,
+        path: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Persist a batch (the reference's ``persist`` raised
-        NotImplementedError, ``:321-327``)."""
-        df.write.mode(mode).parquet(path)
+        NotImplementedError, ``:321-327``).
+
+        ``partition_by`` writes hive-style partitioned parquet — the layout
+        that makes F3-style partition pruning (reference ``:665-667``) work
+        on the read side: a date-partitioned feature table scanned with a
+        date predicate only opens the matching directories."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    @staticmethod
+    def materialize(
+        spark: SparkSession,
+        data_source: SparkDataSource,
+        join_key_columns: list[str],
+        feature_name_columns: list[str],
+        timestamp_field: str,
+        created_timestamp_column: str | None,
+        start_date: datetime | str,
+        end_date: datetime | str,
+        dest_path: str,
+        mode: str = "overwrite",
+    ) -> int:
+        """One materialization increment: latest feature row per key in
+        ``[start_date, end_date]`` snapshotted to ``dest_path``.
+
+        This is the engine half of Feast's materialize loop — Feast core
+        drives ``pull_latest_from_table_or_query`` on a time slice and
+        loads the result into the online store (reference README
+        "Materialize"; the slicing loop lives in feast, not the plugin).
+        Returns the number of keys written."""
+        job = SparkOfflineStore.pull_latest_from_table_or_query(
+            spark,
+            data_source,
+            join_key_columns,
+            feature_name_columns,
+            timestamp_field,
+            created_timestamp_column,
+            start_date,
+            end_date,
+        )
+        out = job.to_spark_df()
+        out.write.mode(mode).parquet(dest_path)
+        return spark.read.parquet(dest_path).count()

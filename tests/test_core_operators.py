@@ -339,3 +339,45 @@ if _HAS_HYPOTHESIS:
             ).collect()
         }
         assert got == _brute_force_pit(spine_rows, feat_rows, ttl)
+
+
+def test_offline_write_batch_partitioned(spark, tmp_path):
+    import os
+
+    from feast_ibm_spark.store import SparkOfflineStore
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+        "k bigint, day string, v double",
+    )
+    path = str(tmp_path / "part_out")
+    SparkOfflineStore.offline_write_batch(df, path, mode="overwrite",
+                                          partition_by=["day"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
+        "day=2024-01-01", "day=2024-01-02"]
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_materialize_increment(spark, tmp_path):
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.sources.data_source import SparkDataSource
+    from feast_ibm_spark.store import SparkOfflineStore
+
+    spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10), TS(2024, 1, 1, 10), 1.0),
+            (1, TS(2024, 1, 2, 10), TS(2024, 1, 2, 10), 2.0),  # winner for k=1
+            (2, TS(2024, 1, 1, 9), TS(2024, 1, 1, 9), 5.0),
+            (1, TS(2024, 2, 1, 0), TS(2024, 2, 1, 0), 9.0),    # outside slice
+        ],
+        "k bigint, ts timestamp, created timestamp, v double",
+    ).createOrReplaceTempView("mat_src")
+    dest = str(tmp_path / "online_snapshot")
+    n = SparkOfflineStore.materialize(
+        spark, SparkDataSource(table="mat_src"), ["k"], ["v"], "ts",
+        "created", TS(2024, 1, 1), TS(2024, 1, 31), dest,
+    )
+    assert n == 2
+    got = {r.k: r.v for r in spark.read.parquet(dest).collect()}
+    assert got == {1: 2.0, 2: 5.0}
