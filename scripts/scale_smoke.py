@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Scale smoke: generate a synthetic event table ~8x the bench data with
+300x the key cardinality (5M rows, 50k users) in /tmp and run the
+flagship operators end-to-end. Validates the scale claims the operators
+document — in particular that the union-window ("melt") PIT strategy
+overtakes the broadcast strategy once the spine is large.
+
+Usage: python scripts/scale_smoke.py [--rows 5000000] [--keys 50000]
+
+Last recorded run (local[32]):
+    latest_per_key   5M rows            3.0 s   (50,000 keys)
+    sessionize       5M rows            4.3 s   (4.36M sessions)
+    pit_join[broadcast]    5M x 50k     4.5 s
+    pit_join[union_window] 5M x 50k     2.1 s   <- melt wins at this spine size
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument("--keys", type=int, default=50_000)
+    ap.add_argument("--path", default="/tmp/feast_ibm_spark_scale_events")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.pit_join import (
+        FeatureViewSpec,
+        point_in_time_join,
+    )
+    from feast_ibm_spark.operators.pull_latest import latest_per_key
+    from feast_ibm_spark.operators.sessionize import sessionize
+    from feast_ibm_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    day_us = 86_400 * 1_000_000
+    t = time.time()
+    ev = spark.range(args.rows).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % args.keys).alias("user_id"),
+        F.timestamp_micros(
+            (
+                F.lit(1_704_067_200_000_000)
+                + ((F.xxhash64("id") % (30 * day_us)) + 30 * day_us) % (30 * day_us)
+            ).cast("long")
+        ).alias("ts"),
+        (F.xxhash64("id", F.lit(1)) % 10_000 / 100.0).alias("value"),
+    )
+    ev.write.mode("overwrite").parquet(args.path)
+    print(f"generate+write {args.rows:,} rows: {time.time()-t:.1f}s")
+    ev = spark.read.parquet(args.path)
+
+    t = time.time()
+    n = latest_per_key(ev, ["user_id"], ["value"], "ts", "event_id",
+                       "2024-01-01", "2024-01-31").count()
+    print(f"latest_per_key: {time.time()-t:.1f}s ({n:,} keys)")
+
+    t = time.time()
+    n = sessionize(ev, ["user_id"], "ts", 3600, tiebreak_cols=["event_id"]).count()
+    print(f"sessionize: {time.time()-t:.1f}s ({n:,} sessions)")
+
+    spine = ev.groupBy("user_id").agg(F.max("ts").alias("event_timestamp"))
+    view = FeatureViewSpec(
+        "v", ev, ["user_id"], ["value"], "ts",
+        created_timestamp_column="event_id", ttl_seconds=7 * 86_400,
+    )
+    for strat in ("broadcast", "union_window"):
+        t = time.time()
+        n = point_in_time_join(spine, [view], strategy=strat).count()
+        print(f"pit_join[{strat}]: {time.time()-t:.1f}s ({n:,} rows)")
+
+
+if __name__ == "__main__":
+    main()
