@@ -16,4 +16,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    d = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    if not os.path.isdir(d):
+        pytest.skip("synthetic testdata not available (set SPARK_GRAFT_SF_DIR_TEST)")
+    return d
