@@ -60,8 +60,13 @@ class SparkRetrievalJob:
         return self._to_df_internal(timeout=timeout)
 
     def _to_arrow_internal(self, timeout: int | None = None) -> pa.Table:
-        # The reference converts pandas -> Arrow the same way (:346-348).
-        return pa.Table.from_pandas(self._to_df_internal(timeout=timeout))
+        # Spark 4's native Arrow collection skips the pandas hop entirely
+        # (executors ship Arrow batches as-is); fall back to the
+        # reference's pandas -> Arrow conversion (:346-348) on older Spark.
+        df = self.to_spark_df()
+        if hasattr(df, "toArrow"):
+            return df.toArrow()
+        return pa.Table.from_pandas(df.toPandas())
 
     def to_arrow(self, timeout: int | None = None) -> pa.Table:
         return self._to_arrow_internal(timeout=timeout)

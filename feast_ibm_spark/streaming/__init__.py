@@ -1,5 +1,6 @@
 from .latest import streaming_latest_per_key, streaming_window_counts, stream_parquet_source
 from .stateful import streaming_first_seen, streaming_sessionize
+from .enrich import enrich_stream
 
 __all__ = [
     "streaming_latest_per_key",
@@ -7,4 +8,5 @@ __all__ = [
     "stream_parquet_source",
     "streaming_first_seen",
     "streaming_sessionize",
+    "enrich_stream",
 ]

@@ -149,3 +149,33 @@ def test_streaming_window_counts(spark, event_dir):
         TS(2024, 1, 1, 11, 0): 1,
         TS(2024, 1, 1, 12, 0): 1,
     }
+
+
+def test_enrich_stream_with_latest_features(spark, event_dir):
+    """Stream-static join: every streaming event carries its key's latest
+    feature value; unknown keys get NULLs."""
+    from feast_ibm_spark.streaming import enrich_stream
+
+    d, schema = event_dir
+    src = stream_parquet_source(spark, d, schema)
+    features = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 0, 0), "old", 10.0),
+            (1, TS(2024, 1, 2, 0, 0), "new", 11.0),   # latest for key 1
+            (2, TS(2024, 1, 1, 0, 0), "only", 20.0),
+            # key 3 has no features -> NULL enrichment
+        ],
+        "user_id bigint, feat_ts timestamp, tag string, score double",
+    )
+    out = enrich_stream(
+        src, features, ["user_id"], ["tag", "score"], "feat_ts"
+    )
+    _run_stream(out, "t_enriched", "append")
+    rows = spark.table("t_enriched").collect()
+    assert len(rows) == 5  # every stream event survives the left join
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add((r.tag, r.score))
+    assert by_user[1] == {("new", 11.0)}
+    assert by_user[2] == {("only", 20.0)}
+    assert by_user[3] == {(None, None)}
