@@ -99,10 +99,10 @@ def near_dup_pairs(
 ) -> DataFrame:
     """All unordered corpus pairs with cosine >= threshold.
 
-    Brute-force O(n^2/2) — exact baseline. At 100 TB replace the self-join
-    with ``lsh_cosine_topk``-style sign-bucket blocking; the comparison
-    kernel (this expression) is reused unchanged. Norms are precomputed
-    per vector (n folds) instead of per pair (n^2 folds)."""
+    Brute-force O(n^2/2) — exact baseline. At 100 TB use
+    ``near_dup_pairs_lsh`` (sign-bucket blocking, same scoring kernel).
+    Norms are precomputed per vector (n folds) instead of per pair
+    (n^2 folds)."""
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -290,4 +290,75 @@ def ivf_cosine_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(qid, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Scale path for ``near_dup_pairs``: hyperplane-LSH blocking instead
+    of the O(n^2/2) product.
+
+    Both occurrences of a pair must share a (table, signature) bucket to
+    become a candidate — an equi-self-join on the bucket key. Candidates
+    are deduped on the id pair, scored with the exact fold kernel, and
+    thresholded, so emitted cosines are bit-identical to the brute-force
+    operator; only recall is approximate (tunable via n_planes/n_tables;
+    for cos >= 0.4 with 4-bit signatures and 16 tables recall is
+    1-(1-(1-acos(0.4)/pi)^4)^16 ~ 0.97).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = _hyperplanes(dim, n_planes * n_tables)
+    plane_mat = np.asarray(planes, dtype=np.float64)
+    pack_w = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def table_sigs(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ plane_mat.T >= 0).astype(np.int64)
+        packed = bits.reshape(len(mat), n_tables, n_planes) @ pack_w
+        return pd.Series(list(packed))
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    m = corpus.repartition(par, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_sq(F.col(vec_col)).alias("nsq"),
+        F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.first(F.col(f"a.{vec_col}")).alias("va"),
+            F.first(F.col(f"b.{vec_col}")).alias("vb"),
+            F.first(F.col("a.nsq")).alias("na"),
+            F.first(F.col("b.nsq")).alias("nb"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

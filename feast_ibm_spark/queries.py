@@ -51,6 +51,7 @@ from .operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
     near_dup_pairs,
+    near_dup_pairs_lsh,
 )
 from .session import configure_runtime
 from .sources.reader import load_table
@@ -687,6 +688,13 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
 """
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs (no oracle — approximate recall by
+    design; emitted pairs and cosines are subset-exact, tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via an IVF index (no oracle — approximate by
     design; rows-only check). Recall vs exact top-k asserted in tests."""
@@ -891,6 +899,8 @@ QUERIES: dict[str, QueryDef] = {
                         "IVF cell-probe ANN (approximate; rows-only)"),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, ORACLE_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
+    "embedding_near_dup_lsh": QueryDef(q_embedding_near_dup_lsh, None,
+                                       "LSH-blocked near-dup (approx; rows-only)"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
     "text_bpe_tokens": QueryDef(q_text_bpe_tokens, ORACLE_BPE_TOKENS,

@@ -200,3 +200,18 @@ def test_simhash_near_dup_pairs_validates_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, max_hamming=4, n_blocks=4)
+
+
+def test_near_dup_pairs_lsh_recall(spark, sf_dir):
+    from feast_ibm_spark.operators.similarity import near_dup_pairs_lsh
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b): r.cosine
+              for r in near_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    assert set(approx) <= set(exact)  # no false positives (exact verify)
+    assert len(approx) >= int(0.7 * len(exact))  # decent recall
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # bit-identical scoring kernel
