@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import FP_BASE, FP_MOD, tokens_col, token_fingerprint_expr
+from ..functions.text import FP_MOD, tokens_col, token_fingerprint_expr
 
 
 def exact_dedup(
