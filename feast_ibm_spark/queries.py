@@ -429,6 +429,40 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 # --------------------------------------------------------------------------
+# Analytics: pure scan-aggregate (TPC-H Q6 shape) — the pushdown showcase:
+# all three predicates reach the parquet scan, no join, no shuffle beyond
+# the final 1-row agg
+# --------------------------------------------------------------------------
+
+
+def q_agg_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents("l_extendedprice") * _cents("l_discount"))
+             .cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_AGG_REVENUE = f"""
+SELECT CAST(SUM({_L_CENTS} * {_L_DISC}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: multi-join + agg + top-k (TPC-H Q3 shape)
 # --------------------------------------------------------------------------
 
@@ -877,6 +911,8 @@ QUERIES: dict[str, QueryDef] = {
                                  "S2 scan + F pushdown + P1 projection"),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,
                                     "hash agg w/ decimal accumulation (Q1 shape)"),
+    "agg_revenue_forecast": QueryDef(q_agg_revenue_forecast, ORACLE_AGG_REVENUE,
+                                     "scan-agg with full pushdown (Q6 shape)"),
     "join_top_orders": QueryDef(q_join_top_orders, ORACLE_JOIN_TOP_ORDERS,
                                 "3-way join + agg + deterministic top-k (Q3)"),
     "join_region_revenue": QueryDef(q_join_region_revenue, ORACLE_JOIN_REGION,

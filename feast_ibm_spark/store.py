@@ -105,11 +105,16 @@ class SparkOfflineStore:
                 strategy=strategy,
             )
 
-        lo_hi = spine.agg({ts_col: "min"}).collect()[0][0], None
+        import pyspark.sql.functions as F
+
+        row = spine.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).first()
         meta = RetrievalMetadata(
             features=feature_names,
             keys=keys,
-            min_event_timestamp=lo_hi[0],
+            min_event_timestamp=row["lo"],
+            max_event_timestamp=row["hi"],
         )
         return SparkRetrievalJob(evaluate, metadata=meta)
 

@@ -381,3 +381,30 @@ def test_materialize_increment(spark, tmp_path):
     assert n == 2
     got = {r.k: r.v for r in spark.read.parquet(dest).collect()}
     assert got == {1: 2.0, 2: 5.0}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union_window"])
+def test_pit_join_composite_keys(spark, strategy):
+    """Two-column entity keys: matches require BOTH keys equal."""
+    feat = spark.createDataFrame(
+        [
+            ("us", 1, TS(2024, 1, 1, 10), 1.0),
+            ("us", 2, TS(2024, 1, 1, 10), 2.0),
+            ("eu", 1, TS(2024, 1, 1, 10), 3.0),  # same id, different region
+        ],
+        "region string, uid bigint, event_timestamp timestamp, v double",
+    )
+    spine = spark.createDataFrame(
+        [
+            ("us", 1, TS(2024, 1, 1, 12)),
+            ("eu", 1, TS(2024, 1, 1, 12)),
+            ("eu", 2, TS(2024, 1, 1, 12)),  # no eu/2 features -> NULL
+        ],
+        "region string, uid bigint, event_timestamp timestamp",
+    )
+    view = FeatureViewSpec("fv", feat, ["region", "uid"], ["v"], "event_timestamp")
+    got = {
+        (r.region, r.uid): r.v
+        for r in point_in_time_join(spine, [view], strategy=strategy).collect()
+    }
+    assert got == {("us", 1): 1.0, ("eu", 1): 3.0, ("eu", 2): None}
