@@ -75,7 +75,10 @@ def cosine_topk(
             _norm_sq(F.col(vec_col)).alias("q_nsq"),
         )
     )
-    c = corpus.select(
+    # spread the per-pair scoring across cores even off a one-file corpus
+    # (a single input partition otherwise serializes the whole kernel)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par, id_col).select(
         F.col(id_col), F.col(vec_col), _norm_sq(F.col(vec_col)).alias("c_nsq")
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
@@ -102,8 +105,10 @@ def near_dup_pairs(
     Brute-force O(n^2/2) — exact baseline. At 100 TB use
     ``near_dup_pairs_lsh`` (sign-bucket blocking, same scoring kernel).
     Norms are precomputed per vector (n folds) instead of per pair
-    (n^2 folds)."""
-    a = corpus.select(
+    (n^2 folds); the probe side is repartitioned so the O(n^2) scoring
+    parallelizes even off a one-file corpus."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm_sq(F.col(vec_col)).alias("na"),
