@@ -102,3 +102,42 @@ def test_broadcast_hint_survives_in_star_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
     assert has_broadcast_join(j)
+
+
+def test_partition_pruning_on_partitioned_table(spark, events, tmp_path_factory):
+    """F3 (reference :665-667): a predicate on the partition column must
+    prune directories, not filter rows post-scan — PartitionFilters in the
+    scan node, and only the matching day read."""
+    d = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    events.withColumn("day", F.date_format("ts", "yyyy-MM-dd")) \
+        .write.partitionBy("day").mode("overwrite").parquet(d)
+
+    df = spark.read.parquet(d).filter(F.col("day") == "2024-01-05") \
+        .select("event_id", "value")
+    text = explain_str(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), text
+    # count must equal a raw-filter count over the unpartitioned source
+    expected = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert df.count() == expected
+
+
+def test_pit_join_views_with_distinct_timestamp_fields(spark, events):
+    """Per-view timestamp_field: two views over sources whose event-time
+    columns have different names join onto one spine correctly."""
+    from pyspark.sql import functions as SF
+
+    ev2 = events.withColumnRenamed("ts", "feature_time") \
+        .withColumnRenamed("value", "v2")
+    spine = events.groupBy("user_id").agg(SF.max("ts").alias("event_timestamp"))
+    v_a = FeatureViewSpec("a", events, ["user_id"], ["value"], "ts")
+    v_b = FeatureViewSpec("b", ev2, ["user_id"], ["v2"], "feature_time")
+    out = point_in_time_join(spine, [v_a, v_b], full_feature_names=True)
+    row = out.limit(1).collect()[0]
+    assert "a__value" in out.columns and "b__v2" in out.columns
+    # both views see the same underlying data -> identical matched values
+    sample = out.select("a__value", "b__v2").limit(50).collect()
+    assert all(r["a__value"] == r["b__v2"] for r in sample)
