@@ -214,6 +214,33 @@ def lsh_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train IVF centroids with MLlib k-means|| (distributed Lloyd).
+
+    Returns plain ``list[list[float]]`` so the result can be fed to
+    ``ivf_cosine_topk(centroids=...)``, cached, or serialized — the index
+    "model" is just these vectors. Deterministic for a fixed seed and
+    input. Training cost is O(iters * n * k) distributed; at 100 TB train
+    on a sample (``corpus.sample(...)``) — centroid quality converges long
+    before the full corpus is seen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,6 +249,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -232,22 +260,28 @@ def ivf_cosine_topk(
     of all of it, and the candidate meet is a plain equi-join on the cell
     id — shuffle keyed by cell, no all-pairs product.
 
-    Centroids here are seeded deterministically (the ``n_cells``
-    lowest-id corpus vectors, L2-normalized) so results are reproducible
-    run-to-run; production indexes would train them with k-means||
-    (``pyspark.ml.clustering.KMeans``) and re-use this exact
-    assign/probe/score pipeline unchanged. Final scoring uses the strict
-    fold kernel (``cosine_col``), so reported cosines are bit-identical
-    to the exact path — recall, not precision, is what n_probe trades.
+    ``centroids`` (e.g. from :func:`train_ivf_centroids`, k-means||) give
+    the production-quality cells; when omitted, deterministic seed
+    centroids (the ``n_cells`` lowest-id corpus vectors, L2-normalized)
+    keep the operator self-contained and reproducible. Final scoring uses
+    the strict fold kernel, so reported cosines are bit-identical to the
+    exact path — recall, not precision, is what n_probe trades.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    cent_rows = (
-        corpus.orderBy(F.col(id_col).asc()).limit(n_cells).select(vec_col).collect()
-    )
-    cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        n_cells = len(centroids)
+    else:
+        cent_rows = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(vec_col)
+            .collect()
+        )
+        cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     @pandas_udf(LongType())
     def nearest_cell(v: pd.Series) -> pd.Series:

@@ -215,3 +215,26 @@ def test_near_dup_pairs_lsh_recall(spark, sf_dir):
     assert len(approx) >= int(0.7 * len(exact))  # decent recall
     for pair, cos in approx.items():
         assert cos == exact[pair]  # bit-identical scoring kernel
+
+
+def test_ivf_with_trained_centroids(spark, sf_dir):
+    """k-means||-trained cells should give recall at least as good as the
+    seed-vector cells at the same n_probe budget."""
+    from feast_ibm_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.q_vec_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    cents = train_ivf_centroids(emb, n_cells=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    trained = {(r.q_vec_id, r.vec_id) for r in ivf_cosine_topk(
+        emb, q, k=5, n_probe=3, centroids=cents).collect()}
+    assert len(trained & exact) >= int(0.5 * len(exact))
+    # deterministic: same seed -> same centroids -> same result
+    cents2 = train_ivf_centroids(emb, n_cells=8, seed=42)
+    assert cents == cents2
