@@ -463,6 +463,35 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 # --------------------------------------------------------------------------
+# Analytics: grouped distinct-count + exact value stats over the event
+# table (the COUNT(DISTINCT) expand/shuffle path; money in cents)
+# --------------------------------------------------------------------------
+
+
+def q_agg_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        (F.min(cents).cast("double") / 100.0).alias("min_value"),
+        (F.max(cents).cast("double") / 100.0).alias("max_value"),
+    )
+
+
+ORACLE_EVENT_TYPE_STATS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: multi-join + agg + top-k (TPC-H Q3 shape)
 # --------------------------------------------------------------------------
 
@@ -913,6 +942,9 @@ QUERIES: dict[str, QueryDef] = {
                                     "hash agg w/ decimal accumulation (Q1 shape)"),
     "agg_revenue_forecast": QueryDef(q_agg_revenue_forecast, ORACLE_AGG_REVENUE,
                                      "scan-agg with full pushdown (Q6 shape)"),
+    "agg_event_type_stats": QueryDef(q_agg_event_type_stats,
+                                     ORACLE_EVENT_TYPE_STATS,
+                                     "grouped COUNT(DISTINCT) + exact stats"),
     "join_top_orders": QueryDef(q_join_top_orders, ORACLE_JOIN_TOP_ORDERS,
                                 "3-way join + agg + deterministic top-k (Q3)"),
     "join_region_revenue": QueryDef(q_join_region_revenue, ORACLE_JOIN_REGION,

@@ -155,3 +155,19 @@ def test_driver_stats_null_features_outside_ttl(spark):
     assert len(pdf) == 4
     row = pdf[pdf.driver_id == 1005].iloc[0]
     assert pd.isna(row["conv_rate"]) and pd.isna(row["avg_daily_trips"])
+
+
+def test_missing_join_key_raises(spark):
+    """Registry join-key validation (reference :386-392): a spine without
+    a view's join key fails fast with the missing columns named."""
+    spine = pd.DataFrame(
+        {"event_timestamp": [T(2021, 4, 12, 10, 0)], "other": [1]}
+    )
+    with pytest.raises(ValueError, match="driver_id"):
+        SparkOfflineStore.get_historical_features(spark, spine, [_view(spark)])
+
+
+def test_unresolvable_spine_timestamp_raises(spark):
+    spine = pd.DataFrame({"driver_id": [1001], "when": [T(2021, 4, 12)]})
+    with pytest.raises(ValueError, match="timestamp"):
+        SparkOfflineStore.get_historical_features(spark, spine, [_view(spark)])
