@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "pit_join_multiview",
     # analytics shapes
     "agg_pricing_summary",
+    "agg_revenue_forecast",
+    "agg_event_type_stats",
     "join_top_orders",
     "join_region_revenue",
     "sessionize_events",

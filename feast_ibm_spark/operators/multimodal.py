@@ -138,3 +138,19 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
         yield  # pragma: no cover
 
     return df.mapInPandas(sample, schema=MEDIA_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize stub — same contract as decode_stub: the plan (schema,
+    Arrow batching, partition-preserving mapInPandas) is real; the kernel
+    raises until a codec library (PIL/torchvision) is installed. Output
+    keeps the media schema — payload would be the re-encoded bytes."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires a codec library (PIL), not present in "
+            "this environment"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)

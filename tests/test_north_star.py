@@ -238,3 +238,16 @@ def test_ivf_with_trained_centroids(spark, sf_dir):
     # deterministic: same seed -> same centroids -> same result
     cents2 = train_ivf_centroids(emb, n_cells=8, seed=42)
     assert cents == cents2
+
+
+def test_resize_stub_contract(spark):
+    from feast_ibm_spark.operators.multimodal import resize_stub
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    media = attach_media_columns(df, "doc_id", F.encode(F.col("text"), "utf-8"),
+                                 "image", "png")
+    stub = resize_stub(media)
+    assert [f.name for f in stub.schema.fields] == [
+        "media_id", "payload", "media_type", "format", "n_bytes"]
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        stub.collect()
