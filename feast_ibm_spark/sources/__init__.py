@@ -1,4 +1,5 @@
 from .data_source import SparkDataSource
 from .reader import read_parquet, load_table
+from .catalog import register_tables
 
-__all__ = ["SparkDataSource", "read_parquet", "load_table"]
+__all__ = ["SparkDataSource", "read_parquet", "load_table", "register_tables"]

@@ -159,3 +159,27 @@ def test_feast_schema_type_mapping(spark, sample_df):
     assert got["name"] == "STRING"
     assert got["value"] == "DOUBLE"
     assert got["ts"] == "UNIX_TIMESTAMP"
+
+
+def test_register_tables_sql_facade(spark, sf_dir):
+    """Raw Spark SQL over the registered views sees the same (nanos-fixed)
+    data as the DataFrame operators."""
+    from feast_ibm_spark.sources.catalog import register_tables
+    from feast_ibm_spark.sources.reader import load_table
+
+    views = register_tables(spark, sf_dir)
+    assert "events" in views and "lineitem" in views
+    sql_n = spark.sql(
+        "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
+    ).first()["n"]
+    df_n = (
+        load_table(spark, sf_dir, "events")
+        .filter("ts >= TIMESTAMP '2024-01-15 00:00:00'").count()
+    )
+    assert sql_n == df_n
+    # a join through the views plans and runs
+    row = spark.sql(
+        "SELECT r_name, count(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name LIMIT 1"
+    ).first()
+    assert row["n"] > 0
