@@ -8,10 +8,14 @@ overtakes the broadcast strategy once the spine is large.
 Usage: python scripts/scale_smoke.py [--rows 5000000] [--keys 50000]
 
 Last recorded run (local[32]):
-    latest_per_key   5M rows            3.0 s   (50,000 keys)
-    sessionize       5M rows            4.3 s   (4.36M sessions)
-    pit_join[broadcast]    5M x 50k     4.5 s
-    pit_join[union_window] 5M x 50k     2.1 s   <- melt wins at this spine size
+    latest_per_key   5M rows            3.0-4.1 s   (50,000 keys)
+    sessionize       5M rows            4.3-4.5 s   (4.36M sessions)
+    pit_join[broadcast]    5M x 50k     4.4-5.9 s
+    pit_join[union_window] 5M x 50k     2.1-2.5 s   <- melt wins at this spine size
+    latest_per_key, 20% of rows on ONE hot key:   1.0 s (partial agg absorbs it)
+    sessionize, same skew:                        3.8 s (hot key = one window
+        partition — the known straggler shape; salt by day if a single key
+        exceeds an executor's partition budget)
 """
 
 from __future__ import annotations
@@ -79,6 +83,22 @@ def main() -> None:
         t = time.time()
         n = point_in_time_join(spine, [view], strategy=strat).count()
         print(f"pit_join[{strat}]: {time.time()-t:.1f}s ({n:,} rows)")
+
+    # skew: route 20% of ALL rows to one hot key (a bot user) and rerun the
+    # window-heavy operators — AQE skew handling + the single-exchange
+    # window plans must absorb it without a straggler blowup
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    t = time.time()
+    n = latest_per_key(skewed, ["user_id"], ["value"], "ts", "event_id",
+                       "2024-01-01", "2024-01-31").count()
+    print(f"latest_per_key[skewed 20%->1key]: {time.time()-t:.1f}s ({n:,} keys)")
+    t = time.time()
+    n = sessionize(skewed, ["user_id"], "ts", 3600,
+                   tiebreak_cols=["event_id"]).count()
+    print(f"sessionize[skewed]: {time.time()-t:.1f}s ({n:,} sessions)")
 
 
 if __name__ == "__main__":
