@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "join_region_revenue",
     "sessionize_events",
     # north-star extensions
+    "corpus_curation",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_topk",

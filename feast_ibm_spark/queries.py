@@ -672,6 +672,42 @@ SELECT doc_id,
 FROM votes
 """
 
+# --------------------------------------------------------------------------
+# North-star composition: corpus curation pipeline
+#   exact dedup (keep lowest id per text)
+#   -> quality floor
+#   -> near-dup removal (drop any doc with an exact-Jaccard near-dup of
+#      LOWER id among the quality survivors — deterministic greedy)
+# The flagship "operators compose" demonstration; every stage reuses an
+# already-oracle-checked operator, and the composition has its own full
+# DuckDB oracle.
+# --------------------------------------------------------------------------
+
+CURATION_QUALITY_FLOOR = 0.52
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = quality_score_col("text")
+    survivors = (
+        exact_dedup(docs)
+        .select("doc_id", "text")
+        .withColumn("quality_score", s.quality_score)
+        .filter(F.col("quality_score") >= CURATION_QUALITY_FLOOR)
+    )
+    pairs = ngram_jaccard_pairs(
+        survivors, n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    ).select(F.col("doc_b").alias("doc_id"))
+    return (
+        survivors.join(pairs, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            token_count_col("text").alias("n_tokens"),
+            "quality_score",
+        )
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -877,6 +913,47 @@ SELECT doc_id,
 FROM base
 """
 
+ORACLE_CURATION = f"""
+WITH survivors AS (
+  SELECT doc_id, text,
+         (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+         + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({_DUCK_TOKENS})) * 0.3
+         + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({_DUCK_TOKENS})) / 10.0) * 0.2 AS quality_score
+  FROM (
+    SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+  )
+  WHERE (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+      + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({_DUCK_TOKENS})) * 0.3
+      + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({_DUCK_TOKENS})) / 10.0) * 0.2 >= {CURATION_QUALITY_FLOOR}
+),
+sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM survivors
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+)
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+       quality_score
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
+""".replace("{stops}", _DUCK_EN_STOPS)
+
 # --------------------------------------------------------------------------
 # North-star: multimodal columns (binary payload + Arrow-batched Pandas UDF)
 # --------------------------------------------------------------------------
@@ -959,6 +1036,8 @@ QUERIES: dict[str, QueryDef] = {
                               "32-bit SimHash signatures"),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
                                     "hamming<=3 pairs, pigeonhole-blocked"),
+    "corpus_curation": QueryDef(q_corpus_curation, ORACLE_CURATION,
+                                "composed pipeline: dedup -> quality -> near-dup"),
     "knn_cosine_topk": QueryDef(q_knn_cosine_topk, ORACLE_KNN,
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,
