@@ -90,6 +90,33 @@ FROM events
 WHERE ts BETWEEN TIMESTAMP '{PULL_ALL_START}' AND TIMESTAMP '{PULL_ALL_END}'
 """
 
+def q_pull_all_query_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scan through the S1+S3 path: the table registered in the
+    session catalog, wrapped in an inline SQL query source
+    (``SparkDataSource(query=...)``), then the time-range operator on top —
+    the composition the reference supports via its query sources
+    (reference :310, :226)."""
+    from .sources.data_source import SparkDataSource
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_view")
+    src = SparkDataSource(
+        query="SELECT user_id, event_id, value, ts FROM events_view "
+              "WHERE event_type = 'purchase'",
+        timestamp_field="ts",
+    )
+    return time_range_scan(
+        src.load(spark), ["user_id"], ["event_id", "value"], "ts",
+        PULL_ALL_START, PULL_ALL_END,
+    )
+
+
+ORACLE_PULL_ALL_QUERY = f"""
+SELECT user_id, event_id, value, ts
+FROM events
+WHERE event_type = 'purchase'
+  AND ts BETWEEN TIMESTAMP '{PULL_ALL_START}' AND TIMESTAMP '{PULL_ALL_END}'
+"""
+
 # --------------------------------------------------------------------------
 # Reference surface: latest row per key (A1+J2 -> W1, reference :421-476)
 # --------------------------------------------------------------------------
@@ -995,6 +1022,9 @@ FROM documents
 QUERIES: dict[str, QueryDef] = {
     "pull_all_time_range": QueryDef(q_pull_all_time_range, ORACLE_PULL_ALL,
                                     "S2+P1+F1 time-range scan"),
+    "pull_all_query_source": QueryDef(q_pull_all_query_source,
+                                      ORACLE_PULL_ALL_QUERY,
+                                      "S1+S3 table + inline-query source scan"),
     "pull_latest_per_key": QueryDef(q_pull_latest_per_key, ORACLE_PULL_LATEST,
                                     "A1+J2->W1 latest per key"),
     "pit_join_ttl": QueryDef(q_pit_join_ttl, ORACLE_PIT_TTL,
