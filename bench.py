@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "agg_event_type_stats",
     "join_top_orders",
     "join_region_revenue",
+    "join_semi_late_orders",
+    "agg_rollup_region_revenue",
+    "window_running_total",
     "sessionize_events",
     # north-star extensions
     "corpus_curation",

@@ -597,6 +597,192 @@ GROUP BY n_name
 """
 
 # --------------------------------------------------------------------------
+# Analytics: semi join (TPC-H Q4 shape) — orders with at least one
+# late-shipping lineitem, counted per priority. The EXISTS becomes a
+# LEFT SEMI join: the probe side never duplicates order rows, so the
+# aggregate input stays bounded by |orders| regardless of lineitem fanout.
+# --------------------------------------------------------------------------
+
+
+def q_join_semi_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLE_JOIN_SEMI_LATE = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: anti join — customers with NO order above a price floor
+# (NOT EXISTS -> LEFT ANTI; the filtered order side shrinks before the
+# shuffle, and the anti join preserves the customer side's partitioning
+# for the following aggregate)
+# --------------------------------------------------------------------------
+
+QUIET_ORDER_FLOOR = 300000.0
+
+
+def q_join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > QUIET_ORDER_FLOOR).select("o_custkey")
+    return (
+        cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100.0).alias("sum_acctbal"),
+        )
+    )
+
+
+ORACLE_JOIN_ANTI_QUIET = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {QUIET_ORDER_FLOOR}
+)
+GROUP BY c_mktsegment
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: ROLLUP (grouping sets) — order revenue by (region, nation)
+# with subtotal and grand-total rows. All three dims broadcast; the only
+# shuffle is the rollup aggregate itself (Spark expands grouping sets
+# map-side, so partial aggregation still applies).
+# --------------------------------------------------------------------------
+
+
+def q_agg_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_ROLLUP_REGION = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: set operations — EXCEPT / INTERSECT cohorts over the event
+# stream (distinct set semantics; each leg prunes to one column before
+# the set-op shuffle)
+# --------------------------------------------------------------------------
+
+BIG_PURCHASE_FLOOR = 150.0
+ERROR_PRONE_MIN = 18
+
+
+def q_set_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    big = (
+        ev.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") > BIG_PURCHASE_FLOOR))
+        .select("user_id").distinct()
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= ERROR_PRONE_MIN)
+        .select("user_id")
+    )
+    premium = big.subtract(err).withColumn("cohort", F.lit("premium"))
+    at_risk = big.intersect(err).withColumn("cohort", F.lit("at_risk"))
+    return premium.unionByName(at_risk)
+
+
+ORACLE_SET_COHORTS = f"""
+WITH big AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > {BIG_PURCHASE_FLOOR}
+),
+err AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING COUNT(*) >= {ERROR_PRONE_MIN}
+)
+SELECT user_id, 'premium' AS cohort FROM (SELECT * FROM big EXCEPT SELECT * FROM err)
+UNION ALL
+SELECT user_id, 'at_risk' AS cohort FROM (SELECT * FROM big INTERSECT SELECT * FROM err)
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: running-total window — cumulative purchase spend per user
+# over time (ROWS frame; the (ts, event_id) order key is unique, so the
+# cumulative sum is deterministic; money accumulates in cents)
+# --------------------------------------------------------------------------
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", "value",
+            (F.sum(cents).over(w).cast("double") / 100.0).alias("running_spend"),
+        )
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT user_id, ts, event_id, value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS running_spend
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+# --------------------------------------------------------------------------
 # North-star: deduplication
 # --------------------------------------------------------------------------
 
@@ -1054,6 +1240,18 @@ QUERIES: dict[str, QueryDef] = {
                                      "grouped COUNT(DISTINCT) + exact stats"),
     "join_top_orders": QueryDef(q_join_top_orders, ORACLE_JOIN_TOP_ORDERS,
                                 "3-way join + agg + deterministic top-k (Q3)"),
+    "join_semi_late_orders": QueryDef(q_join_semi_late_orders, ORACLE_JOIN_SEMI_LATE,
+                                      "EXISTS -> left-semi join + agg (Q4 shape)"),
+    "join_anti_quiet_customers": QueryDef(q_join_anti_quiet_customers,
+                                          ORACLE_JOIN_ANTI_QUIET,
+                                          "NOT EXISTS -> left-anti join + agg"),
+    "agg_rollup_region_revenue": QueryDef(q_agg_rollup_region_revenue,
+                                          ORACLE_ROLLUP_REGION,
+                                          "ROLLUP grouping sets over broadcast dims"),
+    "set_user_cohorts": QueryDef(q_set_user_cohorts, ORACLE_SET_COHORTS,
+                                 "EXCEPT / INTERSECT cohort sets"),
+    "window_running_total": QueryDef(q_window_running_total, ORACLE_RUNNING_TOTAL,
+                                     "cumulative windowed sum (ROWS frame)"),
     "join_region_revenue": QueryDef(q_join_region_revenue, ORACLE_JOIN_REGION,
                                     "star join through region/nation (Q5)"),
     "dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT,

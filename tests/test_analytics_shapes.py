@@ -1,0 +1,81 @@
+"""Semantic tests for the analytics-shape queries added beyond the
+reference surface (semi/anti join, ROLLUP grouping sets, set operations,
+running-total window) — each checked against DuckDB running the query's
+own oracle SQL at sf0.001, i.e. a miniature of the driver's gate."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from feast_ibm_spark.queries import QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+NEW_SHAPES = [
+    "join_semi_late_orders",
+    "join_anti_quiet_customers",
+    "agg_rollup_region_revenue",
+    "set_user_cohorts",
+    "window_running_total",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", NEW_SHAPES)
+def test_shape_matches_duckdb_oracle(spark, sf_dir, name):
+    qd = QUERIES[name]
+    got = _canon(qd.fn(spark, sf_dir).toPandas())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = _canon(con.execute(qd.oracle).fetchdf())
+    con.close()
+
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_has_subtotal_and_grand_total(spark, sf_dir):
+    pdf = QUERIES["agg_rollup_region_revenue"].fn(spark, sf_dir).toPandas()
+    # grand total: both grouping cols NULL, exactly once
+    grand = pdf[pdf["r_name"].isna() & pdf["n_name"].isna()]
+    assert len(grand) == 1
+    # region subtotals: one per region, n_name NULL
+    sub = pdf[pdf["r_name"].notna() & pdf["n_name"].isna()]
+    assert len(sub) == pdf["r_name"].nunique()
+    # the subtotals sum to the grand total (cents-exact money math)
+    assert abs(sub["revenue"].sum() - grand["revenue"].iloc[0]) < 1e-6
+
+
+def test_set_cohorts_disjoint(spark, sf_dir):
+    pdf = QUERIES["set_user_cohorts"].fn(spark, sf_dir).toPandas()
+    premium = set(pdf[pdf["cohort"] == "premium"]["user_id"])
+    at_risk = set(pdf[pdf["cohort"] == "at_risk"]["user_id"])
+    assert premium.isdisjoint(at_risk)
+
+
+def test_running_total_is_monotone_per_user(spark, sf_dir):
+    pdf = QUERIES["window_running_total"].fn(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        assert (g["running_spend"].diff().dropna() >= -1e-9).all()
+        assert abs(g["running_spend"].iloc[-1] - round(g["value"], 2).sum()) < 1e-6
