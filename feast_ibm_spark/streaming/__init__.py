@@ -1,6 +1,7 @@
 from .latest import streaming_latest_per_key, streaming_window_counts, stream_parquet_source
 from .stateful import streaming_first_seen, streaming_sessionize
 from .enrich import enrich_stream
+from .pit import streaming_pit_join
 
 __all__ = [
     "streaming_latest_per_key",
@@ -9,4 +10,5 @@ __all__ = [
     "streaming_first_seen",
     "streaming_sessionize",
     "enrich_stream",
+    "streaming_pit_join",
 ]

@@ -151,6 +151,61 @@ def test_streaming_window_counts(spark, event_dir):
     }
 
 
+def test_streaming_pit_join_per_microbatch(spark):
+    """Streaming PIT join: each micro-batch of spine rows is as-of joined
+    against the static feature table via foreachBatch, reusing the batch
+    operator (TTL + latest-row semantics identical to the batch path)."""
+    import os
+
+    from feast_ibm_spark.operators.pit_join import FeatureViewSpec
+    from feast_ibm_spark.streaming import streaming_pit_join
+
+    feat = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 8, 0), 1.0),
+            (1, TS(2024, 1, 1, 10, 0), 2.0),   # latest <= batch-1 spine ts
+            (1, TS(2024, 1, 2, 0, 0), 3.0),    # future of batch 1, past of batch 2
+            (2, TS(2023, 12, 1, 0, 0), 9.0),   # outside 1-day TTL for batch 1
+        ],
+        "user_id bigint, event_timestamp timestamp, score double",
+    )
+    view = FeatureViewSpec(
+        "fv", feat, ["user_id"], ["score"], "event_timestamp",
+        ttl_seconds=86400,
+    )
+
+    d = tempfile.mkdtemp(prefix="fis_spit_")
+    schema = "user_id bigint, event_timestamp timestamp"
+    b1 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 12, 0)), (2, TS(2024, 1, 1, 12, 0))], schema
+    )
+    b2 = spark.createDataFrame([(1, TS(2024, 1, 2, 12, 0))], schema)
+    b1.coalesce(1).write.parquet(os.path.join(d, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out: list[tuple] = []
+
+    def sink(df, batch_id):
+        out.extend((r.user_id, r.event_timestamp, r.score) for r in df.collect())
+
+    q = (
+        streaming_pit_join(src, [view], sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(out) == {
+        (1, TS(2024, 1, 1, 12, 0), 2.0),   # latest as-of batch-1 ts
+        (2, TS(2024, 1, 1, 12, 0), None),  # only feature is outside TTL
+        (1, TS(2024, 1, 2, 12, 0), 3.0),   # batch 2 sees the newer row
+    }
+
+
 def test_enrich_stream_with_latest_features(spark, event_dir):
     """Stream-static join: every streaming event carries its key's latest
     feature value; unknown keys get NULLs."""
