@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     persist: bool = True,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold (exact).
 
@@ -81,6 +82,15 @@ def ngram_jaccard_pairs(
     reproducible across engines; the reported ``jaccard`` is a single
     IEEE-exact division of two integers.
 
+    ``hash_shingles`` (default) replaces each shingle string with its
+    ``xxhash64`` before the shuffle — the index then carries 8-byte longs
+    instead of n-word strings, and the self-join compares longs. Set
+    membership is preserved up to 64-bit collisions (P ~ m^2/2^64; for
+    even 10^8 distinct shingles per block that is ~10^-3 across the whole
+    corpus and 0 observed on the test corpora), so counts — and the
+    emitted Jaccard values — are unchanged; pass ``False`` to force
+    exact string keys.
+
     ``persist`` materializes the exploded-shingle index once
     (MEMORY_AND_DISK) instead of re-tokenizing the corpus for each of the
     three consumers (self-join left/right + size agg) — at scale the
@@ -88,6 +98,8 @@ def ngram_jaccard_pairs(
     recompute it per branch."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     if persist:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -131,16 +143,18 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
     Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
-      1. ONE Arrow-batched Pandas UDF per doc computes tokenize -> word
-         n-gram shingles -> crc32 fingerprints -> k permuted minima
-         (a numpy (len x k) matmul-style pass) -> ``bands`` packed band
-         strings. Nothing per-shingle ever leaves its partition or the
-         batch; the alternatives measured much worse (explode + 32-way
-         min groupBy shuffles every shingle string; a Catalyst
-         higher-order-function shingle expression runs interpreted at
-         ~20us/shingle).
+      1. ONE Arrow-batched Pandas UDF per doc computes tokenize -> crc32
+         per TOKEN (not per shingle: no n-word strings are ever built) ->
+         numeric rolling n-gram combine -> distinct -> k permuted minima
+         (a numpy (len x k) matmul-style pass) -> ``bands`` band
+         signatures, each FOLDED INTO ONE int64. Nothing per-shingle
+         ever leaves its partition or the batch; the alternatives
+         measured much worse (explode + 32-way min groupBy shuffles
+         every shingle string; a Catalyst higher-order-function shingle
+         expression runs interpreted at ~20us/shingle; string band keys
+         cost ~2x the int64 ones in Arrow transfer + join).
       2. docs sharing any full band meet in a bucket — an equi-join on
-         (band_idx, band_signature), never an all-pairs product;
+         (band_idx, band_signature:long), never an all-pairs product;
       3. every candidate pair is verified EXACTLY: a second vectorized
          UDF recomputes both shingle sets and their true Jaccard in
          integer arithmetic (len of set intersection/union + one IEEE
@@ -169,41 +183,46 @@ def minhash_lsh_pairs(
     import random
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, StringType
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
 
     rng = random.Random(0xFEA57)
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    # rolling n-gram combine base (any odd constant; shingle fp stays < p)
+    comb = 131
+    # FNV-ish fold packing a band's r signatures into one int64 bucket
+    # key — collisions only ADD candidates, which the exact verify kills
+    fnv = np.int64(1099511628211)
 
     def _shingle_set(text: str) -> set:
         toks = text.split()
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
-    @pandas_udf(ArrayType(StringType()))
+    @pandas_udf(ArrayType(LongType()))
     def band_sigs(text_ser: pd.Series) -> pd.Series:
         from zlib import crc32
 
         out = []
         for text in text_ser:
-            shingles = _shingle_set(text)
-            if not shingles:
+            toks = text.split()
+            if len(toks) < n:
                 out.append([])
                 continue
-            x = np.array(
-                [crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
-            ) % p
-            # (len, k) permutations, min per hash; x < p < 2^30 and
-            # a < p -> x*a < 2^60: int64-safe
+            h = np.array([crc32(t.encode("utf-8")) for t in toks], dtype=np.int64) % p
+            sh = h[: len(h) - n + 1].copy()
+            for j in range(1, n):
+                sh = (sh * comb + h[j : len(h) - n + j + 1]) % p
+            x = np.unique(sh)
+            # (len, k) permutations, min per hash; x < p < 2^31 and
+            # a < p -> x*a < 2^62: int64-safe
             sigs = ((x[:, None] * a_vec + b_vec) % p).min(axis=0)
-            out.append(
-                [
-                    "_".join(
-                        map(str, sigs[bi * rows_per_band : (bi + 1) * rows_per_band])
-                    )
-                    for bi in range(bands)
-                ]
-            )
+            with np.errstate(over="ignore"):
+                packed = sigs[: bands * rows_per_band].reshape(bands, rows_per_band)
+                acc = np.full(bands, fnv, dtype=np.int64)
+                for j in range(rows_per_band):
+                    acc = acc * fnv + packed[:, j]
+            out.append(acc.tolist())
         return pd.Series(out)
 
     # The explicit repartition spreads UDF work across all cores even when
