@@ -704,6 +704,71 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 # --------------------------------------------------------------------------
+# Analytics: correlated scalar subquery (TPC-H Q17 shape) — lineitems
+# below half their part's average quantity. The correlation decorrelates
+# into a per-part aggregate joined back on the part key; the threshold
+# test is pure integer arithmetic (2*qty*cnt < sum), so no float
+# comparison can diverge between engines.
+# --------------------------------------------------------------------------
+
+
+def q_agg_smallqty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(qty * 2 * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100.0)
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_SMALLQTY = f"""
+WITH pa AS (
+  SELECT l_partkey, SUM({_L_QTY}) AS qty_sum, COUNT(*) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({_L_CENTS}) AS DOUBLE) / 100.0 AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE {_L_QTY} * 2 * qty_cnt < qty_sum
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: outer-join distribution (TPC-H Q13 shape) — how many
+# customers placed how many orders (zero included via the left join).
+# Double aggregation: per-customer count, then the count-of-counts.
+# --------------------------------------------------------------------------
+
+
+def q_join_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+ORACLE_ORDER_COUNT_DIST = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: set operations — EXCEPT / INTERSECT cohorts over the event
 # stream (distinct set semantics; each leg prunes to one column before
 # the set-op shuffle)
@@ -1248,6 +1313,11 @@ QUERIES: dict[str, QueryDef] = {
     "agg_rollup_region_revenue": QueryDef(q_agg_rollup_region_revenue,
                                           ORACLE_ROLLUP_REGION,
                                           "ROLLUP grouping sets over broadcast dims"),
+    "agg_smallqty_revenue": QueryDef(q_agg_smallqty_revenue, ORACLE_SMALLQTY,
+                                     "correlated avg subquery, decorrelated (Q17)"),
+    "join_order_count_distribution": QueryDef(q_join_order_count_distribution,
+                                              ORACLE_ORDER_COUNT_DIST,
+                                              "left-outer double aggregation (Q13)"),
     "set_user_cohorts": QueryDef(q_set_user_cohorts, ORACLE_SET_COHORTS,
                                  "EXCEPT / INTERSECT cohort sets"),
     "window_running_total": QueryDef(q_window_running_total, ORACLE_RUNNING_TOTAL,

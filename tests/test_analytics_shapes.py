@@ -20,6 +20,8 @@ NEW_SHAPES = [
     "agg_rollup_region_revenue",
     "set_user_cohorts",
     "window_running_total",
+    "agg_smallqty_revenue",
+    "join_order_count_distribution",
 ]
 
 
