@@ -141,3 +141,43 @@ def test_pit_join_views_with_distinct_timestamp_fields(spark, events):
     # both views see the same underlying data -> identical matched values
     sample = out.select("a__value", "b__v2").limit(50).collect()
     assert all(r["a__value"] == r["b__v2"] for r in sample)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key with the same bucket count
+    join with NO Exchange on either side — the write-once-shuffle-never
+    co-location contract of sources/bucketed.py."""
+    from feast_ibm_spark.plans.inspect import count_shuffles
+    from feast_ibm_spark.sources.bucketed import bucketed_join_ready, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4,
+                       sort_cols=["o_orderkey"])
+        write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "t_lineitem_b", ["o_orderkey"], 4,
+                       sort_cols=["o_orderkey"])
+        assert bucketed_join_ready(spark, "t_orders_b", "t_lineitem_b")
+
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b").select("o_orderkey", "l_quantity")
+        # disable broadcast so the co-location (not a broadcast) is what
+        # removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "o_orderkey")
+            assert count_shuffles(j) == 0, explain_str(j)
+            # sanity: same join over the raw (unbucketed) sources shuffles
+            raw = orders.join(
+                li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+                "o_orderkey",
+            )
+            assert count_shuffles(raw) >= 2
+            assert j.count() == raw.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
