@@ -704,6 +704,34 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 # --------------------------------------------------------------------------
+# Analytics: exact ordered-set aggregate — interpolated percentiles of
+# event value per type. Spark's `percentile` and DuckDB's `quantile_cont`
+# share the linear-interpolation definition, so the doubles match
+# bit-for-bit (verified); at scale this is a sort-within-group aggregate,
+# one shuffle on the group key. (For 100 TB dashboards swap in
+# approx_percentile / t-digest — kept exact here because the gate is a
+# value hash.)
+# --------------------------------------------------------------------------
+
+
+def q_agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p"))
+        .selectExpr("event_type", "p[0] AS p50", "p[1] AS p90", "p[2] AS p99")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: correlated scalar subquery (TPC-H Q17 shape) — lineitems
 # below half their part's average quantity. The correlation decorrelates
 # into a per-part aggregate joined back on the part key; the threshold
@@ -1313,6 +1341,9 @@ QUERIES: dict[str, QueryDef] = {
     "agg_rollup_region_revenue": QueryDef(q_agg_rollup_region_revenue,
                                           ORACLE_ROLLUP_REGION,
                                           "ROLLUP grouping sets over broadcast dims"),
+    "agg_value_percentiles": QueryDef(q_agg_value_percentiles,
+                                      ORACLE_VALUE_PERCENTILES,
+                                      "exact interpolated percentiles per group"),
     "agg_smallqty_revenue": QueryDef(q_agg_smallqty_revenue, ORACLE_SMALLQTY,
                                      "correlated avg subquery, decorrelated (Q17)"),
     "join_order_count_distribution": QueryDef(q_join_order_count_distribution,

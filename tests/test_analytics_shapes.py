@@ -22,6 +22,7 @@ NEW_SHAPES = [
     "window_running_total",
     "agg_smallqty_revenue",
     "join_order_count_distribution",
+    "agg_value_percentiles",
 ]
 
 
