@@ -732,6 +732,29 @@ FROM events GROUP BY event_type
 """
 
 # --------------------------------------------------------------------------
+# Analytics: approximate aggregates — the 100 TB dashboard path. HLL++
+# distinct counts and quantile-sketch percentiles run in one pass with
+# O(sketch) state per group instead of sort/expand, and their partial
+# sketches merge associatively across executors. No oracle: sketch
+# algorithms are engine-specific (rows-only check); accuracy vs the
+# exact twins is asserted in tests instead.
+# --------------------------------------------------------------------------
+
+
+def q_agg_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.99), 10000)"
+        )[0].alias("approx_p50"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.99), 10000)"
+        )[1].alias("approx_p99"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Analytics: correlated scalar subquery (TPC-H Q17 shape) — lineitems
 # below half their part's average quantity. The correlation decorrelates
 # into a per-part aggregate joined back on the part key; the threshold
@@ -1341,6 +1364,9 @@ QUERIES: dict[str, QueryDef] = {
     "agg_rollup_region_revenue": QueryDef(q_agg_rollup_region_revenue,
                                           ORACLE_ROLLUP_REGION,
                                           "ROLLUP grouping sets over broadcast dims"),
+    "agg_approx_event_stats": QueryDef(q_agg_approx_event_stats, None,
+                                       "HLL++ distinct + sketch percentiles "
+                                       "(approximate by design; rows-only)"),
     "agg_value_percentiles": QueryDef(q_agg_value_percentiles,
                                       ORACLE_VALUE_PERCENTILES,
                                       "exact interpolated percentiles per group"),

@@ -76,6 +76,46 @@ def test_set_cohorts_disjoint(spark, sf_dir):
     assert premium.isdisjoint(at_risk)
 
 
+def test_approx_stats_within_error_bounds(spark, sf_dir):
+    """The approximate aggregates (rows-only in the driver gate) must
+    track their exact twins: HLL++ distinct within 5%, sketch p50/p99
+    within 10% relative error on the test corpus."""
+    approx = (
+        QUERIES["agg_approx_event_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    exact_pctl = (
+        QUERIES["agg_value_percentiles"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    exact_users = (
+        QUERIES["agg_event_type_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    assert (approx.index == exact_pctl.index).all()
+    rel = (approx["approx_users"] - exact_users["n_users"]).abs() / exact_users["n_users"]
+    assert (rel <= 0.05).all(), rel
+    # the sketch returns an actual element, so on a small group the p99
+    # can sit a few ranks off the interpolated exact value — assert rank
+    # envelopes instead of tight relative error
+    import pyspark.sql.functions as F
+
+    from feast_ibm_spark.sources.reader import load_table
+
+    env = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.40, 0.60, 0.95))").alias("e"),
+            F.max("value").alias("vmax"),
+        )
+        .selectExpr("event_type", "e[0] p40", "e[1] p60", "e[2] p95", "vmax")
+        .toPandas().set_index("event_type").sort_index()
+    )
+    assert (approx["approx_p50"].between(env["p40"], env["p60"])).all()
+    assert (approx["approx_p99"].between(env["p95"], env["vmax"])).all()
+
+
 def test_running_total_is_monotone_per_user(spark, sf_dir):
     pdf = QUERIES["window_running_total"].fn(spark, sf_dir).toPandas()
     for _, g in pdf.groupby("user_id"):
