@@ -820,6 +820,77 @@ GROUP BY n_orders
 """
 
 # --------------------------------------------------------------------------
+# Analytics: CUBE grouping sets — revenue over every subset of
+# (status, priority). Same Expand-based map-side partial aggregation as
+# the rollup; 4 grouping sets from one scan.
+# --------------------------------------------------------------------------
+
+
+def q_agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_CUBE_STATUS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: two-dimension-branch join (TPC-H Q7 shape) — revenue flow
+# between supplier nation and customer nation. Two independent broadcast
+# dimension branches hang off the fact-fact join; only the lineitem-
+# orders join shuffles.
+# --------------------------------------------------------------------------
+
+
+def q_join_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    supp_n = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            (F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: set operations — EXCEPT / INTERSECT cohorts over the event
 # stream (distinct set semantics; each leg prunes to one column before
 # the set-op shuffle)
@@ -1375,6 +1446,12 @@ QUERIES: dict[str, QueryDef] = {
     "join_order_count_distribution": QueryDef(q_join_order_count_distribution,
                                               ORACLE_ORDER_COUNT_DIST,
                                               "left-outer double aggregation (Q13)"),
+    "agg_cube_status_priority": QueryDef(q_agg_cube_status_priority,
+                                         ORACLE_CUBE_STATUS,
+                                         "CUBE grouping sets (4 sets, one scan)"),
+    "join_nation_trade_flow": QueryDef(q_join_nation_trade_flow,
+                                       ORACLE_NATION_TRADE,
+                                       "two-dimension-branch star join (Q7)"),
     "set_user_cohorts": QueryDef(q_set_user_cohorts, ORACLE_SET_COHORTS,
                                  "EXCEPT / INTERSECT cohort sets"),
     "window_running_total": QueryDef(q_window_running_total, ORACLE_RUNNING_TOTAL,

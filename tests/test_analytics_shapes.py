@@ -23,6 +23,8 @@ NEW_SHAPES = [
     "agg_smallqty_revenue",
     "join_order_count_distribution",
     "agg_value_percentiles",
+    "agg_cube_status_priority",
+    "join_nation_trade_flow",
 ]
 
 
