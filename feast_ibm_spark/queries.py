@@ -820,6 +820,54 @@ GROUP BY n_orders
 """
 
 # --------------------------------------------------------------------------
+# Reference surface F3 as a driver query: native partition pruning over a
+# date-partitioned layout (reference :665-667 injects string predicates
+# on a date partition column; here Catalyst prunes the directories
+# natively). The partitioned copy of `events` is materialized ONCE per
+# sf_dir into the system temp dir (idempotent _SUCCESS marker) — the
+# write is the one-time physical design step, the query is the scan.
+# --------------------------------------------------------------------------
+
+PARTITIONED_DAY_LO, PARTITIONED_DAY_HI = "2024-01-10", "2024-01-12"
+
+
+def q_scan_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_by_day_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(dest)
+        )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("day").between(PARTITIONED_DAY_LO, PARTITIONED_DAY_HI))
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_PARTITIONED_SCAN = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PARTITIONED_DAY_LO}' AND '{PARTITIONED_DAY_HI}'
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: CUBE grouping sets — revenue over every subset of
 # (status, priority). Same Expand-based map-side partial aggregation as
 # the rollup; 4 grouping sets from one scan.
@@ -1446,6 +1494,10 @@ QUERIES: dict[str, QueryDef] = {
     "join_order_count_distribution": QueryDef(q_join_order_count_distribution,
                                               ORACLE_ORDER_COUNT_DIST,
                                               "left-outer double aggregation (Q13)"),
+    "scan_partitioned_events": QueryDef(q_scan_partitioned_events,
+                                        ORACLE_PARTITIONED_SCAN,
+                                        "native partition pruning over a "
+                                        "date-partitioned layout (F3)"),
     "agg_cube_status_priority": QueryDef(q_agg_cube_status_priority,
                                          ORACLE_CUBE_STATUS,
                                          "CUBE grouping sets (4 sets, one scan)"),

@@ -25,6 +25,7 @@ NEW_SHAPES = [
     "agg_value_percentiles",
     "agg_cube_status_priority",
     "join_nation_trade_flow",
+    "scan_partitioned_events",
 ]
 
 
@@ -116,6 +117,18 @@ def test_approx_stats_within_error_bounds(spark, sf_dir):
     )
     assert (approx["approx_p50"].between(env["p40"], env["p60"])).all()
     assert (approx["approx_p99"].between(env["p95"], env["vmax"])).all()
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The partitioned-layout query must hit PartitionFilters (directory
+    pruning), not a post-scan filter — the native form of reference F3."""
+    import re
+
+    from feast_ibm_spark.plans.inspect import explain_str
+
+    df = QUERIES["scan_partitioned_events"].fn(spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", explain_str(df))
+    assert m and "day" in m.group(1), explain_str(df)
 
 
 def test_running_total_is_monotone_per_user(spark, sf_dir):
