@@ -78,6 +78,15 @@ SHOWCASE: list[tuple[str, str]] = [
         "shuffle on the grouping keys.",
     ),
     (
+        "join_nation_trade_flow",
+        "TPC-H Q7 shape: two independent dimension branches\n"
+        "(supplier->nation, customer->nation) each collapse to a broadcast\n"
+        "before touching the facts, so the only shuffle in the plan is the\n"
+        "lineitem-orders equi-join and the final aggregate. At 100 TB the\n"
+        "dimension branches stay broadcast-sized however large the facts\n"
+        "grow — the plan scales with the fact shuffle alone.",
+    ),
+    (
         "dedup_minhash_lsh",
         "The 100 TB dedup path: one Arrow-batched UDF computes per-doc\n"
         "minhash band keys (int64), the bucket self-join is a pure equi-join\n"

@@ -119,6 +119,25 @@ def test_approx_stats_within_error_bounds(spark, sf_dir):
     assert (approx["approx_p99"].between(env["p95"], env["vmax"])).all()
 
 
+@pytest.mark.parametrize(
+    "name", ["agg_pricing_summary", "join_region_revenue", "window_running_total"]
+)
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
+    """Partition-count invariance: the same query must produce identical
+    values at different shuffle widths — the guarantee that cents-integer
+    accumulation and unique-key ordering give, and the reason the oracle
+    hash-match is stable on any cluster size."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _canon(QUERIES[name].fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        wide = _canon(QUERIES[name].fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pd.testing.assert_frame_equal(narrow, wide, check_dtype=False)
+
+
 def test_partitioned_scan_prunes_directories(spark, sf_dir):
     """The partitioned-layout query must hit PartitionFilters (directory
     pruning), not a post-scan filter — the native form of reference F3."""
