@@ -820,6 +820,40 @@ GROUP BY n_orders
 """
 
 # --------------------------------------------------------------------------
+# Analytics: semi-structured extraction — the JSON `props` payload on
+# events is parsed with a typed `from_json` (JVM Jackson parse, schema
+# declared, malformed rows -> NULL) and aggregated. The oracle extracts
+# the same integer with a regex — equivalent on well-formed payloads, so
+# values hash-match while the Spark side exercises the real JSON path.
+# --------------------------------------------------------------------------
+
+
+def q_scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = r"""
+SELECT event_type,
+       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 # Reference surface F3 as a driver query: native partition pruning over a
 # date-partitioned layout (reference :665-667 injects string predicates
 # on a date partition column; here Catalyst prunes the directories
@@ -1494,6 +1528,8 @@ QUERIES: dict[str, QueryDef] = {
     "join_order_count_distribution": QueryDef(q_join_order_count_distribution,
                                               ORACLE_ORDER_COUNT_DIST,
                                               "left-outer double aggregation (Q13)"),
+    "scan_json_props": QueryDef(q_scan_json_props, ORACLE_JSON_PROPS,
+                                "typed from_json extraction + aggregate"),
     "scan_partitioned_events": QueryDef(q_scan_partitioned_events,
                                         ORACLE_PARTITIONED_SCAN,
                                         "native partition pruning over a "

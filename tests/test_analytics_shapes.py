@@ -26,6 +26,7 @@ NEW_SHAPES = [
     "agg_cube_status_priority",
     "join_nation_trade_flow",
     "scan_partitioned_events",
+    "scan_json_props",
 ]
 
 
