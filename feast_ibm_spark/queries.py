@@ -1302,6 +1302,32 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count_col("text").alias("n_tokens"))
 
 
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequencies: lateral explode of the token array
+    into a grouped count, deterministic top-50 by (count desc, token asc).
+    The explode is map-side (no shuffle until the count), so at 100 TB the
+    wide stage carries (token, partial_count) pairs, not raw text."""
+    from .functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+ORACLE_TOP_TOKENS = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
 ORACLE_TOKEN_COUNT = f"""
 SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens FROM documents
 """
@@ -1570,6 +1596,8 @@ QUERIES: dict[str, QueryDef] = {
                                        "LSH-blocked near-dup (approx; rows-only)"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
+    "text_top_tokens": QueryDef(q_text_top_tokens, ORACLE_TOP_TOKENS,
+                                "lateral explode -> term frequencies -> top-k"),
     "text_bpe_tokens": QueryDef(q_text_bpe_tokens, ORACLE_BPE_TOKENS,
                                 "BPE-style regex pre-token counting"),
     "text_fingerprint": QueryDef(q_text_fingerprint, ORACLE_FINGERPRINT,
