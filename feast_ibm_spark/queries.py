@@ -820,6 +820,60 @@ GROUP BY n_orders
 """
 
 # --------------------------------------------------------------------------
+# Analytics: disjunctive predicate join (TPC-H Q19 shape) — three
+# brand/size/quantity clauses OR-ed together. The part-side conjuncts
+# (brand OR-tree, size bounds) are separable from the lineitem-side
+# quantity bounds, so Catalyst pushes a disjunction to EACH scan and the
+# residual OR runs post-join; the filtered part side broadcasts.
+# --------------------------------------------------------------------------
+
+_Q19_CLAUSES = [
+    ("Brand#13", (1, 10), (1, 20)),
+    ("Brand#23", (10, 25), (10, 30)),
+    ("Brand#34", (20, 40), (20, 40)),
+]
+
+
+def q_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    clause = None
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in _Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        clause = c if clause is None else clause | c
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            (F.sum(revenue_num).cast("double") / 10000.0).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q19_sql_clause() -> str:
+    parts = []
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in _Q19_CLAUSES:
+        parts.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+            f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        )
+    return " OR ".join(parts)
+
+
+ORACLE_PROMO_REVENUE = f"""
+SELECT CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS promo_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_sql_clause()}
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: semi-structured extraction — the JSON `props` payload on
 # events is parsed with a typed `from_json` (JVM Jackson parse, schema
 # declared, malformed rows -> NULL) and aggregated. The oracle extracts
@@ -1554,6 +1608,8 @@ QUERIES: dict[str, QueryDef] = {
     "join_order_count_distribution": QueryDef(q_join_order_count_distribution,
                                               ORACLE_ORDER_COUNT_DIST,
                                               "left-outer double aggregation (Q13)"),
+    "join_promo_revenue": QueryDef(q_join_promo_revenue, ORACLE_PROMO_REVENUE,
+                                   "OR-of-ANDs disjunctive predicates (Q19)"),
     "scan_json_props": QueryDef(q_scan_json_props, ORACLE_JSON_PROPS,
                                 "typed from_json extraction + aggregate"),
     "scan_partitioned_events": QueryDef(q_scan_partitioned_events,

@@ -27,6 +27,7 @@ NEW_SHAPES = [
     "join_nation_trade_flow",
     "scan_partitioned_events",
     "scan_json_props",
+    "join_promo_revenue",
 ]
 
 
