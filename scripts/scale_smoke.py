@@ -7,15 +7,24 @@ overtakes the broadcast strategy once the spine is large.
 
 Usage: python scripts/scale_smoke.py [--rows 5000000] [--keys 50000]
 
-Last recorded run (local[32]):
-    latest_per_key   5M rows            3.0-4.1 s   (50,000 keys)
-    sessionize       5M rows            4.3-4.5 s   (4.36M sessions)
-    pit_join[broadcast]    5M x 50k     4.4-5.9 s
-    pit_join[union_window] 5M x 50k     2.1-2.5 s   <- melt wins at this spine size
-    latest_per_key, 20% of rows on ONE hot key:   1.0 s (partial agg absorbs it)
-    sessionize, same skew:                        3.8 s (hot key = one window
+Last recorded run (local[32]; wall-clock varies ±40% with machine load):
+    latest_per_key   5M rows            3.0-4.7 s   (50,000 keys)
+    sessionize       5M rows            3.9-4.5 s   (4.36M sessions)
+    pit_join[broadcast]    5M x 50k     4.4-10 s
+    pit_join[union_window] 5M x 50k     2.1-2.7 s   <- melt wins at this spine size
+    latest_per_key, 20% of rows on ONE hot key:   1.0-6 s (partial agg absorbs it)
+    sessionize, same skew:                        3.7-11 s (hot key = one window
         partition — the known straggler shape; salt by day if a single key
         exceeds an executor's partition budget)
+    dedup at 50k docs (10x bench corpus), ~5k true near-dup pairs:
+        minhash_lsh  16-30 s, exact inverted-index 7-16 s — both find all
+        4,999 pairs. NOTE the synthetic corpus has collision-free tokens,
+        i.e. NO hot shingles, which is the exact path's best case (its
+        self-join output stays ~linear); on real corpora with boilerplate
+        shingles the exact tier's sum(c^2) term explodes and the LSH
+        tier's bounded bucket join takes over. Dup-saturated corpora
+        should run exact_dedup first (as corpus_curation does) so the
+        verify stage isn't paying for pairs exact hashing removes free.
 """
 
 from __future__ import annotations
@@ -99,6 +108,44 @@ def main() -> None:
     n = sessionize(skewed, ["user_id"], "ts", 3600,
                    tiebreak_cols=["event_id"]).count()
     print(f"sessionize[skewed]: {time.time()-t:.1f}s ({n:,} sessions)")
+
+    # dedup at 10x the bench corpus: 50k synthetic docs, ~10% near-dup
+    # pairs by construction (doc i and i+1 share most tokens when
+    # i % 10 == 0). The LSH path must stay near-linear while the exact
+    # inverted-index tier is expected to grow superlinearly with corpus
+    # size — this is the crossover the operator docstrings claim.
+    from feast_ibm_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    n_docs = 50_000
+    # ~10% of docs copy their predecessor's tokens; all other token ids
+    # are collision-free hashes, so the ~5k intended pairs are the ONLY
+    # near-dups (a realistic density — a dup-saturated corpus should be
+    # run through exact_dedup first, as corpus_curation does)
+    eff = (F.when(F.col("id") % 10 == 0, F.col("id") - 1)
+           .otherwise(F.col("id")))
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    F.abs(F.xxhash64(eff, F.lit(j))).cast("string"),
+                )
+                for j in range(40)
+            ],
+        ).alias("text"),
+    )
+    doc_path = args.path + "_docs"
+    base.write.mode("overwrite").parquet(doc_path)
+    docs = spark.read.parquet(doc_path)
+
+    t = time.time()
+    n = minhash_lsh_pairs(docs, n=3, threshold=0.5).count()
+    print(f"dedup_minhash_lsh[{n_docs:,} docs]: {time.time()-t:.1f}s ({n:,} pairs)")
+    t = time.time()
+    n = ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+    print(f"dedup_ngram_exact[{n_docs:,} docs]: {time.time()-t:.1f}s ({n:,} pairs)")
 
 
 if __name__ == "__main__":
