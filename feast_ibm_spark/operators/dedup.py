@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     persist: bool = True,
     hash_shingles: bool = True,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold (exact).
 
@@ -91,6 +92,16 @@ def ngram_jaccard_pairs(
     emitted Jaccard values — are unchanged; pass ``False`` to force
     exact string keys.
 
+    ``max_shingle_freq`` is the scale lever for boilerplate-heavy
+    corpora: the self-join's output is sum(c^2) over per-shingle doc
+    frequencies c, so a handful of hot shingles (license headers,
+    navigation chrome) can dominate the whole job. Setting a cap drops
+    shingles appearing in more than that many documents from the JOIN
+    side only — document sizes still count every shingle, so computed
+    Jaccards never INCREASE (a dropped shingle can only remove common
+    evidence); pairs whose overlap is carried by ubiquitous shingles may
+    be missed, which is exactly the intent. None (default) is exact.
+
     ``persist`` materializes the exploded-shingle index once
     (MEMORY_AND_DISK) instead of re-tokenizing the corpus for each of the
     three consumers (self-join left/right + size agg) — at scale the
@@ -103,6 +114,15 @@ def ngram_jaccard_pairs(
     if persist:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
 
     a = sh.alias("a")
     b = sh.alias("b")

@@ -251,3 +251,25 @@ def test_resize_stub_contract(spark):
         "media_id", "payload", "media_type", "format", "n_bytes"]
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         stub.collect()
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_freq drops join evidence carried by ubiquitous
+    shingles: a pair overlapping ONLY through a boilerplate footer
+    disappears under the cap, while genuinely similar pairs survive."""
+    footer = "this document is confidential do not distribute"
+    rows = [(i, f"unique body {i} alpha beta gamma {footer}") for i in range(1, 7)]
+    rows += [(7, "the quick brown fox jumps over the lazy dog tonight"),
+             (8, "the quick brown fox jumps over the lazy dog today")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in ngram_jaccard_pairs(
+                  docs, threshold=0.4, max_shingle_freq=3).collect()}
+    # footer-only pairs exist uncapped, vanish capped
+    assert any(a <= 6 and b <= 6 for a, b in uncapped)
+    assert not any(a <= 6 and b <= 6 for a, b in capped)
+    # the genuinely similar pair survives both
+    assert (7, 8) in uncapped and (7, 8) in capped
