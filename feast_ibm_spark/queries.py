@@ -908,6 +908,52 @@ GROUP BY event_type
 """
 
 # --------------------------------------------------------------------------
+# Reference surface S2, non-parquet format: the same events data served
+# through a CSV object source (``SparkDataSource(path, format="csv")``,
+# reference cos_type validation :147) and aggregated. The CSV copy is
+# materialized once per sf_dir (idempotent marker); header+inferSchema
+# recover names and types, mirroring the remote engine's inference the
+# reference relied on. Timestamps are excluded (CSV truncates micros to
+# millis); money survives exactly via the cents discipline.
+# --------------------------------------------------------------------------
+
+
+def q_scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.data_source import SparkDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_csv_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(dest)
+        )
+    src = SparkDataSource(path=dest, format="csv")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        src.load(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_CSV_SOURCE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 # Reference surface F3 as a driver query: native partition pruning over a
 # date-partitioned layout (reference :665-667 injects string predicates
 # on a date partition column; here Catalyst prunes the directories
@@ -1612,6 +1658,8 @@ QUERIES: dict[str, QueryDef] = {
                                    "OR-of-ANDs disjunctive predicates (Q19)"),
     "scan_json_props": QueryDef(q_scan_json_props, ORACLE_JSON_PROPS,
                                 "typed from_json extraction + aggregate"),
+    "scan_csv_source": QueryDef(q_scan_csv_source, ORACLE_CSV_SOURCE,
+                                "S2 non-parquet format: CSV object source"),
     "scan_partitioned_events": QueryDef(q_scan_partitioned_events,
                                         ORACLE_PARTITIONED_SCAN,
                                         "native partition pruning over a "

@@ -28,6 +28,7 @@ NEW_SHAPES = [
     "scan_partitioned_events",
     "scan_json_props",
     "join_promo_revenue",
+    "scan_csv_source",
 ]
 
 
