@@ -1212,6 +1212,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
 
 
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic keep-newest-row dedup on a composite key (user, type) —
+    the engine's dropDuplicates-with-ordering (one window shuffle), with
+    event_id as the deterministic tiebreak on timestamp ties."""
+    from .operators.dedup import dedup_keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_latest(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        ["user_id", "event_type"], "ts", created_col="event_id",
+    )
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT user_id, event_type, ts, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_col("text").alias("simhash"))
@@ -1682,6 +1706,8 @@ QUERIES: dict[str, QueryDef] = {
                                     "exact n-gram Jaccard pairs"),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _ORACLE_JACCARD_PAIRS,
                                   "MinHash+LSH candidates, exact-verified"),
+    "dedup_keep_latest": QueryDef(q_dedup_keep_latest, ORACLE_DEDUP_KEEP_LATEST,
+                                  "keep-newest-row dedup on a composite key"),
     "dedup_simhash": QueryDef(q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
                               "32-bit SimHash signatures"),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
