@@ -408,3 +408,56 @@ def test_pit_join_composite_keys(spark, strategy):
         for r in point_in_time_join(spine, [view], strategy=strategy).collect()
     }
     assert got == {("us", 1): 1.0, ("eu", 1): 3.0, ("eu", 2): None}
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(1, 3),       # key
+                st.integers(0, 10_000),  # offset seconds
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        gap=st.sampled_from([60, 600, 3600]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_sessionize_property_matches_brute_force(spark, events, gap):
+        """For random event streams, sessionize's (start, end, count) per
+        key must equal a per-key brute-force scan: a new session starts
+        when the gap to the previous event strictly exceeds gap_seconds."""
+        from feast_ibm_spark.operators.sessionize import sessionize
+
+        base = TS(2024, 1, 1)
+        rows = [
+            (k, base + timedelta(seconds=s), i)
+            for i, (k, s) in enumerate(events)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, ts timestamp, eid bigint")
+        got = {
+            (r.k, r.session_start, r.session_end, r.n_events)
+            for r in sessionize(df, ["k"], "ts", gap, tiebreak_cols=["eid"]).collect()
+        }
+
+        expect = set()
+        by_key: dict[int, list] = {}
+        for k, ts, eid in rows:
+            by_key.setdefault(k, []).append((ts, eid))
+        for k, evs in by_key.items():
+            evs.sort()
+            sessions: list[list] = []
+            prev = None
+            for ts, _ in evs:
+                if prev is None or (ts - prev).total_seconds() > gap:
+                    sessions.append([])
+                sessions[-1].append(ts)
+                prev = ts
+            for s in sessions:
+                expect.add((k, s[0], s[-1], len(s)))
+        assert got == expect
