@@ -191,6 +191,13 @@ def q_pit_join_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pit_query(spark, sf_dir, PIT_TTL, "union_window")
 
 
+def q_pit_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the shuffle (sort-merge range join) strategy —
+    the middle path when the spine outgrows a broadcast but stays far
+    smaller than the feature table. Same oracle must match."""
+    return _pit_query(spark, sf_dir, PIT_TTL, "shuffle")
+
+
 def _oracle_pit(ttl_clause: str) -> str:
     return f"""
 WITH agg AS (
@@ -1636,6 +1643,8 @@ QUERIES: dict[str, QueryDef] = {
                              "J1 flagship as-of join, TTL=1d (broadcast)"),
     "pit_join_nottl": QueryDef(q_pit_join_nottl, ORACLE_PIT_NOTTL,
                                "J1 as-of join, TTL=0 (no lower bound)"),
+    "pit_join_shuffle": QueryDef(q_pit_join_shuffle, ORACLE_PIT_TTL,
+                                 "as-of join via the sort-merge strategy"),
     "pit_join_union_window": QueryDef(q_pit_join_union_window, ORACLE_PIT_TTL,
                                       "J1 via melt/union-window strategy"),
     "pit_join_multiview": QueryDef(q_pit_join_multiview, ORACLE_PIT_MULTIVIEW,
