@@ -379,8 +379,11 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         -- CAST: DuckDB's SUM(int) returns HUGEINT which pandas widens to
+         -- float64; Spark's running sum is BIGINT. Pin the oracle to BIGINT
+         -- so the driver's value hash compares like dtypes.
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -905,7 +908,11 @@ def q_scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_PROPS = r"""
 SELECT event_type,
-       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+       COUNT(k) AS n_with_k,
+       -- CAST: raw SUM(BIGINT) is HUGEINT in DuckDB -> float64 in pandas;
+       -- Spark returns BIGINT. Match dtypes for the driver's value hash.
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(k) AS max_k
 FROM (
   SELECT event_type,
          CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
