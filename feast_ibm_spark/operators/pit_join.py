@@ -86,6 +86,7 @@ def point_in_time_join(
     full_feature_names: bool = False,
     strategy: str = "broadcast",
     persist_spine: bool = False,
+    time_range: tuple | None = None,
 ) -> DataFrame:
     """Join every FeatureView onto the spine as-of the spine timestamp.
 
@@ -107,7 +108,12 @@ def point_in_time_join(
 
     if persist_spine:
         spine = spine.persist(StorageLevel.MEMORY_AND_DISK)
-    lo, hi = _spine_time_range(spine, spine_timestamp_field)
+    # Callers that already know the spine's (min, max) event timestamp —
+    # e.g. the store facade, which also exposes it as job metadata — pass
+    # it in so the tiny range aggregate runs once, not twice.
+    lo, hi = time_range if time_range is not None else _spine_time_range(
+        spine, spine_timestamp_field
+    )
     out = spine
     for view in feature_views:
         if strategy == "union_window":

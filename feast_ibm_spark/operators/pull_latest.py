@@ -55,7 +55,10 @@ def latest_per_key(
             ]
         )
     )
-    if start_date is not None and end_date is not None:
+    # filter_ts_range handles one-sided bounds, so apply it whenever EITHER
+    # bound is given — a caller supplying only start_date must not get an
+    # unfiltered scan.
+    if start_date is not None or end_date is not None:
         from ..sources.reader import filter_ts_range
 
         df = filter_ts_range(df, timestamp_field, start_date, end_date)

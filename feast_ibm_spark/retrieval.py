@@ -11,7 +11,6 @@ the reference (``:321-327``) — is implemented here as a parquet write.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Callable
 
@@ -19,12 +18,43 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 
-@dataclass
 class RetrievalMetadata:
-    features: list[str] = field(default_factory=list)
-    keys: list[str] = field(default_factory=list)
-    min_event_timestamp: datetime | None = None
-    max_event_timestamp: datetime | None = None
+    """Feature names, join keys, and the spine's event-timestamp range
+    (reference ``RetrievalMetadata`` use at ``:417``, ``:470-475``).
+
+    The min/max timestamps may be supplied eagerly OR as a zero-arg
+    ``timestamp_range_resolver`` that is invoked (once) on first access —
+    so constructing a job stays free of Spark actions, preserving the
+    laziness contract ('nothing executes until to_df')."""
+
+    def __init__(
+        self,
+        features: list[str] | None = None,
+        keys: list[str] | None = None,
+        min_event_timestamp: datetime | None = None,
+        max_event_timestamp: datetime | None = None,
+        timestamp_range_resolver: Callable[[], tuple[datetime, datetime]] | None = None,
+    ):
+        self.features = features or []
+        self.keys = keys or []
+        self._min = min_event_timestamp
+        self._max = max_event_timestamp
+        self._resolver = timestamp_range_resolver
+
+    def _resolve(self) -> None:
+        if self._resolver is not None:
+            self._min, self._max = self._resolver()
+            self._resolver = None
+
+    @property
+    def min_event_timestamp(self) -> datetime | None:
+        self._resolve()
+        return self._min
+
+    @property
+    def max_event_timestamp(self) -> datetime | None:
+        self._resolve()
+        return self._max
 
 
 class SparkRetrievalJob:

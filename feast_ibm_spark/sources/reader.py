@@ -71,7 +71,18 @@ def _nano_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` that transparently fixes nanos timestamps."""
+    """``spark.read.parquet`` that transparently fixes nanos timestamps.
+
+    .. warning:: **Session-wide side effect.** When a nanos column is
+       detected this sets ``spark.sql.legacy.parquet.nanosAsLong=true``
+       for the whole session and never restores it (the conf must stay
+       enabled through action time — executors re-read footers when the
+       scan runs). Any *later* plain ``spark.read.parquet`` on a nanos
+       file in the same session will then silently yield raw ``bigint``
+       columns instead of the loud ``PARQUET_TYPE_ILLEGAL`` error. Route
+       all parquet reads through this function (as the engine itself
+       does) so nanos columns are always converted back to timestamps.
+    """
     nanos = _nano_timestamp_columns(path)
     if not nanos:
         return spark.read.parquet(path)

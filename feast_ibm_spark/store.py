@@ -21,34 +21,30 @@ from .retrieval import RetrievalMetadata, SparkRetrievalJob
 from .sources.data_source import SparkDataSource
 
 
-def _ensure_spine(spark: SparkSession, entity_df) -> DataFrame:
+def _ensure_spine(
+    spark: SparkSession, entity_df, timestamp_field: str | None = None
+) -> DataFrame:
     """Accept a pandas DataFrame (the reference's only supported type,
     ``:360``; the SQL-string variant raised NotImplementedError at
-    ``:552-555``) or a Spark DataFrame / SQL string — both lifted here."""
+    ``:552-555``) or a Spark DataFrame / SQL string — both lifted here.
+
+    Only the event-timestamp column is normalized with
+    ``pd.to_datetime(utc=True)``, exactly like the reference
+    (``_get_entity_df_event_timestamp_range``, ``:584-585``) — entity
+    join keys are never touched, so string keys that happen to parse as
+    dates ("1001", "20240101") survive as strings.
+    """
     if isinstance(entity_df, DataFrame):
         return entity_df
     if isinstance(entity_df, pd.DataFrame):
         df = entity_df.copy()
-        # Normalize string timestamps to UTC, as the reference does with
-        # pd.to_datetime(utc=True) (:584-585).
-        for col in df.columns:
-            if df[col].dtype == object and _looks_like_timestamp(df[col]):
-                df[col] = pd.to_datetime(df[col], utc=True).dt.tz_localize(None)
+        ts_col = timestamp_field or _infer_event_timestamp_col(list(df.columns))
+        if ts_col in df.columns and df[ts_col].dtype == object:
+            df[ts_col] = pd.to_datetime(df[ts_col], utc=True).dt.tz_localize(None)
         return spark.createDataFrame(df)
     if isinstance(entity_df, str):
         return spark.sql(entity_df)
     raise TypeError(f"unsupported entity_df type: {type(entity_df)}")
-
-
-def _looks_like_timestamp(series: pd.Series) -> bool:
-    try:
-        sample = series.dropna().head(3)
-        if sample.empty:
-            return False
-        pd.to_datetime(sample, utc=True)
-        return True
-    except Exception:
-        return False
 
 
 def _infer_event_timestamp_col(columns: list[str]) -> str:
@@ -78,7 +74,7 @@ class SparkOfflineStore:
     ) -> SparkRetrievalJob:
         """Point-in-time join of every FeatureView onto the entity spine
         (reference ``get_historical_features``, ``:355-418``)."""
-        spine = _ensure_spine(spark, entity_df)
+        spine = _ensure_spine(spark, entity_df, timestamp_field=spine_timestamp_field)
         ts_col = spine_timestamp_field or _infer_event_timestamp_col(spine.columns)
 
         # Registry join-key validation (reference :386-392): every view's
@@ -96,6 +92,22 @@ class SparkOfflineStore:
         ]
         keys = sorted({k for v in feature_views for k in v.join_keys})
 
+        # The spine min/max range feeds BOTH the job metadata and the PIT
+        # join's TTL prefilter. Compute it lazily (construction stays free
+        # of Spark actions — the reference's laziness contract, :313-348)
+        # and at most once, shared between the two consumers.
+        range_cache: dict = {}
+
+        def spine_range():
+            if "lo" not in range_cache:
+                import pyspark.sql.functions as F
+
+                row = spine.agg(
+                    F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+                ).first()
+                range_cache["lo"], range_cache["hi"] = row["lo"], row["hi"]
+            return range_cache["lo"], range_cache["hi"]
+
         def evaluate() -> DataFrame:
             return point_in_time_join(
                 spine,
@@ -103,18 +115,13 @@ class SparkOfflineStore:
                 spine_timestamp_field=ts_col,
                 full_feature_names=full_feature_names,
                 strategy=strategy,
+                time_range=spine_range(),
             )
 
-        import pyspark.sql.functions as F
-
-        row = spine.agg(
-            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
-        ).first()
         meta = RetrievalMetadata(
             features=feature_names,
             keys=keys,
-            min_event_timestamp=row["lo"],
-            max_event_timestamp=row["hi"],
+            timestamp_range_resolver=spine_range,
         )
         return SparkRetrievalJob(evaluate, metadata=meta)
 
@@ -233,4 +240,6 @@ class SparkOfflineStore:
         )
         out = job.to_spark_df()
         out.write.mode(mode).parquet(dest_path)
-        return spark.read.parquet(dest_path).count()
+        from .sources.reader import read_parquet
+
+        return read_parquet(spark, dest_path).count()
