@@ -56,41 +56,37 @@ def bpe_token_count_col(text: str | Column = "text") -> Column:
 
 
 def char_codes_col(text: str | Column = "text") -> Column:
-    """array<int> of unicode codepoints, 1 per character (JVM-side)."""
+    """array<int> of unicode codepoints, 1 per character (JVM-side).
+
+    ``split(text, '')`` yields exactly one single-character element per
+    character (verified: no trailing empty element), so codepoint
+    extraction is one linear pass. The previous ``substr(i, 1)`` inside
+    ``transform(sequence(...))`` formulation re-walked the string prefix
+    per position — O(n^2) per document, real money on long documents."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(c.substr(i, F.lit(1))),
-    )
+    return F.transform(F.split(c, ""), F.ascii)
 
 
 def fingerprint_col(text: str | Column = "text") -> Column:
     """Deterministic document fingerprint: left-to-right polynomial rolling
     hash over characters, ``acc = (acc * 31 + codepoint) mod 1e9+7``.
 
-    Same recurrence is expressible in DuckDB as
-    ``list_reduce(list_transform(range(...), i -> unicode(...)), ...)``.
+    Linear per document (split-once char array; see char_codes_col). Same
+    recurrence is expressible in DuckDB as
+    ``list_reduce(list_transform(range(...), i -> unicode(...)), ...)``;
+    the empty string folds to 0 under both formulations.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(c.substr(i, F.lit(1))),
-    )
     return F.aggregate(
-        codes,
+        char_codes_col(text),
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % FP_MOD,
     )
 
 
 def token_fingerprint_expr(token: Column) -> Column:
-    """Rolling hash of a single token (nested-lambda safe)."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(token)),
-        lambda i: F.ascii(token.substr(i, F.lit(1))),
-    )
+    """Rolling hash of a single token (nested-lambda safe, linear)."""
     return F.aggregate(
-        codes,
+        F.transform(F.split(token, ""), F.ascii),
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * FP_BASE + x.cast("bigint")) % FP_MOD,
     )

@@ -78,22 +78,34 @@ def byte_features(df: DataFrame, batch_size: int | None = None) -> DataFrame:
     schema is declared up front. Swap the body for a real decoder
     (PIL.Image.open etc.) when codecs are available."""
 
+    import numpy as np
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            n_bytes = np.empty(len(pdf), dtype=np.int64)
+            first = np.empty(len(pdf), dtype=np.int64)
+            last = np.empty(len(pdf), dtype=np.int64)
+            sum_mod = np.empty(len(pdf), dtype=np.int64)
+            # Per-row loop, but all per-BYTE work is vectorized numpy over
+            # a zero-copy uint8 view — with MB-scale media payloads the
+            # byte axis is where the time goes, not the row axis.
+            for i, b in enumerate(payloads):
+                if not b:
+                    n_bytes[i], first[i], last[i], sum_mod[i] = 0, -1, -1, 0
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8)
+                n_bytes[i] = a.size
+                first[i] = a[0]
+                last[i] = a[-1]
+                sum_mod[i] = int(a.sum(dtype=np.int64)) % 1_000_000_007
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "first_byte": payloads.map(
-                        lambda b: int(b[0]) if b else -1
-                    ),
-                    "last_byte": payloads.map(
-                        lambda b: int(b[-1]) if b else -1
-                    ),
-                    "byte_sum_mod": payloads.map(
-                        lambda b: int(sum(b) % 1_000_000_007) if b else 0
-                    ),
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                    "last_byte": last,
+                    "byte_sum_mod": sum_mod,
                 }
             )
 

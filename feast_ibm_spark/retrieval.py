@@ -43,7 +43,17 @@ class RetrievalMetadata:
 
     def _resolve(self) -> None:
         if self._resolver is not None:
-            self._min, self._max = self._resolver()
+            try:
+                self._min, self._max = self._resolver()
+            except Exception as e:
+                # The range aggregate is deferred to first metadata access
+                # (laziness contract) — attribute the failure to the
+                # retrieval job so a broken spine/timestamp column doesn't
+                # surface as an anonymous property-getter traceback.
+                raise RuntimeError(
+                    "resolving the retrieval job's event-timestamp range "
+                    f"failed (features={self.features!r}, keys={self.keys!r})"
+                ) from e
             self._resolver = None
 
     @property
@@ -55,6 +65,25 @@ class RetrievalMetadata:
     def max_event_timestamp(self) -> datetime | None:
         self._resolve()
         return self._max
+
+    def __repr__(self) -> str:  # parity with the dataclass repr this
+        # class replaced (external code printing metadata keeps working);
+        # timestamps show unresolved as None without triggering the
+        # deferred Spark aggregate.
+        return (
+            f"RetrievalMetadata(features={self.features!r}, keys={self.keys!r}, "
+            f"min_event_timestamp={self._min!r}, max_event_timestamp={self._max!r})"
+        )
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, RetrievalMetadata):
+            return NotImplemented
+        return (
+            self.features == other.features
+            and self.keys == other.keys
+            and self.min_event_timestamp == other.min_event_timestamp
+            and self.max_event_timestamp == other.max_event_timestamp
+        )
 
 
 class SparkRetrievalJob:

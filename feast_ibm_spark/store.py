@@ -238,8 +238,13 @@ class SparkOfflineStore:
             start_date,
             end_date,
         )
-        out = job.to_spark_df()
-        out.write.mode(mode).parquet(dest_path)
-        from .sources.reader import read_parquet
-
-        return read_parquet(spark, dest_path).count()
+        # Count THIS increment's output, not the destination directory —
+        # with mode="append" a re-read would count pre-existing snapshots
+        # too, and at scale it is a full extra scan. Persist so the write
+        # and the count share one computation.
+        out = job.to_spark_df().persist()
+        try:
+            out.write.mode(mode).parquet(dest_path)
+            return out.count()
+        finally:
+            out.unpersist()
