@@ -66,6 +66,13 @@ class FeatureViewSpec:
     created_timestamp_column: str | None = None
     ttl_seconds: int = 0  # 0 => no lower bound (reference :669, :688-690)
     field_mapping: dict[str, str] = dc_field(default_factory=dict)
+    # Hive-style date partition column ('yyyy-MM-dd' strings) of the source
+    # layout. When set, the TTL prefilter also emits string predicates on
+    # this column (reference :665-667, :671-673 — the [:10] date slice of
+    # the bound timestamps), which Catalyst turns into directory-level
+    # PartitionFilters: row-group pruning alone cannot skip directories
+    # whose timestamp column is not itself the partition key.
+    date_partition_column: str | None = None
 
 
 def _spine_time_range(spine: DataFrame, ts_col: str):
@@ -146,6 +153,16 @@ def _prepared_feature_side(
     lo_bound = None
     if view.ttl_seconds and lo is not None:
         lo_bound = lo - _dt.timedelta(seconds=view.ttl_seconds)
+    if view.date_partition_column is not None:
+        # Reference :665-667 / :671-673: string compare on the partition
+        # column using the date slice ([:10]) of the timestamp bounds.
+        # Day truncation only WIDENS the window (floor of lo, day of hi),
+        # so results are unchanged; Catalyst prunes directories.
+        dpc = F.col(view.date_partition_column)
+        if hi is not None:
+            feat = feat.filter(dpc <= str(hi)[:10])
+        if lo_bound is not None:
+            feat = feat.filter(dpc >= str(lo_bound)[:10])
     feat = filter_ts_range(feat, view.timestamp_field, lo_bound, hi)
     cols = list(
         dict.fromkeys(

@@ -273,3 +273,15 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert not any(a <= 6 and b <= 6 for a, b in capped)
     # the genuinely similar pair survives both
     assert (7, 8) in uncapped and (7, 8) in capped
+
+
+def test_curation_lsh_tier_matches_exact_tier(spark, sf_dir):
+    """corpus_curation_lsh (MinHash-LSH near-dup stage) must keep the same
+    survivor set as the exact inverted-index tier on the test corpus —
+    recall at J>=0.5 with k=32/b=16/r=2 is ~0.99, and on this corpus the
+    agreement is exact (same full DuckDB oracle gates both)."""
+    from feast_ibm_spark.queries import q_corpus_curation, q_corpus_curation_lsh
+
+    exact = {r["doc_id"] for r in q_corpus_curation(spark, sf_dir).collect()}
+    lsh = {r["doc_id"] for r in q_corpus_curation_lsh(spark, sf_dir).collect()}
+    assert exact == lsh

@@ -125,6 +125,41 @@ def test_partition_pruning_on_partitioned_table(spark, events, tmp_path_factory)
     assert df.count() == expected
 
 
+def test_pit_join_date_partition_column_prunes_directories(
+    spark, events, tmp_path_factory
+):
+    """FeatureViewSpec.date_partition_column (reference :665-667, :671-673):
+    inside a PIT join over a date-partitioned feature layout, the injected
+    string predicates must land as PartitionFilters on the feature scan —
+    directory pruning, which the timestamp row-group filter alone cannot
+    give when ts is not the partition key."""
+    import re
+
+    d = str(tmp_path_factory.mktemp("pitpart") / "events_by_day")
+    events.withColumn("day", F.date_format("ts", "yyyy-MM-dd")) \
+        .write.partitionBy("day").mode("overwrite").parquet(d)
+    part_ev = spark.read.parquet(d)
+
+    spine = events.groupBy("user_id").agg(F.max("ts").alias("event_timestamp"))
+    view = FeatureViewSpec(
+        "v", part_ev, ["user_id"], ["value"], "ts",
+        ttl_seconds=86400, date_partition_column="day",
+    )
+    out = point_in_time_join(spine, [view])
+    text = explain_str(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), text
+    # both bounds (hi always; lo because ttl != 0), reference :665-674
+    assert re.search(r"day[^,\]]*<=", m.group(1)) or "LessThanOrEqual" in m.group(1), m.group(1)
+    assert re.search(r"day[^,\]]*>=", m.group(1)) or "GreaterThanOrEqual" in m.group(1), m.group(1)
+    # pruning must not change results vs the unpartitioned source
+    view_plain = FeatureViewSpec(
+        "v", events, ["user_id"], ["value"], "ts", ttl_seconds=86400
+    )
+    plain = point_in_time_join(spine, [view_plain])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_pit_join_views_with_distinct_timestamp_fields(spark, events):
     """Per-view timestamp_field: two views over sources whose event-time
     columns have different names join onto one spine correctly."""
