@@ -5,9 +5,13 @@
 ``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Each query is executed once after a warm-up pass of the input scans
-(parquet footer/OS page cache), timed wall-clock to a count()-style
-materialization (collect of aggregates / write-less full evaluation).
+Each query is executed N_RUNS times (default 3) after a warm-up pass of
+the input scans (parquet footer/OS page cache), timed wall-clock to a
+count()-style materialization. Reported per-query time is the MEDIAN of
+the runs — single runs on this box swing ±30-50% with machine load
+(NOTES.md), which made round-over-round deltas undiagnosable; the
+min/max across runs is recorded under "spread" so variance stays
+visible.
 """
 
 from __future__ import annotations
@@ -36,8 +40,10 @@ BENCH_QUERIES = [
     "agg_rollup_region_revenue",
     "window_running_total",
     "sessionize_events",
+    "pit_join_partitioned",
     # north-star extensions
     "corpus_curation",
+    "corpus_curation_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_topk",
@@ -71,21 +77,34 @@ def main() -> None:
     _noop = _pudf(lambda s: s, "long")
     spark.range(1000).select(_noop("id")).count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         qd = QUERIES[name]
-        t0 = time.time()
-        # full materialization without driver transfer of payloads
-        n = qd.fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            # full materialization without driver transfer of payloads
+            n = qd.fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"(min {spread[name][0]} / max {spread[name][1]}, {n} rows)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
-        "metric": "feast_ibm_spark headline queries wall-clock",
+        "metric": "feast_ibm_spark headline queries wall-clock (median of runs)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": n_runs,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

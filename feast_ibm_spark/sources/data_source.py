@@ -27,6 +27,52 @@ from ..types import spark_type_to_feast_value_type
 SUPPORTED_FORMATS = ("parquet", "csv", "json")
 
 
+class _CustomSourceOptionsShim:
+    """Duck-typed stand-in for ``DataSourceProto.CustomSourceOptions`` so
+    the registry round-trip is testable without feast installed (same
+    approach as feast_adapter.py)."""
+
+    def __init__(self, configuration: bytes = b""):
+        self.configuration = configuration
+
+
+class _DataSourceProtoShim:
+    """Duck-typed stand-in for feast's ``DataSourceProto`` message with the
+    fields the reference round-trips (``data_engine_offline_store.py:165-200``)."""
+
+    CUSTOM_SOURCE = 6  # feast.core.DataSource.SourceType.CUSTOM_SOURCE
+    CustomSourceOptions = _CustomSourceOptionsShim
+
+    def __init__(
+        self,
+        name: str = "",
+        type: int = 0,  # noqa: A002 - proto field name
+        field_mapping=None,
+        timestamp_field: str = "",
+        created_timestamp_column: str = "",
+        custom_options=None,
+    ):
+        self.name = name
+        self.type = type
+        self.field_mapping = dict(field_mapping or {})
+        self.timestamp_field = timestamp_field
+        self.created_timestamp_column = created_timestamp_column
+        self.custom_options = custom_options or _CustomSourceOptionsShim()
+
+
+def _proto_cls():
+    """The real feast proto class when feast is installed, the shim
+    otherwise — callers see the identical attribute surface."""
+    try:  # pragma: no cover - feast absent in the build container
+        from feast.protos.feast.core.DataSource_pb2 import (
+            DataSource as DataSourceProto,
+        )
+
+        return DataSourceProto
+    except Exception:
+        return _DataSourceProtoShim
+
+
 class DataSourceValidationError(ValueError):
     pass
 
@@ -129,6 +175,63 @@ class SparkDataSource:
             (name, spark_type_to_feast_value_type(t))
             for name, t in self.get_table_column_names_and_types(spark)
         ]
+
+    # -- registry proto round-trip (reference :165-200) ----------------------
+    def to_proto(self):
+        """Serialize as ``CUSTOM_SOURCE`` + JSON ``custom_options`` payload,
+        the reference's registry wire format (``to_proto``, reference
+        ``:184-200``). The payload carries the reference's exact keys
+        (``table``/``query``/``cos_type``) plus the engine's extensions
+        (``path``/``format``/``options``); a reference-era consumer reading
+        only the original three keys still sees a valid source."""
+        proto_cls = _proto_cls()
+        config_json = json.dumps(
+            {
+                "table": self.table,
+                "query": self.query,
+                "cos_type": self.format if self.path is not None else None,
+                "path": self.path,
+                "format": self.format,
+                "options": self.options,
+            },
+            sort_keys=True,
+        )
+        return proto_cls(
+            name=self.name,
+            type=proto_cls.CUSTOM_SOURCE,
+            field_mapping=self.field_mapping,
+            timestamp_field=self.timestamp_field or "",
+            created_timestamp_column=self.created_timestamp_column or "",
+            custom_options=proto_cls.CustomSourceOptions(
+                configuration=bytes(config_json, encoding="utf8")
+            ),
+        )
+
+    @classmethod
+    def from_proto(cls, proto) -> "SparkDataSource":
+        """Inverse of :meth:`to_proto` (reference ``from_proto``,
+        ``:176-183``); also accepts a reference-shaped payload that has
+        only ``table``/``query``/``cos_type``. Proto string fields default
+        to ``""`` — mapped back to ``None`` here."""
+        cfg = json.loads(str(proto.custom_options.configuration, encoding="utf8"))
+        return cls(
+            table=cfg.get("table"),
+            query=cfg.get("query"),
+            path=cfg.get("path"),
+            format=cfg.get("format") or cfg.get("cos_type") or "parquet",
+            name=proto.name or None,
+            timestamp_field=proto.timestamp_field or None,
+            created_timestamp_column=proto.created_timestamp_column or None,
+            field_mapping=dict(proto.field_mapping),
+            options=cfg.get("options") or {},
+        )
+
+    def __hash__(self) -> int:
+        # the reference DataSource contract is hashable (pinned by its
+        # tests/test_ibm_data_engine.py:87-91); the frozen dataclass's
+        # generated hash would choke on the dict fields, so hash the
+        # canonical JSON form instead
+        return hash(self.to_json())
 
     # -- serialization round-trip (reference :165-200) -----------------------
     def to_json(self) -> str:

@@ -183,3 +183,62 @@ def test_register_tables_sql_facade(spark, sf_dir):
         "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name LIMIT 1"
     ).first()
     assert row["n"] > 0
+
+
+def test_eq_and_hash_contract():
+    """Reference DataSource equality/hash contract
+    (reference tests/test_ibm_data_engine.py:77-91)."""
+    assert SparkDataSource(table="t") == SparkDataSource(table="t")
+    assert SparkDataSource(table="t") != SparkDataSource(table="u")
+    assert hash(SparkDataSource(table="t")) == hash(SparkDataSource(table="t"))
+    assert SparkDataSource(table="t") != 0
+
+
+def test_proto_roundtrip():
+    """Registry proto round-trip (reference to_proto/from_proto
+    :165-200, pinned by its tests/test_ibm_data_engine.py:98-104)."""
+    src = SparkDataSource(
+        path="/data/events.parquet",
+        format="parquet",
+        name="events_src",
+        timestamp_field="ts",
+        created_timestamp_column="created",
+        field_mapping={"v": "value"},
+        options={"mergeSchema": "false"},
+    )
+    proto = src.to_proto()
+    assert proto.type == type(proto).CUSTOM_SOURCE
+    assert SparkDataSource.from_proto(proto) == src
+
+    # query source: reference-shaped payload keys present in the JSON
+    import json as _json
+
+    qsrc = SparkDataSource(query="SELECT 1 AS x", name="q", timestamp_field="ts")
+    cfg = _json.loads(qsrc.to_proto().custom_options.configuration.decode("utf8"))
+    assert cfg["query"] == "SELECT 1 AS x"
+    assert cfg["table"] is None and cfg["cos_type"] is None
+    assert SparkDataSource.from_proto(qsrc.to_proto()) == qsrc
+
+
+def test_from_proto_accepts_reference_payload_shape():
+    """A payload with only the reference's three keys
+    ({table, query, cos_type}) still deserializes."""
+    import json as _json
+
+    from feast_ibm_spark.sources.data_source import _DataSourceProtoShim
+
+    proto = _DataSourceProtoShim(
+        name="legacy",
+        type=_DataSourceProtoShim.CUSTOM_SOURCE,
+        field_mapping={"a": "b"},
+        timestamp_field="ts",
+        custom_options=_DataSourceProtoShim.CustomSourceOptions(
+            configuration=_json.dumps(
+                {"table": "my_table", "query": None, "cos_type": None}
+            ).encode("utf8")
+        ),
+    )
+    src = SparkDataSource.from_proto(proto)
+    assert src.table == "my_table" and src.name == "legacy"
+    assert src.timestamp_field == "ts" and src.field_mapping == {"a": "b"}
+    assert src.created_timestamp_column is None
