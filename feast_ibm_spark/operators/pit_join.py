@@ -42,6 +42,19 @@ The TTL prefilter rewrite (bound the feature side to
 ``:664-674``) is kept: Catalyst cannot derive it, and at 100 TB it is the
 difference between scanning a day and scanning a decade. It needs the
 spine's min/max timestamp, computed with one tiny aggregate job.
+
+Hot-key skew (measured; pinned by test_plans.py::
+test_pit_strategies_absorb_hot_key_skew): AQE's OptimizeSkewedJoin never
+fires on the ``shuffle`` strategy's candidate join — the rule matches only
+SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) and the spine side always
+carries its dedup aggregate between the shuffle and the join — so a hot
+entity key lands in one sorted partition (spills, completes, straggles at
+extreme scale). For skewed spines prefer ``broadcast``: the feature side
+never shuffles on the key, and Spark 4 plants a map-side Partial
+WindowGroupLimit before the rn=1 window's exchange, shipping at most one
+row per (key, ts) group per task — the hot key's fanout never crosses the
+wire. ``union_window`` concentrates each key in one window partition;
+salt by time-bucket if a single key exceeds an executor's budget.
 """
 
 from __future__ import annotations

@@ -160,6 +160,50 @@ def test_pit_join_date_partition_column_prunes_directories(
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_pit_strategies_absorb_hot_key_skew(spark):
+    """Hot-key behavior of the three PIT physical strategies, pinned on a
+    spine whose source routes 50% of ALL events to one user (sf0.01:
+    ~42k rows on one key).
+
+    Measured findings (NOTES.md "PIT skew"):
+    - AQE's OptimizeSkewedJoin can NEVER split the shuffle strategy's
+      candidate join: the rule pattern-matches SMJ(Sort(ShuffleStage),
+      Sort(ShuffleStage)), but the spine side always has the dedup
+      aggregate (A2, reference :626-636) between its shuffle and the join
+      — verified with forceOptimizeSkewedJoin=true and 16KB thresholds.
+      The hot key is instead absorbed by the in-partition sort (spills,
+      completes; a straggler at extreme scale).
+    - The broadcast strategy is the skew-resilient path: the feature side
+      never shuffles on the key (BroadcastHashJoin against the spine), and
+      the rn=1 window runs a map-side PARTIAL WindowGroupLimit before its
+      exchange — each task ships at most one row per (key, ts) group, so
+      a hot key's fanout never crosses the wire.
+    All three strategies must return identical results on the skewed input.
+    """
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    spine = skewed.groupBy("user_id").agg(F.max("ts").alias("event_timestamp"))
+    view = FeatureViewSpec(
+        "v", skewed, ["user_id"], ["value"], "ts",
+        created_timestamp_column="event_id", ttl_seconds=7 * 86400,
+    )
+    results = {}
+    plans = {}
+    for strat in ("broadcast", "shuffle", "union_window"):
+        out = point_in_time_join(spine, [view], strategy=strat)
+        results[strat] = sorted(map(tuple, out.collect()))
+        plans[strat] = out._jdf.queryExecution().executedPlan().toString()
+    assert results["shuffle"] == results["broadcast"]
+    assert results["union_window"] == results["broadcast"]
+    assert len(results["broadcast"]) == 150  # one spine row per user survives
+    # the broadcast strategy's map-side skew absorber must be in the plan
+    assert "WindowGroupLimit" in plans["broadcast"]
+    assert "Partial" in plans["broadcast"], plans["broadcast"][:3000]
+
+
 def test_pit_join_views_with_distinct_timestamp_fields(spark, events):
     """Per-view timestamp_field: two views over sources whose event-time
     columns have different names join onto one spine correctly."""
