@@ -187,3 +187,156 @@ class SparkFeastOfflineStore:
             start_date,
             end_date,
         )
+
+
+# ---------------------------------------------------------------------------
+# Registry-grade DataSource subclass (built lazily — feast stays optional).
+#
+# The reference registers its source with the Feast registry as a real
+# ``feast.DataSource`` subclass (``DataEngineDataSource``, reference
+# ``:103-200``) so ``feast apply`` can proto-round-trip it. Feast resolves
+# CUSTOM_SOURCE protos by importing ``data_source_class_type`` as a module
+# path, so the class must be reachable at
+# ``feast_ibm_spark.feast_adapter.FeastSparkDataSource`` — provided via
+# module __getattr__ (PEP 562): building it imports feast, which is only
+# ever triggered when feast itself performs the lookup.
+# ---------------------------------------------------------------------------
+
+_FEAST_DS_CLS = None
+_FEAST_DS_PATH = "feast_ibm_spark.feast_adapter.FeastSparkDataSource"
+
+
+def feast_data_source_class():
+    """The feast-registered DataSource subclass wrapping SparkDataSource.
+
+    Raises ImportError when feast is not installed."""
+    global _FEAST_DS_CLS
+    if _FEAST_DS_CLS is not None:
+        return _FEAST_DS_CLS
+
+    from feast.data_source import DataSource as _FeastDataSource
+
+    from .types import to_feast_value_type
+
+    class FeastSparkDataSource(_FeastDataSource):
+        """Feast-facing twin of the engine's SparkDataSource (reference
+        ``DataEngineDataSource``, ``:103-200``)."""
+
+        def __init__(
+            self,
+            *,
+            table=None,
+            query=None,
+            path=None,
+            format="parquet",  # noqa: A002 - mirror SparkDataSource field
+            name=None,
+            timestamp_field=None,
+            created_timestamp_column=None,
+            field_mapping=None,
+            description="",
+            tags=None,
+            owner="",
+            options=None,
+        ):
+            self.engine_source = SparkDataSource(
+                table=table,
+                query=query,
+                path=path,
+                format=format,
+                name=name,
+                timestamp_field=timestamp_field,
+                created_timestamp_column=created_timestamp_column,
+                field_mapping=dict(field_mapping or {}),
+                options=dict(options or {}),
+            )
+            super().__init__(
+                name=self.engine_source.name,
+                timestamp_field=timestamp_field,
+                created_timestamp_column=created_timestamp_column or "",
+                field_mapping=dict(field_mapping or {}),
+                description=description,
+                tags=dict(tags or {}),
+                owner=owner,
+            )
+
+        # engine passthroughs -------------------------------------------------
+        @property
+        def table(self):
+            return self.engine_source.table
+
+        @property
+        def query(self):
+            return self.engine_source.query
+
+        @property
+        def path(self):
+            return self.engine_source.path
+
+        def __eq__(self, other):
+            if not isinstance(other, FeastSparkDataSource):
+                raise TypeError(
+                    "comparisons should only involve FeastSparkDataSource "
+                    "class objects"  # reference eq contract, :288-293
+                )
+            return self.engine_source == other.engine_source
+
+        def __hash__(self):
+            return hash(self.engine_source)
+
+        # registry proto round-trip (reference :165-200) ---------------------
+        def to_proto(self):
+            proto = self.engine_source.to_proto()
+            proto.data_source_class_type = _FEAST_DS_PATH
+            proto.description = self.description
+            proto.owner = self.owner
+            for k, v in (self.tags or {}).items():
+                proto.tags[k] = v
+            return proto
+
+        @staticmethod
+        def from_proto(data_source):
+            eng = SparkDataSource.from_proto(data_source)
+            return FeastSparkDataSource(
+                table=eng.table,
+                query=eng.query,
+                path=eng.path,
+                format=eng.format,
+                name=eng.name,
+                timestamp_field=eng.timestamp_field,
+                created_timestamp_column=eng.created_timestamp_column,
+                field_mapping=dict(data_source.field_mapping),
+                description=data_source.description,
+                tags=dict(data_source.tags),
+                owner=data_source.owner,
+                options=eng.options,
+            )
+
+        # feast apply-time surface (S4/S5, reference :202-251) ---------------
+        def validate(self, config):
+            self.engine_source.validate(_spark_from_config(config))
+
+        def get_table_query_string(self) -> str:
+            # reference :222-226: `table` or (query); extended for paths
+            if self.engine_source.table is not None:
+                return f"`{self.engine_source.table}`"
+            if self.engine_source.query is not None:
+                return f"({self.engine_source.query})"
+            return f"`{self.engine_source.path}`"
+
+        @staticmethod
+        def source_datatype_to_feast_value_type():
+            return to_feast_value_type
+
+        def get_table_column_names_and_types(self, config):
+            return self.engine_source.get_table_column_names_and_types(
+                _spark_from_config(config)
+            )
+
+    _FEAST_DS_CLS = FeastSparkDataSource
+    return _FEAST_DS_CLS
+
+
+def __getattr__(name: str):
+    if name == "FeastSparkDataSource":
+        return feast_data_source_class()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

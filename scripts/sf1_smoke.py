@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""sf1-equivalent scale smoke for the heaviest driver queries.
+
+The driver ships testdata only up to sf0.1, so this script synthesizes a
+10x scaled copy of the sf0.1 tables into /tmp and runs the heaviest
+queries end-to-end — the point is to catch cliffs sf0.1 hides (bucket-join
+blowups, window spill, verify-stage fanout), not to produce comparable
+medians. Scaling is structure-preserving so workload SHAPE scales
+linearly instead of degenerating:
+
+- events:     10 copies, user_id shifted per copy (10x keys, same per-key
+              row count and time distribution), event_id kept unique;
+- documents:  10 copies, every token prefixed with a per-copy tag — a
+              bijective shingle rename, so each copy reproduces the
+              original near-dup pair structure and NO cross-copy pairs
+              appear (10x docs => 10x pairs, exactly);
+- embeddings: 10 copies, vector rotated by the copy index (norm-
+              preserving, decorrelates copies), vec_id shifted;
+- lineitem:   10 plain copies (scan/agg queries only).
+
+Usage: python scripts/sf1_smoke.py [--src /root/testdata/sf0.1]
+       [--dest /tmp/fis_sf1] [--copies 10] [--keep]
+
+Last recorded run: see NOTES.md "sf1 smoke".
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE_QUERIES = [
+    # heaviest by bench median at sf0.1, plus the scan-agg baseline
+    "pit_join_ttl",
+    "pit_join_multiview",
+    "dedup_minhash_lsh",
+    "corpus_curation",
+    "corpus_curation_lsh",
+    "sessionize_events",
+    "knn_ivf",
+    "agg_pricing_summary",
+]
+
+
+def build_scaled(spark, src: str, dest: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.sources.reader import load_table
+
+    os.makedirs(dest, exist_ok=True)
+
+    ev = load_table(spark, src, "events")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    scaled = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev.select(
+                (F.col("event_id") + k * n_ev).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * n_users).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for k in range(copies)
+        ],
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+
+    docs = load_table(spark, src, "documents")
+    n_docs = docs.count()
+    tagged = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda t, _k=k: F.concat(F.lit(f"c{_k}x"), t),
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for k in range(copies)
+        ],
+    )
+    tagged.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
+
+    emb = load_table(spark, src, "embeddings")
+    n_vec = emb.count()
+    dim = len(emb.first()["embedding"])
+    rotated = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.select(
+                (F.col("vec_id") + k * n_vec).alias("vec_id"),
+                (
+                    F.col("embedding")
+                    if k == 0
+                    else F.concat(
+                        F.slice("embedding", k + 1, dim - k),
+                        F.slice("embedding", 1, k),
+                    )
+                ).alias("embedding"),
+                "label",
+            )
+            for k in range(copies)
+        ],
+    )
+    rotated.write.mode("overwrite").parquet(os.path.join(dest, "embeddings.parquet"))
+
+    li = load_table(spark, src, "lineitem")
+    functools.reduce(
+        lambda a, b: a.unionByName(b), [li for _ in range(copies)]
+    ).write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default="/tmp/fis_sf1")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing --dest instead of regenerating")
+    args = ap.parse_args()
+
+    from feast_ibm_spark.queries import QUERIES
+    from feast_ibm_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not (args.keep and os.path.isdir(args.dest)):
+        shutil.rmtree(args.dest, ignore_errors=True)
+        t0 = time.time()
+        build_scaled(spark, args.src, args.dest, args.copies)
+        print(f"generate {args.copies}x sf0.1 -> {args.dest}: "
+              f"{time.time()-t0:.1f}s")
+
+    for name in SMOKE_QUERIES:
+        t0 = time.time()
+        n = QUERIES[name].fn(spark, args.dest).count()
+        print(f"{name}: {time.time()-t0:.1f}s ({n:,} rows)")
+
+
+if __name__ == "__main__":
+    main()
