@@ -361,6 +361,71 @@ def dedup_keep_latest(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document in a
+    cluster gets the cluster's MINIMUM doc id as ``cluster_id`` (the
+    canonical representative — pipelines keep one doc per cluster).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its closed neighborhood; converges in O(diameter)
+    rounds — near-dup clusters are shallow (pairs come from a similarity
+    threshold, so components are quasi-cliques), typically 2-3 rounds.
+    Each round is one equi-join + one aggregate on the edge list, both
+    AQE-planned; the edge list persists once. Convergence is checked with
+    a count of changed labels (one tiny action per round). At extreme
+    scale swap in the large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") — same join primitive, provably
+    O(log^2 n) rounds on adversarial graphs.
+
+    Returns (doc_id, cluster_id) for every document THAT APPEARS IN A
+    PAIR; singletons are their own cluster by definition and don't need
+    rows (callers left-join and coalesce to the doc's own id).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1354,6 +1354,106 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 # --------------------------------------------------------------------------
+# North-star: near-dup clustering + dataset split + sequence packing — the
+# post-curation stages of a training-data pipeline. Driver-gate-excluded
+# (50-row cap) but fully oracle-pinned via tests/test_oracle_parity.py.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pairs: every paired
+    doc labeled with its cluster's min doc_id (the canonical survivor)."""
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLE_JACCARD_PAIRS}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC = 0.8, 0.1
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment — stable
+    under re-runs, appends and repartitioning (pure function of doc_id)."""
+    from .operators.sampling import split_bucket_col, split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_bucket_col("doc_id").alias("bucket"),
+        split_col("doc_id", SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC).alias("split"),
+    )
+
+
+ORACLE_SPLIT = """
+SELECT doc_id,
+       (doc_id * 2654435761) % 1000 AS bucket,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream into 2048-token
+    packs per shard in doc_id order (pack_id = floor(tokens_before /
+    budget) — the distributed formulation; one window shuffle)."""
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, "n_tokens", PACK_BUDGET,
+        order_cols=["doc_id"], shard_cols=["shard"],
+    )
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       tokens_before // {PACK_BUDGET} AS pack_id,
+       tokens_before % {PACK_BUDGET} AS pack_offset
+FROM c
+"""
+
+# --------------------------------------------------------------------------
 # North-star: similarity search over embeddings
 # --------------------------------------------------------------------------
 
@@ -1851,6 +1951,13 @@ QUERIES: dict[str, QueryDef] = {
                               "32-bit SimHash signatures"),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
                                     "hamming<=3 pairs, pigeonhole-blocked"),
+    "dedup_clusters": QueryDef(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+                               "connected components over near-dup pairs "
+                               "(iterative min-label propagation)"),
+    "split_train_val_test": QueryDef(q_split_train_val_test, ORACLE_SPLIT,
+                                     "deterministic hash-bucketed dataset split"),
+    "pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK,
+                               "token-budget sequence packing per shard"),
     "corpus_curation": QueryDef(q_corpus_curation, ORACLE_CURATION,
                                 "composed pipeline: dedup -> quality -> near-dup"),
     "corpus_curation_lsh": QueryDef(q_corpus_curation_lsh, ORACLE_CURATION,
@@ -1909,6 +2016,12 @@ _DRIVER_EXCLUDE = (
     # embedding_near_dup_lsh
     "agg_approx_event_stats",
     "knn_lsh",
+    # post-curation pipeline stages added after the 50 slots filled; each
+    # is oracle-pinned by tests/test_oracle_parity.py with the driver's
+    # own compare at gate scale
+    "dedup_clusters",
+    "split_train_val_test",
+    "pack_sequences",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

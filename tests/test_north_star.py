@@ -285,3 +285,66 @@ def test_curation_lsh_tier_matches_exact_tier(spark, sf_dir):
     exact = {r["doc_id"] for r in q_corpus_curation(spark, sf_dir).collect()}
     lsh = {r["doc_id"] for r in q_corpus_curation_lsh(spark, sf_dir).collect()}
     assert exact == lsh
+
+
+def test_dedup_clusters_chain_topology(spark):
+    """Min-label propagation must converge on a chain (diameter 4 —
+    forces multiple iterations, unlike the quasi-clique corpus clusters)
+    and on disjoint components."""
+    from feast_ibm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain: cluster 1
+         (10, 11), (11, 12),               # triangle-ish: cluster 10
+         (20, 21)],                        # pair: cluster 20
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_budget_property(spark):
+    """Each pack's token total exceeds the budget by at most one document
+    (the floor-of-cumsum formulation's contract), offsets stay in
+    [0, budget), and an oversized doc occupies its own pack ids."""
+    import pyspark.sql.functions as F
+
+    from feast_ibm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(50)] + [(50, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(df, "n_tokens", 2048, order_cols=["doc_id"])
+    per_pack = (
+        out.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("n_tokens").alias("biggest"),
+        ).collect()
+    )
+    for r in per_pack:
+        assert r["total"] < 2048 + r["biggest"]
+    offs = [r["pack_offset"] for r in out.collect()]
+    assert all(0 <= o < 2048 for o in offs)
+    # deterministic: same input -> identical assignment
+    again = pack_sequences(df, "n_tokens", 2048, order_cols=["doc_id"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_split_is_stable_under_subsetting(spark):
+    """Split membership is a pure function of the id: filtering the corpus
+    must not change any surviving row's assignment."""
+    import pyspark.sql.functions as F
+
+    from feast_ibm_spark.operators.sampling import split_col
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    full = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", split_col("doc_id").alias("s")).collect()}
+    subset = {r["doc_id"]: r["s"] for r in
+              df.filter(F.col("doc_id") % 3 == 0)
+              .select("doc_id", split_col("doc_id").alias("s")).collect()}
+    assert all(full[k] == v for k, v in subset.items())
+    # fractions roughly honored
+    from collections import Counter
+    c = Counter(full.values())
+    assert 700 < c["train"] < 900 and 50 < c["val"] < 150

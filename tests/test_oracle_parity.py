@@ -70,7 +70,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-_EXCLUDED_WITH_ORACLE = ["dedup_simhash", "text_token_count"]
+_EXCLUDED_WITH_ORACLE = [
+    "dedup_simhash",
+    "text_token_count",
+    "dedup_clusters",
+    "split_train_val_test",
+    "pack_sequences",
+]
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
 
 
