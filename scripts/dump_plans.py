@@ -63,6 +63,26 @@ SHOWCASE: list[tuple[str, str]] = [
         "shape that survives a spine the same size as the feature table.",
     ),
     (
+        "pit_join_partitioned",
+        "The PIT join over a date-partitioned feature layout:\n"
+        "`FeatureViewSpec.date_partition_column` injects string partition\n"
+        "predicates beside the TTL prefilter (reference `:665-674`), so the\n"
+        "feature scan shows `PartitionFilters` — whole day DIRECTORIES are\n"
+        "skipped before row-group statistics are even consulted. On a\n"
+        "date-partitioned 100 TB feature table this bounds the scan to\n"
+        "ttl + spine-range days regardless of table history depth.",
+    ),
+    (
+        "corpus_curation_lsh",
+        "The curation pipeline with the scale-tier near-dup stage: exact\n"
+        "dedup (one hash agg) -> quality floor (projection) -> MinHash-LSH\n"
+        "candidate generation (bucket equi-join on int64 band keys) ->\n"
+        "exact verify on candidates only -> left-anti assembly. Nothing in\n"
+        "the plan grows quadratically with corpus size; the exact\n"
+        "inverted-index tier (corpus_curation) is kept as the small-corpus\n"
+        "default and measured 4x slower at 10x scale (NOTES.md sf1 smoke).",
+    ),
+    (
         "join_top_orders",
         "TPC-H Q3 shape. The two fact tables shuffle on the join key once;\n"
         "the customer dimension is explicitly `broadcast()` after its\n"
