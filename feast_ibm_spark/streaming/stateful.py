@@ -15,10 +15,17 @@ two shapes — they need arbitrary per-key state transitions:
 
 Scale notes: state lives in the executor state store partitioned by key
 (one shuffle per micro-batch on the grouping key); both operators keep
-O(1) state per key. In production add ``GroupStateTimeout`` eviction for
-keys that go quiet (sessionize currently closes a session only when a
-later event arrives — the standard trade-off when event-time timers are
-not needed for correctness of emitted rows, only for emission latency).
+O(1) state per key, and both support processing-time state eviction:
+
+- ``streaming_sessionize(idle_timeout_seconds=...)`` flushes a quiet
+  key's open session via ``GroupStateTimeout.ProcessingTimeTimeout`` —
+  without it a session only closes when a LATER event on the same key
+  arrives, so the last session of a key that goes silent would never be
+  emitted and its state never freed.
+- ``streaming_first_seen(state_ttl_seconds=...)`` evicts a key's seen
+  flag after the TTL — bounding state for unbounded key universes at the
+  documented cost that a key recurring after the TTL is re-emitted (the
+  standard watermark-bounded streaming-dedup trade-off).
 """
 
 from __future__ import annotations
@@ -60,21 +67,45 @@ def streaming_sessionize(
     key_cols: list[str],
     ts_col: str,
     gap_seconds: int = 1800,
+    idle_timeout_seconds: float | None = None,
 ) -> DataFrame:
     """Assign gap-based sessions per key; emit each CLOSED session once.
 
     A session closes when a later event on the same key arrives more than
     ``gap_seconds`` after the session's last event. The still-open session
-    stays in state (its row is emitted on a later batch once it closes).
-    Output: key columns + (session_start, session_end, n_events).
+    stays in state (emitted on a later batch once it closes) — unless
+    ``idle_timeout_seconds`` is set, in which case a key receiving no data
+    for that much PROCESSING time has its open session flushed and its
+    state evicted (bounded state + bounded emission latency for keys that
+    go quiet; the timeout fires on the next micro-batch that executes
+    after expiry). Output: key columns + (session_start, session_end,
+    n_events).
     """
     key_fields = [stream.schema[k] for k in key_cols]
     out_schema, state_schema = _session_schemas(key_fields)
     gap_us = gap_seconds * 1_000_000
+    out_cols = [*key_cols, "session_start", "session_end", "n_events"]
+
+    def _rows(sessions: list[tuple], key) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                key + (pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), cnt)
+                for (s, e, cnt) in sessions
+            ],
+            columns=out_cols,
+        )
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_seconds is not None and state.hasTimedOut:
+            # quiet key: flush the open session, free the state
+            if state.exists:
+                start_us, end_us, n = state.get
+                state.remove()
+                yield _rows([(start_us, end_us, n)], key)
+            return
+
         if state.exists:
             start_us, end_us, n = state.get
         else:
@@ -94,32 +125,38 @@ def streaming_sessionize(
                     closed.append((start_us, end_us, n))
                     start_us, end_us, n = t, t, 1
         state.update((start_us, end_us, n))
+        if idle_timeout_seconds is not None:
+            state.setTimeoutDuration(max(1, int(idle_timeout_seconds * 1000)))
 
         if closed:
-            yield pd.DataFrame(
-                [
-                    key
-                    + (
-                        pd.Timestamp(s, unit="us"),
-                        pd.Timestamp(e, unit="us"),
-                        cnt,
-                    )
-                    for (s, e, cnt) in closed
-                ],
-                columns=[*key_cols, "session_start", "session_end", "n_events"],
-            )
+            yield _rows(closed, key)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
-def streaming_first_seen(stream: DataFrame, key_cols: list[str]) -> DataFrame:
+def streaming_first_seen(
+    stream: DataFrame,
+    key_cols: list[str],
+    state_ttl_seconds: float | None = None,
+) -> DataFrame:
     """Streaming exact-dedup: pass through only the FIRST row per key.
 
     State per key is one flag; every later occurrence (same batch or any
     later batch) is dropped. Row choice within the first batch follows
     arrival order, matching at-least-once streaming dedup semantics.
+
+    ``state_ttl_seconds`` bounds total state for unbounded key universes:
+    a key's flag is evicted after that much processing time without new
+    occurrences, so a key recurring AFTER the TTL is emitted again — the
+    same contract as watermark-bounded ``dropDuplicates``. None keeps
+    state forever (exact dedup, unbounded state).
     """
     out_schema = stream.schema
     state_schema = StructType([StructField("seen", LongType())])
@@ -127,16 +164,28 @@ def streaming_first_seen(stream: DataFrame, key_cols: list[str]) -> DataFrame:
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
+        if state_ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
             return
+        if state_ttl_seconds is None and state.exists:
+            return  # no TTL: flag is immutable, skip the state-store write
         first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[:1]
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf) and first is None:
+                    first = pdf.iloc[:1]
         state.update((1,))
+        if state_ttl_seconds is not None:
+            # refresh the TTL on every occurrence (sliding eviction window)
+            state.setTimeoutDuration(max(1, int(state_ttl_seconds * 1000)))
         if first is not None:
             yield first
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )

@@ -234,3 +234,77 @@ def test_enrich_stream_with_latest_features(spark, event_dir):
     assert by_user[1] == {("new", 11.0)}
     assert by_user[2] == {("only", 20.0)}
     assert by_user[3] == {(None, None)}
+
+
+def test_streaming_sessionize_idle_timeout_flushes_open_session(spark):
+    """idle_timeout_seconds: a key that goes quiet has its OPEN session
+    flushed by the processing-time timeout (and its state evicted) —
+    without the timeout that session would never be emitted."""
+    import os
+
+    from feast_ibm_spark.streaming import streaming_sessionize
+
+    d = tempfile.mkdtemp(prefix="fis_sess_timeout_")
+    schema = "user_id bigint, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(2, TS(2024, 1, 1, 10, 0)), (2, TS(2024, 1, 1, 10, 10)),
+         (1, TS(2024, 1, 1, 9, 0))],
+        schema,
+    )
+    b2 = spark.createDataFrame([(1, TS(2024, 1, 1, 9, 5))], schema)
+    b3 = spark.createDataFrame([(1, TS(2024, 1, 1, 9, 10))], schema)
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sessions = streaming_sessionize(
+        src, ["user_id"], "ts", gap_seconds=1800, idle_timeout_seconds=0.001
+    )
+    _run_stream(sessions, "t_sessions_timeout", "append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_sessions_timeout").collect()
+    }
+    # user 2 went quiet after batch 1 -> its open session is flushed by the
+    # timeout in a later data batch; user 1 received data through the last
+    # file, then the availableNow run's final empty batch fires its
+    # pending timer too — so at stream end EVERY open session has flushed
+    # and the state store is empty
+    assert got == {
+        (2, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 10), 2),
+        (1, TS(2024, 1, 1, 9, 0), TS(2024, 1, 1, 9, 10), 3),
+    }
+
+
+def test_streaming_first_seen_state_ttl_readmits_key(spark):
+    """state_ttl_seconds: a key's dedup flag is evicted after the TTL, so
+    the key is re-emitted when it recurs later (bounded state for
+    unbounded key universes); a key that keeps recurring within the TTL
+    stays deduped."""
+    import os
+
+    from feast_ibm_spark.streaming import streaming_first_seen
+
+    d = tempfile.mkdtemp(prefix="fis_seen_ttl_")
+    schema = "k string, v bigint"
+    b1 = spark.createDataFrame([("a", 1), ("b", 10)], schema)
+    b2 = spark.createDataFrame([("b", 11)], schema)   # a's flag times out here
+    b3 = spark.createDataFrame([("a", 2), ("b", 12)], schema)
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_first_seen(src, ["k"], state_ttl_seconds=0.001)
+    _run_stream(out, "t_seen_ttl", "append")
+    got = sorted((r.k, r.v) for r in spark.table("t_seen_ttl").collect())
+    # a: emitted in b1, evicted during b2 (no a-data), re-emitted in b3;
+    # b: occurs in every batch, TTL keeps refreshing -> emitted once
+    assert got == [("a", 1), ("a", 2), ("b", 10)]
