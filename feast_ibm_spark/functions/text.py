@@ -111,6 +111,70 @@ def lang_id_col(text: str | Column = "text") -> Column:
     return expr
 
 
+def bm25_scores(
+    df,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every matching document for a bag-of-words query.
+
+    Classic Robertson/Sparck-Jones BM25 (the +1 idf variant that never
+    goes negative): for each query term t,
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``score = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))``.
+
+    Plan shape (scales like the term-frequency pipeline, not the corpus
+    cross-product): tokenize once, explode ONLY tokens that appear in the
+    query (map-side filter — the exploded stream carries query terms
+    only), aggregate (doc, term) frequencies in one shuffle, broadcast
+    the per-term document frequencies (at most ``len(query_tokens)``
+    rows) and the (N, avgdl) scalars back onto it, and sum per doc. Docs
+    sharing no query term never leave the map side.
+
+    Returns (id_col, score) — one row per document that matches at least
+    one query term. Exact replication note: the log/division float math
+    matches DuckDB to ~1 ulp (libm vs JVM Math.log), so oracle comparison
+    uses rtol=1e-12 rather than the hash gate.
+    """
+    from pyspark.sql import functions as F
+
+    q = list(dict.fromkeys(query_tokens))
+    toks = tokens_col(text_col)
+    qarr = F.array(*[F.lit(t) for t in q])
+
+    # corpus scalars: one tiny agg (N docs, average doc length)
+    stats = df.select(F.size(tokens_col(text_col)).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.explode(F.filter(toks, lambda t: F.array_contains(qarr, t))).alias("__t"),
+    )
+    tf = per_doc.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.col("__tf") * (k1 + 1) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .withColumn("__s", idf * norm)
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+
+
 def quality_score_col(text: str | Column = "text") -> Column:
     """Composite quality score from deterministic integer ratios:
     alpha ratio, stopword ratio, mean token length. All arithmetic on

@@ -1386,6 +1386,46 @@ reach(s, d) AS (
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
 """
 
+BM25_QUERY = ["spark", "join", "window", "vector"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every doc matching the fixed bag-of-words query.
+    All matches (no top-k) so the cross-engine compare is order-free;
+    float compare is rtol=1e-12 (libm-vs-JVM ln ulp), see
+    tests/test_oracle_parity.py::test_bm25_matches_oracle."""
+    from .functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_QUERY, k1=BM25_K1, b=BM25_B)
+
+
+_BM25_INLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+ORACLE_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+),
+dl AS (SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN ({_BM25_INLIST}) GROUP BY 1, 2
+),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id,
+       SUM(
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+       ) AS score
+FROM tf
+JOIN dfreq USING (t)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
 SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC = 0.8, 0.1
 
 
@@ -1958,6 +1998,8 @@ QUERIES: dict[str, QueryDef] = {
                                      "deterministic hash-bucketed dataset split"),
     "pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK,
                                "token-budget sequence packing per shard"),
+    "text_bm25": QueryDef(q_text_bm25, ORACLE_BM25,
+                          "BM25 relevance scores (rtol parity; ln ulp)"),
     "corpus_curation": QueryDef(q_corpus_curation, ORACLE_CURATION,
                                 "composed pipeline: dedup -> quality -> near-dup"),
     "corpus_curation_lsh": QueryDef(q_corpus_curation_lsh, ORACLE_CURATION,
@@ -2022,6 +2064,10 @@ _DRIVER_EXCLUDE = (
     "dedup_clusters",
     "split_train_val_test",
     "pack_sequences",
+    # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
+    # driver's exact value hash can't gate it); pinned by a dedicated
+    # rtol=1e-12 parity test
+    "text_bm25",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

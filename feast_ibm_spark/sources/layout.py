@@ -1,0 +1,89 @@
+"""Multi-dimensional write layout: Z-order clustering for data skipping.
+
+Parquet row-group/file pruning works off per-column min/max statistics, so
+a table sorted by ONE column skips scans only for predicates on that
+column. Z-ordering interleaves the bits of several columns into one sort
+key, so rows close in the multi-dimensional space land in the same files —
+min/max envelopes become tight on EVERY z-ordered column at once, and a
+conjunctive predicate over any subset of them prunes most files. This is
+the standard physical-design lever for 100 TB feature tables queried by
+(entity, time) or (entity, value-range) at once; the one-time sort cost is
+paid at write, reads pay nothing (the layout is plain parquet).
+
+Everything here is pure Catalyst expressions: the z-value is a static
+shift/and/or tree (bits * n_cols terms) inside whole-stage codegen, and
+the write is ``repartitionByRange`` (range-partitioned shuffle on the
+z-value, which also load-balances output files) + ``sortWithinPartitions``.
+
+No reference counterpart (the reference delegates physical layout to its
+cloud warehouse); effect pinned by tests/test_plans.py::test_zorder_*.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_col(c: str | Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a numeric column into the integer grid [0, 2^bits) by linear
+    scaling of the known [lo, hi] value range (clamped)."""
+    col = F.col(c) if isinstance(c, str) else c
+    top = (1 << bits) - 1
+    scaled = (col.cast("double") - lo) / (hi - lo) * top
+    return F.least(
+        F.lit(top), F.greatest(F.lit(0), F.round(scaled).cast("bigint"))
+    )
+
+
+def zvalue_col(cols: list[str | Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of the given non-negative integer
+    columns (Morton code). ``bits * len(cols)`` must be <= 63.
+
+    .. warning:: Quantize every column to the SAME effective bit width
+       (``quantize_col`` with ``bits`` matching this function's) before
+       interleaving. If one column only populates its low bits (e.g. an
+       id in [0, 150) against a 16-bit grid), the other columns' high
+       bits dominate the sort and the narrow column stops clustering —
+       measured: a 150-key column interleaved at 16 bits got ZERO file
+       pruning until re-quantized to 8 bits."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed int64")
+    terms = []
+    for i, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for j in range(bits):
+            # bit j of column i -> bit j*n + i of the z-value
+            terms.append(
+                F.shiftleft(F.shiftrightunsigned(col, j) % 2, j * n + i)
+            )
+    return functools.reduce(operator.add, terms).alias("zvalue")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str | Column],
+    bits: int = 16,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``zcols``.
+
+    ``zcols`` entries are either integer column names or pre-quantized
+    expressions (see :func:`quantize_col` for continuous columns). The
+    range partitioner samples the z-value distribution, so output files
+    are balanced even when the key space is sparse."""
+    z = zvalue_col(zcols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
