@@ -48,13 +48,22 @@ def exact_dedup(
 
 
 def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles of a document -> array<string>."""
+    """Distinct word n-gram shingles of a document -> array<string>.
+
+    Docs with fewer than ``n`` tokens get an EMPTY array. The guard is
+    load-bearing: ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark, and
+    ``slice(toks, 0, n)`` throws INVALID_PARAMETER_VALUE — so without the
+    ``when`` a single too-short document would fail the whole job."""
     toks = tokens_col(text_col)
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    n_sh = F.size(toks) - (n - 1)
+    return F.when(
+        n_sh < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
     )
 
@@ -358,6 +367,111 @@ def dedup_keep_latest(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher-style
+    within-document quality signals (duplicate-n-gram fraction and
+    top-n-gram fraction) used to drop boilerplate/looping text.
+
+    Explode n-grams (NOT distinct — repetition is the signal), count per
+    (doc, gram), then one per-doc aggregate:
+
+    - ``n_grams``        total n-grams in the doc;
+    - ``dup_gram_frac``  fraction of gram OCCURRENCES beyond each gram's
+      first (0 = all unique, ->1 = heavy repetition);
+    - ``top_gram_frac``  fraction of occurrences taken by the single most
+      frequent gram (loop detector).
+
+    Two shuffles (gram count, doc rollup), both on high-cardinality keys;
+    the exploded stream carries int64 gram hashes, not gram strings.
+    Returned values are exact integer ratios (one IEEE division each) —
+    replicable in any SQL engine. Docs with fewer than ``n`` tokens emit
+    no row (no n-grams — same convention as the shingle operators).
+    """
+    toks = tokens_col(text_col)
+    n_sh = F.size(toks) - (n - 1)
+    # same short-doc guard as shingles_col (sequence(1,0) is descending)
+    grams = F.when(n_sh < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            ((F.col("n_grams") - F.col("n_distinct")).cast("double")
+             / F.col("n_grams").cast("double")).alias("dup_gram_frac"),
+            (F.col("top_c").cast("double")
+             / F.col("n_grams").cast("double")).alias("top_gram_frac"),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document sharing at
+    least one word-n-gram with the benchmark/eval set, the fraction of
+    its distinct n-grams that are contaminated.
+
+    The GPT-3/Gopher decontamination shape (they use ~8-13-grams; ``n``
+    is a parameter). Mechanics: distinct-shingle inverted index on both
+    sides (int64 xxhash64 keys), the benchmark's shingle set deduped and
+    broadcast-joined (an eval set is tiny next to a training corpus), one
+    per-doc aggregate. Training docs with no overlap never pass the join
+    — the output is only the contaminated docs, so downstream removal is
+    a broadcast anti-join on ``id_col``. At 100 TB the corpus-side index
+    is the same linear explode the dedup tiers use; nothing is quadratic.
+    """
+    doc_sh = _exploded_shingles(docs, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    bench_sh = (
+        _exploded_shingles(benchmark, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    doc_sizes = doc_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(doc_sizes, id_col)
+        .select(
+            id_col,
+            "n_contaminated",
+            "n_shingles",
+            (F.col("n_contaminated").cast("double")
+             / F.col("n_shingles").cast("double")).alias("contaminated_frac"),
+        )
     )
 
 

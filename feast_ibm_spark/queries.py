@@ -1386,6 +1386,77 @@ reach(s, d) AS (
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
 """
 
+def _duck_grams(n: int, distinct: bool = False) -> str:
+    """DuckDB word-n-gram list (1-based inclusive slices), optionally
+    distinct — the generalization of _DUCK_SHINGLES to any n."""
+    inner = f"""
+list_transform(
+  range(1, greatest(len({_DUCK_TOKENS}) - {n - 1}, 0) + 1),
+  i -> array_to_string({_DUCK_TOKENS}[i:i+{n - 1}], ' ')
+)
+"""
+    return f"list_distinct({inner})" if distinct else inner
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (duplicate-2-gram
+    fraction + top-2-gram fraction)."""
+    from .operators.dedup import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+ORACLE_REPETITION = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_duck_grams(2)}) AS gram FROM documents
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac
+FROM pg GROUP BY doc_id
+"""
+
+DECON_N = 5
+DECON_BENCH_IDS = 20  # doc_id < 20 plays the benchmark/eval set
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of every training doc
+    (doc_id >= 20) against the eval set (doc_id < 20); emits only
+    contaminated docs — removal is then a broadcast anti-join."""
+    from .operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") >= DECON_BENCH_IDS),
+        docs.filter(F.col("doc_id") < DECON_BENCH_IDS),
+        n=DECON_N,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH ds AS (
+  SELECT doc_id, unnest({_duck_grams(DECON_N, distinct=True)}) AS shingle
+  FROM documents WHERE doc_id >= {DECON_BENCH_IDS}
+),
+bs AS (
+  SELECT DISTINCT unnest({_duck_grams(DECON_N, distinct=True)}) AS shingle
+  FROM documents WHERE doc_id < {DECON_BENCH_IDS}
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM ds JOIN bs USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_contaminated, n_shingles,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS contaminated_frac
+FROM hits JOIN sizes USING (doc_id)
+"""
+
 BM25_QUERY = ["spark", "join", "window", "vector"]
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -2000,6 +2071,11 @@ QUERIES: dict[str, QueryDef] = {
                                "token-budget sequence packing per shard"),
     "text_bm25": QueryDef(q_text_bm25, ORACLE_BM25,
                           "BM25 relevance scores (rtol parity; ln ulp)"),
+    "text_repetition": QueryDef(q_text_repetition, ORACLE_REPETITION,
+                                "Gopher-style duplicate/top n-gram fractions"),
+    "decontaminate_overlap": QueryDef(q_decontaminate_overlap,
+                                      ORACLE_DECONTAMINATE,
+                                      "benchmark n-gram contamination check"),
     "corpus_curation": QueryDef(q_corpus_curation, ORACLE_CURATION,
                                 "composed pipeline: dedup -> quality -> near-dup"),
     "corpus_curation_lsh": QueryDef(q_corpus_curation_lsh, ORACLE_CURATION,
@@ -2064,6 +2140,8 @@ _DRIVER_EXCLUDE = (
     "dedup_clusters",
     "split_train_val_test",
     "pack_sequences",
+    "text_repetition",
+    "decontaminate_overlap",
     # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
     # driver's exact value hash can't gate it); pinned by a dedicated
     # rtol=1e-12 parity test

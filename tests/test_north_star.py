@@ -348,3 +348,62 @@ def test_split_is_stable_under_subsetting(spark):
     from collections import Counter
     c = Counter(full.values())
     assert 700 < c["train"] < 900 and 50 < c["val"] < 150
+
+
+def test_repetition_stats_crafted_docs(spark):
+    """Exact fractions on crafted repetition patterns."""
+    from feast_ibm_spark.operators.dedup import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "u v w x y z"),       # all 5 unique
+            (3, "q"),                 # too short: no 2-grams -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 5
+    assert got[1]["dup_gram_frac"] == (5 - 2) / 5
+    assert got[1]["top_gram_frac"] == 3 / 5   # "a b" occurs 3x
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert got[2]["top_gram_frac"] == 1 / 5
+
+
+def test_contamination_overlap_crafted(spark):
+    """A training doc sharing a 3-gram with the benchmark is flagged with
+    the exact distinct-shingle overlap fraction; clean docs emit no row."""
+    from feast_ibm_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "look the quick brown fox ran"),  # shares 2 of its 4 shingles
+            (2, "completely unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_overlap(train, bench, n=3).collect()}
+    assert set(got) == {1}
+    # doc 1 shingles: "look the quick","the quick brown","quick brown fox",
+    # "brown fox ran" -> 2 contaminated of 4
+    assert got[1]["n_shingles"] == 4 and got[1]["n_contaminated"] == 2
+    assert got[1]["contaminated_frac"] == 0.5
+
+
+def test_shingles_short_doc_does_not_crash(spark):
+    """Regression: a doc shorter than n tokens must yield an empty shingle
+    set, not an INVALID_PARAMETER_VALUE crash (sequence(1,0) is a
+    descending [1,0] in Spark and slice(start=0) throws)."""
+    from feast_ibm_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f g"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2, 3)}

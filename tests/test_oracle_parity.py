@@ -76,6 +76,8 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_clusters",
     "split_train_val_test",
     "pack_sequences",
+    "text_repetition",
+    "decontaminate_overlap",
 ]
 _EXCLUDED_RTOL = ["text_bm25"]  # ln differs ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
