@@ -64,6 +64,46 @@ def zvalue_col(cols: list[str | Column], bits: int = 16) -> Column:
     return functools.reduce(operator.add, terms).alias("zvalue")
 
 
+def compact(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_rows_per_file`` files.
+
+    Incremental writers (e.g. repeated ``store.materialize`` appends)
+    accumulate small files; at scale that murders scan planning (one task
+    per tiny file) and footer overhead. Compaction is one job: count,
+    coalesce-or-repartition to ``ceil(rows/target)`` files (repartition —
+    a real shuffle — only when growing the file count or re-sorting;
+    coalesce is shuffle-free when shrinking), optional sort for
+    row-group-stat locality, and an atomic directory swap via a temp
+    sibling. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    from .reader import read_parquet
+
+    df = read_parquet(spark, path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    if sort_within:
+        out = df.repartitionByRange(n_files, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        cur = df.rdd.getNumPartitions()
+        out = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -45,6 +45,10 @@ SMOKE_QUERIES = [
     "sessionize_events",
     "knn_ivf",
     "agg_pricing_summary",
+    # iterative / join-heavy round-3 additions
+    "dedup_clusters",
+    "decontaminate_overlap",
+    "text_repetition",
 ]
 
 

@@ -242,3 +242,25 @@ def test_from_proto_accepts_reference_payload_shape():
     assert src.table == "my_table" and src.name == "legacy"
     assert src.timestamp_field == "ts" and src.field_mapping == {"a": "b"}
     assert src.created_timestamp_column is None
+
+
+def test_compact_small_files(spark, tmp_path_factory):
+    """Compaction folds an append-accumulated directory of small files
+    into the target file count without changing content."""
+    import os
+
+    from feast_ibm_spark.sources.layout import compact
+
+    d = str(tmp_path_factory.mktemp("compact") / "t")
+    for _ in range(6):  # six tiny appends -> many small files
+        spark.range(1000).write.mode("append").parquet(d)
+    before = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert before >= 6
+
+    n_files = compact(spark, d, target_rows_per_file=3000)
+    assert n_files == 2
+    assert spark.read.parquet(d).count() == 6000
+    # sorted compaction: one file, ordered layout
+    n_files = compact(spark, d, target_rows_per_file=10_000, sort_within=["id"])
+    assert n_files == 1
+    assert spark.read.parquet(d).count() == 6000
