@@ -89,10 +89,14 @@ class FeatureViewSpec:
 
 
 def _spine_time_range(spine: DataFrame, ts_col: str):
+    """(min_ts, max_ts, n_rows) of the spine in ONE tiny aggregate job —
+    the count rides along free for the ``auto`` strategy choice."""
     row = spine.agg(
-        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
-    return row["lo"], row["hi"]
+    return row["lo"], row["hi"], row["n"]
 
 
 def _out_name(view: FeatureViewSpec, feat: str, full_feature_names: bool) -> str:
@@ -107,12 +111,19 @@ def point_in_time_join(
     strategy: str = "broadcast",
     persist_spine: bool = False,
     time_range: tuple | None = None,
+    auto_broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """Join every FeatureView onto the spine as-of the spine timestamp.
 
-    ``strategy``: ``broadcast`` | ``shuffle`` | ``union_window`` (see module
-    docstring). All spine columns (including label/pass-through columns,
-    reference ``tests/test_integration.py:160``) survive to the output.
+    ``strategy``: ``broadcast`` | ``shuffle`` | ``union_window`` | ``auto``
+    (see module docstring). ``auto`` picks ``broadcast`` while the spine
+    has at most ``auto_broadcast_rows`` distinct-ish rows (counted by the
+    same one-job aggregate that already computes the TTL range, so the
+    decision is free) and the melt ``union_window`` path beyond that —
+    the measured crossover shape (scripts/scale_smoke.py: melt wins once
+    the spine stops being broadcast-sized). All spine columns (including
+    label/pass-through columns, reference ``tests/test_integration.py:160``)
+    survive to the output.
 
     ``persist_spine`` materializes the spine once: it is consumed by the
     min/max range aggregate, each view's key-dedup, and the final left
@@ -123,7 +134,7 @@ def point_in_time_join(
     costs more than the recomputes it saves (measured ~25% of query time
     at bench scale).
     """
-    if strategy not in ("broadcast", "shuffle", "union_window"):
+    if strategy not in ("broadcast", "shuffle", "union_window", "auto"):
         raise ValueError(f"unknown strategy: {strategy}")
 
     if persist_spine:
@@ -131,9 +142,16 @@ def point_in_time_join(
     # Callers that already know the spine's (min, max) event timestamp —
     # e.g. the store facade, which also exposes it as job metadata — pass
     # it in so the tiny range aggregate runs once, not twice.
-    lo, hi = time_range if time_range is not None else _spine_time_range(
-        spine, spine_timestamp_field
-    )
+    n_rows = None
+    if time_range is not None:
+        lo, hi = time_range[0], time_range[1]
+        n_rows = time_range[2] if len(time_range) > 2 else None
+    else:
+        lo, hi, n_rows = _spine_time_range(spine, spine_timestamp_field)
+    if strategy == "auto":
+        if n_rows is None:  # caller-supplied 2-tuple range: count separately
+            n_rows = spine.count()
+        strategy = "broadcast" if n_rows <= auto_broadcast_rows else "union_window"
     out = spine
     for view in feature_views:
         if strategy == "union_window":

@@ -1497,6 +1497,18 @@ CROSS JOIN stats
 GROUP BY tf.doc_id
 """
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition: connected components over the MinHash-LSH
+    near-dup pairs instead of the exact inverted-index tier (same oracle —
+    the LSH tier matches the exact pair set on this corpus; at 10x scale
+    the pairs input dominates dedup_clusters' wall time, NOTES.md)."""
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
+
+
 SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC = 0.8, 0.1
 
 
@@ -2065,6 +2077,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_clusters": QueryDef(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
                                "connected components over near-dup pairs "
                                "(iterative min-label propagation)"),
+    "dedup_clusters_lsh": QueryDef(q_dedup_clusters_lsh, ORACLE_DEDUP_CLUSTERS,
+                                   "clusters over the MinHash-LSH pair tier "
+                                   "(the scale composition)"),
     "split_train_val_test": QueryDef(q_split_train_val_test, ORACLE_SPLIT,
                                      "deterministic hash-bucketed dataset split"),
     "pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK,
@@ -2138,6 +2153,7 @@ _DRIVER_EXCLUDE = (
     # is oracle-pinned by tests/test_oracle_parity.py with the driver's
     # own compare at gate scale
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "split_train_val_test",
     "pack_sequences",
     "text_repetition",

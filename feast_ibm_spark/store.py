@@ -103,10 +103,15 @@ class SparkOfflineStore:
                 import pyspark.sql.functions as F
 
                 row = spine.agg(
-                    F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+                    F.min(ts_col).alias("lo"),
+                    F.max(ts_col).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
                 ).first()
-                range_cache["lo"], range_cache["hi"] = row["lo"], row["hi"]
-            return range_cache["lo"], range_cache["hi"]
+                range_cache["lo"], range_cache["hi"], range_cache["n"] = (
+                    row["lo"], row["hi"], row["n"]
+                )
+            # 3-tuple: the row count rides along for strategy="auto"
+            return range_cache["lo"], range_cache["hi"], range_cache["n"]
 
         def evaluate() -> DataFrame:
             return point_in_time_join(
@@ -121,7 +126,7 @@ class SparkOfflineStore:
         meta = RetrievalMetadata(
             features=feature_names,
             keys=keys,
-            timestamp_range_resolver=spine_range,
+            timestamp_range_resolver=lambda: spine_range()[:2],
         )
         return SparkRetrievalJob(evaluate, metadata=meta)
 

@@ -461,3 +461,21 @@ if _HAS_HYPOTHESIS:
             for s in sessions:
                 expect.add((k, s[0], s[-1], len(s)))
         assert got == expect
+
+
+def test_pit_join_auto_strategy_picks_by_spine_size(spark):
+    """strategy='auto': broadcast under the row threshold, union_window
+    above it; results identical either way."""
+    from feast_ibm_spark.plans.inspect import explain_str, has_broadcast_join
+
+    spine, view = _driver_stats(spark)
+    small = point_in_time_join(spine, [view], strategy="auto")
+    assert has_broadcast_join(small)
+
+    big = point_in_time_join(
+        spine, [view], strategy="auto", auto_broadcast_rows=1
+    )
+    text = explain_str(big)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "Window" in text  # the melt path
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))

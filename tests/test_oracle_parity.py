@@ -74,6 +74,7 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "split_train_val_test",
     "pack_sequences",
     "text_repetition",
