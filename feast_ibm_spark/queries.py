@@ -1354,6 +1354,127 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 # --------------------------------------------------------------------------
+# Analytics (local gate): deeper decorrelation + distribution shapes.
+# Driver-gate-excluded (50-row cap) but oracle-pinned via
+# tests/test_oracle_parity.py with the driver's own compare.
+# --------------------------------------------------------------------------
+
+
+def q_join_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to the shipped tables): suppliers that
+    carry more than 40% of some part's total lineitem quantity. The
+    correlated "exceeds a share of the part total" predicate decorrelates
+    into a per-part aggregate joined back on the part key; the supplier
+    dimension broadcasts onto the survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qty).alias("sp_qty"))
+    per_p = li.groupBy("l_partkey").agg(F.sum(qty).alias("p_qty"))
+    excess = (
+        per_sp.join(per_p, "l_partkey")
+        # integer share test: sp_qty > 0.4 * p_qty  <=>  5*sp_qty > 2*p_qty
+        .filter(F.col("sp_qty") * 5 > F.col("p_qty") * 2)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+    return excess.join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_name", "n_dominated_parts")
+
+
+ORACLE_EXCESS_SUPPLIERS = f"""
+WITH per_sp AS (
+  SELECT l_suppkey, l_partkey, SUM({_L_QTY}) AS sp_qty
+  FROM lineitem GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, SUM({_L_QTY}) AS p_qty FROM lineitem GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM per_sp
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sp_qty * 5 > p_qty * 2
+GROUP BY s_name
+"""
+
+
+def q_agg_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-global-average balance and NO
+    orders, counted per market segment. The scalar avg subquery becomes a
+    1-row broadcast cross join; the NOT EXISTS a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = _cents("c_acctbal")
+    # exact global average in cents: (sum_cents, count) then one division
+    g = cust.agg(F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n"))
+    rich = (
+        cust.join(F.broadcast(g))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(orders.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(bal).cast("double") / 100.0).alias("sum_acctbal"),
+    )
+
+
+_C_CENTS = "CAST(round(c_acctbal * 100) AS BIGINT)"
+ORACLE_GLOBAL_AVG_FILTER = f"""
+WITH g AS (
+  SELECT CAST(SUM({_C_CENTS}) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM({_C_CENTS}) AS DOUBLE) / 100.0 AS sum_acctbal
+FROM customer, g
+WHERE {_C_CENTS} * g.n > g.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY c_mktsegment
+"""
+
+
+def q_window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE distribution shape: users bucketed into spend quartiles.
+    Deterministic because the order key (total cents, user_id) is unique."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("spend_cents"))
+    )
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("user_id").asc())
+    return spend.select(
+        "user_id",
+        (F.col("spend_cents").cast("double") / 100.0).alias("total_spend"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_SPEND_QUARTILES = """
+WITH spend AS (
+  SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id,
+       CAST(spend_cents AS DOUBLE) / 100.0 AS total_spend,
+       CAST(ntile(4) OVER (ORDER BY spend_cents DESC, user_id ASC) AS INTEGER)
+         AS quartile
+FROM spend
+"""
+
+# --------------------------------------------------------------------------
 # North-star: near-dup clustering + dataset split + sequence packing — the
 # post-curation stages of a training-data pipeline. Driver-gate-excluded
 # (50-row cap) but fully oracle-pinned via tests/test_oracle_parity.py.
@@ -2074,6 +2195,16 @@ QUERIES: dict[str, QueryDef] = {
                               "32-bit SimHash signatures"),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
                                     "hamming<=3 pairs, pigeonhole-blocked"),
+    "join_excess_suppliers": QueryDef(q_join_excess_suppliers,
+                                      ORACLE_EXCESS_SUPPLIERS,
+                                      "Q20-shape correlated share-of-total, "
+                                      "decorrelated"),
+    "agg_global_avg_filter": QueryDef(q_agg_global_avg_filter,
+                                      ORACLE_GLOBAL_AVG_FILTER,
+                                      "Q22-shape scalar-avg filter + anti join"),
+    "window_spend_quartiles": QueryDef(q_window_spend_quartiles,
+                                       ORACLE_SPEND_QUARTILES,
+                                       "NTILE quartile bucketing"),
     "dedup_clusters": QueryDef(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
                                "connected components over near-dup pairs "
                                "(iterative min-label propagation)"),
@@ -2149,9 +2280,12 @@ _DRIVER_EXCLUDE = (
     # embedding_near_dup_lsh
     "agg_approx_event_stats",
     "knn_lsh",
-    # post-curation pipeline stages added after the 50 slots filled; each
-    # is oracle-pinned by tests/test_oracle_parity.py with the driver's
-    # own compare at gate scale
+    # queries added after the 50 slots filled; each is oracle-pinned by
+    # tests/test_oracle_parity.py with the driver's own compare at gate
+    # scale
+    "join_excess_suppliers",
+    "agg_global_avg_filter",
+    "window_spend_quartiles",
     "dedup_clusters",
     "dedup_clusters_lsh",
     "split_train_val_test",

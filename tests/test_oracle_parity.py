@@ -73,6 +73,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
+    "join_excess_suppliers",
+    "agg_global_avg_filter",
+    "window_spend_quartiles",
     "dedup_clusters",
     "dedup_clusters_lsh",
     "split_train_val_test",
