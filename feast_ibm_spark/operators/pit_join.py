@@ -36,6 +36,11 @@ Physical strategies (chosen for 100 TB; see SURVEY.md §4):
   TTL enforced by post-checking the matched timestamp. No join blowup even
   when both sides are huge and many feature rows precede each spine row;
   this is the scale path when the spine itself is feature-table-sized.
+- ``union_window_salted`` — the melt salted by time bucket: windows
+  partition by (key, floor(ts/B)) plus a per-key carry pass over one-row
+  bucket summaries, so even a single hot key's history splits across
+  buckets (see ``_join_one_view_union_window_salted``). Use when one key
+  exceeds an executor's partition budget under the plain melt.
 
 The TTL prefilter rewrite (bound the feature side to
 ``[min_spine_ts - ttl, max_spine_ts]`` before the join, reference
@@ -54,7 +59,8 @@ never shuffles on the key, and Spark 4 plants a map-side Partial
 WindowGroupLimit before the rn=1 window's exchange, shipping at most one
 row per (key, ts) group per task — the hot key's fanout never crosses the
 wire. ``union_window`` concentrates each key in one window partition;
-salt by time-bucket if a single key exceeds an executor's budget.
+``union_window_salted`` implements the time-bucket salting for keys that
+exceed an executor's budget.
 """
 
 from __future__ import annotations
@@ -134,7 +140,9 @@ def point_in_time_join(
     costs more than the recomputes it saves (measured ~25% of query time
     at bench scale).
     """
-    if strategy not in ("broadcast", "shuffle", "union_window", "auto"):
+    if strategy not in (
+        "broadcast", "shuffle", "union_window", "union_window_salted", "auto"
+    ):
         raise ValueError(f"unknown strategy: {strategy}")
 
     if persist_spine:
@@ -156,6 +164,10 @@ def point_in_time_join(
     for view in feature_views:
         if strategy == "union_window":
             out = _join_one_view_union_window(
+                out, view, spine_timestamp_field, full_feature_names, lo, hi
+            )
+        elif strategy == "union_window_salted":
+            out = _join_one_view_union_window_salted(
                 out, view, spine_timestamp_field, full_feature_names, lo, hi
             )
         else:
@@ -340,6 +352,127 @@ def _join_one_view_union_window(
         )
 
     winners = carried.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col("__ts").alias(spine_ts),
+        *[
+            F.col(f"__match.{c}").alias(_out_name(view, c, full_feature_names))
+            for c in view.features
+        ],
+    )
+    return spine.join(winners, on=key_ts, how="left")
+
+
+def _join_one_view_union_window_salted(
+    spine: DataFrame,
+    view: FeatureViewSpec,
+    spine_ts: str,
+    full_feature_names: bool,
+    lo,
+    hi,
+    salt_bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Melt as-of join SALTED by time bucket — the hot-key scale path.
+
+    The plain melt (``union_window``) puts a key's entire history in ONE
+    window partition, so a bot/power-user key becomes a straggler. Here
+    the classic two-phase parallel-prefix split bounds every partition:
+
+    1. *Within-bucket pass*: melt windows partition by
+       ``(keys, floor(ts / B))`` — a hot key's history splits across its
+       time buckets, each sorted independently.
+    2. *Carry pass*: per (key, bucket) keep only the LAST feature payload
+       (one row per bucket — tiny), then one per-key window over bucket
+       summaries computes each bucket's carry-in (the last feature in any
+       EARLIER bucket). Per-key state is n_buckets rows, not n_rows.
+    3. Spine rows with no within-bucket match take their bucket's
+       carry-in; the TTL check runs on the merged match as usual.
+
+    Same oracle semantics as every other strategy (pinned by the
+    randomized brute-force test); choose B >= TTL-scale so carry chains
+    stay short, and note carry-in is EXEMPT from partition skew — it is
+    one row per (key, bucket) regardless of row counts.
+    """
+    feat, _ = _prepared_feature_side(view, lo, hi)
+
+    if view.created_timestamp_column:
+        wdup = Window.partitionBy(*view.join_keys, view.timestamp_field).orderBy(
+            F.col(view.created_timestamp_column).desc()
+        )
+        feat = (
+            feat.withColumn("__rn", F.row_number().over(wdup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", view.created_timestamp_column)
+        )
+
+    key_ts = [*view.join_keys, spine_ts]
+    spine_keys = spine.select(*key_ts).distinct()
+    bucket_of = lambda c: F.floor(  # noqa: E731
+        c.cast("double") / salt_bucket_seconds
+    ).cast("bigint")
+
+    feat_tagged = feat.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col(view.timestamp_field).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(view.timestamp_field).alias("__matched_ts"),
+            *[F.col(c) for c in view.features],
+        ).alias("__payload"),
+    )
+    spine_tagged = spine_keys.select(
+        *[F.col(k) for k in view.join_keys],
+        F.col(spine_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(feat_tagged.schema["__payload"].dataType).alias("__payload"),
+    )
+    melted = feat_tagged.unionByName(spine_tagged).withColumn(
+        "__bucket", bucket_of(F.col("__ts"))
+    )
+
+    # phase 1: within-bucket carry — partitions bounded by (key, bucket)
+    w_in = (
+        Window.partitionBy(*view.join_keys, "__bucket")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = melted.withColumn(
+        "__within", F.last("__payload", ignorenulls=True).over(w_in)
+    )
+
+    # phase 2: one summary row per (key, bucket) = the bucket's last
+    # feature payload; carry-in = last summary over EARLIER buckets
+    bucket_last = (
+        feat_tagged.withColumn("__bucket", bucket_of(F.col("__ts")))
+        .groupBy(*view.join_keys, "__bucket")
+        .agg(F.max_by("__payload", "__ts").alias("__bucket_payload"))
+    )
+    all_buckets = (
+        melted.select(*view.join_keys, "__bucket")
+        .distinct()
+        .join(bucket_last, [*view.join_keys, "__bucket"], "left")
+    )
+    w_carry = (
+        Window.partitionBy(*view.join_keys)
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = all_buckets.withColumn(
+        "__carry_in", F.last("__bucket_payload", ignorenulls=True).over(w_carry)
+    ).select(*view.join_keys, "__bucket", "__carry_in")
+
+    # phase 3: merge; spine rows only
+    merged = (
+        within.filter(F.col("__tag") == 1)
+        .join(carry, [*view.join_keys, "__bucket"])
+        .withColumn("__match", F.coalesce(F.col("__within"), F.col("__carry_in")))
+    )
+    if view.ttl_seconds:
+        in_ttl = F.col("__match.__matched_ts") >= (
+            F.col("__ts") - F.expr(f"INTERVAL {view.ttl_seconds} SECOND")
+        )
+        merged = merged.withColumn("__match", F.when(in_ttl, F.col("__match")))
+
+    winners = merged.select(
         *[F.col(k) for k in view.join_keys],
         F.col("__ts").alias(spine_ts),
         *[

@@ -184,7 +184,7 @@ def _brute_force_pit(spine_rows, feat_rows, ttl):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle", "union_window"])
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle", "union_window", "union_window_salted"])
 @pytest.mark.parametrize("ttl", [0, 3600])
 def test_pit_join_randomized_against_brute_force(spark, strategy, ttl):
     import random
@@ -479,3 +479,45 @@ def test_pit_join_auto_strategy_picks_by_spine_size(spark):
     assert "BroadcastNestedLoopJoin" not in text
     assert "Window" in text  # the melt path
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+@pytest.mark.parametrize("ttl", [0, 3600, 7200])
+def test_pit_salted_melt_multi_bucket_carry(spark, ttl):
+    """The salted melt with a 1-hour salt bucket over 10 hours of data —
+    matches crossing bucket boundaries must come from the carry pass, and
+    results must equal the broadcast strategy exactly."""
+    import random
+
+    from feast_ibm_spark.operators.pit_join import (
+        _join_one_view_union_window_salted,
+    )
+
+    rng = random.Random(7)
+    base = TS(2024, 1, 1)
+    instants = [base + timedelta(minutes=30 * i) for i in range(20)]
+    feat = spark.createDataFrame(
+        [
+            (rng.randint(1, 4), rng.choice(instants),
+             rng.choice(instants) + timedelta(seconds=i), float(i))
+            for i in range(80)
+        ],
+        "k bigint, event_timestamp timestamp, created timestamp, v double",
+    )
+    spine_rows = list(dict.fromkeys(
+        (rng.randint(1, 5), rng.choice(instants)) for _ in range(40)
+    ))
+    spine = spark.createDataFrame(spine_rows, "k bigint, event_timestamp timestamp")
+    view = FeatureViewSpec("fv", feat, ["k"], ["v"], "event_timestamp",
+                           created_timestamp_column="created", ttl_seconds=ttl)
+
+    lo, hi, _ = __import__(
+        "feast_ibm_spark.operators.pit_join", fromlist=["_spine_time_range"]
+    )._spine_time_range(spine, "event_timestamp")
+    salted = _join_one_view_union_window_salted(
+        spine, view, "event_timestamp", False, lo, hi,
+        salt_bucket_seconds=3600,  # 10+ buckets over the data span
+    )
+    expected = point_in_time_join(spine, [view], strategy="broadcast")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
