@@ -392,6 +392,52 @@ SELECT user_id, session_id,
 FROM sess GROUP BY user_id, session_id
 """
 
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming sessionization driven to completion, sharing
+    the BATCH query's exact oracle.
+
+    The custom stateful operator (``applyInPandasWithState``,
+    streaming/stateful.py) runs over a file-stream read of the same
+    events table: every closed session is emitted by the state kernel,
+    and the idle timeout flushes each key's final open session in a
+    trailing empty batch, after which ``drain_available_now`` observes an
+    empty state store and stops the run (streaming/run.py — availableNow
+    cannot self-terminate with processing-time timers armed). The stream
+    therefore drains to the identical session set the batch
+    lag+running-sum formulation produces. ``session_id`` is re-derived
+    per key by start order — sessions of one key are disjoint time
+    intervals, so the ordering is total and the result is deterministic
+    => hash-comparable against ORACLE_SESSIONIZE.
+
+    The reference is batch-only (SURVEY.md §2 lists streaming as
+    explicitly absent); this is the north-star continuous-ingestion twin
+    of ``sessionize_events``.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .sources.reader import load_stream
+    from .streaming.run import drain_available_now
+    from .streaming.stateful import streaming_sessionize
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = streaming_sessionize(
+        stream, ["user_id"], "ts", SESSION_GAP_S, idle_timeout_seconds=0.001
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        sessions, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        out.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    )
+
 # --------------------------------------------------------------------------
 # Scan + filter + projection over a dimension table (S2/P1/F-pushdown)
 # --------------------------------------------------------------------------
@@ -2131,6 +2177,9 @@ QUERIES: dict[str, QueryDef] = {
                                       "J2 reference-compat keep-all-ties (RANK)"),
     "sessionize_events": QueryDef(q_sessionize_events, ORACLE_SESSIONIZE,
                                   "gap sessionization (lag + running sum)"),
+    "streaming_sessionize": QueryDef(q_streaming_sessionize, ORACLE_SESSIONIZE,
+                                     "stateful Structured-Streaming sessionize "
+                                     "drained via availableNow — exact oracle"),
     "scan_part_filter": QueryDef(q_scan_part_filter, ORACLE_SCAN_PART,
                                  "S2 scan + F pushdown + P1 projection"),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,
@@ -2296,6 +2345,11 @@ _DRIVER_EXCLUDE = (
     # driver's exact value hash can't gate it); pinned by a dedicated
     # rtol=1e-12 parity test
     "text_bm25",
+    # yielded its driver slot to streaming_sessionize (a NEW component
+    # class at the gate); this strategy shares ORACLE_PIT_TTL with the
+    # three still-exported PIT queries and stays pinned by the local
+    # replica + the randomized strategy-equivalence tests
+    "pit_join_union_window",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",
@@ -2303,6 +2357,7 @@ _DRIVER_FIRST = (
     "pit_join_ttl",
     "materialize_incremental",
     "pit_join_partitioned",
+    "streaming_sessionize",
     "corpus_curation_lsh",
 )
 _DRIVER_LAST = ("knn_ivf", "embedding_near_dup_lsh")

@@ -150,3 +150,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's synthetic tables
     (``{sf_dir}/{name}.parquet``, TESTDATA.md)."""
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.readStream.parquet`` with the same TIMESTAMP(NANOS) shim as
+    :func:`read_parquet`.
+
+    ``readStream`` needs an explicit schema; it is taken from a batch read
+    under the ``nanosAsLong`` conf (footer-only, no data scan), so nanos
+    columns arrive as raw INT64 and are projected back to microsecond
+    timestamps exactly like the batch path — the streaming and batch
+    reads of one table therefore see bit-identical timestamps, which is
+    what lets a deterministic streaming query share its batch twin's
+    oracle. Same session-wide conf caveat as :func:`read_parquet`.
+    """
+    nanos = _nano_timestamp_columns(path)
+
+    def _stream(schema) -> DataFrame:
+        # FileStreamSource requires a DIRECTORY basePath; a single-file
+        # table is streamed as its parent dir + a glob for just that file
+        reader = spark.readStream.schema(schema)
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            return reader.parquet(os.path.dirname(path))
+        return reader.parquet(path)
+
+    if not nanos:
+        return _stream(spark.read.parquet(path).schema)
+    spark.conf.set(_NANOS_CONF, "true")
+    raw = _stream(spark.read.parquet(path).schema)
+    return _convert_nanos(raw, nanos)
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of :func:`load_table`."""
+    return read_parquet_stream(spark, os.path.join(sf_dir, f"{name}.parquet"))

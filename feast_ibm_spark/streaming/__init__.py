@@ -2,6 +2,7 @@ from .latest import streaming_latest_per_key, streaming_window_counts, stream_pa
 from .stateful import streaming_first_seen, streaming_sessionize
 from .enrich import enrich_stream
 from .pit import streaming_pit_join
+from .run import drain_available_now
 
 __all__ = [
     "streaming_latest_per_key",
@@ -11,4 +12,5 @@ __all__ = [
     "streaming_sessionize",
     "enrich_stream",
     "streaming_pit_join",
+    "drain_available_now",
 ]

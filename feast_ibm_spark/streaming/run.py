@@ -1,0 +1,74 @@
+"""Run a streaming query over a bounded input to completion.
+
+``trigger(availableNow=True)`` normally terminates once every available
+file is processed — EXCEPT when the plan contains a stateful operator
+with ``ProcessingTimeTimeout`` (our idle-flush sessionize / TTL'd
+first-seen): Spark's ``shouldRunAnotherBatch`` returns true whenever
+processing-time timers are configured, because a timer could always fire
+later, so the run schedules empty micro-batches forever and the query
+never self-terminates (measured: ~12 empty batches/second, unbounded).
+
+:func:`drain_available_now` is the bounded-input contract those operators
+need: start the query, let every data batch commit, keep running empty
+batches while timers are still flushing state, and stop deterministically
+once a COMMITTED batch reports both zero input rows and zero rows left in
+the state store — at that point every pending timer has fired, every open
+session/flag has been emitted or evicted, and the sink holds the final
+answer. Progress is only ever read from committed batches, so stopping
+here cannot lose emitted rows.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def drain_available_now(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+    timeout_s: float = 600.0,
+    poll_s: float = 0.1,
+) -> DataFrame:
+    """Run ``sdf`` with availableNow into a memory sink until drained.
+
+    Terminates when either (a) the query stops on its own (stateless
+    plans, or stateful plans without processing-time timers), or (b) a
+    committed batch had 0 input rows and the state store holds 0 rows —
+    the fixed point for timer-flushed stateful plans on bounded input.
+    Returns the sink as a DataFrame.
+    """
+    spark: SparkSession = sdf.sparkSession
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    t0 = time.time()
+    try:
+        while q.isActive:
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(
+                    f"stream {query_name!r} not drained after {timeout_s}s; "
+                    f"last progress: {q.lastProgress}"
+                )
+            p = q.lastProgress
+            if p and p.get("numInputRows") == 0:
+                ops = p.get("stateOperators") or []
+                if ops and all(op.get("numRowsTotal", 0) == 0 for op in ops):
+                    q.stop()
+                    break
+            time.sleep(poll_s)
+        q.awaitTermination()
+    except Exception:
+        if q.isActive:
+            q.stop()
+        raise
+    return spark.table(query_name)

@@ -3,7 +3,13 @@
 __spark_entry__.queries() and its oracle_sql() side by side and compare
 row count, schema shape, and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [--only name]
+Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01]
+           [--only name] [--all]
+
+``--all`` sweeps the FULL internal inventory (feast_ibm_spark.queries.
+QUERIES — the driver-exported 50 plus the local-gate extras), applying
+the documented rtol compare for the ln-based queries instead of the
+exact one.
 """
 
 from __future__ import annotations
@@ -35,7 +41,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+# ln() differs by ~1 ulp between DuckDB (libm) and the JVM; these queries
+# compare with rtol instead of exact equality (see tests/test_oracle_parity.py)
+RTOL_QUERIES = {"text_bm25": 1e-12}
+
+
+def compare(
+    name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[str]:
+    rtol = RTOL_QUERIES.get(name)
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count {len(spark_pdf)} != oracle {len(oracle_pdf)}")
@@ -48,6 +62,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
+            if rtol is not None:
+                both = (~av.isna()) & (~bv.isna())
+                close = np.isclose(av[both], bv[both], rtol=rtol, atol=0)
+                if not ((av.isna() == bv.isna()).all() and close.all()):
+                    problems.append(f"col {c}: rtol={rtol} mismatch")
+                continue
             ok = ((av.isna() & bv.isna()) | (av == bv)).all()
             if not ok:
                 both = (~av.isna()) & (~bv.isna())
@@ -71,12 +91,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="sweep the full internal inventory, not just the "
+                         "driver-exported 50")
     args = ap.parse_args()
 
-    import __spark_entry__ as entry_mod
+    if args.all or args.only:
+        # --only also resolves against the full inventory so local-gate
+        # queries can be checked individually
+        from feast_ibm_spark.queries import QUERIES as _Q
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+        qs = {n: qd.fn for n, qd in _Q.items()}
+        oracles = {n: qd.oracle for n, qd in _Q.items() if qd.oracle is not None}
+    else:
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
 
     from feast_ibm_spark.session import get_spark
 

@@ -73,6 +73,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
+    "pit_join_union_window",  # slot yielded to streaming_sessionize
     "join_excess_suppliers",
     "agg_global_avg_filter",
     "window_spend_quartiles",

@@ -32,15 +32,13 @@ def event_dir(spark):
 
 
 def _run_stream(sdf, query_name, mode):
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return q
+    # drain_available_now stops the run once the state store is empty —
+    # with ProcessingTimeTimeout armed, availableNow alone never
+    # self-terminates (it schedules empty batches forever), so a plain
+    # awaitTermination would burn its full timeout on the idle-flush tests
+    from feast_ibm_spark.streaming import drain_available_now
+
+    drain_available_now(sdf, query_name, output_mode=mode, timeout_s=120)
 
 
 def test_streaming_latest_per_key(spark, event_dir):
@@ -308,3 +306,24 @@ def test_streaming_first_seen_state_ttl_readmits_key(spark):
     # a: emitted in b1, evicted during b2 (no a-data), re-emitted in b3;
     # b: occurs in every batch, TTL keeps refreshing -> emitted once
     assert got == [("a", 1), ("a", 2), ("b", 10)]
+
+
+def test_streaming_sessionize_query_matches_batch(spark):
+    """The driver-gated streaming query (drained availableNow run over the
+    real events table) produces EXACTLY the batch sessionization result —
+    the property that lets it share ORACLE_SESSIONIZE at the gate."""
+    from pandas.testing import assert_frame_equal
+
+    from feast_ibm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "session_id", "session_start", "session_end", "n_events"]
+
+    def canon(df):
+        pdf = df.toPandas()[cols]
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    streamed = canon(QUERIES["streaming_sessionize"].fn(spark, sf))
+    batch = canon(QUERIES["sessionize_events"].fn(spark, sf))
+    assert len(streamed) > 0
+    assert_frame_equal(streamed, batch)
