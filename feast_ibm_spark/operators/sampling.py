@@ -85,3 +85,78 @@ def pack_sequences(
     ).withColumn(
         "pack_offset", (tokens_before % F.lit(budget)).cast("bigint")
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    fracs: dict[str, float] | float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group fraction sampling — a pure filter.
+
+    Membership is ``knuth_bucket(id) < frac * SPLIT_BUCKETS``: a pure
+    function of the id, so the sample is stable under re-runs, appends,
+    and repartitioning, and composes with :func:`split_col` (a row's
+    split assignment and its sample membership never disagree between
+    pipeline stages). ``fracs`` is either one global fraction or a
+    per-group-value dict (rows of unlisted groups are dropped).
+
+    At 100 TB this is map-only: no shuffle, no count pass, predicate
+    evaluated inside the scan. The trade vs :func:`take_per_group` is
+    that group sizes are only approximated (frac * group size, binomial
+    wobble); use take_per_group when exact counts matter more than
+    avoiding a shuffle.
+    """
+    b = split_bucket_col(id_col)
+    if isinstance(fracs, dict):
+        if group_col is None:
+            raise ValueError("group_col required with per-group fracs")
+        cond = None
+        for val, frac in fracs.items():
+            hi = int(round(frac * SPLIT_BUCKETS))
+            this = (F.col(group_col) == val) & (b < hi)
+            cond = this if cond is None else (cond | this)
+        return df.filter(cond)
+    hi = int(round(fracs * SPLIT_BUCKETS))
+    return df.filter(b < hi)
+
+
+def take_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, int],
+) -> DataFrame:
+    """EXACT-count deterministic sampling: the first ``targets[g]`` rows
+    of each group in (knuth_bucket, id) order — domain mixing with hard
+    caps (e.g. "200 en docs, 60 of each other language" to hit a target
+    language distribution in a training mix).
+
+    The (bucket, id) order is a reproducible shuffle of each group (the
+    multiplicative hash decorrelates bucket order from id order), so the
+    selection is unbiased-ish yet exactly reproducible cross-engine —
+    unlike fraction sampling there is no size wobble; unlike
+    ``ORDER BY random()`` it is deterministic.
+
+    Cost: one shuffle on ``group_col`` for the per-group row_number
+    window. Group cardinality is the skew axis — a group whose rows all
+    land in one partition bounds the window; with few huge groups (the
+    domain-mixing case: one group per language/source), pre-aggregate
+    pushdown does not apply and a hot group's history sorts in one task.
+    For that shape prefer bucketed layouts or sample_stratified with a
+    measured frac when the per-group row count exceeds executor memory.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket_col(id_col).asc(), F.col(id_col).asc()
+    )
+    cap = None
+    for val, n in targets.items():
+        this = F.when(F.col(group_col) == val, F.lit(n))
+        cap = this if cap is None else cap.when(F.col(group_col) == val, F.lit(n))
+    cap = cap.otherwise(F.lit(0))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

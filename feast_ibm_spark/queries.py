@@ -1743,6 +1743,94 @@ SELECT doc_id, shard, n_tokens,
 FROM c
 """
 
+STRAT_FRACS = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+MIX_TARGETS = {"en": 100, "de": 40, "es": 40, "fr": 40, "zh": 40}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic fraction sampling (downsample the
+    dominant language, keep more of the rest) — map-only, no shuffle,
+    stable under re-runs/appends (pure function of doc_id)."""
+    from .operators.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", STRAT_FRACS, group_col="lang",
+    )
+
+
+def _strat_pred(lang: str, frac: float) -> str:
+    hi = int(round(frac * 1000))
+    return f"(lang = '{lang}' AND (doc_id * 2654435761) % 1000 < {hi})"
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {" OR ".join(_strat_pred(lang, f) for lang, f in STRAT_FRACS.items())}
+"""
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count domain mixing: the first N docs of each language in
+    deterministic pseudo-random (knuth-bucket, id) order — hard caps for
+    a target training-mix distribution (one window shuffle)."""
+    from .operators.sampling import take_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return take_per_group(
+        docs.select("doc_id", "lang"), "doc_id", "lang", MIX_TARGETS
+    )
+
+
+ORACLE_MIX_DOMAINS = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 1000, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE {" OR ".join(f"(lang = '{lang}' AND rn <= {n})" for lang, n in MIX_TARGETS.items())}
+"""
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the events table (row/null/distinct
+    counts + min/max per column; operators/profile.py). exact=True is the
+    oracle-parity mode; exact=False swaps the Expand-producing exact
+    distincts for single-pass HLL++ sketches at 100 TB."""
+    from .operators.profile import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(
+        ev, num_cols=("user_id", "value"), str_cols=("event_type", "props")
+    )
+
+
+def _profile_branch(col: str, numeric: bool) -> str:
+    if numeric:
+        mm = (f"CAST(min({col}) AS DOUBLE) AS min_num, "
+              f"CAST(max({col}) AS DOUBLE) AS max_num, "
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str")
+    else:
+        mm = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+              f"min({col}) AS min_str, max({col}) AS max_str")
+    return (
+        f"SELECT '{col}' AS col, count(*) AS n_rows, "
+        f"count(*) - count({col}) AS n_null, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, {mm} FROM events"
+    )
+
+
+ORACLE_PROFILE = " UNION ALL ".join(
+    _profile_branch(c, n)
+    for c, n in (("user_id", True), ("value", True),
+                 ("event_type", False), ("props", False))
+)
+
 # --------------------------------------------------------------------------
 # North-star: similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -2264,6 +2352,15 @@ QUERIES: dict[str, QueryDef] = {
                                      "deterministic hash-bucketed dataset split"),
     "pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK,
                                "token-budget sequence packing per shard"),
+    "sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
+                                  "per-language deterministic fraction "
+                                  "sampling (map-only)"),
+    "mix_domains": QueryDef(q_mix_domains, ORACLE_MIX_DOMAINS,
+                            "exact-count domain mixing via deterministic "
+                            "per-group take-N"),
+    "profile_columns": QueryDef(q_profile_columns, ORACLE_PROFILE,
+                                "one-pass column profile (null/distinct/"
+                                "min/max per column)"),
     "text_bm25": QueryDef(q_text_bm25, ORACLE_BM25,
                           "BM25 relevance scores (rtol parity; ln ulp)"),
     "text_repetition": QueryDef(q_text_repetition, ORACLE_REPETITION,
@@ -2339,6 +2436,9 @@ _DRIVER_EXCLUDE = (
     "dedup_clusters_lsh",
     "split_train_val_test",
     "pack_sequences",
+    "sample_stratified",
+    "mix_domains",
+    "profile_columns",
     "text_repetition",
     "decontaminate_overlap",
     # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the

@@ -81,6 +81,9 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_clusters_lsh",
     "split_train_val_test",
     "pack_sequences",
+    "sample_stratified",
+    "mix_domains",
+    "profile_columns",
     "text_repetition",
     "decontaminate_overlap",
 ]

@@ -340,3 +340,38 @@ def test_zorder_layout_prunes_multi_dim_predicates(spark, tmp_path_factory):
 
     # layout must not change content
     assert spark.read.parquet(d_z).count() == base.count()
+
+
+def test_sample_stratified_is_map_only(spark, sf_dir):
+    """Stratified sampling is a pure filter: NO Exchange in the plan, so
+    it composes with any downstream partitioning at 100 TB for free."""
+    from feast_ibm_spark.operators.sampling import sample_stratified
+    from feast_ibm_spark.plans.inspect import count_shuffles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_stratified(docs, "doc_id", {"en": 0.2, "de": 0.5}, "lang")
+    assert count_shuffles(out) == 0
+    assert out.count() > 0
+
+
+def test_profile_approx_mode_has_no_expand(spark, sf_dir):
+    """exact=True pays an Expand (input duplicated per distinct column —
+    fine for the oracle gate, wrong at scale); exact=False must plan a
+    single-pass partial aggregate with HLL++ sketches instead."""
+    from feast_ibm_spark.operators.profile import profile_columns
+    from feast_ibm_spark.plans.inspect import explain_str
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = dict(num_cols=("user_id", "value"), str_cols=("event_type",))
+    assert "Expand" in explain_str(profile_columns(ev, exact=True, **cols))
+    approx = profile_columns(ev, exact=False, **cols)
+    assert "Expand" not in explain_str(approx)
+    got = {r["col"]: r for r in approx.collect()}
+    exact = {r["col"]: r for r in profile_columns(ev, exact=True, **cols).collect()}
+    for c in got:
+        assert got[c]["n_null"] == exact[c]["n_null"]
+        assert got[c]["min_num"] == exact[c]["min_num"]
+        # HLL++ distinct within its documented error envelope
+        if exact[c]["n_distinct"]:
+            rel = abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) / exact[c]["n_distinct"]
+            assert rel < 0.1, (c, got[c]["n_distinct"], exact[c]["n_distinct"])
