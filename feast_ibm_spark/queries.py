@@ -613,6 +613,257 @@ LIMIT 10
 """
 
 # --------------------------------------------------------------------------
+# Analytics: TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS,
+# decorrelated into per-order counts (late := shipped >60d after order;
+# the shipped tables carry no commit/receipt dates)
+# --------------------------------------------------------------------------
+
+
+def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper in multi-supplier finished
+    orders. The reference-free relational stress shape: Q21's
+    ``EXISTS(other supplier) AND NOT EXISTS(other LATE supplier)`` pair
+    is decorrelated into one per-order aggregate (n_suppliers, n_late) —
+    two correlated self-probes become one extra groupBy, no self-joins.
+    The oracle keeps the literal correlated formulation, so the gate
+    proves the rewrite semantics-preserving."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        ).otherwise(0)
+    )
+    per_pair = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    culprits = (
+        per_pair.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        culprits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("supp_nation"), "numwait")
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, n_name AS supp_nation, CAST(count(*) AS BIGINT) AS numwait
+FROM pair a
+JOIN supplier ON a.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE a.late = 1
+  AND EXISTS (SELECT 1 FROM pair b
+              WHERE b.l_orderkey = a.l_orderkey
+                AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM pair c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey AND c.late = 1)
+GROUP BY s_name, n_name
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: TPC-H Q18 shape — HAVING-filtered aggregate as join input
+# --------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 250
+
+
+def q_join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: the HAVING subquery (orders whose total
+    quantity exceeds a threshold) drives a semi-join back through orders
+    to customers — aggregate-then-join, the reverse of Q3's
+    join-then-aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+ORACLE_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {LARGE_ORDER_QTY}
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: TPC-H Q15 shape — scalar-max-of-view filter (top supplier)
+# --------------------------------------------------------------------------
+
+TOP_SUPP_START, TOP_SUPP_END = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+def q_join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter's top revenue supplier(s): a revenue "view" consumed
+    twice — once for per-supplier totals, once for the global max — with
+    the second consumption expressed as an unpartitioned window max over
+    the tiny post-aggregate result (no recompute, no self-join)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPP_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPP_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("total_rev"))
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPP_START}'
+    AND l_shipdate <  TIMESTAMP '{TOP_SUPP_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: TPC-H Q14 shape — conditional-aggregate share (promo split)
+# --------------------------------------------------------------------------
+
+PROMO_MONTH_START, PROMO_MONTH_END = "1997-06-01 00:00:00", "1997-07-01 00:00:00"
+
+
+def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one part category in a month's revenue: two conditional
+    sums from one scan (numerator CASE-gated), integer cents end to end,
+    ONE double division at the edge — the cross-engine-exact formulation
+    of Q14's percentage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit(PROMO_MONTH_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_MONTH_END).cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo_num = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", revenue_num).otherwise(F.lit(0))
+    )
+    return joined.agg(
+        ((F.lit(100) * promo_num).cast("double")
+         / F.sum(revenue_num).cast("double")).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_PROMO_SHARE = f"""
+SELECT CAST(100 * SUM(CASE WHEN p_type = 'ECONOMY'
+                           THEN {_L_CENTS} * (100 - {_L_DISC})
+                           ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH_START}'
+  AND l_shipdate <  TIMESTAMP '{PROMO_MONTH_END}'
+"""
+
+# --------------------------------------------------------------------------
+# Analytics: TPC-H Q10 shape — returned-item customers, deterministic top-k
+# --------------------------------------------------------------------------
+
+RETURNS_START, RETURNS_END = "1997-07-01 00:00:00", "1997-10-01 00:00:00"
+
+
+def q_join_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in a quarter: fact
+    pre-filtered on the return flag before the joins, broadcast dims,
+    deterministic top-k (revenue DESC, custkey ASC tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(RETURNS_START).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(RETURNS_END).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_L_CENTS} * (100 - {_L_DISC})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RETURNS_START}'
+  AND o_orderdate <  TIMESTAMP '{RETURNS_END}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
 # Analytics: star-schema join through region (TPC-H Q5 shape)
 # --------------------------------------------------------------------------
 
@@ -2332,6 +2583,20 @@ QUERIES: dict[str, QueryDef] = {
                               "32-bit SimHash signatures"),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS,
                                     "hamming<=3 pairs, pigeonhole-blocked"),
+    "join_waiting_suppliers": QueryDef(q_join_waiting_suppliers,
+                                       ORACLE_WAITING_SUPPLIERS,
+                                       "Q21-shape double-correlated "
+                                       "EXISTS/NOT EXISTS, decorrelated"),
+    "join_large_orders": QueryDef(q_join_large_orders, ORACLE_LARGE_ORDERS,
+                                  "Q18-shape HAVING aggregate driving a "
+                                  "join"),
+    "join_top_supplier": QueryDef(q_join_top_supplier, ORACLE_TOP_SUPPLIER,
+                                  "Q15-shape scalar-max-of-view filter"),
+    "agg_promo_share": QueryDef(q_agg_promo_share, ORACLE_PROMO_SHARE,
+                                "Q14-shape conditional-aggregate share"),
+    "join_returned_customers": QueryDef(q_join_returned_customers,
+                                        ORACLE_RETURNED_CUSTOMERS,
+                                        "Q10-shape returns top-k"),
     "join_excess_suppliers": QueryDef(q_join_excess_suppliers,
                                       ORACLE_EXCESS_SUPPLIERS,
                                       "Q20-shape correlated share-of-total, "
@@ -2429,6 +2694,11 @@ _DRIVER_EXCLUDE = (
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale
+    "join_waiting_suppliers",
+    "join_large_orders",
+    "join_top_supplier",
+    "agg_promo_share",
+    "join_returned_customers",
     "join_excess_suppliers",
     "agg_global_avg_filter",
     "window_spend_quartiles",

@@ -74,6 +74,11 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
     "pit_join_union_window",  # slot yielded to streaming_sessionize
+    "join_waiting_suppliers",
+    "join_large_orders",
+    "join_top_supplier",
+    "agg_promo_share",
+    "join_returned_customers",
     "join_excess_suppliers",
     "agg_global_avg_filter",
     "window_spend_quartiles",
