@@ -2435,6 +2435,57 @@ SELECT user_id, value, event_type, ts, event_id FROM (
 ) WHERE rn = 1
 """
 
+def q_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned materialize with IDEMPOTENT re-runs: two adjacent
+    day-slice increments, then the second increment re-run verbatim (a
+    backfill/retry). Dynamic partition overwrite makes the re-run replace
+    its own day directories instead of appending, so the merged snapshot
+    still equals one full-range recompute — the same oracle as
+    ``materialize_incremental`` proves it, with the retry duplicating
+    nothing. The snapshot layout also gives readers day-directory pruning
+    (store.materialize_partitioned)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.data_source import SparkDataSource
+    from .sources.reader import read_parquet
+    from .store import SparkOfflineStore
+
+    configure_runtime(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_mat_part_{tag}")
+    shutil.rmtree(dest, ignore_errors=True)  # fresh layout every run
+
+    src = SparkDataSource(
+        path=os.path.join(sf_dir, "events.parquet"), timestamp_field="ts"
+    )
+    common = dict(
+        join_key_columns=["user_id"],
+        feature_name_columns=["value", "event_type"],
+        timestamp_field="ts",
+        created_timestamp_column="event_id",
+        dest_path=dest,
+    )
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_LO, end_date="2024-01-14 23:59:59.999999",
+        **common,
+    )
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_MID, end_date=MAT_HI, **common,
+    )
+    # retry of the second increment: replaces its day dirs, adds nothing
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_MID, end_date=MAT_HI, **common,
+    )
+    from .operators.dedup import dedup_keep_latest
+
+    snap = read_parquet(spark, dest).drop("snapshot_day")
+    return dedup_keep_latest(snap, ["user_id"], "ts", created_col="event_id") \
+        .select("user_id", "value", "event_type", "ts", "event_id")
+
+
 # --------------------------------------------------------------------------
 # PIT join over a date-partitioned feature layout: FeatureViewSpec's
 # date_partition_column injects string partition predicates beside the TTL
@@ -2508,6 +2559,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_MATERIALIZE_INCR,
                                         "two materialize increments == one "
                                         "full-range recompute (idempotent refresh)"),
+    "materialize_partitioned": QueryDef(q_materialize_partitioned,
+                                        ORACLE_MATERIALIZE_INCR,
+                                        "day-partitioned materialize; a re-run "
+                                        "replaces its partitions (idempotent "
+                                        "retry, same full-range oracle)"),
     "pull_latest_tiebreak": QueryDef(q_pull_latest_tiebreak,
                                      ORACLE_PULL_LATEST_TIEBREAK,
                                      "A3 created-ts tiebreak on day-level ties"),
@@ -2694,6 +2750,7 @@ _DRIVER_EXCLUDE = (
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale
+    "materialize_partitioned",
     "join_waiting_suppliers",
     "join_large_orders",
     "join_top_supplier",
