@@ -623,10 +623,15 @@ def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who were the SOLE late shipper in multi-supplier finished
     orders. The reference-free relational stress shape: Q21's
     ``EXISTS(other supplier) AND NOT EXISTS(other LATE supplier)`` pair
-    is decorrelated into one per-order aggregate (n_suppliers, n_late) —
-    two correlated self-probes become one extra groupBy, no self-joins.
-    The oracle keeps the literal correlated formulation, so the gate
-    proves the rewrite semantics-preserving."""
+    is decorrelated into per-order WINDOW aggregates over one
+    per-(order,supplier) rollup — the two correlated self-probes become
+    two window functions sharing one partitioning, so lineitem is
+    scanned and aggregated exactly ONCE (a groupBy-and-rejoin
+    formulation was measured planning the pair aggregate twice into a
+    sort-merge self-join). The oracle keeps the literal correlated
+    formulation, so the gate proves the rewrite semantics-preserving."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
@@ -639,6 +644,8 @@ def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_pair = (
         li.join(
+            # orders is a fact table: join strategy left to Catalyst/AQE
+            # (runtime-broadcast at small sf, sort-merge at scale)
             orders.filter(F.col("o_orderstatus") == "F").select(
                 "o_orderkey", "o_orderdate"
             ),
@@ -647,13 +654,13 @@ def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(late.alias("late"))
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     culprits = (
-        per_pair.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
     )
     return (
         culprits.groupBy("l_suppkey")

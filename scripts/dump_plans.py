@@ -124,6 +124,28 @@ SHOWCASE: list[tuple[str, str]] = [
         "is linear; for large query sets the IVF variant (knn_ivf) replaces\n"
         "the product with a cell equi-join.",
     ),
+    (
+        "join_waiting_suppliers",
+        "TPC-H Q21 shape with the double-correlated EXISTS / NOT EXISTS\n"
+        "pair decorrelated away: ONE per-(order,supplier) aggregate, then\n"
+        "both correlated probes become window aggregates over the SAME\n"
+        "per-order partitioning — lineitem is scanned and aggregated\n"
+        "exactly once, and the plan has no self-join at all. (The\n"
+        "groupBy-and-rejoin formulation was measured planning the pair\n"
+        "aggregate twice into a sort-merge self-join — two full scan\n"
+        "branches; the window form replaces both with one Exchange.) The\n"
+        "DuckDB oracle runs the literal correlated formulation, proving\n"
+        "the rewrite semantics-preserving at the gate.",
+    ),
+    (
+        "sample_stratified",
+        "Deterministic stratified sampling is a PURE FILTER: the\n"
+        "knuth-bucket predicate evaluates inside the scan stage (zero\n"
+        "Exchange nodes — plan-tested), so sampling composes with any\n"
+        "downstream partitioning for free and never becomes a scale\n"
+        "bottleneck. Contrast take_per_group (exact counts), which pays\n"
+        "one window shuffle on the group key.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -49,6 +49,14 @@ SMOKE_QUERIES = [
     "dedup_clusters",
     "decontaminate_overlap",
     "text_repetition",
+    # pipeline additions: sampling/mixing/profiling + Q21-shape + the
+    # drained streaming query (state-store scaling) + partitioned refresh
+    "mix_domains",
+    "sample_stratified",
+    "profile_columns",
+    "join_waiting_suppliers",
+    "streaming_sessionize",
+    "materialize_partitioned",
 ]
 
 
@@ -124,10 +132,34 @@ def build_scaled(spark, src: str, dest: str, copies: int) -> None:
     )
     rotated.write.mode("overwrite").parquet(os.path.join(dest, "embeddings.parquet"))
 
+    # lineitem + orders: copies shift the ORDER key by the same stride so
+    # fact-fact joins (Q21 shape) stay key-consistent — each copy is an
+    # identical order universe over the SHARED dimension tables, so
+    # per-supplier aggregates scale exactly linearly. Scan/agg queries
+    # never group on the raw orderkey, so shifting is invisible to them.
     li = load_table(spark, src, "lineitem")
+    orders = load_table(spark, src, "orders")
+    n_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
     functools.reduce(
-        lambda a, b: a.unionByName(b), [li for _ in range(copies)]
+        lambda a, b: a.unionByName(b),
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + k * n_ok)
+            for k in range(copies)
+        ],
     ).write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
+    functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + k * n_ok)
+            for k in range(copies)
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(dest, "orders.parquet"))
+
+    # dimensions ride along unscaled (shared across the copied universes)
+    for dim in ("supplier", "nation", "region", "customer", "part"):
+        load_table(spark, src, dim).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{dim}.parquet")
+        )
 
 
 def main() -> None:
@@ -154,8 +186,13 @@ def main() -> None:
 
     for name in SMOKE_QUERIES:
         t0 = time.time()
-        n = QUERIES[name].fn(spark, args.dest).count()
-        print(f"{name}: {time.time()-t0:.1f}s ({n:,} rows)")
+        try:
+            n = QUERIES[name].fn(spark, args.dest).count()
+        except Exception as e:  # keep the sweep going; report the failure
+            print(f"{name}: FAILED after {time.time()-t0:.1f}s — "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        print(f"{name}: {time.time()-t0:.1f}s ({n:,} rows)", flush=True)
 
 
 if __name__ == "__main__":
