@@ -1,0 +1,106 @@
+"""Per-key time-grid resampling with last-observation-carried-forward
+(north-star extension; no reference counterpart).
+
+The "regular feature snapshot" operation: given an irregular event
+stream, produce each key's feature value at every step of a fixed time
+grid — the value as of that instant (latest observation at or before
+it), NULL before the key's first observation. This is the batch
+formulation of what a feature platform materializes on a schedule, and
+the dense-grid twin of the PIT join (spine = key x grid instead of a
+user-supplied entity frame).
+
+Physical shape — the same melt trick as the PIT ``union_window``
+strategy: grid rows and observation rows are UNIONed, sorted within one
+key partitioning, and values are carried forward with
+``last(ignorenulls)`` over a running window; grid rows are then kept.
+ONE shuffle on the key, no range join, no per-grid-point probe. At
+100 TB the grid side is synthesized (``sequence`` + ``explode`` from the
+distinct-key list — no data movement), and the single key-partitioned
+window is the whole cost; a key's total history bounds its partition,
+the same constraint (and the same time-bucket salting remedy) as the
+melt PIT strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    start: str | Column,
+    end: str | Column,
+    step_seconds: int,
+    grid_col: str = "grid_ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample ``value_cols`` onto a regular ``step_seconds`` grid over
+    ``[start, end]`` per key, carrying the latest observation forward.
+
+    An observation exactly AT a grid instant is visible to it
+    (inclusive, matching PIT-join ``<=`` semantics). Keys appear for the
+    full grid; instants before a key's first observation carry NULLs.
+    Observations sharing one timestamp are deduplicated first (latest by
+    ``tiebreak_cols`` wins) so the carried value is deterministic.
+    """
+    start_c = F.lit(start).cast("timestamp") if isinstance(start, str) else start
+    end_c = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+
+    obs = df.select(*key_cols, ts_col, *value_cols)
+    if tiebreak_cols:
+        w_tie = Window.partitionBy(*key_cols, ts_col).orderBy(
+            *[F.col(c).desc() for c in tiebreak_cols]
+        )
+        obs = (
+            df.select(*key_cols, ts_col, *value_cols, *tiebreak_cols)
+            .withColumn("__tie", F.row_number().over(w_tie))
+            .filter(F.col("__tie") == 1)
+            .select(*key_cols, ts_col, *value_cols)
+        )
+
+    # synthesized grid: distinct keys x sequence(start, end, step) — the
+    # only shuffle in the whole plan is the distinct + final window
+    grid = (
+        obs.select(*key_cols)
+        .distinct()
+        .withColumn(
+            grid_col,
+            F.explode(
+                F.sequence(
+                    start_c, end_c, F.expr(f"INTERVAL {step_seconds} SECONDS")
+                )
+            ),
+        )
+    )
+    # melt: observations sort BEFORE the grid row at an equal timestamp
+    # (is_grid tiebreak), so an observation at the instant is included
+    obs_tagged = obs.select(
+        *key_cols,
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.lit(None).cast("timestamp").alias(grid_col),
+        *value_cols,
+    )
+    grid_tagged = grid.select(
+        *key_cols,
+        F.col(grid_col).alias("__t"),
+        F.lit(1).alias("__is_grid"),
+        F.col(grid_col),
+        *[F.lit(None).cast(obs.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__t").asc(), F.col("__is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = obs_tagged.unionByName(grid_tagged).select(
+        *key_cols,
+        F.col(grid_col),
+        F.col("__is_grid"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__is_grid") == 1).drop("__is_grid")

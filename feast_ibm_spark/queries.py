@@ -2442,6 +2442,52 @@ SELECT user_id, value, event_type, ts, event_id FROM (
 ) WHERE rn = 1
 """
 
+RESAMPLE_START, RESAMPLE_END = "2024-01-10 00:00:00", "2024-01-17 00:00:00"
+RESAMPLE_STEP_S = 21600  # 6h grid
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 6-hour feature snapshots per user over one week: the
+    dense-grid twin of the PIT join (operators/resample.py — melt +
+    carry-forward window, one shuffle, no range join). Oracle uses
+    DuckDB's native ASOF JOIN against a generated series — two utterly
+    different formulations, same rows."""
+    from .operators.resample import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_locf(
+        ev, ["user_id"], "ts", ["value"],
+        RESAMPLE_START, RESAMPLE_END, RESAMPLE_STEP_S,
+        tiebreak_cols=["event_id"],
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH dedup AS (
+  SELECT user_id, ts, value
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT k.user_id, g.gs AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events) k
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '{RESAMPLE_START}',
+                                  TIMESTAMP '{RESAMPLE_END}',
+                                  INTERVAL {RESAMPLE_STEP_S} SECOND)) AS gs
+  ) g
+)
+SELECT grid.user_id, grid.grid_ts, dedup.value AS value
+FROM grid
+ASOF LEFT JOIN dedup
+  ON grid.user_id = dedup.user_id AND dedup.ts <= grid.grid_ts
+"""
+
+
 def q_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned materialize with IDEMPOTENT re-runs: two adjacent
     day-slice increments, then the second increment re-run verbatim (a
@@ -2566,6 +2612,9 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_MATERIALIZE_INCR,
                                         "two materialize increments == one "
                                         "full-range recompute (idempotent refresh)"),
+    "resample_locf": QueryDef(q_resample_locf, ORACLE_RESAMPLE,
+                              "regular time-grid snapshots per key, LOCF "
+                              "(melt+window vs DuckDB ASOF JOIN oracle)"),
     "materialize_partitioned": QueryDef(q_materialize_partitioned,
                                         ORACLE_MATERIALIZE_INCR,
                                         "day-partitioned materialize; a re-run "
@@ -2757,6 +2806,7 @@ _DRIVER_EXCLUDE = (
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale
+    "resample_locf",
     "materialize_partitioned",
     "join_waiting_suppliers",
     "join_large_orders",

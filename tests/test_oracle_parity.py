@@ -74,6 +74,7 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
     "pit_join_union_window",  # slot yielded to streaming_sessionize
+    "resample_locf",
     "materialize_partitioned",
     "join_waiting_suppliers",
     "join_large_orders",
