@@ -2442,6 +2442,64 @@ SELECT user_id, value, event_type, ts, event_id FROM (
 ) WHERE rn = 1
 """
 
+def q_sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window``
+    aggregation — the third formulation gated against ORACLE_SESSIONIZE
+    (after the batch lag+running-sum and the drained streaming state
+    kernel). ``session_window`` merges events whose gaps are < gap
+    into one group, so min/max/count inside each group reproduce the
+    same sessions; ``session_id`` is re-derived per key by start order.
+    Pins that the native operator's merge semantics equal ours —
+    and gives the streaming-native path (watermark + session_window)
+    a batch-verified twin."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    grouped = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return grouped.withColumn(
+        "session_id", F.row_number().over(w).cast("bigint")
+    ).select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+
+PIVOT_TYPES = ["click", "purchase", "refund", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type (`groupBy().pivot()` with an EXPLICIT value list — the implicit
+    list would add a driver-side distinct collect; reference has no
+    pivot surface). Oracle is the conditional-aggregation expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+        .select(
+            "user_id",
+            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in PIVOT_TYPES],
+        )
+    )
+
+
+ORACLE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 RESAMPLE_START, RESAMPLE_END = "2024-01-10 00:00:00", "2024-01-17 00:00:00"
 RESAMPLE_STEP_S = 21600  # 6h grid
 
@@ -2612,6 +2670,12 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_MATERIALIZE_INCR,
                                         "two materialize increments == one "
                                         "full-range recompute (idempotent refresh)"),
+    "sessionize_native_window": QueryDef(q_sessionize_native_window,
+                                         ORACLE_SESSIONIZE,
+                                         "built-in session_window aggregation "
+                                         "— third formulation, same oracle"),
+    "pivot_event_counts": QueryDef(q_pivot_event_counts, ORACLE_PIVOT,
+                                   "PIVOT to one count column per event type"),
     "resample_locf": QueryDef(q_resample_locf, ORACLE_RESAMPLE,
                               "regular time-grid snapshots per key, LOCF "
                               "(melt+window vs DuckDB ASOF JOIN oracle)"),
@@ -2806,6 +2870,8 @@ _DRIVER_EXCLUDE = (
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale
+    "sessionize_native_window",
+    "pivot_event_counts",
     "resample_locf",
     "materialize_partitioned",
     "join_waiting_suppliers",

@@ -74,6 +74,8 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
     "pit_join_union_window",  # slot yielded to streaming_sessionize
+    "sessionize_native_window",
+    "pivot_event_counts",
     "resample_locf",
     "materialize_partitioned",
     "join_waiting_suppliers",
