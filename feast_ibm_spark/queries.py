@@ -2500,6 +2500,96 @@ FROM events GROUP BY user_id
 """
 
 
+def q_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric attributes to long (attr, value)
+    rows — the inverse of pivot, used to feed generic per-attribute
+    profiling/quality pipelines. Oracle is the UNION ALL expansion."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "value")
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
+def q_window_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour event count per user: a RANGE window frame over
+    event TIME (micros since epoch), not row position — each event sees
+    how many of its key's events fell in the preceding day, inclusive.
+    One shuffle on the key; the frame bound is evaluated per row inside
+    the sorted partition (no self-join, no grid)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_24h"),
+    )
+
+
+ORACLE_ROLLING_24H = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_24h
+FROM events
+"""
+
+
+def q_array_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: per-label
+    min/max L2 norm + count. The norm is a strict left-to-right
+    ``aggregate`` fold over the array (same element order both engines,
+    so the double result is bit-exact); min/max are order-insensitive,
+    so the group aggregate is exact without decimal tricks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+ORACLE_ARRAY_NORM = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings
+)
+SELECT label, min(norm) AS min_norm, max(norm) AS max_norm,
+       count(*) AS n_vectors
+FROM norms GROUP BY label
+"""
+
+
 RESAMPLE_START, RESAMPLE_END = "2024-01-10 00:00:00", "2024-01-17 00:00:00"
 RESAMPLE_STEP_S = 21600  # 6h grid
 
@@ -2670,6 +2760,13 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_MATERIALIZE_INCR,
                                         "two materialize increments == one "
                                         "full-range recompute (idempotent refresh)"),
+    "unpivot_part_attrs": QueryDef(q_unpivot_part_attrs, ORACLE_UNPIVOT,
+                                   "UNPIVOT/melt to long attribute rows"),
+    "window_rolling_24h": QueryDef(q_window_rolling_24h, ORACLE_ROLLING_24H,
+                                   "RANGE-frame rolling 24h count over "
+                                   "event time"),
+    "array_norm_stats": QueryDef(q_array_norm_stats, ORACLE_ARRAY_NORM,
+                                 "array fold L2 norms, per-label stats"),
     "sessionize_native_window": QueryDef(q_sessionize_native_window,
                                          ORACLE_SESSIONIZE,
                                          "built-in session_window aggregation "
@@ -2870,6 +2967,9 @@ _DRIVER_EXCLUDE = (
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale
+    "unpivot_part_attrs",
+    "window_rolling_24h",
+    "array_norm_stats",
     "sessionize_native_window",
     "pivot_event_counts",
     "resample_locf",

@@ -74,6 +74,9 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
     "pit_join_union_window",  # slot yielded to streaming_sessionize
+    "unpivot_part_attrs",
+    "window_rolling_24h",
+    "array_norm_stats",
     "sessionize_native_window",
     "pivot_event_counts",
     "resample_locf",
