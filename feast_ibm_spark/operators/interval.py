@@ -1,0 +1,94 @@
+"""Interval (range) join: points joined into containing intervals.
+
+Spark has no native range-join optimization: a join whose only predicate
+is ``start <= p AND p <= end`` plans as BroadcastNestedLoopJoin (or a
+cartesian product when neither side broadcasts) — O(|points| x
+|intervals|) comparisons, a non-starter at 100 TB. The classic fix
+(used by every streaming/temporal engine and by Spark's own
+session-window internals) is **bucketing**: quantize the axis into
+fixed-width buckets, explode each interval into the bucket ids it
+overlaps, tag each point with its bucket id, equi-join on the bucket id
+(a plain shuffled/broadcast hash join Catalyst knows how to optimize),
+then re-check the exact containment predicate. Cost becomes
+O(|points| x avg_intervals_per_bucket) with a tunable constant:
+
+- ``bucket`` ~ typical interval length  => each interval explodes into
+  ~2 buckets and each point meets only the intervals within one
+  bucket-width of it.
+- Too-small buckets inflate the interval explode; too-large buckets
+  inflate the candidate set. Both stay correct — the exact filter wins.
+
+The operator is generic over any orderable numeric axis; callers with
+timestamp/date axes convert to epoch days/seconds first (exact integer
+arithmetic — no float bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+    on: list[str] | None = None,
+    how: str = "inner",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_col <= point_col <= end_col`` (inclusive both ends), plus
+    optional equi-keys ``on``. Output carries all point columns and all
+    interval columns (names must not collide except ``on``).
+
+    ``bucket`` is the quantization width in axis units (must cover the
+    LONGEST interval comfortably: an interval spanning k buckets explodes
+    into k+1 rows — fine, but pick ``bucket`` near the typical length).
+    ``broadcast_intervals`` hint-broadcasts the exploded interval side for
+    dimension-sized interval tables (the common case: windows, campaigns,
+    calendars vs a huge fact table of points).
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    The exact containment predicate lives INSIDE the join condition (as
+    the hash join's residual filter), so a point matches exactly one
+    bucket-row per containing interval — never duplicated, and a left
+    join's NULL-extension fires only when NO interval truly contains the
+    point. Catalyst extracts the bucket/key equalities as the hash-join
+    keys and keeps the range check as the post-probe condition.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    on = on or []
+
+    b = F.lit(int(bucket))
+    # floor-div on integers; works for negatives too (floor semantics).
+    ivals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b), F.floor(F.col(end_col) / b)
+            )
+        ),
+    )
+    if broadcast_intervals:
+        ivals = F.broadcast(ivals)
+    pts = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+
+    cond = pts["__bucket"] == ivals["__bucket"]
+    for k in on:
+        cond = cond & (pts[k] == ivals[k])
+    cond = (
+        cond
+        & (ivals[start_col] <= pts[point_col])
+        & (pts[point_col] <= ivals[end_col])
+    )
+    ival_cols = [c for c in intervals.columns if c not in on]
+    return (
+        pts.join(ivals, cond, how)
+        .select(*[pts[c] for c in points.columns],
+                *[ivals[c] for c in ival_cols])
+    )

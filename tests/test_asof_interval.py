@@ -1,0 +1,169 @@
+"""Unit + randomized property tests for the generic as-of join
+(operators/asof.py) and the bucketed range join (operators/interval.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feast_ibm_spark.operators.asof import asof_join  # noqa: E402
+from feast_ibm_spark.operators.interval import range_join  # noqa: E402
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _brute_asof(left_rows, right_rows, direction, tol_s):
+    """Reference implementation of the documented semantics, per left row."""
+    out = {}
+    for key, lts in left_rows:
+        cands = []
+        for rkey, rts, rid, val in right_rows:
+            if rkey != key:
+                continue
+            d = (rts - lts).total_seconds()
+            if direction == "backward":
+                ok = d <= 0 and (not tol_s or d >= -tol_s)
+            elif direction == "forward":
+                ok = d >= 0 and (not tol_s or d <= tol_s)
+            else:
+                ok = abs(d) <= tol_s
+            if ok:
+                cands.append((d, rts, rid, val))
+        if not cands:
+            out[(key, lts)] = None
+            continue
+        if direction == "backward":
+            cands.sort(key=lambda c: (c[1], c[2]), reverse=True)  # latest, id desc
+        elif direction == "forward":
+            cands.sort(key=lambda c: (c[1], -c[2]))  # earliest, id desc
+        else:  # nearest: min |d|, then earlier ts, then id desc
+            cands.sort(key=lambda c: (abs(c[0]), c[1], -c[2]))
+        out[(key, lts)] = cands[0][3]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_brute_force_randomized(spark, direction):
+    rng = random.Random(f"asof-{direction}")
+    for trial in range(3):
+        keys = ["a", "b", "c"]
+        right_rows = [
+            (rng.choice(keys), _ts(rng.randrange(0, 2000)), i,
+             float(rng.randrange(1000)))
+            for i in range(120)
+        ]
+        left_rows = [
+            (rng.choice(keys + ["never-matches"]), _ts(rng.randrange(0, 2000)))
+            for _ in range(60)
+        ]
+        tol = 180 * 60  # 3 hours
+        left = spark.createDataFrame(left_rows, "k string, lts timestamp")
+        right = spark.createDataFrame(
+            right_rows, "k string, rts timestamp, rid long, val double"
+        )
+        got = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_columns=["val"], direction=direction,
+            tolerance_seconds=tol, tiebreak="rid",
+        ).collect()
+        expect = _brute_asof(left_rows, right_rows, direction, tol)
+        # duplicated (k, lts) left rows each get the winner; compare per row
+        assert len(got) == len(left_rows)
+        for row in got:
+            assert expect[(row["k"], row["lts"])] == row["val"], (
+                direction, trial, row)
+
+
+def test_asof_no_tolerance_unbounded(spark):
+    left = spark.createDataFrame([("a", _ts(100))], "k string, lts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(1), 1, 1.0), ("a", _ts(99), 2, 2.0), ("a", _ts(150), 3, 3.0)],
+        "k string, rts timestamp, rid long, val double",
+    )
+    back = asof_join(left, right, ["k"], "lts", "rts", ["val"],
+                     direction="backward").collect()
+    assert back[0]["val"] == 2.0
+    fwd = asof_join(left, right, ["k"], "lts", "rts", ["val"],
+                    direction="forward").collect()
+    assert fwd[0]["val"] == 3.0
+
+
+def test_asof_keyless_and_exact_tie(spark):
+    # keyless (global timeline) + an exact equal-distance tie for nearest:
+    # matches at -60s and +60s -> earlier row wins by the documented rule
+    left = spark.createDataFrame([(_ts(10),)], "lts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(9), 1, 10.0), (_ts(11), 2, 20.0)],
+        "rts timestamp, rid long, val double",
+    )
+    got = asof_join(left, right, [], "lts", "rts", ["val"],
+                    direction="nearest", tolerance_seconds=3600,
+                    tiebreak="rid").collect()
+    assert got[0]["val"] == 10.0
+
+
+def test_asof_nearest_requires_tolerance(spark):
+    left = spark.createDataFrame([(_ts(0),)], "lts timestamp")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, left, [], "lts", "lts", [], direction="nearest")
+
+
+def _brute_range(points, ivals):
+    return sorted(
+        (p, s, e) for p in points for (s, e) in ivals if s <= p <= e
+    )
+
+
+def test_range_join_matches_brute_force(spark):
+    rng = random.Random("range-join")
+    for bucket in (1, 3, 10, 1000):
+        points = [rng.randrange(-50, 150) for _ in range(80)]
+        ivals = [
+            (s, s + rng.randrange(0, 25))
+            for s in (rng.randrange(-60, 140) for _ in range(40))
+        ]
+        p_df = spark.createDataFrame([(p,) for p in points], "p long")
+        i_df = spark.createDataFrame(ivals, "s long, e long")
+        got = sorted(
+            (r["p"], r["s"], r["e"])
+            for r in range_join(p_df, i_df, "p", "s", "e", bucket=bucket).collect()
+        )
+        assert got == _brute_range(points, ivals), f"bucket={bucket}"
+
+
+def test_range_join_left_keeps_unmatched_points_once(spark):
+    p_df = spark.createDataFrame([(5,), (100,)], "p long")
+    # interval spans many buckets at bucket=2 -> explode must not
+    # duplicate the contained point, and the unmatched point survives once
+    i_df = spark.createDataFrame([(0, 20)], "s long, e long")
+    rows = range_join(p_df, i_df, "p", "s", "e", bucket=2, how="left").collect()
+    assert sorted((r["p"], r["s"]) for r in rows) == [(5, 0), (100, None)]
+
+
+def test_range_join_with_keys(spark):
+    p_df = spark.createDataFrame([("x", 5), ("y", 5)], "k string, p long")
+    i_df = spark.createDataFrame([("x", 0, 10)], "k string, s long, e long")
+    rows = range_join(p_df, i_df, "p", "s", "e", bucket=4, on=["k"]).collect()
+    assert [(r["k"], r["p"]) for r in rows] == [("x", 5)]
+
+
+def test_range_join_plans_hash_join_not_bnlj(spark):
+    """The whole point of the bucketing: the join must be a broadcast/
+    shuffled HASH join on the bucket key, never BroadcastNestedLoopJoin."""
+    p_df = spark.range(1000).selectExpr("id AS p")
+    i_df = spark.range(100).selectExpr("id * 7 AS s", "id * 7 + 9 AS e")
+    plan = range_join(
+        p_df, i_df, "p", "s", "e", bucket=8, broadcast_intervals=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan

@@ -98,6 +98,12 @@ _EXCLUDED_WITH_ORACLE = [
     "profile_columns",
     "text_repetition",
     "decontaminate_overlap",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "range_join_ship_windows",
+    "rollup_ohlc_daily",
+    "agg_value_histogram",
+    "filter_value_outliers",
 ]
 _EXCLUDED_RTOL = ["text_bm25"]  # ln differs ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
