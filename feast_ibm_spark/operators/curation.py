@@ -1,0 +1,97 @@
+"""Corpus curation pipeline: exact dedup → quality floor → near-dup prune.
+
+One operator for the composed training-data pipeline (the per-stage
+operators live in ``dedup.py`` / ``functions/text.py`` and are each
+oracle-gated on their own). The only scale-sensitive choice is the
+near-dup tier:
+
+- ``exact``  — inverted-index n-gram Jaccard self-join. Complete, but the
+  candidate-pair count is sum(c^2) over shingle document frequencies:
+  quadratic on boilerplate-heavy corpora. Fastest at small scale
+  (measured: wins at sf0.1).
+- ``lsh``    — MinHash + banded LSH candidate generation (bounded bucket
+  equi-join), exact-verified. Linear-ish; measured ~4-5x faster at 10x
+  sf0.1 and the only viable tier at 100 TB.
+- ``auto``   — pick by INPUT BYTES from file metadata (a driver-side
+  listing; no data scan, no extra Spark job — counting rows to decide
+  would itself cost a full pass at 100 TB). Below ``lsh_min_bytes`` use
+  exact, else LSH. Both tiers produce the same survivors on corpora where
+  LSH recall ~1 (banding at k=32/b=16/r=2 gives ~0.99 recall at J>=0.5),
+  so the switch trades only the documented tail of sub-threshold recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score_col, token_count_col
+from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+
+# Measured crossover (scripts/sf1_smoke.py, NOTES.md): exact tier wins at
+# sf0.1 (~5 MB of text), LSH is ~4-5x faster at 10x that. Default the
+# switch a bit above the measured corpus size where exact still won.
+DEFAULT_LSH_MIN_BYTES = 64 << 20
+
+
+def input_size_bytes(df: DataFrame) -> int | None:
+    """Total size of the files backing ``df`` (None when not file-backed).
+    Driver-side Hadoop FS metadata only — never touches row data."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(conf)
+        total += fs.getFileStatus(path).getLen()
+    return total
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_floor: float,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    tier: str = "auto",
+    lsh_min_bytes: int = DEFAULT_LSH_MIN_BYTES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns surviving ``(id, n_tokens, quality_score)`` rows after
+    exact dedup, the quality floor, and near-dup pruning (the LOWER id of
+    each near-dup pair survives)."""
+    if tier not in ("exact", "lsh", "auto"):
+        raise ValueError(f"unknown tier: {tier}")
+    if tier == "auto":
+        size = input_size_bytes(docs)
+        # unknown size (derived frame): assume big — LSH is the safe tier
+        tier = "exact" if size is not None and size < lsh_min_bytes else "lsh"
+
+    s = quality_score_col(text_col)
+    survivors = (
+        exact_dedup(docs)
+        .select(id_col, text_col)
+        .withColumn("quality_score", s.quality_score)
+        .filter(F.col("quality_score") >= quality_floor)
+    )
+    if tier == "exact":
+        pairs = ngram_jaccard_pairs(
+            survivors, n=ngram_n, threshold=jaccard_threshold
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            survivors, n=ngram_n, threshold=jaccard_threshold
+        )
+    losers = pairs.select(F.col("doc_b").alias(id_col))
+    return (
+        survivors.join(losers, id_col, "left_anti")
+        .select(
+            id_col,
+            token_count_col(text_col).alias("n_tokens"),
+            "quality_score",
+        )
+    )

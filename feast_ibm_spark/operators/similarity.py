@@ -241,6 +241,11 @@ def train_ivf_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+# seed centroids per (input files, id_col, vec_col, n_cells) — see
+# ivf_cosine_topk; values are small ndarrays (n_cells x dim)
+_SEED_CENTROID_CACHE: dict = {}
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,13 +279,26 @@ def ivf_cosine_topk(
         cents = np.asarray(centroids, dtype=np.float64)
         n_cells = len(centroids)
     else:
-        cent_rows = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(n_cells)
-            .select(vec_col)
-            .collect()
-        )
-        cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+        # The seed-centroid pick is a full-scan top-k job; for a stable
+        # file-backed corpus it is the same 16 rows every call, so cache
+        # per (files, id_col, n_cells) — the in-process analogue of
+        # persisting the trained index vectors to a model table (which is
+        # all an IVF "index" is, see train_ivf_centroids).
+        cache_key = None
+        files = tuple(sorted(corpus.inputFiles()))
+        if files:
+            cache_key = (files, id_col, vec_col, n_cells)
+        cents = _SEED_CENTROID_CACHE.get(cache_key) if cache_key else None
+        if cents is None:
+            cent_rows = (
+                corpus.orderBy(F.col(id_col).asc())
+                .limit(n_cells)
+                .select(vec_col)
+                .collect()
+            )
+            cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+            if cache_key:
+                _SEED_CENTROID_CACHE[cache_key] = cents
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     @pandas_udf(LongType())

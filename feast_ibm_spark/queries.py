@@ -1597,31 +1597,29 @@ FROM votes
 CURATION_QUALITY_FLOOR = 0.52
 
 
-def _corpus_curation(spark: SparkSession, sf_dir: str, pairs_fn) -> DataFrame:
+def _corpus_curation(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    from .operators.curation import curate_corpus
+
     docs = _t(spark, sf_dir, "documents")
-    s = quality_score_col("text")
-    survivors = (
-        exact_dedup(docs)
-        .select("doc_id", "text")
-        .withColumn("quality_score", s.quality_score)
-        .filter(F.col("quality_score") >= CURATION_QUALITY_FLOOR)
-    )
-    pairs = pairs_fn(survivors).select(F.col("doc_b").alias("doc_id"))
-    return (
-        survivors.join(pairs, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            token_count_col("text").alias("n_tokens"),
-            "quality_score",
-        )
+    return curate_corpus(
+        docs,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        tier=tier,
     )
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _corpus_curation(
-        spark, sf_dir,
-        lambda df: ngram_jaccard_pairs(df, n=NGRAM_N, threshold=JACCARD_THRESHOLD),
-    )
+    return _corpus_curation(spark, sf_dir, "exact")
+
+
+def q_corpus_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tier='auto': the near-dup stage is chosen from the corpus' file
+    size (driver-side metadata, no extra job) — exact inverted-index
+    below the measured crossover, MinHash-LSH above it. Same oracle
+    either way (the LSH tier matches the exact survivor set here)."""
+    return _corpus_curation(spark, sf_dir, "auto")
 
 
 def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,10 +1631,7 @@ def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=32/b=16/r=2 recall at J>=0.5 is 1-(1-0.25)^16 ~ 0.99 — on this
     corpus the survivor set matches the exact tier (same full DuckDB
     oracle; agreement also pinned in tests/test_north_star.py)."""
-    return _corpus_curation(
-        spark, sf_dir,
-        lambda df: minhash_lsh_pairs(df, n=NGRAM_N, threshold=JACCARD_THRESHOLD),
-    )
+    return _corpus_curation(spark, sf_dir, "lsh")
 
 
 SIMHASH_MAX_HAMMING = 3
@@ -3232,6 +3227,9 @@ QUERIES: dict[str, QueryDef] = {
     "filter_value_outliers": QueryDef(q_filter_value_outliers, ORACLE_OUTLIERS,
                                       "per-group Tukey-fence outlier filter "
                                       "(exact quartiles + broadcast fences)"),
+    "corpus_curation_auto": QueryDef(q_corpus_curation_auto, ORACLE_CURATION,
+                                     "curation with the size-based near-dup "
+                                     "tier switch (file metadata, no scan)"),
 }
 
 # --------------------------------------------------------------------------
@@ -3294,6 +3292,7 @@ _DRIVER_EXCLUDE = (
     "rollup_ohlc_daily",
     "agg_value_histogram",
     "filter_value_outliers",
+    "corpus_curation_auto",
     # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
     # driver's exact value hash can't gate it); pinned by a dedicated
     # rtol=1e-12 parity test

@@ -287,6 +287,37 @@ def test_curation_lsh_tier_matches_exact_tier(spark, sf_dir):
     assert exact == lsh
 
 
+def test_curation_auto_tier_picks_by_input_bytes(spark, sf_dir):
+    """tier='auto' must flip on the lsh_min_bytes threshold (decided from
+    file metadata, no scan) and both forced outcomes keep the oracle's
+    survivor set."""
+    from feast_ibm_spark.operators.curation import curate_corpus, input_size_bytes
+    from feast_ibm_spark.queries import (
+        CURATION_QUALITY_FLOOR, JACCARD_THRESHOLD, NGRAM_N,
+    )
+    from feast_ibm_spark.sources.reader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    size = input_size_bytes(docs)
+    assert size is not None and size > 0
+
+    def run(**kw):
+        return {
+            r["doc_id"]
+            for r in curate_corpus(
+                docs, quality_floor=CURATION_QUALITY_FLOOR, ngram_n=NGRAM_N,
+                jaccard_threshold=JACCARD_THRESHOLD, **kw,
+            ).collect()
+        }
+
+    # threshold above the corpus size -> exact; below -> LSH; same survivors
+    as_exact = run(tier="auto", lsh_min_bytes=size + 1)
+    as_lsh = run(tier="auto", lsh_min_bytes=1)
+    assert as_exact == run(tier="exact")
+    assert as_lsh == run(tier="lsh")
+    assert as_exact == as_lsh
+
+
 def test_dedup_clusters_chain_topology(spark):
     """Min-label propagation must converge on a chain (diameter 4 —
     forces multiple iterations, unlike the quasi-clique corpus clusters)

@@ -104,6 +104,7 @@ _EXCLUDED_WITH_ORACLE = [
     "rollup_ohlc_daily",
     "agg_value_histogram",
     "filter_value_outliers",
+    "corpus_curation_auto",
 ]
 _EXCLUDED_RTOL = ["text_bm25"]  # ln differs ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
