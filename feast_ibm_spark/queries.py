@@ -3006,6 +3006,181 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Cluster representatives: the step after near-dup clustering — keep ONE
+# doc per cluster, the highest-quality member (ties -> lowest doc_id).
+# Composes dedup_clusters + quality scoring; singletons represent
+# themselves (left join + coalesce, per the operator contract).
+# --------------------------------------------------------------------------
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    clusters = dedup_clusters(pairs)
+    s = quality_score_col("text")
+    assigned = (
+        docs.select("doc_id", s.quality_score.alias("quality_score"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    # representative = max quality, tie -> min doc_id (max of -doc_id)
+    ordk = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid"))
+    return assigned.groupBy("cluster_id").agg(
+        F.max_by("doc_id", ordk).alias("rep_doc_id"),
+        F.max_by("quality_score", ordk).alias("rep_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+_DUCK_QUALITY_CTE = f"""
+  SELECT doc_id,
+    (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       / CAST(length(text) AS DOUBLE)) * 0.5
+    + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE)
+       / CAST(len({_DUCK_TOKENS}) AS DOUBLE)) * 0.3
+    + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       / CAST(len({_DUCK_TOKENS}) AS DOUBLE)) / 10.0) * 0.2 AS quality_score
+  FROM documents
+"""
+
+ORACLE_CLUSTER_REPS = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLE_JACCARD_PAIRS}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clus AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+q AS ({_DUCK_QUALITY_CTE}),
+asg AS (
+  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+         q.quality_score
+  FROM q LEFT JOIN clus c USING (doc_id)
+)
+SELECT cluster_id,
+       first(doc_id ORDER BY quality_score DESC, doc_id ASC) AS rep_doc_id,
+       first(quality_score ORDER BY quality_score DESC, doc_id ASC) AS rep_quality,
+       count(*) AS n_members
+FROM asg GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: build the corpus top-K vocabulary in-plan (count +
+# deterministic top-k), broadcast it, and score each document's
+# out-of-vocabulary token rate — the tokenizer-fit signal computed before
+# committing to a vocab. Two shuffles total (token count + per-doc agg).
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
+  )
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram LM scoring: corpus unigram frequencies -> per-document mean
+# log-probability (the cheap perplexity proxy used to rank documents
+# before an expensive model pass). ln() differs ~1 ulp between libm and
+# the JVM, so this is rtol-compared like text_bm25, never value-hashed.
+# --------------------------------------------------------------------------
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # total token count rides a single-partition window over the tiny
+    # frequency table (vocab-sized) — no separate collect/crossJoin job
+    freq = freq.withColumn("total", F.sum("n").over(W.partitionBy()))
+    freq = freq.select(
+        "token", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS n, sum(count(*)) OVER () AS total
+  FROM tok GROUP BY 1
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       avg(ln(f.n / f.total)) AS avg_logprob
+FROM tok t JOIN freq f USING (token)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3230,6 +3405,18 @@ QUERIES: dict[str, QueryDef] = {
     "corpus_curation_auto": QueryDef(q_corpus_curation_auto, ORACLE_CURATION,
                                      "curation with the size-based near-dup "
                                      "tier switch (file metadata, no scan)"),
+    "cluster_representatives": QueryDef(q_cluster_representatives,
+                                        ORACLE_CLUSTER_REPS,
+                                        "best-quality representative per "
+                                        "near-dup cluster (tie: lowest id)"),
+    "text_vocab_coverage": QueryDef(q_text_vocab_coverage,
+                                    ORACLE_VOCAB_COVERAGE,
+                                    "in-plan top-K vocabulary + per-doc "
+                                    "OOV rate"),
+    "text_unigram_logprob": QueryDef(q_text_unigram_logprob,
+                                     ORACLE_UNIGRAM_LOGPROB,
+                                     "unigram-LM mean log-prob per doc "
+                                     "(rtol parity; ln ulp)"),
 }
 
 # --------------------------------------------------------------------------
@@ -3293,6 +3480,9 @@ _DRIVER_EXCLUDE = (
     "agg_value_histogram",
     "filter_value_outliers",
     "corpus_curation_auto",
+    "cluster_representatives",
+    "text_vocab_coverage",
+    "text_unigram_logprob",
     # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
     # driver's exact value hash can't gate it); pinned by a dedicated
     # rtol=1e-12 parity test

@@ -73,6 +73,26 @@ SHOWCASE: list[tuple[str, str]] = [
         "ttl + spine-range days regardless of table history depth.",
     ),
     (
+        "asof_join_nearest",
+        "The generic as-of join (direction=nearest, 1-day tolerance): the\n"
+        "feature side is prefiltered to the reachable `[min-tol, max+tol]`\n"
+        "window (`PushedFilters`), the deduped spine is broadcast, and one\n"
+        "rn=1 window ordered by exact integer-microsecond distance picks the\n"
+        "winner. Identical physical skeleton to the backward PIT join — the\n"
+        "direction only flips the window ordering and the range predicate.",
+    ),
+    (
+        "range_join_ship_windows",
+        "The bucketed range join: a raw `BETWEEN start AND end` join has no\n"
+        "equi-key, so Spark would plan BroadcastNestedLoopJoin —\n"
+        "O(points x intervals) comparisons. Quantizing the date axis into\n"
+        "7-day buckets and exploding each interval into its overlapped\n"
+        "buckets turns it into a `BroadcastHashJoin` on the bucket id with\n"
+        "the exact containment check as the join residual — the plan shows\n"
+        "a hash join and NO nested-loop node, and cost scales with\n"
+        "points x intervals-per-bucket-width, not the full product.",
+    ),
+    (
         "corpus_curation_lsh",
         "The curation pipeline with the scale-tier near-dup stage: exact\n"
         "dedup (one hash agg) -> quality floor (projection) -> MinHash-LSH\n"

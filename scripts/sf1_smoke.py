@@ -57,6 +57,12 @@ SMOKE_QUERIES = [
     "join_waiting_suppliers",
     "streaming_sessionize",
     "materialize_partitioned",
+    # round-3 batch 3: new join operators + composed text/cluster shapes
+    "asof_join_nearest",
+    "range_join_ship_windows",
+    "rollup_ohlc_daily",
+    "cluster_representatives",
+    "text_vocab_coverage",
 ]
 
 

@@ -105,8 +105,10 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_value_histogram",
     "filter_value_outliers",
     "corpus_curation_auto",
+    "cluster_representatives",
+    "text_vocab_coverage",
 ]
-_EXCLUDED_RTOL = ["text_bm25"]  # ln differs ~1 ulp libm vs JVM
+_EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
 
 
@@ -127,10 +129,11 @@ def test_excluded_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
-def test_bm25_matches_oracle(spark, duck):
-    """BM25 uses ln(), which differs by ~1 ulp between DuckDB (libm) and
+@pytest.mark.parametrize("name", _EXCLUDED_RTOL)
+def test_rtol_query_matches_oracle(spark, duck, name):
+    """These use ln(), which differs by ~1 ulp between DuckDB (libm) and
     the JVM — compare with rtol instead of the exact hash."""
-    qd = QUERIES["text_bm25"]
+    qd = QUERIES[name]
     got = _canon(qd.fn(spark, SF_DIR).toPandas())
     want = _canon(duck.execute(qd.oracle).fetchdf())
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
