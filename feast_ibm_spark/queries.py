@@ -2682,6 +2682,72 @@ def q_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value", "event_type", "ts", "event_id")
 
 
+MERGE_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_merge_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (the MERGE-INTO the reference's append-only materialize
+    loop lacks, reference :421-476): a latest-per-user snapshot built
+    from events before the cutoff, then a change batch from events after
+    it — ``error`` events become deletes (the key vanishes), everything
+    else upserts. One union + one keyed window, no join
+    (operators/merge.py)."""
+    from pyspark.sql import Window
+
+    from .operators.merge import merge_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id", "event_type"
+    )
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    changes = ev.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return merge_changes(
+        snapshot, changes, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+ORACLE_MERGE_CDC = f"""
+WITH snap AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+  ) WHERE rn = 1
+),
+unioned AS (
+  SELECT user_id, ts, value, event_id, 'upsert' AS op, 0 AS src FROM snap
+  UNION ALL
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         1 AS src
+  FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+)
+SELECT user_id, ts, value, event_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, src DESC, event_id DESC) AS rn
+  FROM unioned
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 # --------------------------------------------------------------------------
 # PIT join over a date-partitioned feature layout: FeatureViewSpec's
 # date_partition_column injects string partition predicates beside the TTL
@@ -3230,6 +3296,10 @@ QUERIES: dict[str, QueryDef] = {
                                         "day-partitioned materialize; a re-run "
                                         "replaces its partitions (idempotent "
                                         "retry, same full-range oracle)"),
+    "merge_cdc_snapshot": QueryDef(q_merge_cdc_snapshot, ORACLE_MERGE_CDC,
+                                   "CDC merge: upserts + deletes applied to a "
+                                   "keyed snapshot via union + one window "
+                                   "(no join)"),
     "pull_latest_tiebreak": QueryDef(q_pull_latest_tiebreak,
                                      ORACLE_PULL_LATEST_TIEBREAK,
                                      "A3 created-ts tiebreak on day-level ties"),
@@ -3482,6 +3552,7 @@ _DRIVER_EXCLUDE = (
     "corpus_curation_auto",
     "cluster_representatives",
     "text_vocab_coverage",
+    "merge_cdc_snapshot",
     "text_unigram_logprob",
     # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
     # driver's exact value hash can't gate it); pinned by a dedicated

@@ -44,6 +44,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -65,6 +66,11 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     are runtime-settable and required for reproducible timestamp semantics.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet micros with isAdjustedToUTC=false would otherwise surface as
+    # TIMESTAMP_NTZ (Spark 4 default), a type unix_micros()/interval math
+    # reject; with the session pinned to UTC, reading them as plain
+    # TIMESTAMP preserves the stored digits exactly (same as DuckDB shows)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

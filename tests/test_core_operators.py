@@ -560,3 +560,50 @@ def test_pit_salted_melt_multi_bucket_carry(spark, ttl):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_merge_changes_cdc_semantics(spark):
+    """CDC merge: newer upserts replace, deletes remove the key, change
+    rows beat snapshot rows on timestamp ties, untouched keys survive,
+    and a raw-history snapshot is deduped by recency."""
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.operators.merge import merge_changes
+
+    snapshot = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1), 1.0, 10),
+            (1, TS(2024, 1, 3), 1.5, 11),  # history: recency dedup keeps this
+            (2, TS(2024, 1, 2), 2.0, 12),
+            (3, TS(2024, 1, 2), 3.0, 13),
+            (4, TS(2024, 1, 2), 4.0, 14),  # tie with change row below
+        ],
+        "k bigint, ts timestamp, v double, rid bigint",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, TS(2024, 1, 5), 2.5, 20, "upsert"),   # replaces k=2
+            (3, TS(2024, 1, 6), 0.0, 21, "delete"),   # removes k=3
+            (4, TS(2024, 1, 2), 4.5, 22, "upsert"),   # same ts: change wins
+            (5, TS(2024, 1, 7), 5.0, 23, "upsert"),   # brand-new key
+            (5, TS(2024, 1, 7), 5.5, 24, "upsert"),   # same key+ts: rid wins
+        ],
+        "k bigint, ts timestamp, v double, rid bigint, op string",
+    )
+    got = {
+        r.k: (r.v, r.rid)
+        for r in merge_changes(
+            snapshot, changes, ["k"], "ts", tiebreak_cols=["rid"]
+        ).collect()
+    }
+    assert got == {1: (1.5, 11), 2: (2.5, 20), 4: (4.5, 22), 5: (5.5, 24)}
+
+
+def test_merge_changes_rejects_op_collision(spark):
+    import pytest as _pytest
+
+    from feast_ibm_spark.operators.merge import merge_changes
+
+    df = spark.createDataFrame([(1, "x")], "k bigint, op string")
+    with _pytest.raises(ValueError, match="op column"):
+        merge_changes(df, df, ["k"], "op")

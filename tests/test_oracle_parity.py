@@ -107,6 +107,7 @@ _EXCLUDED_WITH_ORACLE = [
     "corpus_curation_auto",
     "cluster_representatives",
     "text_vocab_coverage",
+    "merge_cdc_snapshot",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
