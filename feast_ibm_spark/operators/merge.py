@@ -63,13 +63,36 @@ def merge_changes(
             f"snapshot must not carry the op column {op_col!r}; "
             "rename it or pass a different op_col"
         )
+    for helper in ("__src", "__rn"):
+        for side, df in (("snapshot", snapshot), ("changes", changes)):
+            if helper in df.columns:
+                raise ValueError(
+                    f"{side} must not carry the internal helper column "
+                    f"{helper!r}; rename it before merging"
+                )
     value_cols = [c for c in snapshot.columns]
     base = snapshot.select(
         *value_cols,
         F.lit(OP_UPSERT).alias(op_col),
         F.lit(0).alias("__src"),
     )
-    delta = changes.select(*value_cols, F.col(op_col), F.lit(1).alias("__src"))
+    # Malformed CDC feeds must fail loudly, not silently upsert: any op
+    # outside {upsert, delete} raises at execution time. The check is a
+    # pure Catalyst expression (no extra pass, no Python).
+    checked_op = F.when(
+        F.col(op_col).isin(OP_UPSERT, OP_DELETE), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"merge_changes: {op_col!r} value must be "
+                      f"'{OP_UPSERT}' or '{OP_DELETE}', got "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    delta = changes.select(
+        *value_cols, checked_op.alias(op_col), F.lit(1).alias("__src")
+    )
     unioned = base.unionByName(delta)
 
     order = [F.col(ts_col).desc(), F.col("__src").desc()] + [

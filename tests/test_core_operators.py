@@ -607,3 +607,48 @@ def test_merge_changes_rejects_op_collision(spark):
     df = spark.createDataFrame([(1, "x")], "k bigint, op string")
     with _pytest.raises(ValueError, match="op column"):
         merge_changes(df, df, ["k"], "op")
+
+
+def test_merge_changes_rejects_helper_column_collision(spark):
+    """Inputs already carrying __src/__rn would silently collide with the
+    operator's internal helper columns — refuse them up front."""
+    from datetime import datetime as TS
+
+    import pytest as _pytest
+
+    from feast_ibm_spark.operators.merge import merge_changes
+
+    snap = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 0)], "k bigint, ts timestamp, __src int"
+    )
+    chg = snap.withColumn("op", F.lit("upsert"))
+    with _pytest.raises(ValueError, match="__src"):
+        merge_changes(snap, chg, ["k"], "ts")
+
+    snap2 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 0)], "k bigint, ts timestamp, __rn int"
+    )
+    chg2 = snap2.withColumn("op", F.lit("upsert"))
+    with _pytest.raises(ValueError, match="__rn"):
+        merge_changes(snap2, chg2, ["k"], "ts")
+
+
+def test_merge_changes_rejects_unknown_op_values(spark):
+    """Change rows with op outside {upsert, delete} must fail loudly at
+    execution, not silently behave as upserts."""
+    from datetime import datetime as TS
+
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from feast_ibm_spark.operators.merge import merge_changes
+
+    snap = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 1.0)], "k bigint, ts timestamp, v double"
+    )
+    chg = spark.createDataFrame(
+        [(1, TS(2024, 1, 2), 2.0, "UPSERT")],  # wrong case = malformed
+        "k bigint, ts timestamp, v double, op string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="merge_changes"):
+        merge_changes(snap, chg, ["k"], "ts").collect()

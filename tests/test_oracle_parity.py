@@ -157,3 +157,26 @@ def test_every_query_is_documented_in_coverage():
     ).read()
     missing = [n for n in QUERIES if f"`{n}`" not in doc and n not in doc]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_coverage_generated_index_is_current():
+    """The query index at the bottom of COVERAGE.md is emitted by
+    scripts/gen_coverage.py; registering a query without regenerating it
+    must fail here (round-3's merge_cdc_snapshot drift, made impossible).
+    """
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_coverage", os.path.join(root, "scripts", "gen_coverage.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    doc = open(os.path.join(root, "COVERAGE.md")).read()
+    assert mod.BEGIN in doc and mod.END in doc, "generated index missing"
+    current = doc[doc.index(mod.BEGIN) : doc.index(mod.END) + len(mod.END)] + "\n"
+    assert current == mod.render(), (
+        "COVERAGE.md generated index is stale — run "
+        "`python scripts/gen_coverage.py --write`"
+    )
