@@ -2153,11 +2153,67 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via an IVF index (no oracle — approximate by
-    design; rows-only check). Recall vs exact top-k asserted in tests."""
+    """Approximate ANN via an IVF index. The *approximation* (which cells
+    get probed) is itself deterministic with the seed centroids — the 16
+    lowest-id corpus vectors — so the full pipeline (assignment, probe,
+    candidate meet, exact rescoring) is reproducible in SQL and the query
+    carries a full value-hash oracle, not a rows-only check. Recall vs
+    exact top-k is additionally asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return ivf_cosine_topk(emb, queries, k=KNN_K)
+
+
+# Mirrors ivf_cosine_topk's seed-centroid path exactly: cells = 16
+# lowest-id vectors; assignment = argmax_j dot(v, c_j)/||c_j|| with
+# lowest-cell tie rule (np.argmax picks the first max); each query probes
+# its 4 best cells; candidates rescored with the exact fold kernel.
+# Row-normalizing v (the numpy path does) scales every cell's sim equally,
+# so the SQL skips it — the argmax/argsort order is unchanged. The fold
+# summation order matches Spark's F.aggregate, so cosines are
+# bit-identical (verified sf0.01 + sf0.1).
+ORACLE_KNN_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS ce,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cell_sims AS (
+  SELECT e.vec_id, c.cell_idx,
+         ({_DUCK_DOT.format(a='e.embedding', b='c.ce')}) / c.cnorm AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell_idx AS cell FROM (
+    SELECT vec_id, cell_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_idx ASC) AS rn
+    FROM cell_sims) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS q_vec_id, cell_idx AS cell FROM (
+    SELECT vec_id, cell_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_idx ASC) AS rn
+    FROM cell_sims WHERE vec_id < {KNN_QUERY_IDS}) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.q_vec_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.q_vec_id
+),
+scored AS (
+  SELECT c.q_vec_id, c.vec_id,
+         {_duck_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.q_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+"""
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3434,8 +3490,9 @@ QUERIES: dict[str, QueryDef] = {
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,
                         "hyperplane-LSH ANN (approximate; rows-only)"),
-    "knn_ivf": QueryDef(q_knn_ivf, None,
-                        "IVF cell-probe ANN (approximate; rows-only)"),
+    "knn_ivf": QueryDef(q_knn_ivf, ORACLE_KNN_IVF,
+                        "IVF cell-probe ANN (deterministic seed cells; "
+                        "full value-hash oracle)"),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, ORACLE_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
     "embedding_near_dup_lsh": QueryDef(q_embedding_near_dup_lsh, None,
