@@ -71,11 +71,23 @@ def main() -> None:
             pass
 
     # warm the Python UDF workers too (Arrow lanes spawn on first use; that
-    # one-time daemon fork is session setup, not query cost)
+    # one-time daemon fork is session setup, not query cost). The kernel
+    # imports numpy + zlib so every forked worker pays its module-import
+    # cost here, not inside the first measured LSH/signature query.
+    import pandas as _pd
     from pyspark.sql.functions import pandas_udf as _pudf
 
-    _noop = _pudf(lambda s: s, "long")
-    spark.range(1000).select(_noop("id")).count()
+    @_pudf("long")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        import zlib
+
+        import numpy as _np
+
+        return _pd.Series(
+            _np.asarray(s, dtype=_np.int64) + zlib.crc32(b"warm") % 2
+        )
+
+    spark.range(1000).select(_warm("id")).count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}

@@ -80,7 +80,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    persist: bool = True,
+    persist: bool = False,
     hash_shingles: bool = True,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
@@ -111,11 +111,16 @@ def ngram_jaccard_pairs(
     evidence); pairs whose overlap is carried by ubiquitous shingles may
     be missed, which is exactly the intent. None (default) is exact.
 
-    ``persist`` materializes the exploded-shingle index once
-    (MEMORY_AND_DISK) instead of re-tokenizing the corpus for each of the
-    three consumers (self-join left/right + size agg) — at scale the
-    shingle index is the expensive part, and Spark would otherwise
-    recompute it per branch."""
+    ``persist`` (default OFF since round 4 — measured): letting Spark
+    plan the whole query beats caching the index. When the self-join
+    shuffles both branches (the at-scale shape), the branches are
+    canonically identical and AQE's exchange reuse computes the index
+    ONCE; when one side is broadcast (small inputs), recomputing the
+    map-side index is cheaper than the persist's eager materialization +
+    cache write (cold first run 4.7s->0.6s at sf0.1 with persist off,
+    NOTES.md). An explicit ``persist=True`` remains for nondeterministic
+    upstreams (e.g. a sampled corpus), where recompute would be wrong,
+    not just slow."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
     if hash_shingles:
@@ -167,7 +172,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 16,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -194,11 +199,14 @@ def minhash_lsh_pairs(
     The candidate-generation hash (crc32) need not match any oracle — only
     verified Jaccard values are emitted.
 
-    ``persist`` (default) materializes the banded signatures once
-    (MEMORY_AND_DISK) so the bucket self-join's two branches don't each
-    recompute the signature UDF; at 100 TB the signature table is
-    O(corpus x bands) longs/strings and spills cleanly — the standard
-    persist-the-index pattern, not a driver collect.
+    ``persist`` (default OFF since round 4 — measured): the bucket
+    self-join's two branches are canonically identical, so AQE's exchange
+    reuse runs the signature UDF pass ONCE per query (verified: the final
+    adaptive plan carries a ReusedExchange/QueryStage). Persisting
+    instead costs an eager count barrier + cache write and leaks the
+    cached index past the call (cold first run 9.5s->1.1s at sf0.1 with
+    persist off, NOTES.md). ``persist=True`` remains for
+    nondeterministic upstreams where recompute would change signatures.
 
     At 100 TB: the bucket-join key (band, signature) is high-cardinality
     and uniform, so the shuffle is balanced; hot buckets (boilerplate
@@ -264,8 +272,8 @@ def minhash_lsh_pairs(
         .select(F.col(id_col), F.posexplode(band_sigs(F.col(text_col))).alias("band", "sig"))
     )
     if persist:
-        # materialize the index NOW: the self-join's two branches otherwise
-        # race on the cold cache and EACH run the signature UDF pass
+        # opt-in only (see docstring): eager materialization so a
+        # NONDETERMINISTIC upstream yields one consistent signature set
         bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
         bands_df.count()
 
@@ -547,7 +555,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     n_blocks: int = 4,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """All unordered pairs whose SimHash signatures differ in at most
     ``max_hamming`` bits — the classic near-dup shape for SimHash.
@@ -559,8 +567,11 @@ def simhash_near_dup_pairs(
     never an all-pairs product — and are verified with the true hamming
     distance (xor + popcount, one JVM expression). The same
     candidates-then-verify discipline as minhash_lsh_pairs; at 100 TB the
-    block-join key is near-uniform, and the signature table persists once
-    for both self-join sides.
+    block-join key is near-uniform. ``persist`` defaults OFF (round 4,
+    measured 5.4s->3.3s cold at sf0.1): the signature expression is pure
+    Catalyst, so recomputing it per self-join branch is cheaper than an
+    eager cache, and at scale the branches' identical shuffles get AQE
+    exchange reuse anyway; opt in only for nondeterministic upstreams.
     """
     if max_hamming >= n_blocks:
         raise ValueError(

@@ -375,3 +375,23 @@ def test_profile_approx_mode_has_no_expand(spark, sf_dir):
         if exact[c]["n_distinct"]:
             rel = abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) / exact[c]["n_distinct"]
             assert rel < 0.1, (c, got[c]["n_distinct"], exact[c]["n_distinct"])
+
+
+def test_minhash_band_index_reused_not_persisted(spark, sf_dir):
+    """The LSH bucket self-join's two branches are canonically identical;
+    with broadcast disabled (the at-scale SMJ shape) AQE must compute the
+    banded-signature stage ONCE and reuse it — which is why
+    minhash_lsh_pairs no longer persists the index by default (round 4:
+    persist cost a 9.5s cold start at sf0.1 vs 1.1s without)."""
+    from feast_ibm_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5)
+        pairs.collect()
+        final = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Reused" in final, "band-index branches were not reused"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
