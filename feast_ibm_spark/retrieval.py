@@ -95,15 +95,23 @@ class SparkRetrievalJob:
         evaluation_function: Callable[[], DataFrame],
         metadata: RetrievalMetadata | None = None,
         on_demand_feature_views: list | None = None,
+        full_feature_names: bool = False,
     ):
         self.evaluation_function = evaluation_function
         self._metadata = metadata
         self.on_demand_feature_views = on_demand_feature_views or []
+        self._full_feature_names = full_feature_names
         self._df: DataFrame | None = None
 
     @property
     def metadata(self) -> RetrievalMetadata | None:
         return self._metadata
+
+    @property
+    def full_feature_names(self) -> bool:
+        # feast-0.36 RetrievalJob property: whether feature columns carry
+        # the <view>__<feature> prefix (read by feast core's to_df path)
+        return self._full_feature_names
 
     def to_spark_df(self) -> DataFrame:
         """The Spark-native result — still lazy. New capability vs the

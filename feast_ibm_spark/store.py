@@ -128,7 +128,9 @@ class SparkOfflineStore:
             keys=keys,
             timestamp_range_resolver=lambda: spine_range()[:2],
         )
-        return SparkRetrievalJob(evaluate, metadata=meta)
+        return SparkRetrievalJob(
+            evaluate, metadata=meta, full_feature_names=full_feature_names
+        )
 
     @staticmethod
     def pull_latest_from_table_or_query(
