@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "text_fingerprint",
     "multimodal_byte_features",
+    "multimodal_decode_stats",
 ]
 
 

@@ -6,12 +6,15 @@ through Python row-at-a-time; they move in Arrow record batches into
 Pandas UDFs (``mapInPandas``) only for the stages that genuinely need a
 codec.
 
-The actual media codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-container, so the decode kernels are STUBS: ``decode_stub`` raises
-``NotImplementedError`` where a real codec would run, and
-``byte_features`` is a deterministic fake "feature extractor" (byte
-statistics) that exercises the full real plumbing — schema declaration,
-Arrow batching, per-partition iteration, output schema binding.
+Since round 4 the image/audio decode kernels are REAL for the formats
+the stdlib can parse — PNG/BMP images (``functions/codecs.py``: chunk
+walk, inflate, full unfilter; 24-bit BMP) and PCM WAV audio — with PIL
+widening image coverage to JPEG/WEBP/… when installed
+(``codecs.try_import_pil``). Only the paths that genuinely require an
+absent third-party codec remain stubs with a clear
+``NotImplementedError``: video frame sampling (ffmpeg) and non-PNG/BMP
+images without PIL. ``byte_features`` stays as the codec-free baseline
+extractor.
 
 Scale design: ``mapInPandas`` streams Arrow batches (default 10k rows /
 ``spark.sql.execution.arrow.maxRecordsPerBatch``); media rows are large,
@@ -29,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -118,34 +122,162 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("n_channels", LongType()),
+        StructField("mean_pixel", DoubleType()),
     ]
 )
 
 
-def decode_stub(df: DataFrame) -> DataFrame:
-    """Where a real image decode would run (PIL / torchvision).
+def decode_images(df: DataFrame) -> DataFrame:
+    """REAL image decode: payload bytes -> (dims, channels, mean pixel).
 
-    The container has no codec libraries, so this raises at *execution*
-    time with a clear message; the plan (schema, batching) is fully
-    formed, so swapping in a real decoder is a one-function change."""
+    PNG/BMP decode with the stdlib kernels (``functions/codecs.py``);
+    other formats go through PIL when installed. A payload outside the
+    available codecs raises ``UnsupportedMediaError`` at execution with
+    the reason — the honest behavior for an engine asked to decode a
+    format it cannot."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "media decode requires a codec library (PIL/ffmpeg) not present "
-            "in this environment; use byte_features for codec-free stats"
-        )
-        yield  # pragma: no cover - makes this a generator
+        import numpy as np
+
+        from ..functions.codecs import decode_image_bytes
+
+        for pdf in batches:
+            w = np.empty(len(pdf), dtype=np.int64)
+            h = np.empty(len(pdf), dtype=np.int64)
+            ch = np.empty(len(pdf), dtype=np.int64)
+            mean = np.empty(len(pdf), dtype=np.float64)
+            fmts = pdf["format"] if "format" in pdf else [None] * len(pdf)
+            for i, (payload, fmt) in enumerate(zip(pdf["payload"], fmts)):
+                arr = decode_image_bytes(bytes(payload), fmt)
+                h[i], w[i] = arr.shape[0], arr.shape[1]
+                ch[i] = 1 if arr.ndim == 2 else arr.shape[2]
+                mean[i] = float(arr.mean(dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "n_channels": ch,
+                    "mean_pixel": mean,
+                }
+            )
 
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """REAL image resize: decode (stdlib/PIL) -> nearest-neighbor sample
+    -> re-encode as PNG. Output keeps the media schema; ``format``
+    becomes ``png`` (the engine's canonical re-encode target since the
+    stdlib encoder is always available). Nearest-neighbor is the
+    pipeline-standard cheap kernel; swap the index step for an area/
+    bilinear kernel where quality matters."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import decode_image_bytes, png_encode
+
+        for pdf in batches:
+            payloads = []
+            for payload, fmt in zip(pdf["payload"], pdf["format"]):
+                arr = decode_image_bytes(bytes(payload), fmt)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                ys = (np.arange(height) * arr.shape[0] // height).clip(
+                    0, arr.shape[0] - 1
+                )
+                xs = (np.arange(width) * arr.shape[1] // width).clip(
+                    0, arr.shape[1] - 1
+                )
+                payloads.append(png_encode(arr[np.ix_(ys, xs)]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": pdf["media_type"],
+                    "format": "png",
+                    "n_bytes": [len(b) for b in payloads],
+                }
+            )
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: PCM WAV payloads -> rate/frames/duration/RMS/
+    zero-crossing count (stdlib ``wave`` parser, numpy kernels)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import wav_decode
+
+        for pdf in batches:
+            rate = np.empty(len(pdf), dtype=np.int64)
+            n_ch = np.empty(len(pdf), dtype=np.int64)
+            n_fr = np.empty(len(pdf), dtype=np.int64)
+            dur = np.empty(len(pdf), dtype=np.float64)
+            rms = np.empty(len(pdf), dtype=np.float64)
+            zc = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                x, sr = wav_decode(bytes(payload))
+                mono = x.mean(axis=1)
+                rate[i], n_ch[i], n_fr[i] = sr, x.shape[1], x.shape[0]
+                dur[i] = x.shape[0] / sr
+                rms[i] = float(np.sqrt(np.mean(mono * mono))) if len(mono) else 0.0
+                zc[i] = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rate,
+                    "n_channels": n_ch,
+                    "n_frames": n_fr,
+                    "duration_s": dur,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def decode_stub(df: DataFrame) -> DataFrame:
+    """Backwards-compatible name for the pre-round-4 stub: now the REAL
+    decoder (see decode_images)."""
+    return decode_images(df)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_stub."""
+    """Video frame sampling — still a stub: no container/codec parser
+    (ffmpeg/PyAV) is available, and video bitstreams are not feasibly
+    parsed with the stdlib. The plan (schema, Arrow batching) is real;
+    the kernel raises at execution with the reason."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import av  # noqa: F401  (PyAV, not installed here)
+        except ImportError:
+            raise NotImplementedError(
+                "video frame sampling requires ffmpeg/PyAV, not present in "
+                "this environment"
+            ) from None
         raise NotImplementedError(
-            "video frame sampling requires ffmpeg, not present in this "
-            "environment"
+            "PyAV present but the frame-sampling kernel is not wired; "
+            "extend frame_sample_stub"
         )
         yield  # pragma: no cover
 
@@ -153,16 +285,6 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize stub — same contract as decode_stub: the plan (schema,
-    Arrow batching, partition-preserving mapInPandas) is real; the kernel
-    raises until a codec library (PIL/torchvision) is installed. Output
-    keeps the media schema — payload would be the re-encoded bytes."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires a codec library (PIL), not present in "
-            "this environment"
-        )
-        yield  # pragma: no cover
-
-    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+    """Backwards-compatible name for the pre-round-4 stub: now the REAL
+    nearest-neighbor resize (see resize_images)."""
+    return resize_images(df, width=width, height=height)

@@ -164,14 +164,84 @@ def test_multimodal_byte_features(spark):
     assert out[2].n_bytes == 0 and out[2].first_byte == -1
 
 
-def test_decode_stub_raises_at_execution(spark):
+def test_decode_images_real_png_and_bmp(spark):
+    """Round 4: image decode is REAL for PNG/BMP (stdlib kernels run
+    inside the mapInPandas stage); unsupported formats still raise at
+    execution with the reason."""
+    import numpy as np
+
+    from feast_ibm_spark.functions.codecs import png_encode
+    from feast_ibm_spark.operators.multimodal import decode_images
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, (4 + i, 6, 3), dtype=np.uint8) for i in (1, 2)}
+    df = spark.createDataFrame(
+        [(i, bytearray(png_encode(a))) for i, a in imgs.items()],
+        "doc_id bigint, payload binary",
+    )
+    media = attach_media_columns(df, "doc_id", F.col("payload"), "image", "png")
+    out = {r.media_id: r for r in decode_images(media).collect()}
+    for i, a in imgs.items():
+        assert (out[i].height, out[i].width, out[i].n_channels) == (4 + i, 6, 3)
+        assert out[i].mean_pixel == pytest.approx(float(a.mean()), abs=0)
+
+    bad = attach_media_columns(
+        spark.createDataFrame([(9, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 16))],
+                              "doc_id bigint, payload binary"),
+        "doc_id", F.col("payload"), "image", "jpeg")
+    with pytest.raises(Exception, match="PIL|Unsupported|format"):
+        decode_images(bad).collect()
+
+
+def test_resize_images_real_roundtrip(spark):
+    """Resize decodes, nearest-neighbor samples, and re-encodes PNG; the
+    output payload must decode back to the sampled pixels."""
+    import numpy as np
+
+    from feast_ibm_spark.functions.codecs import png_decode, png_encode
+    from feast_ibm_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(img)))], "doc_id bigint, payload binary")
+    media = attach_media_columns(df, "doc_id", F.col("payload"), "image", "png")
+    row = resize_images(media, width=4, height=4).first()
+    assert row.format == "png" and row.n_bytes == len(row.payload)
+    got = png_decode(bytes(row.payload))
+    idx = (np.arange(4) * 8 // 4).clip(0, 7)
+    assert np.array_equal(got, img[np.ix_(idx, idx)])
+
+
+def test_audio_features_real_wav(spark):
+    """PCM WAV decode end-to-end through the Arrow stage: a pure sine has
+    a known RMS (1/sqrt(2) of peak) and 2*f*t zero crossings."""
+    import numpy as np
+
+    from feast_ibm_spark.functions.codecs import wav_encode
+    from feast_ibm_spark.operators.multimodal import audio_features
+
+    sr, n = 8000, 8000  # 1 second
+    t = np.arange(n) / sr
+    sine = (np.sin(2 * np.pi * 440 * t) * 30000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_encode(sine, sr)))], "doc_id bigint, payload binary")
+    media = attach_media_columns(df, "doc_id", F.col("payload"), "audio", "wav")
+    row = audio_features(media).first()
+    assert (row.sample_rate, row.n_channels, row.n_frames) == (sr, 1, n)
+    assert row.duration_s == pytest.approx(1.0)
+    assert row.rms == pytest.approx((30000 / 32768.0) / np.sqrt(2), rel=1e-3)
+    assert abs(row.zero_crossings - 2 * 440) <= 2
+
+
+def test_frame_sample_still_stub_without_ffmpeg(spark):
+    from feast_ibm_spark.operators.multimodal import frame_sample_stub
+
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     media = attach_media_columns(df, "doc_id", F.encode(F.col("text"), "utf-8"),
-                                 "image", "png")
-    stub = decode_stub(media)  # plan construction must succeed
-    assert [f.name for f in stub.schema.fields] == [
-        "media_id", "width", "height", "n_channels"]
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+                                 "video", "mp4")
+    stub = frame_sample_stub(media)  # plan construction must succeed
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|PyAV"):
         stub.collect()
 
 
@@ -240,17 +310,22 @@ def test_ivf_with_trained_centroids(spark, sf_dir):
     assert cents == cents2
 
 
-def test_resize_stub_contract(spark):
+def test_resize_stub_alias_is_real_now(spark):
+    """The pre-round-4 stub name still exists but routes to the real
+    resize kernel — schema unchanged, no NotImplementedError."""
+    import numpy as np
+
+    from feast_ibm_spark.functions.codecs import png_encode
     from feast_ibm_spark.operators.multimodal import resize_stub
 
-    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
-    media = attach_media_columns(df, "doc_id", F.encode(F.col("text"), "utf-8"),
-                                 "image", "png")
-    stub = resize_stub(media)
-    assert [f.name for f in stub.schema.fields] == [
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(img)))], "doc_id bigint, payload binary")
+    media = attach_media_columns(df, "doc_id", F.col("payload"), "image", "png")
+    out = resize_stub(media, width=2, height=2)
+    assert [f.name for f in out.schema.fields] == [
         "media_id", "payload", "media_type", "format", "n_bytes"]
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        stub.collect()
+    assert out.count() == 1
 
 
 def test_ngram_jaccard_hot_shingle_cap(spark):

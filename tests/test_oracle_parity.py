@@ -99,6 +99,8 @@ _EXCLUDED_WITH_ORACLE = [
     "corpus_curation_auto",
     "cluster_representatives",
     "text_vocab_coverage",
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating ten never-gated queries into the export
     "pit_join_shuffle",
