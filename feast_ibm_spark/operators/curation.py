@@ -29,9 +29,12 @@ from ..functions.text import quality_score_col, token_count_col
 from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
 
 # Measured crossover (scripts/sf1_smoke.py, NOTES.md): exact tier wins at
-# sf0.1 (~5 MB of text), LSH is ~4-5x faster at 10x that. Default the
-# switch a bit above the measured corpus size where exact still won.
-DEFAULT_LSH_MIN_BYTES = 64 << 20
+# sf0.1 (~5 MB of text; 0.6s vs 1.1s) but loses decisively at 10x that
+# (~50 MB: 19.2s vs 5.0s in the round-4 smoke — the old 64 MiB default
+# made `auto` pick the losing tier there). The crossover sits between 5
+# and 50 MB; 16 MiB splits it geometrically and errs toward LSH, the
+# tier that stays viable as inputs grow.
+DEFAULT_LSH_MIN_BYTES = 16 << 20
 
 
 def input_size_bytes(df: DataFrame) -> int | None:

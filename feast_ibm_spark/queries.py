@@ -3414,6 +3414,346 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Round 4: behavioral analytics + feature-engineering shapes. All money/
+# value math rides the scaled-integer cents discipline (see the Q1 note
+# above) so group aggregates are order-independent and hash-exact; doubles
+# appear only in final single divisions applied identically in both
+# engines.
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed view, then click
+    AFTER their first view, then purchase AFTER that click. One hash
+    shuffle on user_id; stage times come from conditional MIN aggregates
+    (min ts of stage k past the stage k-1 time), evaluated in one grouped
+    pass per stage — no self-joins, no window sort. At 100 TB this is a
+    single map-side-combinable aggregation per stage over the events
+    scan."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = ev.filter(F.col("event_type") == s1).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return spark.createDataFrame(
+        [(s1, 1), (s2, 2), (s3, 3)], "stage string, stage_idx int"
+    ).join(
+        t1.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s1).alias("stage"), "n")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s2).alias("stage"), "n"))
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s3).alias("stage"), "n")),
+        "stage",
+    ).select("stage", "stage_idx", F.col("n").alias("n_users"))
+
+
+ORACLE_FUNNEL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '{FUNNEL_STAGES[0]}' AS stage, 1 AS stage_idx,
+         (SELECT count(*) FROM t1) AS n_users
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[1]}', 2, (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[2]}', 3, (SELECT count(*) FROM t3)
+)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week (cohort),
+    counted distinct in each later week offset. Two shuffles total (first-
+    seen per user, then the cohort matrix aggregate); the classic product-
+    analytics rollup. All outputs are integers — exact."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = (F.floor(F.unix_micros(F.col("ts")) / (7 * 86400 * 1_000_000))).cast(
+        "bigint"
+    )
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.select("user_id", week.alias("event_week"))
+        .join(first, "user_id")
+        .groupBy("cohort_week", (F.col("event_week") - F.col("cohort_week"))
+                 .alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / (7 * 86400 * CAST(1000000 AS BIGINT))) AS BIGINT) AS event_week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(event_week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT f.cohort_week,
+       w.event_week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM weeks w JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_features_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store rolling features: per event, count and spend over
+    1-hour / 24-hour / 7-day trailing RANGE frames — three frames sharing
+    ONE sort (same partition+order key), so Spark plans a single window
+    stage: one shuffle + one sort for all six features. Spend accumulates
+    in integer cents (order-independent); the only double op is the final
+    /100 scale, identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    us = lambda h: h * 3600 * 1_000_000  # noqa: E731
+    base = ev.select("event_id", "user_id", "ts", cents.alias("__c"))
+    frames = {"1h": us(1), "24h": us(24), "7d": us(24 * 7)}
+    cols = [F.col("event_id"), F.col("user_id"), F.col("ts")]
+    for tag, span in frames.items():
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts")))
+            .rangeBetween(-span, 0)
+        )
+        cols.append(F.count(F.lit(1)).over(w).alias(f"n_{tag}"))
+        cols.append(
+            (F.sum("__c").over(w).cast("double") / 100.0).alias(f"spend_{tag}")
+        )
+    return base.select(*cols)
+
+
+ORACLE_MULTI_HORIZON = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts,
+  CAST(count(*) OVER w1 AS BIGINT) AS n_1h,
+  CAST(sum(cents) OVER w1 AS DOUBLE) / 100.0 AS spend_1h,
+  CAST(count(*) OVER w24 AS BIGINT) AS n_24h,
+  CAST(sum(cents) OVER w24 AS DOUBLE) / 100.0 AS spend_24h,
+  CAST(count(*) OVER w7d AS BIGINT) AS n_7d,
+  CAST(sum(cents) OVER w7d AS DOUBLE) / 100.0 AS spend_7d
+FROM c
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+  w24 AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+  w7d AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (ML feature preprocessing): value
+    standardized within its event_type. Group mean/variance derive from
+    exact integer cent sums (sum and sum-of-squares as BIGINT — order-
+    independent), so the mean/std doubles are identical in both engines
+    and the final z expression is a fixed op sequence over exact inputs:
+    hash-comparable with no rtol. One shuffle (the group stats broadcast
+    back via a 5-row join)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    base = ev.select("event_id", "event_type", cents.alias("__c"))
+    stats = base.groupBy("event_type").agg(
+        F.sum("__c").alias("s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
+    )
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("__c").cast("double") / 100.0).alias("value"),
+            ((F.col("__c").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+
+
+ORACLE_ZSCORE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         sum(cents) AS s, sum(cents * cents) AS ss, count(*) AS n
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CAST(c.cents AS DOUBLE) / 100.0 AS value,
+       (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+         / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+         AS zscore
+FROM c JOIN stats s USING (event_type)
+"""
+
+PSI_N_BINS, PSI_SPLIT = 10, "2024-01-15 00:00:00"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two periods (population
+    stability index per event_type): fixed-width bins over the value
+    domain, per-bin proportions before/after the split date, PSI term
+    (pa-pb)*ln(pa/pb) per bin. Counts/proportions are exact; the ln makes
+    the psi_term column an rtol compare (like BM25 — libm-vs-JVM ulp).
+    Laplace-smoothed (+1 per bin) so empty bins stay finite. Two scan
+    aggregates, one tiny bin-grid join — map-side combinable at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    # fixed domain [0, 500) in 10 bins; clamp outliers into the edge bins
+    bin_col = F.least(
+        F.lit(PSI_N_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / (500.0 / PSI_N_BINS))),
+    ).cast("bigint")
+    binned = ev.select(
+        "event_type",
+        bin_col.alias("bin"),
+        (F.col("ts") < split).cast("int").alias("is_a"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + PSI_N_BINS)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + PSI_N_BINS)
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "bin",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        )
+    )
+
+
+ORACLE_PSI = f"""
+WITH binned AS (
+  SELECT event_type,
+         least({PSI_N_BINS - 1},
+               greatest(0, CAST(floor(value / {500.0 / PSI_N_BINS}) AS BIGINT)))
+           AS bin,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, sum(is_a) AS n_a, sum(1 - is_a) AS n_b
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.bin,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+       ((CAST(c.n_a + 1 AS DOUBLE) / (t.tot_a + {PSI_N_BINS}))
+        - (CAST(c.n_b + 1 AS DOUBLE) / (t.tot_b + {PSI_N_BINS})))
+       * ln((CAST(c.n_a + 1 AS DOUBLE) / (t.tot_a + {PSI_N_BINS}))
+            / (CAST(c.n_b + 1 AS DOUBLE) / (t.tot_b + {PSI_N_BINS})))
+         AS psi_term
+FROM counts c JOIN tot t USING (event_type)
+"""
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregation driven to
+    completion: 1-hour event counts + cent sums per event_type over a
+    file-stream read of the events table, drained with availableNow and
+    hash-compared to the batch GROUP BY oracle — the watermark-windowed
+    twin of the sessionize gate row. Counts and cent sums are integers;
+    the one double is the final /100 scale."""
+    import tempfile
+    import uuid
+
+    from .sources.reader import load_stream
+    from .streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "event_type", "ts", _cents("value").alias("__c")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("__c").alias("__s"))
+    )
+    sink = f"stream_wincounts_{uuid.uuid4().hex[:8]}"
+    # complete mode: on bounded availableNow input, append-mode windowed
+    # aggregation would hold back every window the final watermark has not
+    # passed (the trailing hour at minimum), so the drained sink could
+    # never equal the batch oracle. Complete re-emits the full window
+    # table at the last commit — the right drain semantics for a bounded
+    # comparison run; a production continuous run would use append +
+    # watermark and emit each window once finalized.
+    out = drain_available_now(
+        agg, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("__s").cast("double") / 100.0).alias("spend"),
+    )
+
+
+ORACLE_STREAM_WINDOW_COUNTS = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3663,6 +4003,25 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_UNIGRAM_LOGPROB,
                                      "unigram-LM mean log-prob per doc "
                                      "(rtol parity; ln ulp)"),
+    "funnel_conversion": QueryDef(q_funnel_conversion, ORACLE_FUNNEL,
+                                  "ordered view->click->purchase funnel "
+                                  "(conditional MIN stages, no self-join)"),
+    "retention_cohorts": QueryDef(q_retention_cohorts, ORACLE_RETENTION,
+                                  "weekly cohort retention matrix"),
+    "features_multi_horizon": QueryDef(q_features_multi_horizon,
+                                       ORACLE_MULTI_HORIZON,
+                                       "1h/24h/7d rolling features, one "
+                                       "sort for all frames"),
+    "normalize_zscore": QueryDef(q_normalize_zscore, ORACLE_ZSCORE,
+                                 "per-group z-score (exact integer "
+                                 "moment sums; hash-safe)"),
+    "drift_psi": QueryDef(q_drift_psi, ORACLE_PSI,
+                          "two-period PSI drift per event_type "
+                          "(rtol parity; ln ulp)"),
+    "streaming_window_counts": QueryDef(q_streaming_window_counts,
+                                        ORACLE_STREAM_WINDOW_COUNTS,
+                                        "drained streaming tumbling-window "
+                                        "counts vs batch oracle"),
 }
 
 # --------------------------------------------------------------------------
@@ -3724,6 +4083,12 @@ _DRIVER_EXCLUDE = (
     # round-4 additions past the 50-slot cap (local gate)
     "multimodal_decode_stats",
     "multimodal_audio_stats",
+    "funnel_conversion",
+    "retention_cohorts",
+    "features_multi_horizon",
+    "normalize_zscore",
+    "drift_psi",
+    "streaming_window_counts",
     # parked round 4: three consecutive green gate rows (r1-r3) each, and
     # every one stays pinned by the local replica at the same sf. Parking
     # them frees gate slots for the rotated-in queries above so the

@@ -63,6 +63,17 @@ SMOKE_QUERIES = [
     "rollup_ohlc_daily",
     "cluster_representatives",
     "text_vocab_coverage",
+    # round-4 additions: the remaining verdict-item-7 operators + the new
+    # real-codec queries + the LSH clustering tier + the auto curation
+    # switch AT its crossover (64 MiB default sits right at 10x sf0.1
+    # documents, so tier=auto exercises the LSH branch here)
+    "asof_join_forward",
+    "merge_cdc_snapshot",
+    "resample_locf",
+    "corpus_curation_auto",
+    "dedup_clusters_lsh",
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
 ]
 
 
