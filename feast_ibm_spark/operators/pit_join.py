@@ -34,8 +34,15 @@ Physical strategies (chosen for 100 TB; see SURVEY.md §4):
   shuffle on the entity key, sort by (ts, tag), and take
   ``last(features, ignorenulls=True)`` over an unbounded-preceding window;
   TTL enforced by post-checking the matched timestamp. No join blowup even
-  when both sides are huge and many feature rows precede each spine row;
-  this is the scale path when the spine itself is feature-table-sized.
+  when both sides are huge and many feature rows precede each spine row.
+  Round-4 skew benchmark (NOTES.md "PIT strategy choice", 5M feature
+  rows / 50%-hot key): melt beats broadcast/shuffle at BOTH a selective
+  300-row spine (0.35s vs 0.85/0.75s) and a full-key 37.5k-row spine
+  (0.45s vs 3.4/3.3s), hot key included — so ``auto`` now always melts.
+  With a broadcast-sized spine the melt adds a LEFT SEMI key prune of the
+  feature side (``prune_keys``) so the window shuffle carries only the
+  requested keys' history — the property that matters at 100 TB, where
+  an unpruned melt would shuffle the corpus for a 300-entity request.
 - ``union_window_salted`` — the melt salted by time bucket: windows
   partition by (key, floor(ts/B)) plus a per-key carry pass over one-row
   bucket summaries, so even a single hot key's history splits across
@@ -122,14 +129,19 @@ def point_in_time_join(
     """Join every FeatureView onto the spine as-of the spine timestamp.
 
     ``strategy``: ``broadcast`` | ``shuffle`` | ``union_window`` | ``auto``
-    (see module docstring). ``auto`` picks ``broadcast`` while the spine
-    has at most ``auto_broadcast_rows`` distinct-ish rows (counted by the
-    same one-job aggregate that already computes the TTL range, so the
-    decision is free) and the melt ``union_window`` path beyond that —
-    the measured crossover shape (scripts/scale_smoke.py: melt wins once
-    the spine stops being broadcast-sized). All spine columns (including
-    label/pass-through columns, reference ``tests/test_integration.py:160``)
-    survive to the output.
+    (see module docstring). ``auto`` (re-derived round 4 from the skew
+    benchmark, NOTES.md "PIT strategy choice"): the melt is the winning
+    physical shape at every measured spine size — it never multiplies
+    feature rows through a join and absorbs a 50%-hot key in one sorted
+    partition — so auto always melts, and the spine row count (from the
+    same one-job aggregate that computes the TTL range, so the decision
+    is free) only decides KEY PRUNING: a spine at or under
+    ``auto_broadcast_rows`` broadcast-semi-joins its key set onto the
+    feature side first, keeping the window shuffle to the requested keys'
+    history instead of the whole corpus — the part that matters at 100 TB
+    where the melt's unpruned shuffle is the scan. All spine columns
+    (including label/pass-through columns, reference
+    ``tests/test_integration.py:160``) survive to the output.
 
     ``persist_spine`` materializes the spine once: it is consumed by the
     min/max range aggregate, each view's key-dedup, and the final left
@@ -159,12 +171,13 @@ def point_in_time_join(
     if strategy == "auto":
         if n_rows is None:  # caller-supplied 2-tuple range: count separately
             n_rows = spine.count()
-        strategy = "broadcast" if n_rows <= auto_broadcast_rows else "union_window"
+        strategy = "union_window"
     out = spine
     for view in feature_views:
         if strategy == "union_window":
             out = _join_one_view_union_window(
-                out, view, spine_timestamp_field, full_feature_names, lo, hi
+                out, view, spine_timestamp_field, full_feature_names, lo, hi,
+                prune_keys=(n_rows is not None and n_rows <= auto_broadcast_rows),
             )
         elif strategy == "union_window_salted":
             out = _join_one_view_union_window_salted(
@@ -290,6 +303,7 @@ def _join_one_view_union_window(
     full_feature_names: bool,
     lo,
     hi,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Melt as-of join: one equi-shuffle on the entity keys, no range join.
 
@@ -299,8 +313,23 @@ def _join_one_view_union_window(
     the spine timestamp sorts BEFORE the spine row (tag 0 < 1), preserving
     the inclusive ``<=`` bound. TTL is enforced afterwards by nulling
     matches whose timestamp is older than ``spine.ts - ttl``.
-    """
+
+    ``prune_keys`` (round 4): broadcast LEFT SEMI the spine's key set onto
+    the feature side before the melt. For a SELECTIVE spine (the typical
+    retrieval: a few hundred entities against a huge history) this keeps
+    the melt's window shuffle to the requested keys' rows instead of the
+    whole corpus — without it the melt shuffles every feature row however
+    small the spine, which local wall-clock forgives (shuffle ~ memcpy)
+    but a 100 TB cluster does not. Enabled automatically when the caller
+    knows the spine is broadcast-sized; harmless semantically (rows of
+    keys absent from the spine can never match)."""
     feat, _ = _prepared_feature_side(view, lo, hi)
+    if prune_keys:
+        feat = feat.join(
+            F.broadcast(spine.select(*view.join_keys).distinct()),
+            on=view.join_keys,
+            how="left_semi",
+        )
 
     # Pre-dedupe feature rows per (keys, ts): keep max created (folds the
     # reference's dedup CTE :703-712 into the melt).

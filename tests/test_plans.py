@@ -395,3 +395,21 @@ def test_minhash_band_index_reused_not_persisted(spark, sf_dir):
         assert "Reused" in final, "band-index branches were not reused"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_auto_pit_melts_with_key_pruning(spark, events):
+    """Round-4 auto policy: always melt; a broadcast-sized spine key-
+    prunes the feature side with a LEFT SEMI join so the window shuffle
+    carries only requested keys (the 100 TB property), and no as-of
+    equi-join (the row-multiplying shape) appears in the plan."""
+    spine = (
+        events.groupBy("user_id").agg(F.max("ts").alias("event_timestamp"))
+        .limit(20)
+    )
+    view = FeatureViewSpec(
+        "v", events, ["user_id"], ["value"], "ts", ttl_seconds=7 * 86400
+    )
+    out = point_in_time_join(spine, [view], strategy="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert out.count() == spine.count()  # every spine row survives
