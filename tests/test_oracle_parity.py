@@ -101,6 +101,11 @@ _EXCLUDED_WITH_ORACLE = [
     "text_vocab_coverage",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
+    "join_market_share",
+    "join_nation_profit",
+    "join_min_cost_supplier",
+    "agg_important_parts",
+    "agg_supplier_variety",
     "funnel_conversion",
     "retention_cohorts",
     "features_multi_horizon",
