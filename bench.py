@@ -79,7 +79,8 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf as _pudf
 
     @_pudf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s):  # no hints: _pd is main()-local, stringized annotations
+        # would not resolve in pyspark's type-hint inference
         import zlib
 
         import numpy as _np

@@ -1271,6 +1271,37 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type
 """
 
+
+def q_scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 extension past the reference's cos_type set: an ORC object
+    source (Spark-native reader; typed columns survive unlike CSV). Same
+    materialize-once-to-tmp pattern and oracle as the CSV twin."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.data_source import SparkDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_orc_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .orc(dest)
+        )
+    src = SparkDataSource(path=dest, format="orc")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        src.load(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
 # --------------------------------------------------------------------------
 # Reference surface F3 as a driver query: native partition pruning over a
 # date-partitioned layout (reference :665-667 injects string predicates
@@ -4033,6 +4064,61 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven to completion: every purchase
+    paired with the same user's clicks in the preceding 30 minutes, both
+    sides live file streams with watermark-bounded state
+    (streaming/interval_join.py), drained with availableNow and
+    hash-compared to the batch interval-join oracle. The third streaming
+    class at the gate (stateful sessionize, windowed agg, now a binary
+    stateful join)."""
+    import tempfile
+    import uuid
+
+    from .sources.reader import load_stream
+    from .streaming.interval_join import streaming_interval_join
+    from .streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    purchases = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                _cents("value").alias("__c"))
+    )
+    clicks = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+    )
+    sink = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        joined, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "user_id", "purchase_ts", "click_ts",
+        (F.col("__c").cast("double") / 100.0).alias("purchase_value"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+       CAST(CAST(round(p.value * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS purchase_value
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4132,6 +4218,9 @@ QUERIES: dict[str, QueryDef] = {
                                    "OR-of-ANDs disjunctive predicates (Q19)"),
     "scan_json_props": QueryDef(q_scan_json_props, ORACLE_JSON_PROPS,
                                 "typed from_json extraction + aggregate"),
+    "scan_orc_source": QueryDef(q_scan_orc_source, ORACLE_CSV_SOURCE,
+                                "S2 extension: ORC object source (same "
+                                "oracle as the CSV twin)"),
     "scan_csv_source": QueryDef(q_scan_csv_source, ORACLE_CSV_SOURCE,
                                 "S2 non-parquet format: CSV object source"),
     "scan_partitioned_events": QueryDef(q_scan_partitioned_events,
@@ -4321,6 +4410,10 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_STREAM_WINDOW_COUNTS,
                                         "drained streaming tumbling-window "
                                         "counts vs batch oracle"),
+    "streaming_interval_join": QueryDef(q_streaming_interval_join,
+                                        ORACLE_STREAM_INTERVAL_JOIN,
+                                        "drained stream-stream interval "
+                                        "join vs batch oracle"),
 }
 
 # --------------------------------------------------------------------------
@@ -4393,6 +4486,8 @@ _DRIVER_EXCLUDE = (
     "normalize_zscore",
     "drift_psi",
     "streaming_window_counts",
+    "streaming_interval_join",
+    "scan_orc_source",
     # parked round 4: three consecutive green gate rows (r1-r3) each, and
     # every one stays pinned by the local replica at the same sf. Parking
     # them frees gate slots for the rotated-in queries above so the

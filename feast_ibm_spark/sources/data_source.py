@@ -2,7 +2,8 @@
 
 Reference contract (``ibm_data_engine/data_engine_offline_store.py:103-163``):
 a named source is exactly one of (a) a catalog *table*, (b) an inline SQL
-*query*, or (c) an object-store *path* with a format in {json, csv, parquet};
+*query*, or (c) an object-store *path* with a format in {json, csv, parquet,
+orc — an engine extension past the reference cos_type set};
 it carries ``timestamp_field``, optional ``created_timestamp_column`` (dedup
 tiebreak) and ``field_mapping`` (source column -> feature name rename).
 
@@ -24,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..types import spark_type_to_feast_value_type
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 class _CustomSourceOptionsShim:

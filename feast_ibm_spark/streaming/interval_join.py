@@ -1,0 +1,66 @@
+"""Stream-stream interval join with watermark-bounded state.
+
+The last Structured-Streaming join class the engine lacked: two live
+streams equi-joined on a key with an event-time interval predicate
+(``left.ts BETWEEN right.ts - before AND right.ts + after``). Spark's
+stream-stream inner join keeps both sides' rows in the state store until
+the watermark plus the interval bound passes them — the time bound is
+what makes the state FINITE, so it is required, not an optimization
+(an unbounded stream-stream join would buffer both streams forever).
+
+At scale: state is partitioned by the join key like any shuffle; the
+interval width x input rate bounds each side's state size, and the
+watermark delay trades completeness against memory. This is the
+streaming twin of ``operators/interval.py``'s bucketed batch range join
+— same semantics, incremental execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    before_seconds: int,
+    after_seconds: int,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Inner-join two streams on ``key_cols`` where ``left_ts`` falls in
+    ``[right_ts - before_seconds, right_ts + after_seconds]``.
+
+    Both inputs must be streaming DataFrames; each gets its event-time
+    watermark here (same delay — pass pre-watermarked frames to vary).
+    Column names must be disjoint apart from ``key_cols``; both ts
+    columns survive in the output.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = functools_reduce_and(
+        [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols]
+        + [
+            F.col(f"l.{left_ts}")
+            >= F.col(f"r.{right_ts}") - F.expr(f"INTERVAL {before_seconds} SECOND"),
+            F.col(f"l.{left_ts}")
+            <= F.col(f"r.{right_ts}") + F.expr(f"INTERVAL {after_seconds} SECOND"),
+        ]
+    )
+    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    # project key columns once (both sides carry them after the alias join)
+    keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
+    others = [
+        F.col(f"l.{c}") for c in left.columns if c not in key_cols
+    ] + [F.col(f"r.{c}") for c in right.columns if c not in key_cols]
+    return joined.select(*keep, *others)
+
+
+def functools_reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

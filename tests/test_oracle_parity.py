@@ -111,6 +111,8 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "normalize_zscore",
     "streaming_window_counts",
+    "streaming_interval_join",
+    "scan_orc_source",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating ten never-gated queries into the export
     "pit_join_shuffle",

@@ -58,7 +58,7 @@ def test_name_defaults_to_table_then_path():
 # -- path sources in all three formats --------------------------------------
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_path_source_roundtrip(spark, sample_df, tmp_path_factory, fmt):
     path = str(tmp_path_factory.mktemp("src") / f"data_{fmt}")
     writer = sample_df.write.mode("overwrite")
@@ -66,6 +66,8 @@ def test_path_source_roundtrip(spark, sample_df, tmp_path_factory, fmt):
         writer.option("header", True).csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 
