@@ -4473,21 +4473,24 @@ _DRIVER_EXCLUDE = (
     "text_vocab_coverage",
     "text_unigram_logprob",
     # round-4 additions past the 50-slot cap (local gate)
-    "multimodal_decode_stats",
-    "multimodal_audio_stats",
-    "join_market_share",
     "join_nation_profit",
     "join_min_cost_supplier",
     "agg_important_parts",
     "agg_supplier_variety",
-    "funnel_conversion",
     "retention_cohorts",
     "features_multi_horizon",
     "normalize_zscore",
     "drift_psi",
-    "streaming_window_counts",
-    "streaming_interval_join",
     "scan_orc_source",
+    # parked round 4 (second batch): freeing slots for the round-4 new
+    # component classes (real codecs, streaming window agg + interval
+    # join, funnel, Q8) — each parked entry has three green rows r1-r3
+    "agg_revenue_forecast",
+    "agg_event_type_stats",
+    "join_order_count_distribution",
+    "agg_value_percentiles",
+    "agg_smallqty_revenue",
+    "join_promo_revenue",
     # parked round 4: three consecutive green gate rows (r1-r3) each, and
     # every one stays pinned by the local replica at the same sf. Parking
     # them frees gate slots for the rotated-in queries above so the
@@ -4521,6 +4524,12 @@ _DRIVER_FIRST = (
     "streaming_sessionize",
     "corpus_curation_lsh",
     # rotated into the gate round 4 (first driver hash for each)
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "streaming_window_counts",
+    "streaming_interval_join",
+    "funnel_conversion",
+    "join_market_share",
     "asof_join_forward",
     "range_join_ship_windows",
     "resample_locf",

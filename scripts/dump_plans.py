@@ -166,6 +166,44 @@ SHOWCASE: list[tuple[str, str]] = [
         "bottleneck. Contrast take_per_group (exact counts), which pays\n"
         "one window shuffle on the group key.",
     ),
+    (
+        "funnel_conversion",
+        "Ordered-funnel without self-joins on the fact table: each stage\n"
+        "is a conditional-MIN hash aggregate keyed on user_id, joined to\n"
+        "the previous stage's (user, time) — three map-side-combinable\n"
+        "aggregates over one scan lineage instead of the O(stages)\n"
+        "fact-to-fact join a naive formulation pays. At 100 TB the wide\n"
+        "rows never leave the scan stage; only (user_id, min_ts) pairs\n"
+        "shuffle.",
+    ),
+    (
+        "features_multi_horizon",
+        "Three trailing RANGE frames (1h/24h/7d) declared over the SAME\n"
+        "partition+order key collapse into ONE Window node: one shuffle on\n"
+        "user_id, one sort, six features. The plan proves the frames\n"
+        "share the sort — the classic feature-backfill job that naive\n"
+        "per-horizon passes would pay 3x for. Spend aggregates ride\n"
+        "integer cents, so partial aggregation is exact at any\n"
+        "parallelism.",
+    ),
+    (
+        "join_market_share",
+        "TPC-H Q8 topology: every dimension side (part filter, customer\n"
+        "nation->region branch, supplier nation branch) broadcasts, so\n"
+        "lineitem — the only 100 TB-scale table — crosses the wire once,\n"
+        "into the final year aggregate. The share division happens on two\n"
+        "exact integer cent sums, so the result is bit-stable regardless\n"
+        "of partial-aggregation order.",
+    ),
+    (
+        "multimodal_decode_stats",
+        "The real-codec pipeline is two Arrow-batched Python stages\n"
+        "(synthesize+encode, then decode+extract) with NO shuffle — media\n"
+        "feature extraction is embarrassingly parallel and the plan shows\n"
+        "it: scan -> ArrowEvalPython -> mapInPandas, partition-preserving\n"
+        "end to end. At 100 TB the only levers are batch size (payload\n"
+        "memory) and input file splits; no stage concentrates data.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

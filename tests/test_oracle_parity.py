@@ -99,22 +99,22 @@ _EXCLUDED_WITH_ORACLE = [
     "corpus_curation_auto",
     "cluster_representatives",
     "text_vocab_coverage",
-    "multimodal_decode_stats",
-    "multimodal_audio_stats",
-    "join_market_share",
     "join_nation_profit",
     "join_min_cost_supplier",
     "agg_important_parts",
     "agg_supplier_variety",
-    "funnel_conversion",
     "retention_cohorts",
     "features_multi_horizon",
     "normalize_zscore",
-    "streaming_window_counts",
-    "streaming_interval_join",
     "scan_orc_source",
     # parked round 4 after three consecutive green driver rows each, in
-    # exchange for rotating ten never-gated queries into the export
+    # exchange for rotating never-gated queries into the export
+    "agg_revenue_forecast",
+    "agg_event_type_stats",
+    "join_order_count_distribution",
+    "agg_value_percentiles",
+    "agg_smallqty_revenue",
+    "join_promo_revenue",
     "pit_join_shuffle",
     "pull_latest_keep_ties",
     "pull_latest_tiebreak",
