@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "knn_cosine_topk",
     "knn_ivf",
+    "knn_pq",
     "text_fingerprint",
     "multimodal_byte_features",
     "multimodal_decode_stats",

@@ -47,6 +47,7 @@ from .operators.pit_join import FeatureViewSpec, point_in_time_join
 from .operators.pull_all import time_range_scan
 from .operators.pull_latest import latest_per_key
 from .operators.similarity import (
+    pq_cosine_topk,
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -2159,6 +2160,92 @@ ranked AS (
 )
 SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """
+
+PQ_M, PQ_CODES, PQ_CANDS = 8, 16, 128
+_PQ_DSUB = 8
+
+
+def _duck_dot8(a: str, b: str, j: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  list_transform(range(1, {_PQ_DSUB + 1}), i -> CAST({a}[{j}*{_PQ_DSUB}+i] AS DOUBLE) * CAST({b}[{j}*{_PQ_DSUB}+i] AS DOUBLE))),
+  (acc, x) -> acc + x)"""
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (third tier beside LSH/IVF): codes are 8
+    bytes per 64-dim vector, the ADC scan reads codes not vectors, and
+    the top-128 candidates are exactly re-ranked. Deterministic seed
+    codebooks (subvectors of the 16 lowest-id vectors) make every stage
+    — encode argmin, lookup-table build, ordered ADC fold, candidate
+    cut, exact re-rank — reproducible in SQL, so like knn_ivf this
+    approximate operator carries a full value-hash oracle (verified
+    bit-exact at sf0.01 and sf0.1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return pq_cosine_topk(emb, queries, k=KNN_K,
+                          m=PQ_M, n_codes=PQ_CODES, n_candidates=PQ_CANDS)
+
+
+ORACLE_KNN_PQ = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_CODES})
+),
+enc_dists AS (
+  SELECT e.vec_id, s.code, j.j,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(1, {_PQ_DSUB + 1}), i ->
+        (CAST(e.embedding[j.j*{_PQ_DSUB}+i] AS DOUBLE) - CAST(s.ce[j.j*{_PQ_DSUB}+i] AS DOUBLE))
+        * (CAST(e.embedding[j.j*{_PQ_DSUB}+i] AS DOUBLE) - CAST(s.ce[j.j*{_PQ_DSUB}+i] AS DOUBLE)))),
+      (acc, x) -> acc + x) AS dist
+  FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, {PQ_M}) j(j)
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+    FROM enc_dists) WHERE rn = 1
+),
+luts AS (
+  SELECT q.vec_id AS q_vec_id, j.j, s.code,
+         {_duck_dot8('q.embedding', 's.ce', 'j.j')} AS dotv
+  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, {PQ_M}) j(j)
+  WHERE q.vec_id < {KNN_QUERY_IDS}
+),
+norms AS (
+  SELECT vec_id, sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+approx AS (
+  SELECT l.q_vec_id, c.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.dotv ORDER BY l.j)),
+                     (acc, x) -> acc + x) AS adot
+  FROM luts l JOIN codes c ON c.j = l.j AND c.code = l.code
+  WHERE c.vec_id != l.q_vec_id
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT a.q_vec_id, a.vec_id,
+      row_number() OVER (PARTITION BY a.q_vec_id
+                         ORDER BY a.adot / (qn.nrm * cn.nrm) DESC, a.vec_id ASC) AS rn
+    FROM approx a
+    JOIN norms qn ON qn.vec_id = a.q_vec_id
+    JOIN norms cn ON cn.vec_id = a.vec_id) WHERE rn <= {PQ_CANDS}
+),
+rescored AS (
+  SELECT c.q_vec_id, c.vec_id,
+         {_duck_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.q_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM (
+  SELECT q_vec_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored) WHERE rank <= {KNN_K}
+"""
+
 
 NEAR_DUP_COS = 0.4
 
@@ -4310,6 +4397,9 @@ QUERIES: dict[str, QueryDef] = {
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,
                         "hyperplane-LSH ANN (approximate; rows-only)"),
+    "knn_pq": QueryDef(q_knn_pq, ORACLE_KNN_PQ,
+                       "PQ (ADC) ANN with exact re-rank — deterministic "
+                       "seed codebooks; full value-hash oracle"),
     "knn_ivf": QueryDef(q_knn_ivf, ORACLE_KNN_IVF,
                         "IVF cell-probe ANN (deterministic seed cells; "
                         "full value-hash oracle)"),
@@ -4482,6 +4572,7 @@ _DRIVER_EXCLUDE = (
     "normalize_zscore",
     "drift_psi",
     "scan_orc_source",
+    "knn_pq",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

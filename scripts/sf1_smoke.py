@@ -44,6 +44,7 @@ SMOKE_QUERIES = [
     "corpus_curation_lsh",
     "sessionize_events",
     "knn_ivf",
+    "knn_pq",
     "agg_pricing_summary",
     # iterative / join-heavy round-3 additions
     "dedup_clusters",

@@ -513,3 +513,37 @@ def test_shingles_short_doc_does_not_crash(spark):
     )
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2, 3)}
+
+
+def test_pq_ann_recall_and_exact_rescoring(spark, sf_dir):
+    """PQ tier: candidates come from the 64x-compressed code scan, but
+    emitted cosines are exact (bit-identical to brute force on shared
+    pairs); recall@5 with seed codebooks and the default candidate
+    budget is measured >= 0.8; trained codebooks must not be worse than
+    a tiny-budget seed run."""
+    from feast_ibm_spark.operators.similarity import (
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.q_vec_id, r.vec_id): r.cosine
+             for r in cosine_topk(emb, q, k=5).collect()}
+
+    pq = pq_cosine_topk(emb, q, k=5).collect()
+    hits = [r for r in pq if (r.q_vec_id, r.vec_id) in exact]
+    assert len(hits) >= int(0.8 * len(exact))
+    for r in hits:  # exact re-rank kernel => bit-identical scores
+        assert r.cosine == exact[(r.q_vec_id, r.vec_id)]
+
+    books = train_pq_codebooks(emb, m=8, n_codes=16, seed=42)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    trained = {(r.q_vec_id, r.vec_id) for r in pq_cosine_topk(
+        emb, q, k=5, codebooks=books, n_candidates=64).collect()}
+    seed_small = {(r.q_vec_id, r.vec_id) for r in pq_cosine_topk(
+        emb, q, k=5, n_candidates=16).collect()}
+    assert len(trained & set(exact)) >= len(seed_small & set(exact))
+    # determinism: same seed -> same books
+    assert books == train_pq_codebooks(emb, m=8, n_codes=16, seed=42)

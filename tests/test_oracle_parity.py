@@ -107,6 +107,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "normalize_zscore",
     "scan_orc_source",
+    "knn_pq",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
