@@ -181,7 +181,8 @@ def point_in_time_join(
             )
         elif strategy == "union_window_salted":
             out = _join_one_view_union_window_salted(
-                out, view, spine_timestamp_field, full_feature_names, lo, hi
+                out, view, spine_timestamp_field, full_feature_names, lo, hi,
+                prune_keys=(n_rows is not None and n_rows <= auto_broadcast_rows),
             )
         else:
             out = _join_one_view(
@@ -399,6 +400,7 @@ def _join_one_view_union_window_salted(
     lo,
     hi,
     salt_bucket_seconds: int = 86400,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Melt as-of join SALTED by time bucket — the hot-key scale path.
 
@@ -419,9 +421,18 @@ def _join_one_view_union_window_salted(
     Same oracle semantics as every other strategy (pinned by the
     randomized brute-force test); choose B >= TTL-scale so carry chains
     stay short, and note carry-in is EXEMPT from partition skew — it is
-    one row per (key, bucket) regardless of row counts.
+    one row per (key, bucket) regardless of row counts. ``prune_keys``
+    mirrors the plain melt's broadcast LEFT SEMI key prune (a whale key
+    requested through a small spine still benefits — the prune drops
+    every OTHER key's history before the bucketed shuffle).
     """
     feat, _ = _prepared_feature_side(view, lo, hi)
+    if prune_keys:
+        feat = feat.join(
+            F.broadcast(spine.select(*view.join_keys).distinct()),
+            on=view.join_keys,
+            how="left_semi",
+        )
 
     if view.created_timestamp_column:
         wdup = Window.partitionBy(*view.join_keys, view.timestamp_field).orderBy(

@@ -70,10 +70,15 @@ class SparkOfflineStore:
         feature_views: list[FeatureViewSpec],
         full_feature_names: bool = False,
         spine_timestamp_field: str | None = None,
-        strategy: str = "broadcast",
+        strategy: str = "auto",
     ) -> SparkRetrievalJob:
         """Point-in-time join of every FeatureView onto the entity spine
-        (reference ``get_historical_features``, ``:355-418``)."""
+        (reference ``get_historical_features``, ``:355-418``).
+
+        Default ``strategy="auto"`` since round 4: the key-pruned melt,
+        measured fastest at every spine shape incl. 50%-hot keys
+        (NOTES.md "PIT strategy choice"); the explicit strategies remain
+        for callers with known shapes."""
         spine = _ensure_spine(spark, entity_df, timestamp_field=spine_timestamp_field)
         ts_col = spine_timestamp_field or _infer_event_timestamp_col(spine.columns)
 
