@@ -3819,6 +3819,120 @@ GROUP BY 1, 2, 3
 # engines.
 # --------------------------------------------------------------------------
 
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface in one plan: rank, dense_rank,
+    percent_rank, cume_dist, lag and lead share a single (key, order)
+    window — one shuffle, one sort for six functions. All outputs are
+    integers or exact rational fractions of integers (percent_rank =
+    (rank-1)/(n-1), cume_dist = n_le/n: single divisions both engines),
+    so the row is hash-exact. Orders table, keyed by priority."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("__c").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority", cents.alias("__c"))
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("bigint"))
+        .withColumn("prank", F.percent_rank().over(w))
+        .withColumn("cdist", F.cume_dist().over(w))
+        .withColumn("prev_cents", F.lag("__c", 1).over(w))
+        .withColumn("next_cents", F.lead("__c", 1).over(w))
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("__c").cast("double") / 100.0).alias("total_price"),
+            "rnk", "drnk", "prank", "cdist", "prev_cents", "next_cents",
+        )
+    )
+
+
+ORACLE_WINDOW_RANK_SUITE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       CAST(cents AS DOUBLE) / 100.0 AS total_price,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       lag(cents, 1) OVER w AS prev_cents,
+       lead(cents, 1) OVER w AS next_cents
+FROM c
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents ASC, o_orderkey ASC)
+"""
+
+
+def q_agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE queries): exactly
+    {(status, priority), (status), (priority)} — no grand total — plus
+    GROUPING_ID to disambiguate NULLs from real values. One Expand over
+    one scan; cents sums exact."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_scan_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4's open JSON type, the
+    lakehouse answer to schema drift): parse the props JSON into VARIANT,
+    extract a typed field with variant_get, aggregate. Unlike the typed
+    from_json twin (scan_json_props), the extraction schema binds at
+    READ time per field — new JSON keys never break the pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+            .alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4481,6 +4595,18 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "window_rank_suite": QueryDef(q_window_rank_suite,
+                                  ORACLE_WINDOW_RANK_SUITE,
+                                  "six ranking/offset window functions, "
+                                  "one shuffle one sort"),
+    "agg_grouping_sets_custom": QueryDef(q_agg_grouping_sets_custom,
+                                         ORACLE_GROUPING_SETS,
+                                         "arbitrary GROUPING SETS + "
+                                         "grouping_id"),
+    "scan_variant_props": QueryDef(q_scan_variant_props,
+                                   ORACLE_VARIANT_PROPS,
+                                   "Spark-4 VARIANT semi-structured "
+                                   "extraction"),
     "funnel_conversion": QueryDef(q_funnel_conversion, ORACLE_FUNNEL,
                                   "ordered view->click->purchase funnel "
                                   "(conditional MIN stages, no self-join)"),
@@ -4573,6 +4699,9 @@ _DRIVER_EXCLUDE = (
     "drift_psi",
     "scan_orc_source",
     "knn_pq",
+    "window_rank_suite",
+    "agg_grouping_sets_custom",
+    "scan_variant_props",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

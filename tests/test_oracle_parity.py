@@ -108,6 +108,9 @@ _EXCLUDED_WITH_ORACLE = [
     "normalize_zscore",
     "scan_orc_source",
     "knn_pq",
+    "window_rank_suite",
+    "agg_grouping_sets_custom",
+    "scan_variant_props",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
