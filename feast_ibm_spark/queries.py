@@ -3933,6 +3933,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE): walk
+    each supplier up a derived hierarchy (parent(k) = floor(k/2) — the
+    schema has no self-referencing table, so the binary-tree parent rule
+    is the documented synthetic edge set, derivable identically in any
+    engine) accumulating depth and the path's acctbal in cents. The
+    per-step accumulation order is fixed by the recursion itself, so the
+    path sum is deterministic and hash-exact."""
+    orders = _t(spark, sf_dir, "supplier")
+    orders.createOrReplaceTempView("__hier_supplier")
+    return spark.sql("""
+        WITH RECURSIVE walk(s_suppkey, node, depth, path_cents) AS (
+          SELECT s_suppkey, s_suppkey, 0,
+                 CAST(round(s_acctbal * 100) AS BIGINT)
+          FROM __hier_supplier
+          UNION ALL
+          SELECT w.s_suppkey, s.s_suppkey, w.depth + 1,
+                 w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+          FROM walk w
+          JOIN __hier_supplier s
+            ON s.s_suppkey = CAST(floor(w.node / 2) AS BIGINT)
+          WHERE w.node >= 2
+        )
+        SELECT s_suppkey, node AS root, CAST(depth AS BIGINT) AS depth,
+               CAST(path_cents AS DOUBLE) / 100.0 AS path_acctbal
+        FROM walk WHERE node <= 1
+    """)
+
+
+ORACLE_HIERARCHY_CHAIN = """
+WITH RECURSIVE walk(s_suppkey, node, depth, path_cents) AS (
+  SELECT s_suppkey, s_suppkey, 0, CAST(round(s_acctbal * 100) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT w.s_suppkey, s.s_suppkey, w.depth + 1,
+         w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+  FROM walk w
+  JOIN supplier s ON s.s_suppkey = CAST(floor(w.node / 2) AS BIGINT)
+  WHERE w.node >= 2
+)
+SELECT s_suppkey, node AS root, CAST(depth AS BIGINT) AS depth,
+       CAST(path_cents AS DOUBLE) / 100.0 AS path_acctbal
+FROM walk WHERE node <= 1
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4595,6 +4641,10 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "hierarchy_chain": QueryDef(q_hierarchy_chain,
+                                ORACLE_HIERARCHY_CHAIN,
+                                "WITH RECURSIVE transitive closure "
+                                "(depth + exact path sums)"),
     "window_rank_suite": QueryDef(q_window_rank_suite,
                                   ORACLE_WINDOW_RANK_SUITE,
                                   "six ranking/offset window functions, "
@@ -4702,6 +4752,7 @@ _DRIVER_EXCLUDE = (
     "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
+    "hierarchy_chain",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3
