@@ -3979,6 +3979,29 @@ FROM walk WHERE node <= 1
 """
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) string join over distinct part names: pairs
+    at Levenshtein distance exactly 1 — the entity-resolution "typo
+    join". Candidates via a trigram inverted index (count-bound complete
+    for these name lengths; short strings brute-force their tiny
+    bucket), verified with the JVM levenshtein expression. The oracle is
+    the brute-force distinct-pairs form — tractable in DuckDB at gate
+    scale, which is exactly why the Spark side must NOT be."""
+    from .operators.fuzzy import fuzzy_string_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_string_pairs(part, "p_name", max_dist=1)
+
+
+ORACLE_FUZZY_NAMES = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) = 1
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4641,6 +4664,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "fuzzy_part_names": QueryDef(q_fuzzy_part_names, ORACLE_FUZZY_NAMES,
+                                 "edit-distance-1 typo join (trigram "
+                                 "index + levenshtein verify)"),
     "hierarchy_chain": QueryDef(q_hierarchy_chain,
                                 ORACLE_HIERARCHY_CHAIN,
                                 "WITH RECURSIVE transitive closure "
@@ -4753,6 +4779,7 @@ _DRIVER_EXCLUDE = (
     "agg_grouping_sets_custom",
     "scan_variant_props",
     "hierarchy_chain",
+    "fuzzy_part_names",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -547,3 +547,21 @@ def test_pq_ann_recall_and_exact_rescoring(spark, sf_dir):
     assert len(trained & set(exact)) >= len(seed_small & set(exact))
     # determinism: same seed -> same books
     assert books == train_pq_codebooks(emb, m=8, n_codes=16, seed=42)
+
+
+def test_fuzzy_string_pairs_completeness(spark):
+    """The trigram candidate filter must not lose qualifying pairs: short
+    strings (count bound vacuous) route through the brute-force bucket,
+    long strings through the gram index; exact duplicates are excluded."""
+    from feast_ibm_spark.operators.fuzzy import fuzzy_string_pairs
+
+    rows = [
+        (1, "ab"), (2, "ac"),                    # short bucket, dist 1
+        (3, "spark engine"), (4, "spark engines"),  # long, dist 1
+        (5, "spark engine"),                     # exact dup of 3 -> excluded
+        (6, "zzzzzzzzzzzz"),                     # no partner
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {(r.name_a, r.name_b): r.dist
+           for r in fuzzy_string_pairs(df, "name", max_dist=1).collect()}
+    assert got == {("ab", "ac"): 1, ("spark engine", "spark engines"): 1}

@@ -112,6 +112,7 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_grouping_sets_custom",
     "scan_variant_props",
     "hierarchy_chain",
+    "fuzzy_part_names",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
