@@ -1,0 +1,153 @@
+"""Incremental aggregate maintenance (additive materialized views).
+
+Completes the engine's incremental-refresh story: ``store.materialize``
+maintains latest-per-key SNAPSHOTS; this module maintains ADDITIVE
+AGGREGATE tables (count / sum / min / max per key) so a daily refresh
+touches one day of facts plus key-cardinality-sized state — never the
+fact history. This is the classic mergeable-state IVM pattern: the
+stored aggregate rows ARE partial-aggregate state, so a refresh is
+
+    new_state = (old_state UNION slice_partials) GROUP BY keys re-merge
+
+— one shuffle over state + slice partials, with the fact scan bounded to
+the slice. The shape survives 100 TB because history is never rescanned
+and state size is keys, not rows. (AVG derives as sum/n at read time;
+non-additive aggregates — exact distinct, percentiles — need sketches
+instead and are out of scope here; see agg_approx_event_stats for the
+mergeable-sketch tier.)
+
+Exactly-once refreshes under retries (a mini commit protocol, since
+plain parquet has no transactions): state lives in versioned
+directories ``state__<refresh_id>`` and an append-only ledger orders
+the applied ids. A refresh computes the merge from the CURRENT state
+(the directory whose id is latest in the ledger), renames the new
+version into place, and only THEN appends the ledger entry:
+
+- crash before rename: temp dir is garbage; retry recomputes from the
+  old state — no double count;
+- crash after rename, before ledger append: the new directory exists
+  but is not committed; recovery still resolves the OLD state (latest
+  *ledger* id), and the retry overwrites the uncommitted directory —
+  no double count;
+- crash after ledger append: the refresh is committed; the stale old
+  directory is cleaned opportunistically on the next refresh.
+
+Re-applying an already-committed ``refresh_id`` is a no-op (pinned by
+the gate query, which deliberately re-applies its second slice).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LEDGER = "_refresh_ledger"
+_STATE_PREFIX = "state__"
+
+
+def _ledger_ids(spark: SparkSession, base_path: str) -> list[str]:
+    """Applied refresh ids in commit order (seq column orders them)."""
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(base_path, _LEDGER))
+            .orderBy("seq")
+            .collect()
+        )
+        return [r["refresh_id"] for r in rows]
+    except Exception:
+        return []
+
+
+def _current_state_dir(base_path: str, ids: list[str]) -> str | None:
+    for rid in reversed(ids):
+        d = os.path.join(base_path, _STATE_PREFIX + rid)
+        if os.path.exists(d):
+            return d
+    return None
+
+
+def slice_partials(
+    facts: DataFrame, key_cols: list[str], cents_col
+) -> DataFrame:
+    """Partial-aggregate a fact slice into mergeable state rows."""
+    return facts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents_col).alias("sum_cents"),
+        F.min(cents_col).alias("min_cents"),
+        F.max(cents_col).alias("max_cents"),
+    )
+
+
+def refresh_additive_agg(
+    spark: SparkSession,
+    base_path: str,
+    facts_slice: DataFrame,
+    key_cols: list[str],
+    cents_col,
+    refresh_id: str,
+) -> bool:
+    """Apply one refresh; returns False (no-op) when ``refresh_id`` is
+    already committed. State schema: key_cols + n/sum_cents/min_cents/
+    max_cents — all additive-mergeable, all exact integers."""
+    if _STATE_PREFIX in refresh_id or "/" in refresh_id:
+        raise ValueError(f"invalid refresh_id: {refresh_id!r}")
+    os.makedirs(base_path, exist_ok=True)
+    ids = _ledger_ids(spark, base_path)
+    if refresh_id in ids:
+        return False
+
+    parts = slice_partials(facts_slice, key_cols, cents_col)
+    cur = _current_state_dir(base_path, ids)
+    if cur is not None:
+        old = spark.read.parquet(cur)
+        merged = (
+            old.unionByName(parts)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+    else:
+        merged = parts
+
+    new_dir = os.path.join(base_path, _STATE_PREFIX + refresh_id)
+    tmp = new_dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(new_dir):  # uncommitted leftover from a dead retry
+        shutil.rmtree(new_dir)
+    os.rename(tmp, new_dir)
+    # commit point: the ledger append makes new_dir the current state
+    spark.createDataFrame(
+        [(len(ids), refresh_id)], "seq bigint, refresh_id string"
+    ).write.mode("append").parquet(os.path.join(base_path, _LEDGER))
+    # opportunistic cleanup of superseded state versions
+    for rid in ids:
+        stale = os.path.join(base_path, _STATE_PREFIX + rid)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    return True
+
+
+def read_agg(spark: SparkSession, base_path: str) -> DataFrame:
+    """The maintained aggregate, with AVG derived at read time."""
+    ids = _ledger_ids(spark, base_path)
+    cur = _current_state_dir(base_path, ids)
+    if cur is None:
+        raise FileNotFoundError(f"no committed state under {base_path}")
+    st = spark.read.parquet(cur)
+    return st.select(
+        *[c for c in st.columns if not c.endswith("_cents") and c != "n"],
+        F.col("n"),
+        (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+        (F.col("min_cents").cast("double") / 100.0).alias("min_value"),
+        (F.col("max_cents").cast("double") / 100.0).alias("max_value"),
+        (
+            F.col("sum_cents").cast("double") / F.col("n") / 100.0
+        ).alias("avg_value"),
+    )

@@ -4002,6 +4002,48 @@ WHERE levenshtein(a.name, b.name) = 1
 """
 
 
+def q_materialize_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance at the gate: per-user spend
+    stats maintained through TWO half-range refreshes (operators/
+    incremental.py), with the second slice deliberately RE-APPLIED to
+    prove the ledger makes retries no-ops. The oracle is one full-range
+    GROUP BY recompute — equality proves the incremental merge is exact
+    and idempotent. History is never rescanned: each refresh reads its
+    slice plus key-sized state."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .operators.incremental import read_agg, refresh_additive_agg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/fis_aggstate_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events")
+    mid = "2024-01-15 00:00:00"
+    cents = _cents("value")
+    first = ev.filter(F.col("ts") < F.lit(mid).cast("timestamp"))
+    second = ev.filter(F.col("ts") >= F.lit(mid).cast("timestamp"))
+    assert refresh_additive_agg(spark, base, first, ["user_id"], cents, "h1")
+    assert refresh_additive_agg(spark, base, second, ["user_id"], cents, "h2")
+    # retry of an applied refresh must be a committed no-op
+    assert not refresh_additive_agg(spark, base, second, ["user_id"], cents, "h2")
+    return read_agg(spark, base)
+
+
+ORACLE_AGG_INCREMENTAL = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4664,6 +4706,11 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "materialize_agg_incremental": QueryDef(q_materialize_agg_incremental,
+                                            ORACLE_AGG_INCREMENTAL,
+                                            "additive-aggregate IVM: two "
+                                            "refreshes + retry == full "
+                                            "recompute"),
     "fuzzy_part_names": QueryDef(q_fuzzy_part_names, ORACLE_FUZZY_NAMES,
                                  "edit-distance-1 typo join (trigram "
                                  "index + levenshtein verify)"),
@@ -4780,6 +4827,7 @@ _DRIVER_EXCLUDE = (
     "scan_variant_props",
     "hierarchy_chain",
     "fuzzy_part_names",
+    "materialize_agg_incremental",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

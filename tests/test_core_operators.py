@@ -652,3 +652,36 @@ def test_merge_changes_rejects_unknown_op_values(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="merge_changes"):
         merge_changes(snap, chg, ["k"], "ts").collect()
+
+
+def test_incremental_agg_crash_recovery(spark, tmp_path):
+    """The commit protocol's dangerous window: state renamed into place
+    but ledger append crashed. Recovery must resolve the OLD state and a
+    retry must not double-count."""
+    from feast_ibm_spark.operators.incremental import (
+        _STATE_PREFIX,
+        read_agg,
+        refresh_additive_agg,
+    )
+
+    base = str(tmp_path / "aggstate")
+    df1 = spark.createDataFrame([(1, 100), (2, 200)], "k bigint, c bigint")
+    df2 = spark.createDataFrame([(1, 50)], "k bigint, c bigint")
+    assert refresh_additive_agg(spark, base, df1, ["k"], F.col("c"), "r1")
+
+    # simulate the crash window: r2's state dir renamed into place but the
+    # ledger append never happened (the dir content mimics a half-applied
+    # merge — even a WRONG one, to prove the retry ignores it)
+    import os
+
+    r2_dir = os.path.join(base, _STATE_PREFIX + "r2")
+    spark.createDataFrame(
+        [(1, 999, 99900, 99900, 99900)],
+        "k bigint, n bigint, sum_cents bigint, min_cents bigint, max_cents bigint",
+    ).write.mode("overwrite").parquet(r2_dir)
+    assert os.path.exists(r2_dir)  # uncommitted leftover present
+
+    # retry: must recompute from r1's state (not the uncommitted r2 dir)
+    assert refresh_additive_agg(spark, base, df2, ["k"], F.col("c"), "r2")
+    got = {r.k: (r.n, r.sum_value) for r in read_agg(spark, base).collect()}
+    assert got == {1: (2, 1.5), 2: (1, 2.0)}  # no double count of df2
