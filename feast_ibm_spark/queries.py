@@ -4044,6 +4044,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 builder: turn a keyed event
+    history into versioned validity intervals — each row's value is
+    valid from its timestamp until the key's next change (NULL for the
+    current version), with is_current flagged. The warehouse twin of
+    merge_cdc_snapshot (which keeps only the winner; SCD2 keeps the
+    lineage). ONE window (lead over the key's time order, deterministic
+    event_id tiebreak), one shuffle; at 100 TB this is a map-side
+    pipeline after the key exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (_cents("value").cast("double") / 100.0).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts", 1).over(w).alias("valid_to"),
+        F.lead("ts", 1).over(w).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       ts AS valid_from,
+       lead(ts, 1) OVER w AS valid_to,
+       lead(ts, 1) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4706,6 +4742,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "scd2_intervals": QueryDef(q_scd2_intervals, ORACLE_SCD2,
+                               "SCD Type 2 validity intervals (one "
+                               "window; CDC lineage twin)"),
     "materialize_agg_incremental": QueryDef(q_materialize_agg_incremental,
                                             ORACLE_AGG_INCREMENTAL,
                                             "additive-aggregate IVM: two "
@@ -4828,6 +4867,7 @@ _DRIVER_EXCLUDE = (
     "hierarchy_chain",
     "fuzzy_part_names",
     "materialize_agg_incremental",
+    "scd2_intervals",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -114,6 +114,7 @@ _EXCLUDED_WITH_ORACLE = [
     "hierarchy_chain",
     "fuzzy_part_names",
     "materialize_agg_incremental",
+    "scd2_intervals",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
