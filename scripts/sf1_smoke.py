@@ -75,6 +75,20 @@ SMOKE_QUERIES = [
     "dedup_clusters_lsh",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
+    # round-4 batch 2: new analytics/join classes + streaming + IVM
+    "funnel_conversion",
+    "retention_cohorts",
+    "features_multi_horizon",
+    "normalize_zscore",
+    "join_market_share",
+    "join_min_cost_supplier",
+    "agg_supplier_variety",
+    "streaming_window_counts",
+    "streaming_interval_join",
+    "fuzzy_part_names",
+    "hierarchy_chain",
+    "scd2_intervals",
+    "materialize_agg_incremental",
 ]
 
 
