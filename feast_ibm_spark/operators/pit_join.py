@@ -38,7 +38,10 @@ Physical strategies (chosen for 100 TB; see SURVEY.md §4):
   Round-4 skew benchmark (NOTES.md "PIT strategy choice", 5M feature
   rows / 50%-hot key): melt beats broadcast/shuffle at BOTH a selective
   300-row spine (0.35s vs 0.85/0.75s) and a full-key 37.5k-row spine
-  (0.45s vs 3.4/3.3s), hot key included — so ``auto`` now always melts.
+  (0.45s vs 3.4/3.3s), hot key included — so ``auto`` melts by default
+  (one carve-out: sources bucketed on the join keys go broadcast, whose
+  feature lineage then plans with zero exchanges; the melt's spine union
+  would discard the bucketed distribution — measured, test-pinned).
   With a broadcast-sized spine the melt adds a LEFT SEMI key prune of the
   feature side (``prune_keys``) so the window shuffle carries only the
   requested keys' history — the property that matters at 100 TB, where
@@ -99,6 +102,14 @@ class FeatureViewSpec:
     # PartitionFilters: row-group pruning alone cannot skip directories
     # whose timestamp column is not itself the partition key.
     date_partition_column: str | None = None
+    # Columns the source table is hash-bucketed on (sources/bucketed.py
+    # ``bucket_spec`` reads them from the catalog). When they cover the
+    # join keys, the feature side already carries hashpartitioning(keys)
+    # from the scan, so the BROADCAST strategy runs with ZERO feature-side
+    # exchanges (measured: 8 -> 6 whole-plan exchanges; the remaining two
+    # are the spine's own) — and ``auto`` prefers it over the melt, whose
+    # union discards the bucketed distribution (measured: no saving).
+    bucketed_on: list[str] | None = None
 
 
 def _spine_time_range(spine: DataFrame, ts_col: str):
@@ -171,7 +182,17 @@ def point_in_time_join(
     if strategy == "auto":
         if n_rows is None:  # caller-supplied 2-tuple range: count separately
             n_rows = spine.count()
-        strategy = "union_window"
+        # bucketed carve-out: when every view's source is bucketed on its
+        # join keys, the broadcast strategy's feature lineage needs no
+        # exchange at all — strictly better than the melt, which unions
+        # the spine in and thereby discards the bucketed distribution
+        if feature_views and all(
+            v.bucketed_on is not None and set(v.bucketed_on) <= set(v.join_keys)
+            for v in feature_views
+        ):
+            strategy = "broadcast"
+        else:
+            strategy = "union_window"
     out = spine
     for view in feature_views:
         if strategy == "union_window":

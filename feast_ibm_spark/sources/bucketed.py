@@ -55,3 +55,20 @@ def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool
     co-located planning: fall back to plain sources when absent)."""
     cat = spark.catalog
     return cat.tableExists(table_a) and cat.tableExists(table_b)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None:
+    """(bucket_columns, n_buckets) of a catalog table, or None when the
+    table is unbucketed/absent. Read from DESCRIBE EXTENDED (public SQL
+    surface, no internal catalog APIs) so callers — e.g. the PIT join's
+    ``auto`` strategy — can detect that a feature table already pays its
+    key shuffle at write time."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = {r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()}
+    if "Num Buckets" not in rows:
+        return None
+    n = int(rows["Num Buckets"])
+    cols = [c.strip(" `") for c in rows["Bucket Columns"].strip("[]").split(",")]
+    return cols, n

@@ -413,3 +413,53 @@ def test_auto_pit_melts_with_key_pruning(spark, events):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan[:2000]
     assert out.count() == spine.count()  # every spine row survives
+
+
+def test_bucketed_feature_table_elides_pit_window_exchange(spark, sf_dir):
+    """A feature table bucketed on its join key already carries
+    hashpartitioning(key) out of the scan: the broadcast PIT strategy's
+    feature lineage then plans WITHOUT the window exchange (measured two
+    fewer Exchanges whole-plan than the identical raw-parquet run), and
+    auto's bucketed carve-out picks broadcast over the melt — whose
+    spine union would discard the bucketed distribution."""
+    import re
+
+    from feast_ibm_spark.sources.bucketed import bucket_spec, write_bucketed
+
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # clean both the metastore entry AND any orphaned warehouse directory
+    # (a managed-table location surviving a lost metastore blocks creation)
+    spark.sql("DROP TABLE IF EXISTS pit_bucketed_feat")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/pit_bucketed_feat", ignore_errors=True)
+    write_bucketed(ev, "pit_bucketed_feat", ["user_id"], 8,
+                   sort_cols=["user_id", "ts"])
+    bt = spark.table("pit_bucketed_feat")
+    spec = bucket_spec(spark, "pit_bucketed_feat")
+    assert spec == (["user_id"], 8)
+    assert bucket_spec(spark, "no_such_table_xyz") is None
+
+    from datetime import datetime as TS
+    spine = spark.createDataFrame(
+        [(i, TS(2024, 1, 20)) for i in range(40)],
+        "user_id bigint, event_timestamp timestamp")
+
+    def n_exchanges(feats):
+        view = FeatureViewSpec("v", feats, ["user_id"], ["value"], "ts",
+                               ttl_seconds=30 * 86400)
+        out = point_in_time_join(spine, [view], strategy="broadcast")
+        out.collect()
+        return len(re.findall(
+            r"Exchange", out._jdf.queryExecution().executedPlan().toString()))
+
+    assert n_exchanges(bt) < n_exchanges(ev)
+
+    # auto carve-out: bucketed_on covering the join keys -> broadcast plan
+    # (WindowGroupLimit is broadcast's map-side marker; the melt has none)
+    bview = FeatureViewSpec("v", bt, ["user_id"], ["value"], "ts",
+                            ttl_seconds=30 * 86400, bucketed_on=["user_id"])
+    auto_out = point_in_time_join(spine, [bview], strategy="auto")
+    auto_plan = auto_out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in auto_plan, auto_plan[:2000]
