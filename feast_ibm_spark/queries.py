@@ -4080,6 +4080,125 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate report over orders/lineitem (operators/
+    quality.py): NOT-NULL columns in one scan-aggregate, key-uniqueness
+    of (orderkey, linenumber), a value-range check, and referential
+    integrity lineitem.l_orderkey -> orders.o_orderkey via one anti
+    join. One (check, n_violations) row each — the publish gate is
+    max(n_violations) == 0. The synthetic data is clean, so every count
+    is 0; the oracle recomputes each constraint independently, proving
+    the checks measure what they claim (and the unit test proves they
+    fire on dirty data)."""
+    from .operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return run_checks(
+        check_not_null(li, ["l_orderkey", "l_quantity", "l_shipdate"]),
+        check_unique(li, ["l_orderkey", "l_linenumber"]),
+        check_in_range(li, "l_discount", lo=0.0, hi=1.0),
+        check_references(li, ["l_orderkey"], orders, ["o_orderkey"]),
+    )
+
+
+ORACLE_QUALITY_REPORT = """
+SELECT 'not_null:l_orderkey' AS check,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'not_null:l_quantity',
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_shipdate',
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'range:l_discount',
+       CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'fk:l_orderkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_agg_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-complete daily revenue per event_type: a generated day
+    spine (sequence over the fixed reporting window) CROSS JOIN the type
+    dimension, LEFT-joined to the day aggregate, gaps zero-filled — the
+    reporting twin of resample_locf (which carries values forward;
+    reporting wants explicit zeros). The generated spine is tiny
+    (days x types), so the only real work is the one scan aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    agg = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("__c"),
+        )
+    )
+    return (
+        days.crossJoin(types)
+        .join(agg, ["day", "event_type"], "left")
+        .select(
+            # DATE comes back from Spark as python objects but from DuckDB
+            # as datetime64 — emit midnight TIMESTAMPs so the dtype-strict
+            # hash compare sees the same thing from both engines
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            (F.coalesce(F.col("__c"), F.lit(0)).cast("double") / 100.0)
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_DAILY_GAPFILL = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.c, 0) AS DOUBLE) / 100.0 AS revenue
+FROM days d CROSS JOIN types t
+LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4742,6 +4861,13 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "agg_daily_gapfill": QueryDef(q_agg_daily_gapfill,
+                                  ORACLE_DAILY_GAPFILL,
+                                  "calendar-complete daily rollup with "
+                                  "zero-filled gaps"),
+    "quality_report": QueryDef(q_quality_report, ORACLE_QUALITY_REPORT,
+                               "declarative data-quality gate (null/"
+                               "unique/range/FK, minimal passes)"),
     "scd2_intervals": QueryDef(q_scd2_intervals, ORACLE_SCD2,
                                "SCD Type 2 validity intervals (one "
                                "window; CDC lineage twin)"),
@@ -4868,6 +4994,8 @@ _DRIVER_EXCLUDE = (
     "fuzzy_part_names",
     "materialize_agg_incremental",
     "scd2_intervals",
+    "quality_report",
+    "agg_daily_gapfill",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -685,3 +685,43 @@ def test_incremental_agg_crash_recovery(spark, tmp_path):
     assert refresh_additive_agg(spark, base, df2, ["k"], F.col("c"), "r2")
     got = {r.k: (r.n, r.sum_value) for r in read_agg(spark, base).collect()}
     assert got == {1: (2, 1.5), 2: (1, 2.0)}  # no double count of df2
+
+
+def test_quality_checks_fire_on_dirty_data(spark):
+    """The gate query runs on clean data (all zeros); here every check
+    must actually FIRE: nulls, duplicate keys, range violations, and
+    orphaned foreign keys each counted correctly."""
+    from feast_ibm_spark.operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, 1, 0.5, 10),   # clean
+            (1, 1, 1.5, 10),   # dup key + range violation
+            (None, 2, 0.2, 99),  # null fk + orphan dim (99 not in dim)
+            (2, 3, None, 10),  # null value col
+        ],
+        "fk bigint, seq bigint, frac double, dim_id bigint",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "d bigint")
+    report = {
+        r.check: r.n_violations
+        for r in run_checks(
+            check_not_null(rows, ["fk", "frac"]),
+            check_unique(rows, ["fk", "seq"]),
+            check_in_range(rows, "frac", lo=0.0, hi=1.0),
+            check_references(rows, ["dim_id"], dim, ["d"]),
+        ).collect()
+    }
+    assert report == {
+        "not_null:fk": 1,
+        "not_null:frac": 1,
+        "unique:fk,seq": 2,   # both colliding rows counted
+        "range:frac": 1,
+        "fk:dim_id": 1,       # the 99 orphan; NULL fk not counted here
+    }

@@ -115,6 +115,8 @@ _EXCLUDED_WITH_ORACLE = [
     "fuzzy_part_names",
     "materialize_agg_incremental",
     "scd2_intervals",
+    "quality_report",
+    "agg_daily_gapfill",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
