@@ -4199,6 +4199,64 @@ LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the table-diff every
+    migration/backfill validation runs: per-user spend aggregates of the
+    first vs second half of the month, keys classified added / removed /
+    changed / unchanged with the cent deltas. One aggregate per side,
+    one full-outer join on the key; at 100 TB both sides shuffle once
+    and AQE handles the sizes."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cents = _cents("value")
+
+    def side(pred, tag):
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.sum(cents).alias(f"c_{tag}"), F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    a = side(F.col("ts") < mid, "a")
+    b = side(F.col("ts") >= mid, "b")
+    joined = a.join(b, "user_id", "full_outer")
+    status = (
+        F.when(F.col("c_a").isNull(), F.lit("added"))
+        .when(F.col("c_b").isNull(), F.lit("removed"))
+        .when(F.col("c_a") == F.col("c_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "user_id",
+        status.alias("status"),
+        (F.coalesce(F.col("c_b"), F.lit(0)) - F.coalesce(F.col("c_a"), F.lit(0)))
+        .cast("bigint").alias("delta_cents"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_before"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_after"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS c_a,
+         COUNT(*) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS c_b,
+         COUNT(*) AS n_b
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.c_a IS NULL THEN 'added'
+            WHEN b.c_b IS NULL THEN 'removed'
+            WHEN a.c_a = b.c_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(b.c_b, 0) - COALESCE(a.c_a, 0) AS BIGINT) AS delta_cents,
+       CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_after
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4861,6 +4919,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "snapshot_diff": QueryDef(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+                              "FULL OUTER snapshot reconciliation "
+                              "(added/removed/changed/unchanged)"),
     "agg_daily_gapfill": QueryDef(q_agg_daily_gapfill,
                                   ORACLE_DAILY_GAPFILL,
                                   "calendar-complete daily rollup with "
@@ -4996,6 +5057,7 @@ _DRIVER_EXCLUDE = (
     "scd2_intervals",
     "quality_report",
     "agg_daily_gapfill",
+    "snapshot_diff",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

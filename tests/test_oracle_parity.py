@@ -117,6 +117,7 @@ _EXCLUDED_WITH_ORACLE = [
     "scd2_intervals",
     "quality_report",
     "agg_daily_gapfill",
+    "snapshot_diff",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
