@@ -204,6 +204,35 @@ SHOWCASE: list[tuple[str, str]] = [
         "end to end. At 100 TB the only levers are batch size (payload\n"
         "memory) and input file splits; no stage concentrates data.",
     ),
+    (
+        "knn_pq",
+        "Product quantization is the third ANN tier: the ADC candidate\n"
+        "scan reads 8 CODES per vector (64x less I/O than the float\n"
+        "corpus), the lookup-table probe is a broadcast against the code\n"
+        "table, and only the top-128 candidates rejoin their full vectors\n"
+        "for the exact fold re-rank — so emitted cosines stay bit-equal\n"
+        "to brute force while the scan cost collapses. Deterministic seed\n"
+        "codebooks make the whole approximate pipeline SQL-reproducible\n"
+        "(full value-hash oracle).",
+    ),
+    (
+        "quality_report",
+        "Every NOT-NULL check shares ONE scan-aggregate (stack unpivots\n"
+        "the per-column counts), uniqueness is one hash agg on the key,\n"
+        "and the FK check is one anti join against the broadcast dim —\n"
+        "the whole publish gate costs ~two passes over the fact table\n"
+        "regardless of how many constraints are declared. A naive\n"
+        "per-check runner would scan once per constraint.",
+    ),
+    (
+        "snapshot_diff",
+        "Reconciliation as one FULL OUTER join of two per-side hash\n"
+        "aggregates: each side shuffles once on the key, the classifier\n"
+        "is a pure projection, and exact cent deltas come from integer\n"
+        "sums — no row-level diffing of the fact tables themselves. At\n"
+        "100 TB the aggregates shrink each side to key cardinality before\n"
+        "anything joins.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
