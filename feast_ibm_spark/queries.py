@@ -4257,6 +4257,52 @@ FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): the at-least-once ingestion
+    defense — the same event delivered twice must reach the sink once.
+    The input stream is the events file-stream unioned with ITSELF (every
+    record duplicated), the state key is event_id, and the watermark
+    bounds how long each key is remembered — the property that keeps the
+    state store finite under unbounded ingestion. Drained with
+    availableNow; the result hash-matches the batch DISTINCT oracle.
+    Fourth streaming class at the gate (stateful sessionize, windowed
+    agg, interval join, now dedup)."""
+    import tempfile
+    import uuid
+
+    from .sources.reader import load_stream
+    from .streaming.run import drain_available_now
+
+    configure_runtime(spark)
+
+    def one():
+        return load_stream(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type",
+            _cents("value").alias("__c"),
+        )
+
+    doubled = one().unionByName(one())
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        deduped, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, user_id, ts, event_type,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value
+FROM events
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4919,6 +4965,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "streaming_dedup": QueryDef(q_streaming_dedup, ORACLE_STREAM_DEDUP,
+                                "watermarked streaming dedup of a "
+                                "doubled stream vs batch DISTINCT"),
     "snapshot_diff": QueryDef(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
                               "FULL OUTER snapshot reconciliation "
                               "(added/removed/changed/unchanged)"),
@@ -5058,6 +5107,7 @@ _DRIVER_EXCLUDE = (
     "quality_report",
     "agg_daily_gapfill",
     "snapshot_diff",
+    "streaming_dedup",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -118,6 +118,7 @@ _EXCLUDED_WITH_ORACLE = [
     "quality_report",
     "agg_daily_gapfill",
     "snapshot_diff",
+    "streaming_dedup",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
