@@ -47,6 +47,7 @@ from .operators.pit_join import FeatureViewSpec, point_in_time_join
 from .operators.pull_all import time_range_scan
 from .operators.pull_latest import latest_per_key
 from .operators.similarity import (
+    ivfpq_cosine_topk,
     pq_cosine_topk,
     cosine_topk,
     ivf_cosine_topk,
@@ -2332,6 +2333,16 @@ ranked AS (
 )
 SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual composition (rows-only: the production ANN shape
+    composes two individually FULL-ORACLED tiers — knn_ivf proves the
+    routing, knn_pq the code scan; recall/determinism/bit-exact-rescore
+    are pinned in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivfpq_cosine_topk(emb, queries, k=KNN_K)
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4881,6 +4892,9 @@ QUERIES: dict[str, QueryDef] = {
                                 "brute-force cosine top-k"),
     "knn_lsh": QueryDef(q_knn_lsh, None,
                         "hyperplane-LSH ANN (approximate; rows-only)"),
+    "knn_ivfpq": QueryDef(q_knn_ivfpq, None,
+                          "IVF+PQ residual ANN (rows-only; tiers "
+                          "individually full-oracled)"),
     "knn_pq": QueryDef(q_knn_pq, ORACLE_KNN_PQ,
                        "PQ (ADC) ANN with exact re-rank — deterministic "
                        "seed codebooks; full value-hash oracle"),
@@ -5057,6 +5071,7 @@ _DRIVER_EXCLUDE = (
     # embedding_near_dup_lsh
     "agg_approx_event_stats",
     "knn_lsh",
+    "knn_ivfpq",
     # queries added after the 50 slots filled; each is oracle-pinned by
     # tests/test_oracle_parity.py with the driver's own compare at gate
     # scale. Round 4 rotated ten of these INTO the gate (see

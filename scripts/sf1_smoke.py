@@ -89,6 +89,15 @@ SMOKE_QUERIES = [
     "hierarchy_chain",
     "scd2_intervals",
     "materialize_agg_incremental",
+    # round-4 batch 3: quality gate, reconciliation, gap-fill, streaming
+    # dedup, window suite, recursive CTE
+    "quality_report",
+    "snapshot_diff",
+    "agg_daily_gapfill",
+    "streaming_dedup",
+    "window_rank_suite",
+    "agg_grouping_sets_custom",
+    "scan_variant_props",
 ]
 
 

@@ -565,3 +565,25 @@ def test_fuzzy_string_pairs_completeness(spark):
     got = {(r.name_a, r.name_b): r.dist
            for r in fuzzy_string_pairs(df, "name", max_dist=1).collect()}
     assert got == {("ab", "ac"): 1, ("spark engine", "spark engines"): 1}
+
+
+def test_ivfpq_recall_determinism_and_exact_rescoring(spark, sf_dir):
+    """IVF+PQ composition: candidates come from routed residual-code
+    scans, emitted cosines are exact (bit-identical on shared pairs),
+    recall@5 >= 0.6 at the default probe/candidate budget, and the seed
+    construction is deterministic call-to-call."""
+    from feast_ibm_spark.operators.similarity import ivfpq_cosine_topk
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.q_vec_id, r.vec_id): r.cosine
+             for r in cosine_topk(emb, q, k=5).collect()}
+    got = ivfpq_cosine_topk(emb, q, k=5).collect()
+    pairs = {(r.q_vec_id, r.vec_id) for r in got}
+    assert len(pairs & set(exact)) >= int(0.6 * len(exact))
+    for r in got:
+        if (r.q_vec_id, r.vec_id) in exact:
+            assert r.cosine == exact[(r.q_vec_id, r.vec_id)]
+    again = {(r.q_vec_id, r.vec_id) for r in ivfpq_cosine_topk(emb, q, k=5).collect()}
+    assert pairs == again

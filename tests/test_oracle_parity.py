@@ -139,7 +139,7 @@ _EXCLUDED_WITH_ORACLE = [
     "window_running_total",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
-_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh"]
+_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
 
 
 def test_exclusions_partition_correctly():
