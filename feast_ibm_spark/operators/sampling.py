@@ -160,3 +160,48 @@ def take_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into fixed-token chunks with optional overlap —
+    the pretraining/RAG chunker. Pure Catalyst higher-order functions
+    (split -> sequence of chunk starts -> slice + array_join per chunk ->
+    posexplode), so the whole operator is a map-side pipeline: no
+    shuffle, no Python, chunks stream out of the scan stage. Output:
+    (id, chunk_idx, chunk_text, n_tokens); the final chunk may be short,
+    and every token appears in at least one chunk (stride =
+    chunk_tokens - overlap_tokens > 0 enforced)."""
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap_tokens
+    if stride <= 0:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # canonical chunk count: ceil((n - overlap) / stride), min 1 — a tail
+    # that fits entirely inside the previous chunk's overlap gets NO
+    # redundant chunk of its own
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - overlap_tokens) / F.lit(stride)).cast("int"),
+    )
+    starts = F.sequence(
+        F.lit(0), (n_chunks - 1) * stride, F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(
+            F.slice(toks, s + 1, chunk_tokens), " "
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+        )
+    )

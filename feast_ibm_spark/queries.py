@@ -4314,6 +4314,76 @@ FROM events
 """
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline document chunking: 64-token windows with 8-token
+    overlap, pure Catalyst (split -> start sequence -> slice/join ->
+    posexplode), zero shuffle — chunks stream out of the scan. Oracle
+    reproduces the same slicing with DuckDB list functions."""
+    from .operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                         i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                   i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}]) AS INTEGER)
+         AS n_tokens
+FROM starts, unnest(idxs) AS u(i)
+"""
+
+
+def q_text_top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 most frequent tokens per language — a window
+    over grouped counts (count desc, token asc tiebreak). The global
+    twin is text_top_tokens; the per-group form adds the rank window
+    over the aggregate, still one explode + one grouped count."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "n", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+ORACLE_TOP_TOKENS_BY_LANG = """
+WITH counts AS (
+  SELECT lang, u.token, COUNT(*) AS n
+  FROM documents, unnest(string_split(trim(text), ' ')) AS u(token)
+  GROUP BY lang, u.token
+)
+SELECT lang, token, n, rnk FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+  FROM counts) WHERE rnk <= 5
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4979,6 +5049,12 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNKS,
+                                "fixed-token chunking with overlap "
+                                "(map-side, zero shuffle)"),
+    "text_top_tokens_by_lang": QueryDef(q_text_top_tokens_by_lang,
+                                        ORACLE_TOP_TOKENS_BY_LANG,
+                                        "grouped top-k tokens per lang"),
     "streaming_dedup": QueryDef(q_streaming_dedup, ORACLE_STREAM_DEDUP,
                                 "watermarked streaming dedup of a "
                                 "doubled stream vs batch DISTINCT"),
@@ -5123,6 +5199,8 @@ _DRIVER_EXCLUDE = (
     "agg_daily_gapfill",
     "snapshot_diff",
     "streaming_dedup",
+    "chunk_documents",
+    "text_top_tokens_by_lang",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

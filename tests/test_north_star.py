@@ -587,3 +587,25 @@ def test_ivfpq_recall_determinism_and_exact_rescoring(spark, sf_dir):
             assert r.cosine == exact[(r.q_vec_id, r.vec_id)]
     again = {(r.q_vec_id, r.vec_id) for r in ivfpq_cosine_topk(emb, q, k=5).collect()}
     assert pairs == again
+
+
+def test_chunk_documents_semantics(spark):
+    """Every token lands in >= 1 chunk, consecutive chunks share exactly
+    `overlap` tokens, tails inside the previous overlap get no redundant
+    chunk, and short docs yield one chunk."""
+    from feast_ibm_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id bigint, text string")
+    out = {(r.doc_id, r.chunk_idx): r.chunk_text.split(" ")
+           for r in chunk_documents(df, 4, 1).collect()}
+    # stride 3 => ceil((10-1)/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert out[(1, 0)] == ["t0", "t1", "t2", "t3"]
+    assert out[(1, 1)] == ["t3", "t4", "t5", "t6"]
+    assert out[(1, 2)] == ["t6", "t7", "t8", "t9"]
+    assert (1, 3) not in out
+    assert out[(2, 0)] == ["a", "b"]  # short doc: one (short) chunk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 4, 4)

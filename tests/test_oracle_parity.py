@@ -119,6 +119,8 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_daily_gapfill",
     "snapshot_diff",
     "streaming_dedup",
+    "chunk_documents",
+    "text_top_tokens_by_lang",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
