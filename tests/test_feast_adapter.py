@@ -116,3 +116,38 @@ def test_adapter_pull_latest(spark):
     )
     got = {r.driver_id: r.conv_rate for _, r in job.to_df().iterrows()}
     assert got == {1001: 1.0, 1002: 2.0}
+
+
+def test_view_to_spec_detects_bucketed_source(spark):
+    """A table-backed source that is bucketed in the catalog flows its
+    bucket columns into FeatureViewSpec.bucketed_on, activating the PIT
+    auto strategy's zero-feature-shuffle broadcast carve-out."""
+    import shutil
+
+    from feast_ibm_spark.sources.bucketed import write_bucketed
+
+    feat = spark.createDataFrame(
+        [(1001, __import__("datetime").datetime(2021, 4, 12), 1.0)],
+        "driver_id bigint, event_timestamp timestamp, conv_rate double",
+    )
+    spark.sql("DROP TABLE IF EXISTS adapter_bucketed_stats")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/adapter_bucketed_stats", ignore_errors=True)
+    write_bucketed(feat, "adapter_bucketed_stats", ["driver_id"], 4)
+
+    view = SimpleNamespace(
+        name="v",
+        batch_source=SimpleNamespace(
+            table="adapter_bucketed_stats", query=None, path=None,
+            cos_type="parquet", name="s", timestamp_field="event_timestamp",
+            created_timestamp_column=None, field_mapping={}),
+        source=None,
+        entities=["driver"],
+        entity_columns=None,
+        ttl=None,
+        features=[SimpleNamespace(name="conv_rate")],
+    )
+    spec = _view_to_spec(spark, view,
+                         {"driver": SimpleNamespace(name="driver",
+                                                    join_key="driver_id")})
+    assert spec.bucketed_on == ["driver_id"]
