@@ -4384,6 +4384,125 @@ SELECT lang, token, n, rnk FROM (
 """
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase credited to the
+    same user's most recent click within the preceding hour — the
+    backward as-of join with tolerance, composed over event streams
+    (the forward/nearest directions are gated by asof_join_*; this adds
+    the canonical backward+tolerance business shape). Oracle is the
+    correlated-max formulation DuckDB evaluates directly."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        _cents("value").alias("__c"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        right_columns=["click_ts", "click_id"],
+        direction="backward", tolerance_seconds=3600, tiebreak="click_id",
+    )
+    return out.select(
+        "user_id", "purchase_id", "purchase_ts",
+        (F.col("__c").cast("double") / 100.0).alias("purchase_value"),
+        "click_ts", "click_id",
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.*, c.click_ts, c.click_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+)
+SELECT user_id, purchase_id, purchase_ts,
+       CAST(c AS DOUBLE) / 100.0 AS purchase_value, click_ts, click_id
+FROM matched WHERE rn = 1
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase at the window end), frequency (purchase count) and monetary
+    (cents) scores bucketed into quartiles with NTILE, concatenated into
+    the classic 3-digit segment. Integer inputs throughout; the NTILE
+    order carries a user_id tiebreak so bucketing is deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    asof = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_cents("value")).alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff(asof, F.col("last_ts")).cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id", "recency_days", "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+ORACLE_RFM = """
+WITH base AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+                        DATE '2024-01-31') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency,
+       CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS BIGINT) AS m_score,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS VARCHAR)
+         AS segment
+FROM base
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5049,6 +5168,13 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "attribution_last_touch": QueryDef(q_attribution_last_touch,
+                                       ORACLE_ATTRIBUTION,
+                                       "backward as-of with tolerance: "
+                                       "last-touch attribution"),
+    "rfm_segments": QueryDef(q_rfm_segments, ORACLE_RFM,
+                             "RFM quartile segmentation (deterministic "
+                             "NTILE tiebreaks)"),
     "chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNKS,
                                 "fixed-token chunking with overlap "
                                 "(map-side, zero shuffle)"),
@@ -5201,6 +5327,8 @@ _DRIVER_EXCLUDE = (
     "streaming_dedup",
     "chunk_documents",
     "text_top_tokens_by_lang",
+    "attribution_last_touch",
+    "rfm_segments",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -121,6 +121,8 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_dedup",
     "chunk_documents",
     "text_top_tokens_by_lang",
+    "attribution_last_touch",
+    "rfm_segments",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
