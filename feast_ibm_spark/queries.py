@@ -4503,6 +4503,40 @@ FROM base
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user timeline (the Markov-chain estimate product teams
+    read). One lag window over (user, ts) with an event_id tiebreak for
+    simultaneous events, then a grouped count — one shuffle for the
+    window, map-side combine for the count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5168,6 +5202,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "event_transitions": QueryDef(q_event_transitions, ORACLE_TRANSITIONS,
+                                  "consecutive event-type transition "
+                                  "matrix (Markov estimate)"),
     "attribution_last_touch": QueryDef(q_attribution_last_touch,
                                        ORACLE_ATTRIBUTION,
                                        "backward as-of with tolerance: "
@@ -5329,6 +5366,7 @@ _DRIVER_EXCLUDE = (
     "text_top_tokens_by_lang",
     "attribution_last_touch",
     "rfm_segments",
+    "event_transitions",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -123,6 +123,7 @@ _EXCLUDED_WITH_ORACLE = [
     "text_top_tokens_by_lang",
     "attribution_last_touch",
     "rfm_segments",
+    "event_transitions",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
