@@ -98,6 +98,13 @@ SMOKE_QUERIES = [
     "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
+    # round-4 batch 4: training-pipeline + behavioral compositions
+    "chunk_documents",
+    "text_top_tokens_by_lang",
+    "attribution_last_touch",
+    "rfm_segments",
+    "event_transitions",
+    "knn_ivfpq",
 ]
 
 
