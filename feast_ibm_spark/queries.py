@@ -4537,6 +4537,37 @@ GROUP BY 1, 2
 """
 
 
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders, written as the LATERAL form (the SQL-surface twin of the
+    window top-n — Catalyst decorrelates it into the same rank plan, so
+    the declarative form costs nothing at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("__lat_orders")
+    cust.createOrReplaceTempView("__lat_customer")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+    """)
+
+
+ORACLE_LATERAL_TOPN = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey,
+       CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5202,6 +5233,8 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "join_lateral_topn": QueryDef(q_join_lateral_topn, ORACLE_LATERAL_TOPN,
+                                  "correlated LATERAL top-n per group"),
     "event_transitions": QueryDef(q_event_transitions, ORACLE_TRANSITIONS,
                                   "consecutive event-type transition "
                                   "matrix (Markov estimate)"),
@@ -5367,6 +5400,7 @@ _DRIVER_EXCLUDE = (
     "attribution_last_touch",
     "rfm_segments",
     "event_transitions",
+    "join_lateral_topn",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

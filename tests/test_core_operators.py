@@ -725,3 +725,71 @@ def test_quality_checks_fire_on_dirty_data(spark):
         "range:frac": 1,
         "fk:dim_id": 1,       # the 99 orphan; NULL fk not counted here
     }
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        snap=st.lists(
+            st.tuples(st.integers(1, 4), st.integers(0, 20)),  # key, hour
+            min_size=0, max_size=12,
+        ),
+        changes=st.lists(
+            st.tuples(
+                st.integers(1, 5),            # key (may be brand-new)
+                st.integers(0, 20),           # hour
+                st.booleans(),                # is_delete
+            ),
+            min_size=0, max_size=12,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_changes_property_matches_brute_force(spark, snap, changes):
+        """CDC merge vs a brute-force per-key replay: winner = max
+        (ts, src, rid); delete-winners vanish; history snapshots dedupe."""
+        from feast_ibm_spark.operators.merge import merge_changes
+
+        base = TS(2024, 1, 1)
+        snap_rows = [
+            (k, base + timedelta(hours=h), float(i), i)
+            for i, (k, h) in enumerate(snap)
+        ]
+        chg_rows = [
+            (k, base + timedelta(hours=h), float(100 + i), 100 + i,
+             "delete" if is_del else "upsert")
+            for i, (k, h, is_del) in enumerate(changes)
+        ]
+
+        # brute force: order all rows per key by (ts, src, rid)
+        best = {}
+        for k, ts, v, rid in snap_rows:
+            cand = (ts, 0, rid, v, "upsert")
+            if k not in best or cand[:3] > best[k][:3]:
+                best[k] = cand
+        for k, ts, v, rid, op in chg_rows:
+            cand = (ts, 1, rid, v, op)
+            if k not in best or cand[:3] > best[k][:3]:
+                best[k] = cand
+        expected = {
+            k: (t[0], t[3], t[2]) for k, t in best.items() if t[4] != "delete"
+        }
+
+        snap_df = spark.createDataFrame(
+            snap_rows or [(None, None, None, None)],
+            "k bigint, ts timestamp, v double, rid bigint",
+        ).filter(F.col("k").isNotNull())
+        chg_df = spark.createDataFrame(
+            chg_rows or [(None, None, None, None, None)],
+            "k bigint, ts timestamp, v double, rid bigint, op string",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r.k: (r.ts, r.v, r.rid)
+            for r in merge_changes(
+                snap_df, chg_df, ["k"], "ts", tiebreak_cols=["rid"]
+            ).collect()
+        }
+        assert got == expected

@@ -124,6 +124,7 @@ _EXCLUDED_WITH_ORACLE = [
     "attribution_last_touch",
     "rfm_segments",
     "event_transitions",
+    "join_lateral_topn",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
