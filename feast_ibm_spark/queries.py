@@ -4568,6 +4568,56 @@ FROM customer c, LATERAL (
 """
 
 
+def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-row-per-key (the feature store's online-refresh
+    loop): a streaming max_by aggregation keeps ONE struct of state per
+    key however long the stream runs, drained with availableNow in
+    complete mode and hash-compared to the batch latest-per-key oracle.
+    The winner orders by (ts, event_id) so ties are deterministic.
+    Fifth streaming class at the gate."""
+    import tempfile
+    import uuid
+
+    from .sources.reader import load_stream
+    from .streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("__c")
+    )
+    winner = F.max_by(
+        F.struct("ts", "event_id", "__c"),
+        F.struct("ts", "event_id"),
+    ).alias("__w")
+    agg = stream.groupBy("user_id").agg(winner).select(
+        "user_id",
+        F.col("__w.ts").alias("ts"),
+        F.col("__w.event_id").alias("event_id"),
+        F.col("__w.__c").alias("__c"),
+    )
+    sink = f"stream_latest_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        agg, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    return out.select(
+        "user_id", "ts", "event_id",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+    )
+
+
+ORACLE_STREAM_LATEST = """
+SELECT user_id, ts, event_id,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5233,6 +5283,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "streaming_latest": QueryDef(q_streaming_latest, ORACLE_STREAM_LATEST,
+                                 "drained streaming latest-per-key "
+                                 "(max_by state) vs batch oracle"),
     "join_lateral_topn": QueryDef(q_join_lateral_topn, ORACLE_LATERAL_TOPN,
                                   "correlated LATERAL top-n per group"),
     "event_transitions": QueryDef(q_event_transitions, ORACLE_TRANSITIONS,
@@ -5401,6 +5454,7 @@ _DRIVER_EXCLUDE = (
     "rfm_segments",
     "event_transitions",
     "join_lateral_topn",
+    "streaming_latest",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

@@ -125,6 +125,7 @@ _EXCLUDED_WITH_ORACLE = [
     "rfm_segments",
     "event_transitions",
     "join_lateral_topn",
+    "streaming_latest",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
