@@ -4618,6 +4618,106 @@ FROM (
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment drained end-to-end (the serving-side
+    pattern between materializations): purchase events stream in and
+    left-join the STATIC latest-value-per-user snapshot built by the
+    batch latest_per_key operator — no streaming state from the join, so
+    it runs forever at O(1) state. Oracle: the batch join of the same
+    filter against the same latest snapshot. Sixth streaming class."""
+    import tempfile
+    import uuid
+
+    from .sources.reader import load_stream, load_table
+    from .streaming.enrich import enrich_stream
+
+    configure_runtime(spark)
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", _cents("value").alias("__c"))
+    )
+    features = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"),
+        _cents("value").alias("latest_cents"),
+    )
+    # deterministic latest: created column = unique fid breaks ts ties
+    enriched = enrich_stream(
+        stream, features, ["user_id"], ["latest_cents"], "fts",
+        created_timestamp_column="fid",
+    )
+    from .streaming.run import drain_available_now
+
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        enriched, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+        (F.col("latest_cents").cast("double") / 100.0).alias("latest_value"),
+    )
+
+
+ORACLE_STREAM_ENRICH = """
+WITH latest AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS latest_cents
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       CAST(l.latest_cents AS DOUBLE) / 100.0 AS latest_value
+FROM events e LEFT JOIN latest l USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+def q_layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side physical design at the gate: a Z-order-clustered copy
+    of events (Morton-interleaved user_id x value cents) written once to
+    tmp, read back, and aggregated — proving the clustered layout is
+    content-preserving (the pruning benefit itself is measured in
+    test_plans). Same materialize-once pattern as the csv/orc sources."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.layout import quantize_col, write_zordered
+    from .sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_zorder_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        write_zordered(
+            ev, dest,
+            ["user_id", quantize_col(F.col("cents"), 0, 50000, 8)],
+            bits=8, n_files=8,
+        )
+    back = read_parquet(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ORACLE_ZORDER_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM events GROUP BY event_type
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5283,6 +5383,13 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "streaming_enrich": QueryDef(q_streaming_enrich, ORACLE_STREAM_ENRICH,
+                                 "drained stream-static enrichment vs "
+                                 "batch join oracle"),
+    "layout_zorder_roundtrip": QueryDef(q_layout_zorder_roundtrip,
+                                        ORACLE_ZORDER_ROUNDTRIP,
+                                        "Z-order clustered write, "
+                                        "content-preserving round-trip"),
     "streaming_latest": QueryDef(q_streaming_latest, ORACLE_STREAM_LATEST,
                                  "drained streaming latest-per-key "
                                  "(max_by state) vs batch oracle"),
@@ -5455,6 +5562,8 @@ _DRIVER_EXCLUDE = (
     "event_transitions",
     "join_lateral_topn",
     "streaming_latest",
+    "streaming_enrich",
+    "layout_zorder_roundtrip",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3

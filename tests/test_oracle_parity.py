@@ -126,6 +126,8 @@ _EXCLUDED_WITH_ORACLE = [
     "event_transitions",
     "join_lateral_topn",
     "streaming_latest",
+    "streaming_enrich",
+    "layout_zorder_roundtrip",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_revenue_forecast",
