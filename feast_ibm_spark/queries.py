@@ -5543,27 +5543,29 @@ _DRIVER_EXCLUDE = (
     "normalize_zscore",
     "drift_psi",
     "scan_orc_source",
-    "knn_pq",
     "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
-    "hierarchy_chain",
     "fuzzy_part_names",
-    "materialize_agg_incremental",
     "scd2_intervals",
-    "quality_report",
     "agg_daily_gapfill",
     "snapshot_diff",
-    "streaming_dedup",
     "chunk_documents",
     "text_top_tokens_by_lang",
     "attribution_last_touch",
     "rfm_segments",
     "event_transitions",
     "join_lateral_topn",
-    "streaming_latest",
     "streaming_enrich",
     "layout_zorder_roundtrip",
+    # parked round 4 (third batch): slots for knn_pq, streaming dedup/
+    # latest, quality gate, recursive CTE, and aggregate IVM
+    "agg_rollup_region_revenue",
+    "join_nation_trade_flow",
+    "text_top_tokens",
+    "text_bpe_tokens",
+    "dedup_keep_latest",
+    "scan_part_filter",
     # parked round 4 (second batch): freeing slots for the round-4 new
     # component classes (real codecs, streaming window agg + interval
     # join, funnel, Q8) — each parked entry has three green rows r1-r3
@@ -5606,6 +5608,12 @@ _DRIVER_FIRST = (
     "streaming_sessionize",
     "corpus_curation_lsh",
     # rotated into the gate round 4 (first driver hash for each)
+    "knn_pq",
+    "streaming_dedup",
+    "streaming_latest",
+    "quality_report",
+    "hierarchy_chain",
+    "materialize_agg_incremental",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
     "streaming_window_counts",

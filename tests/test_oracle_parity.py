@@ -107,29 +107,29 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "normalize_zscore",
     "scan_orc_source",
-    "knn_pq",
     "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
-    "hierarchy_chain",
     "fuzzy_part_names",
-    "materialize_agg_incremental",
     "scd2_intervals",
-    "quality_report",
     "agg_daily_gapfill",
     "snapshot_diff",
-    "streaming_dedup",
     "chunk_documents",
     "text_top_tokens_by_lang",
     "attribution_last_touch",
     "rfm_segments",
     "event_transitions",
     "join_lateral_topn",
-    "streaming_latest",
     "streaming_enrich",
     "layout_zorder_roundtrip",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
+    "agg_rollup_region_revenue",
+    "join_nation_trade_flow",
+    "text_top_tokens",
+    "text_bpe_tokens",
+    "dedup_keep_latest",
+    "scan_part_filter",
     "agg_revenue_forecast",
     "agg_event_type_stats",
     "join_order_count_distribution",
