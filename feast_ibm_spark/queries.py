@@ -4718,6 +4718,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data shape: documents chunked into 64-token
+    windows (8 overlap), then the chunks packed into 512-token training
+    bins under the deterministic (doc_id, chunk_idx) order — chunker and
+    packer are each individually oracled; this pins their composition
+    (token offsets crossing chunk boundaries, chunk ordering through the
+    packer) end-to-end. Map-side chunking into ONE window shuffle."""
+    from .operators.sampling import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+    return pack_sequences(
+        chunks, "n_tokens", 512, order_cols=["doc_id", "chunk_idx"]
+    ).select("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset")
+
+
+ORACLE_CHUNK_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])
+              AS INTEGER) AS n_tokens
+  FROM starts, unnest(idxs) AS u(i)
+),
+c AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       tokens_before // 512 AS pack_id,
+       tokens_before % 512 AS pack_offset
+FROM c
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5383,6 +5432,9 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "chunk_and_pack": QueryDef(q_chunk_and_pack, ORACLE_CHUNK_PACK,
+                               "composed chunker -> packer pipeline "
+                               "(training-bin assignment)"),
     "streaming_enrich": QueryDef(q_streaming_enrich, ORACLE_STREAM_ENRICH,
                                  "drained stream-static enrichment vs "
                                  "batch join oracle"),
@@ -5558,6 +5610,7 @@ _DRIVER_EXCLUDE = (
     "join_lateral_topn",
     "streaming_enrich",
     "layout_zorder_roundtrip",
+    "chunk_and_pack",
     # parked round 4 (third batch): slots for knn_pq, streaming dedup/
     # latest, quality gate, recursive CTE, and aggregate IVM
     "agg_rollup_region_revenue",

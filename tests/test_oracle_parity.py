@@ -122,6 +122,7 @@ _EXCLUDED_WITH_ORACLE = [
     "join_lateral_topn",
     "streaming_enrich",
     "layout_zorder_roundtrip",
+    "chunk_and_pack",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_rollup_region_revenue",
