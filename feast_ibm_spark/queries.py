@@ -4767,6 +4767,121 @@ FROM c
 """
 
 
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data pipeline, end to end in one plan:
+    curate (exact dedup -> quality floor -> near-dup prune) -> drop the
+    benchmark ids -> keep the deterministic 'train' split -> benchmark
+    decontamination (5-gram overlap, broadcast anti join) -> chunk into
+    overlapping 64-token windows -> pack into 512-token training bins.
+    Every stage is individually oracle-gated; this query pins the whole
+    composition against one nested DuckDB oracle — the engine's
+    flagship demonstration that the pipeline a 100 TB pretraining corpus
+    actually runs is expressible as a single declarative plan."""
+    from .operators.curation import curate_corpus
+    from .operators.dedup import contamination_overlap
+    from .operators.sampling import chunk_documents, pack_sequences, split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        docs,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        tier="exact",
+    ).select("doc_id")
+    train = (
+        curated.filter(F.col("doc_id") >= DECON_BENCH_IDS)
+        .filter(split_col(F.col("doc_id")) == "train")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    dirty = contamination_overlap(
+        train, docs.filter(F.col("doc_id") < DECON_BENCH_IDS), n=DECON_N
+    ).select("doc_id")
+    clean = train.join(F.broadcast(dirty), "doc_id", "left_anti")
+    chunks = chunk_documents(clean, CHUNK_TOKENS, CHUNK_OVERLAP)
+    return pack_sequences(
+        chunks, "n_tokens", 512, order_cols=["doc_id", "chunk_idx"]
+    ).select("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset")
+
+
+ORACLE_TRAINING_PIPELINE = f"""
+WITH survivors AS (
+  SELECT doc_id, text,
+         (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+         + (CAST(len(list_filter({{toks}}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({{toks}})) * 0.3
+         + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({{toks}})) / 10.0) * 0.2 AS quality_score
+  FROM (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+  WHERE (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+      + (CAST(len(list_filter({{toks}}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({{toks}})) * 0.3
+      + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({{toks}})) / 10.0) * 0.2 >= {CURATION_QUALITY_FLOOR}
+),
+sh AS (SELECT doc_id, unnest({{shingles}}) AS shingle FROM survivors),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+),
+train AS (
+  SELECT s.doc_id, s.text FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup)
+    AND s.doc_id >= {DECON_BENCH_IDS}
+    AND (s.doc_id * 2654435761) % 1000 < 800
+),
+ds AS (
+  SELECT t.doc_id, unnest({{grams5}}) AS g
+  FROM train t
+),
+bs AS (
+  SELECT DISTINCT unnest({{grams5}}) AS g
+  FROM documents d WHERE doc_id < {DECON_BENCH_IDS}
+),
+dirty AS (SELECT DISTINCT doc_id FROM ds JOIN bs USING (g)),
+clean AS (
+  SELECT doc_id, text FROM train WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+toks2 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM clean),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks2
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])
+              AS INTEGER) AS n_tokens
+  FROM starts, unnest(idxs) AS u(i)
+),
+c AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       tokens_before // 512 AS pack_id,
+       tokens_before % 512 AS pack_offset
+FROM c
+""".replace("{toks}", _DUCK_TOKENS).replace("{stops}", _DUCK_EN_STOPS).replace(
+    "{shingles}", _DUCK_SHINGLES).replace("{grams5}", _duck_grams(5, distinct=True))
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5432,6 +5547,11 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "training_pipeline_e2e": QueryDef(q_training_pipeline_e2e,
+                                      ORACLE_TRAINING_PIPELINE,
+                                      "flagship composition: curate -> "
+                                      "decontaminate -> split -> chunk "
+                                      "-> pack in one plan"),
     "chunk_and_pack": QueryDef(q_chunk_and_pack, ORACLE_CHUNK_PACK,
                                "composed chunker -> packer pipeline "
                                "(training-bin assignment)"),
@@ -5611,6 +5731,7 @@ _DRIVER_EXCLUDE = (
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "chunk_and_pack",
+    "training_pipeline_e2e",
     # parked round 4 (third batch): slots for knn_pq, streaming dedup/
     # latest, quality gate, recursive CTE, and aggregate IVM
     "agg_rollup_region_revenue",
