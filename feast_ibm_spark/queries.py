@@ -5731,9 +5731,10 @@ _DRIVER_EXCLUDE = (
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "chunk_and_pack",
-    "training_pipeline_e2e",
     # parked round 4 (third batch): slots for knn_pq, streaming dedup/
-    # latest, quality gate, recursive CTE, and aggregate IVM
+    # latest, quality gate, recursive CTE, aggregate IVM, and the
+    # flagship training_pipeline_e2e
+    "text_lang_id",
     "agg_rollup_region_revenue",
     "join_nation_trade_flow",
     "text_top_tokens",
@@ -5782,6 +5783,7 @@ _DRIVER_FIRST = (
     "streaming_sessionize",
     "corpus_curation_lsh",
     # rotated into the gate round 4 (first driver hash for each)
+    "training_pipeline_e2e",
     "knn_pq",
     "streaming_dedup",
     "streaming_latest",

@@ -123,11 +123,11 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "chunk_and_pack",
-    "training_pipeline_e2e",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_rollup_region_revenue",
     "join_nation_trade_flow",
+    "text_lang_id",
     "text_top_tokens",
     "text_bpe_tokens",
     "dedup_keep_latest",
