@@ -105,6 +105,12 @@ SMOKE_QUERIES = [
     "rfm_segments",
     "event_transitions",
     "knn_ivfpq",
+    "chunk_and_pack",
+    "training_pipeline_e2e",
+    "streaming_latest",
+    "streaming_enrich",
+    "layout_zorder_roundtrip",
+    "join_lateral_topn",
 ]
 
 
