@@ -4882,6 +4882,33 @@ FROM c
     "{shingles}", _DUCK_SHINGLES).replace("{grams5}", _duck_grams(5, distinct=True))
 
 
+def q_agg_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal activity heat profile: events bucketed by ISO day-of-week
+    x hour-of-day with counts and cent sums — the date-part extraction
+    surface (dayofweek/hour) at the gate; one map-side-combinable
+    aggregate over the scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100.0).alias("spend"),
+        )
+    )
+
+
+ORACLE_ACTIVITY_PROFILE = """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- DuckDB 0=Sunday; Spark 1=Sunday
+       CAST(hour(ts) AS BIGINT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+FROM events GROUP BY 1, 2
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5547,6 +5574,10 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_SUPPLIER_VARIETY,
                                      "Q16 shape: NOT-IN blocklist + "
                                      "grouped distinct suppliers"),
+    "agg_activity_profile": QueryDef(q_agg_activity_profile,
+                                     ORACLE_ACTIVITY_PROFILE,
+                                     "day-of-week x hour activity heat "
+                                     "profile"),
     "training_pipeline_e2e": QueryDef(q_training_pipeline_e2e,
                                       ORACLE_TRAINING_PIPELINE,
                                       "flagship composition: curate -> "
@@ -5731,6 +5762,7 @@ _DRIVER_EXCLUDE = (
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "chunk_and_pack",
+    "agg_activity_profile",
     # parked round 4 (third batch): slots for knn_pq, streaming dedup/
     # latest, quality gate, recursive CTE, aggregate IVM, and the
     # flagship training_pipeline_e2e

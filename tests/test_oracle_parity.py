@@ -123,6 +123,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "chunk_and_pack",
+    "agg_activity_profile",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
     "agg_rollup_region_revenue",
