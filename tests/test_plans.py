@@ -463,3 +463,17 @@ def test_bucketed_feature_table_elides_pit_window_exchange(spark, sf_dir):
     auto_out = point_in_time_join(spine, [bview], strategy="auto")
     auto_plan = auto_out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in auto_plan, auto_plan[:2000]
+
+
+def test_training_pipeline_e2e_plan_has_no_blowup(spark, sf_dir):
+    """The flagship composition chains five operators; none of its joins
+    may degrade to a cartesian/nested-loop shape, and the chunker stage
+    must not introduce a shuffle of its own (chunks stream from the
+    curated scan into the single packing window)."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["training_pipeline_e2e"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert out.count() > 0
