@@ -47,6 +47,7 @@ from .operators.pit_join import FeatureViewSpec, point_in_time_join
 from .operators.pull_all import time_range_scan
 from .operators.pull_latest import latest_per_key
 from .operators.similarity import (
+    _hyperplanes,
     ivfpq_cosine_topk,
     pq_cosine_topk,
     cosine_topk,
@@ -2265,10 +2266,58 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked near-dup pairs (no oracle — approximate recall by
-    design; emitted pairs and cosines are subset-exact, tested)."""
+    """LSH-blocked near-dup pairs. Carries a FULL value-hash oracle (the
+    knn_ivf/knn_pq recipe): the hyperplanes come from a fixed-seed PRNG,
+    so their exact float64 values are embedded as literals in the DuckDB
+    SQL, which reproduces signature packing (sign bits -> per-table
+    code), the (table, sig) bucket self-join, candidate dedup, and the
+    exact fold-kernel rescoring + threshold. The sign of each
+    plane-dot is robust to summation-order differences between numpy
+    BLAS and the SQL left fold except exactly at 0 (probability ~0 for
+    continuous data; verified hash-exact at sf0.01 and sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
     return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+
+
+def _lsh_planes_values() -> str:
+    """The 64 seeded hyperplanes (16 tables x 4 planes, dim 64) as DuckDB
+    VALUES rows ``(t, p, pv DOUBLE[])`` — ``repr(float)`` round-trips, so
+    the SQL sees bit-identical plane coefficients to the Pandas-UDF
+    signature stage in ``near_dup_pairs_lsh``."""
+    planes = _hyperplanes(64, 4 * 16)
+    rows = []
+    for i, pv in enumerate(planes):
+        lit = ", ".join(repr(x) for x in pv)
+        rows.append(f"({i // 4}, {i % 4}, [{lit}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+ORACLE_NEAR_DUP_LSH = f"""
+WITH planes(t, p, pv) AS (VALUES
+{_lsh_planes_values()}
+),
+pdots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         {_DUCK_DOT.format(a='e.embedding', b='pl.pv')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM pdots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_COS}
+"""
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5498,8 +5547,11 @@ QUERIES: dict[str, QueryDef] = {
                         "full value-hash oracle)"),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, ORACLE_NEAR_DUP,
                                    "embedding-cosine near-dup pairs"),
-    "embedding_near_dup_lsh": QueryDef(q_embedding_near_dup_lsh, None,
-                                       "LSH-blocked near-dup (approx; rows-only)"),
+    "embedding_near_dup_lsh": QueryDef(q_embedding_near_dup_lsh,
+                                       ORACLE_NEAR_DUP_LSH,
+                                       "LSH-blocked near-dup (deterministic "
+                                       "seeded hyperplanes as SQL literals; "
+                                       "full value-hash oracle)"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
     "text_top_tokens": QueryDef(q_text_top_tokens, ORACLE_TOP_TOKENS,
