@@ -563,10 +563,19 @@ def dedup_clusters(
     "Connected Components in MapReduce") — same join primitive, provably
     O(log^2 n) rounds on adversarial graphs.
 
+    Iteration hygiene (round 5): each round's label frame is persisted
+    for the convergence count, and the SUPERSEDED frame is unpersisted
+    as soon as its successor is materialized — cache held is O(1)
+    frames, not O(rounds). Every ``_CHECKPOINT_EVERY`` rounds the label
+    frame is ``localCheckpoint``-ed, truncating the otherwise
+    O(rounds)-deep join lineage (a 50-round deep-chain graph would
+    otherwise compile a 50-join plan and eventually blow the analyzer).
+
     Returns (doc_id, cluster_id) for every document THAT APPEARS IN A
     PAIR; singletons are their own cluster by definition and don't need
     rows (callers left-join and coalesce to the doc's own id).
     """
+    _CHECKPOINT_EVERY = 5
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -578,7 +587,12 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    for _ in range(max_iterations):
+    prev_persisted = None
+    # checkpointed frames stay referenced until return: successors'
+    # lineage bottoms out at them, and the context cleaner must not
+    # reclaim their (lineage-free) blocks while iteration continues
+    kept_checkpoints = []
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -592,14 +606,34 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        checkpointed = (i + 1) % _CHECKPOINT_EVERY == 0
+        if checkpointed:
+            # truncate lineage; localCheckpoint materializes eagerly, so
+            # it doubles as this round's persist. NOT unpersisted when
+            # superseded — a checkpointed frame's blocks are its ONLY
+            # copy (no lineage to recompute from) and successors may
+            # still read through it; the context cleaner reclaims it
+            # when the reference drops at function exit.
+            new_labels = new_labels.localCheckpoint(eager=True)
+            kept_checkpoints.append(new_labels)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the convergence count above materialized new_labels, so a
+        # superseded plain-persisted frame can be released NOW — cache
+        # held stays O(1) + one checkpoint per _CHECKPOINT_EVERY rounds
+        # instead of the pre-round-5 O(rounds) leak
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+            prev_persisted = None
+        if not checkpointed:
+            prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break

@@ -505,6 +505,29 @@ def test_dedup_clusters_chain_topology(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_deep_chain_cache_hygiene(spark):
+    """A 36-node path graph (diameter 35) needs ~34 propagation rounds —
+    the adversarial depth for min-label propagation. Round-5 hygiene:
+    superseded label frames are unpersisted each round and lineage is
+    localCheckpoint-truncated every 5, so cached-RDD count after the run
+    is O(1) + O(rounds/5), NOT O(rounds) (pre-fix: ~35 leaked frames and
+    a 35-join plan)."""
+    from feast_ibm_spark.operators.dedup import dedup_clusters
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    n = 36
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    after = jsc.getPersistentRDDs().size()
+    # final labels frame + ~rounds/5 checkpoints may remain referenced;
+    # anything near the ~35 frames of the pre-fix leak fails
+    assert after - before <= 10, f"cache leak: {after - before} frames retained"
+
+
 def test_pack_sequences_budget_property(spark):
     """Each pack's token total exceeds the budget by at most one document
     (the floor-of-cumsum formulation's contract), offsets stay in
