@@ -37,20 +37,46 @@ from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
 DEFAULT_LSH_MIN_BYTES = 16 << 20
 
 
+def _dir_file_sizes(sc, directory: str) -> dict[str, int]:
+    """{file name: byte length} for one directory — a SINGLE listStatus
+    RPC against the filesystem/object store."""
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = p.getFileSystem(conf)
+    return {
+        st.getPath().getName(): st.getLen()
+        for st in fs.listStatus(p)
+        if st.isFile()
+    }
+
+
 def input_size_bytes(df: DataFrame) -> int | None:
     """Total size of the files backing ``df`` (None when not file-backed).
-    Driver-side Hadoop FS metadata only — never touches row data."""
+    Driver-side Hadoop FS metadata only — never touches row data.
+
+    Cost model: ONE ``listStatus`` RPC per distinct PARENT DIRECTORY of
+    the input files, not one ``getFileStatus`` per file (the pre-round-5
+    shape) — a 100 TB dataset is ~10^6 objects but typically a few
+    hundred partition directories, so this is the difference between a
+    sub-second listing and 10^6 sequential namenode/S3 round-trips
+    before the query even starts."""
+    from urllib.parse import unquote
+
     files = df.inputFiles()
     if not files:
         return None
-    sc = df.sparkSession.sparkContext
-    jvm = sc._jvm
-    conf = sc._jsc.hadoopConfiguration()
-    total = 0
+    by_parent: dict[str, set] = {}
     for f in files:
-        path = jvm.org.apache.hadoop.fs.Path(f)
-        fs = path.getFileSystem(conf)
-        total += fs.getFileStatus(path).getLen()
+        parent, _, name = f.rpartition("/")
+        # inputFiles() returns URIs (possibly %-encoded); listStatus
+        # names come back decoded
+        by_parent.setdefault(parent, set()).add(unquote(name))
+    sc = df.sparkSession.sparkContext
+    total = 0
+    for parent, names in by_parent.items():
+        sizes = _dir_file_sizes(sc, parent)
+        total += sum(sizes.get(n, 0) for n in names)
     return total
 
 

@@ -488,6 +488,42 @@ def test_curation_auto_tier_picks_by_input_bytes(spark, sf_dir):
     assert as_exact == as_lsh
 
 
+def test_input_size_bytes_one_listing_per_directory(spark, tmp_path, monkeypatch):
+    """The FS metadata probe must issue ONE directory listing per parent
+    dir, never one RPC per file (10^6 objects at 100 TB), and the total
+    must match the on-disk bytes of exactly the input part-files."""
+    import os
+
+    from feast_ibm_spark.operators import curation
+
+    out = str(tmp_path / "multi")
+    spark.range(1000).repartition(8).write.parquet(out)
+    df = spark.read.parquet(out)
+    n_files = len(df.inputFiles())
+    assert n_files >= 8
+
+    calls = []
+    real = curation._dir_file_sizes
+
+    def counting(sc, directory):
+        calls.append(directory)
+        return real(sc, directory)
+
+    monkeypatch.setattr(curation, "_dir_file_sizes", counting)
+    got = curation.input_size_bytes(df)
+    assert len(calls) == 1, f"expected 1 listing, saw {len(calls)}: {calls}"
+
+    expect = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert got == expect > 0
+
+    # non-file-backed frames still answer None
+    assert curation.input_size_bytes(spark.range(3)) is None
+
+
 def test_dedup_clusters_chain_topology(spark):
     """Min-label propagation must converge on a chain (diameter 4 —
     forces multiple iterations, unlike the quasi-clique corpus clusters)
