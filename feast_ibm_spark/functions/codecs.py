@@ -50,9 +50,12 @@ def png_decode(data: bytes) -> np.ndarray:
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as e:
+                raise UnsupportedMediaError(f"malformed IHDR: {e}") from e
             if depth != 8:
                 raise UnsupportedMediaError(f"bit depth {depth} (only 8)")
             if color not in _PNG_CHANNELS:
@@ -67,7 +70,12 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if width is None:
         raise UnsupportedMediaError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # truncated/corrupt IDAT must surface as the documented decode
+        # contract, not an opaque zlib.error
+        raise UnsupportedMediaError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise UnsupportedMediaError("truncated PNG pixel data")
@@ -157,6 +165,16 @@ def bmp_decode(data: bytes) -> np.ndarray:
     bottom_up = height > 0
     height = abs(height)
     stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    # the header's pix_off/width/height are untrusted: bound-check before
+    # reading so short payloads fail with the documented contract, not a
+    # bare numpy ValueError
+    if width <= 0 or height <= 0:
+        raise UnsupportedMediaError(f"bad BMP dimensions {width}x{height}")
+    needed = pix_off + (height - 1) * stride + width * 3
+    if pix_off < 0 or needed > len(data):
+        raise UnsupportedMediaError(
+            f"truncated BMP pixel data (need {needed} bytes, have {len(data)})"
+        )
     rows = []
     for y in range(height):
         row = np.frombuffer(data, np.uint8, count=width * 3, offset=pix_off + y * stride)

@@ -48,17 +48,22 @@ _LEDGER = "_refresh_ledger"
 _STATE_PREFIX = "state__"
 
 
+def _ledger_rows(spark: SparkSession, base_path: str) -> list:
+    """Ledger rows in commit order. ONLY a missing ledger reads as empty
+    — any other failure (permissions, corrupt footer, transient store
+    error) PROPAGATES. Swallowing those would make a refresh mistake an
+    existing ledger for an empty one, recompute state from just the
+    current slice, and silently discard all accumulated history — the
+    exact failure the commit protocol exists to prevent."""
+    ledger_dir = os.path.join(base_path, _LEDGER)
+    if not os.path.exists(ledger_dir):
+        return []
+    return spark.read.parquet(ledger_dir).orderBy("seq").collect()
+
+
 def _ledger_ids(spark: SparkSession, base_path: str) -> list[str]:
     """Applied refresh ids in commit order (seq column orders them)."""
-    try:
-        rows = (
-            spark.read.parquet(os.path.join(base_path, _LEDGER))
-            .orderBy("seq")
-            .collect()
-        )
-        return [r["refresh_id"] for r in rows]
-    except Exception:
-        return []
+    return [r["refresh_id"] for r in _ledger_rows(spark, base_path)]
 
 
 def _current_state_dir(base_path: str, ids: list[str]) -> str | None:
@@ -95,9 +100,14 @@ def refresh_additive_agg(
     if _STATE_PREFIX in refresh_id or "/" in refresh_id:
         raise ValueError(f"invalid refresh_id: {refresh_id!r}")
     os.makedirs(base_path, exist_ok=True)
-    ids = _ledger_ids(spark, base_path)
+    ledger = _ledger_rows(spark, base_path)
+    ids = [r["refresh_id"] for r in ledger]
     if refresh_id in ids:
         return False
+    # seq comes from the ledger's own max, not len(ids): ids can shrink
+    # only by corruption, and a duplicate seq would make commit order
+    # ambiguous on recovery
+    next_seq = max((r["seq"] for r in ledger), default=-1) + 1
 
     parts = slice_partials(facts_slice, key_cols, cents_col)
     cur = _current_state_dir(base_path, ids)
@@ -124,7 +134,7 @@ def refresh_additive_agg(
     os.rename(tmp, new_dir)
     # commit point: the ledger append makes new_dir the current state
     spark.createDataFrame(
-        [(len(ids), refresh_id)], "seq bigint, refresh_id string"
+        [(next_seq, refresh_id)], "seq bigint, refresh_id string"
     ).write.mode("append").parquet(os.path.join(base_path, _LEDGER))
     # opportunistic cleanup of superseded state versions
     for rid in ids:

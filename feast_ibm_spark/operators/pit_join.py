@@ -185,10 +185,20 @@ def point_in_time_join(
         # bucketed carve-out: when every view's source is bucketed on its
         # join keys, the broadcast strategy's feature lineage needs no
         # exchange at all — strictly better than the melt, which unions
-        # the spine in and thereby discards the bucketed distribution
-        if feature_views and all(
-            v.bucketed_on is not None and set(v.bucketed_on) <= set(v.join_keys)
-            for v in feature_views
+        # the spine in and thereby discards the bucketed distribution.
+        # The carve-out still BROADCASTS the spine's distinct key set (and
+        # the winners frame), so it is gated on auto_broadcast_rows like
+        # every other broadcast decision: a spine above the cap falls back
+        # to the melt even over bucketed sources — losing the bucketed
+        # distribution beats a driver/executor OOM on the broadcast build.
+        if (
+            feature_views
+            and n_rows <= auto_broadcast_rows
+            and all(
+                v.bucketed_on is not None
+                and set(v.bucketed_on) <= set(v.join_keys)
+                for v in feature_views
+            )
         ):
             strategy = "broadcast"
         else:

@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
     """One scan: per-column null counts as (check, n_violations) rows."""
+    # coalesce like the other checks: F.sum over ZERO rows is NULL, and a
+    # publish gate on max(n_violations) == 0 must not evaluate to NULL on
+    # an empty input
     aggs = [
-        F.sum(F.col(c).isNull().cast("bigint")).alias(c) for c in cols
+        F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)).alias(c)
+        for c in cols
     ]
     wide = df.agg(*aggs)
     stacked = wide.selectExpr(

@@ -656,6 +656,12 @@ def ivfpq_cosine_topk(
         .select(vec_col)
         .collect()
     )
+    if len(seed_rows) < n_cells + n_codes:
+        raise ValueError(
+            f"ivfpq needs a corpus of at least n_cells + n_codes = "
+            f"{n_cells + n_codes} vectors to seed its cells and residual "
+            f"codebooks; got {len(seed_rows)}"
+        )
     seeds = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
     cents = seeds[:n_cells]
     cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)

@@ -154,6 +154,34 @@ def test_bmp_decode():
         bmp_decode(b"XX" + b"\x00" * 60)
 
 
+def test_malformed_payloads_raise_documented_contract():
+    """Round-5 advice fix: corrupt/truncated payloads must surface as
+    UnsupportedMediaError, never as a bare zlib.error / numpy ValueError
+    / struct.error escaping to decode_images callers."""
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # corrupt IDAT: valid structure, garbage deflate stream
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    corrupt = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"\xde\xad\xbe\xef\x00\x11")
+               + chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedMediaError, match="IDAT"):
+        png_decode(corrupt)
+
+    # short IHDR body
+    short_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x00")
+    with pytest.raises(UnsupportedMediaError, match="IHDR"):
+        png_decode(short_ihdr)
+
+    # BMP whose header promises more pixel data than the payload holds
+    img = _rand_img(6, 5, 3)
+    full = _bmp_bytes(img)
+    with pytest.raises(UnsupportedMediaError, match="truncated"):
+        bmp_decode(full[: len(full) - 20])
+
+
 def test_wav_roundtrip_pcm16_stereo():
     rng = np.random.RandomState(3)
     samples = rng.randint(-32768, 32767, size=(480, 2), dtype=np.int16)

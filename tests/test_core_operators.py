@@ -727,6 +727,61 @@ def test_quality_checks_fire_on_dirty_data(spark):
     }
 
 
+def test_quality_checks_zero_not_null_on_empty_input(spark):
+    """A publish gate on max(n_violations) == 0 must see 0, never NULL,
+    when the table is empty (F.sum over zero rows is NULL unless
+    coalesced — round-5 advice fix)."""
+    from feast_ibm_spark.operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_unique,
+    )
+
+    empty = spark.createDataFrame([], "fk bigint, frac double")
+    for checked in (
+        check_not_null(empty, ["fk", "frac"]),
+        check_unique(empty, ["fk"]),
+        check_in_range(empty, "frac", lo=0.0, hi=1.0),
+    ):
+        for r in checked.collect():
+            assert r.n_violations == 0, r
+
+
+def test_incremental_ledger_read_errors_propagate(spark, tmp_path):
+    """Only a MISSING ledger reads as empty; a corrupt/unreadable ledger
+    must raise, not silently reset accumulated state (round-5 advice
+    fix), and committed seq values stay unique and monotonic."""
+    import os
+
+    import pytest as _pytest
+
+    from feast_ibm_spark.operators.incremental import (
+        _LEDGER,
+        _ledger_rows,
+        refresh_additive_agg,
+    )
+
+    base = str(tmp_path / "aggstate2")
+    df1 = spark.createDataFrame([(1, 100)], "k bigint, c bigint")
+    df2 = spark.createDataFrame([(2, 200)], "k bigint, c bigint")
+    assert refresh_additive_agg(spark, base, df1, ["k"], F.col("c"), "r1")
+    assert refresh_additive_agg(spark, base, df2, ["k"], F.col("c"), "r2")
+    seqs = [r["seq"] for r in _ledger_rows(spark, base)]
+    assert seqs == [0, 1]
+
+    # corrupt the ledger: a garbage file where parquet footers should be
+    ledger_dir = os.path.join(base, _LEDGER)
+    for f in os.listdir(ledger_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(ledger_dir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    df3 = spark.createDataFrame([(3, 300)], "k bigint, c bigint")
+    with _pytest.raises(Exception):
+        refresh_additive_agg(spark, base, df3, ["k"], F.col("c"), "r3")
+    # and no r3 state dir was committed by the failed attempt
+    assert not any("r3" in d for d in os.listdir(base))
+
+
 if _HAS_HYPOTHESIS:
 
     @given(

@@ -743,6 +743,20 @@ def test_ivfpq_recall_determinism_and_exact_rescoring(spark, sf_dir):
     assert pairs == again
 
 
+def test_ivfpq_rejects_undersized_corpus(spark):
+    """Fewer corpus rows than n_cells + n_codes cannot seed the residual
+    codebooks — must fail with a clear ValueError, not an opaque numpy
+    broadcast-shape error inside the UDF (round-5 advice fix)."""
+    from feast_ibm_spark.operators.similarity import ivfpq_cosine_topk
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5] * 16) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_cells \\+ n_codes"):
+        ivfpq_cosine_topk(tiny, tiny.limit(2), k=2)
+
+
 def test_chunk_documents_semantics(spark):
     """Every token lands in >= 1 chunk, consecutive chunks share exactly
     `overlap` tokens, tails inside the previous overlap get no redundant

@@ -464,6 +464,19 @@ def test_bucketed_feature_table_elides_pit_window_exchange(spark, sf_dir):
     auto_plan = auto_out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in auto_plan, auto_plan[:2000]
 
+    # round-5 guard: a spine ABOVE auto_broadcast_rows must NOT take the
+    # carve-out even over bucketed sources — broadcasting a huge spine's
+    # key set is the OOM the cap exists to prevent. The melt (no
+    # WindowGroupLimit marker) is the fallback, and results agree.
+    big_out = point_in_time_join(
+        spine, [bview], strategy="auto", auto_broadcast_rows=10
+    )
+    big_plan = big_out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" not in big_plan, big_plan[:2000]
+    assert sorted(map(tuple, big_out.collect())) == sorted(
+        map(tuple, auto_out.collect())
+    )
+
 
 def test_training_pipeline_e2e_plan_has_no_blowup(spark, sf_dir):
     """The flagship composition chains five operators; none of its joins
