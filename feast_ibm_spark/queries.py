@@ -441,6 +441,40 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
     )
 
+
+def q_streaming_sessionize_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same drained sessionization, delivered through a PARQUET FILE SINK
+    instead of the driver-bound memory sink — the distributed delivery
+    path a production run uses (executors write; the sink's
+    _spark_metadata commit log makes the read-back exactly-once). Shares
+    ORACLE_SESSIONIZE, so the file-sink round-trip itself is under the
+    value-hash gate."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .sources.reader import load_stream
+    from .streaming.run import drain_available_now_to_files
+    from .streaming.stateful import streaming_sessionize
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = streaming_sessionize(
+        stream, ["user_id"], "ts", SESSION_GAP_S, idle_timeout_seconds=0.001
+    )
+    run_id = uuid.uuid4().hex[:8]
+    out = drain_available_now_to_files(
+        sessions,
+        output_dir=tempfile.mkdtemp(prefix=f"fis_sink_{run_id}_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix=f"fis_ckpt_{run_id}_"),
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        out.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    )
+
 # --------------------------------------------------------------------------
 # Scan + filter + projection over a dimension table (S2/P1/F-pushdown)
 # --------------------------------------------------------------------------
@@ -5410,6 +5444,10 @@ QUERIES: dict[str, QueryDef] = {
     "streaming_sessionize": QueryDef(q_streaming_sessionize, ORACLE_SESSIONIZE,
                                      "stateful Structured-Streaming sessionize "
                                      "drained via availableNow — exact oracle"),
+    "streaming_sessionize_files": QueryDef(
+        q_streaming_sessionize_files, ORACLE_SESSIONIZE,
+        "drained sessionize through a distributed PARQUET file sink "
+        "(exactly-once _spark_metadata read-back) — same exact oracle"),
     "scan_part_filter": QueryDef(q_scan_part_filter, ORACLE_SCAN_PART,
                                  "S2 scan + F pushdown + P1 projection"),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, ORACLE_AGG_PRICING,
@@ -5798,23 +5836,33 @@ _DRIVER_EXCLUDE = (
     "normalize_zscore",
     "drift_psi",
     "scan_orc_source",
-    "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
-    "fuzzy_part_names",
-    "scd2_intervals",
-    "agg_daily_gapfill",
-    "snapshot_diff",
     "chunk_documents",
     "text_top_tokens_by_lang",
-    "attribution_last_touch",
-    "rfm_segments",
-    "event_transitions",
-    "join_lateral_topn",
     "streaming_enrich",
     "layout_zorder_roundtrip",
-    "chunk_and_pack",
     "agg_activity_profile",
+    # parked round 5: each has 4 consecutive green gate rows (r1-r4) AND
+    # a surviving gate sibling pinning the same oracle family, freeing
+    # slots so round 5's CORRECTNESS covers ten queries the driver has
+    # never hashed (window_rank_suite, scd2_intervals, snapshot_diff,
+    # fuzzy_part_names, agg_daily_gapfill, event_transitions,
+    # rfm_segments, attribution_last_touch, join_lateral_topn,
+    # chunk_and_pack) plus the NEW file-sink streaming delivery class
+    # (streaming_sessionize_files). All parked entries stay pinned by
+    # the local replica at gate scale.
+    "sessionize_events",       # same ORACLE_SESSIONIZE as both streaming twins
+    "corpus_curation",         # corpus_curation_lsh shares the exact oracle
+    "dedup_ngram_jaccard",     # dedup_minhash_lsh matches the same exact pairs
+    "dedup_exact",             # its doc-level answer underlies the curation oracles
+    "embedding_near_dup",      # embedding_near_dup_lsh now carries the full oracle
+    "knn_cosine_topk",         # knn_ivf/knn_pq rescore with the same fold kernel
+    "join_top_orders",
+    "join_region_revenue",
+    "agg_pricing_summary",
+    "scan_partitioned_events", # partition pruning stays gated via pit_join_partitioned
+    "text_fingerprint",        # text family keeps text_quality at the gate
     # parked round 4 (third batch): slots for knn_pq, streaming dedup/
     # latest, quality gate, recursive CTE, aggregate IVM, and the
     # flagship training_pipeline_e2e

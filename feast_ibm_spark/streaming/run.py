@@ -50,7 +50,13 @@ def drain_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
+    _run_to_fixed_point(writer.start(), query_name, timeout_s, poll_s)
+    return spark.table(query_name)
+
+
+def _run_to_fixed_point(q, query_name: str, timeout_s: float, poll_s: float):
+    """Poll a started query until self-termination or the drained fixed
+    point (committed batch: 0 input rows AND 0 state-store rows)."""
     t0 = time.time()
     try:
         while q.isActive:
@@ -71,4 +77,34 @@ def drain_available_now(
         if q.isActive:
             q.stop()
         raise
-    return spark.table(query_name)
+
+
+def drain_available_now_to_files(
+    sdf: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    timeout_s: float = 600.0,
+    poll_s: float = 0.1,
+) -> DataFrame:
+    """File-sink twin of :func:`drain_available_now` — the DISTRIBUTED
+    delivery path. The memory sink materializes every result row on the
+    driver (fine for the bounded correctness gate, a bottleneck for real
+    output); a file sink writes from the executors with exactly-once
+    semantics via the sink's ``_spark_metadata`` commit log, which the
+    read-back below consults so uncommitted files from an interrupted
+    run are never read. File sinks are append-only, hence no
+    ``output_mode`` knob. Same drained-fixed-point termination rule.
+
+    Returns the committed sink contents as a batch DataFrame.
+    """
+    spark: SparkSession = sdf.sparkSession
+    writer = (
+        sdf.writeStream.format(fmt)
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _run_to_fixed_point(writer.start(), output_dir, timeout_s, poll_s)
+    return spark.read.format(fmt).load(output_dir)
