@@ -1,0 +1,751 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+# Round 4: behavioral analytics + feature-engineering shapes. All money/
+# value math rides the scaled-integer cents discipline (see the Q1 note
+# above) so group aggregates are order-independent and hash-exact; doubles
+# appear only in final single divisions applied identically in both
+# engines.
+# --------------------------------------------------------------------------
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface in one plan: rank, dense_rank,
+    percent_rank, cume_dist, lag and lead share a single (key, order)
+    window — one shuffle, one sort for six functions. All outputs are
+    integers or exact rational fractions of integers (percent_rank =
+    (rank-1)/(n-1), cume_dist = n_le/n: single divisions both engines),
+    so the row is hash-exact. Orders table, keyed by priority."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("__c").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority", cents.alias("__c"))
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("bigint"))
+        .withColumn("prank", F.percent_rank().over(w))
+        .withColumn("cdist", F.cume_dist().over(w))
+        .withColumn("prev_cents", F.lag("__c", 1).over(w))
+        .withColumn("next_cents", F.lead("__c", 1).over(w))
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("__c").cast("double") / 100.0).alias("total_price"),
+            "rnk", "drnk", "prank", "cdist", "prev_cents", "next_cents",
+        )
+    )
+
+
+ORACLE_WINDOW_RANK_SUITE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       CAST(cents AS DOUBLE) / 100.0 AS total_price,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       lag(cents, 1) OVER w AS prev_cents,
+       lead(cents, 1) OVER w AS next_cents
+FROM c
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents ASC, o_orderkey ASC)
+"""
+
+
+def q_agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE queries): exactly
+    {(status, priority), (status), (priority)} — no grand total — plus
+    GROUPING_ID to disambiguate NULLs from real values. One Expand over
+    one scan; cents sums exact."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_scan_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4's open JSON type, the
+    lakehouse answer to schema drift): parse the props JSON into VARIANT,
+    extract a typed field with variant_get, aggregate. Unlike the typed
+    from_json twin (scan_json_props), the extraction schema binds at
+    READ time per field — new JSON keys never break the pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+            .alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE): walk
+    each supplier up a derived hierarchy (parent(k) = floor(k/2) — the
+    schema has no self-referencing table, so the binary-tree parent rule
+    is the documented synthetic edge set, derivable identically in any
+    engine) accumulating depth and the path's acctbal in cents. The
+    per-step accumulation order is fixed by the recursion itself, so the
+    path sum is deterministic and hash-exact."""
+    orders = _t(spark, sf_dir, "supplier")
+    orders.createOrReplaceTempView("__hier_supplier")
+    return spark.sql("""
+        WITH RECURSIVE walk(s_suppkey, node, depth, path_cents) AS (
+          SELECT s_suppkey, s_suppkey, 0,
+                 CAST(round(s_acctbal * 100) AS BIGINT)
+          FROM __hier_supplier
+          UNION ALL
+          SELECT w.s_suppkey, s.s_suppkey, w.depth + 1,
+                 w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+          FROM walk w
+          JOIN __hier_supplier s
+            ON s.s_suppkey = CAST(floor(w.node / 2) AS BIGINT)
+          WHERE w.node >= 2
+        )
+        SELECT s_suppkey, node AS root, CAST(depth AS BIGINT) AS depth,
+               CAST(path_cents AS DOUBLE) / 100.0 AS path_acctbal
+        FROM walk WHERE node <= 1
+    """)
+
+
+ORACLE_HIERARCHY_CHAIN = """
+WITH RECURSIVE walk(s_suppkey, node, depth, path_cents) AS (
+  SELECT s_suppkey, s_suppkey, 0, CAST(round(s_acctbal * 100) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT w.s_suppkey, s.s_suppkey, w.depth + 1,
+         w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+  FROM walk w
+  JOIN supplier s ON s.s_suppkey = CAST(floor(w.node / 2) AS BIGINT)
+  WHERE w.node >= 2
+)
+SELECT s_suppkey, node AS root, CAST(depth AS BIGINT) AS depth,
+       CAST(path_cents AS DOUBLE) / 100.0 AS path_acctbal
+FROM walk WHERE node <= 1
+"""
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) string join over distinct part names: pairs
+    at Levenshtein distance exactly 1 — the entity-resolution "typo
+    join". Candidates via a trigram inverted index (count-bound complete
+    for these name lengths; short strings brute-force their tiny
+    bucket), verified with the JVM levenshtein expression. The oracle is
+    the brute-force distinct-pairs form — tractable in DuckDB at gate
+    scale, which is exactly why the Spark side must NOT be."""
+    from ..operators.fuzzy import fuzzy_string_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_string_pairs(part, "p_name", max_dist=1)
+
+
+ORACLE_FUZZY_NAMES = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) = 1
+"""
+
+
+def q_materialize_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance at the gate: per-user spend
+    stats maintained through TWO half-range refreshes (operators/
+    incremental.py), with the second slice deliberately RE-APPLIED to
+    prove the ledger makes retries no-ops. The oracle is one full-range
+    GROUP BY recompute — equality proves the incremental merge is exact
+    and idempotent. History is never rescanned: each refresh reads its
+    slice plus key-sized state."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import read_agg, refresh_additive_agg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/fis_aggstate_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events")
+    mid = "2024-01-15 00:00:00"
+    cents = _cents("value")
+    first = ev.filter(F.col("ts") < F.lit(mid).cast("timestamp"))
+    second = ev.filter(F.col("ts") >= F.lit(mid).cast("timestamp"))
+    assert refresh_additive_agg(spark, base, first, ["user_id"], cents, "h1")
+    assert refresh_additive_agg(spark, base, second, ["user_id"], cents, "h2")
+    # retry of an applied refresh must be a committed no-op
+    assert not refresh_additive_agg(spark, base, second, ["user_id"], cents, "h2")
+    return read_agg(spark, base)
+
+
+ORACLE_AGG_INCREMENTAL = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 builder: turn a keyed event
+    history into versioned validity intervals — each row's value is
+    valid from its timestamp until the key's next change (NULL for the
+    current version), with is_current flagged. The warehouse twin of
+    merge_cdc_snapshot (which keeps only the winner; SCD2 keeps the
+    lineage). ONE window (lead over the key's time order, deterministic
+    event_id tiebreak), one shuffle; at 100 TB this is a map-side
+    pipeline after the key exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (_cents("value").cast("double") / 100.0).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts", 1).over(w).alias("valid_to"),
+        F.lead("ts", 1).over(w).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       ts AS valid_from,
+       lead(ts, 1) OVER w AS valid_to,
+       lead(ts, 1) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate report over orders/lineitem (operators/
+    quality.py): NOT-NULL columns in one scan-aggregate, key-uniqueness
+    of (orderkey, linenumber), a value-range check, and referential
+    integrity lineitem.l_orderkey -> orders.o_orderkey via one anti
+    join. One (check, n_violations) row each — the publish gate is
+    max(n_violations) == 0. The synthetic data is clean, so every count
+    is 0; the oracle recomputes each constraint independently, proving
+    the checks measure what they claim (and the unit test proves they
+    fire on dirty data)."""
+    from ..operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return run_checks(
+        check_not_null(li, ["l_orderkey", "l_quantity", "l_shipdate"]),
+        check_unique(li, ["l_orderkey", "l_linenumber"]),
+        check_in_range(li, "l_discount", lo=0.0, hi=1.0),
+        check_references(li, ["l_orderkey"], orders, ["o_orderkey"]),
+    )
+
+
+ORACLE_QUALITY_REPORT = """
+SELECT 'not_null:l_orderkey' AS check,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'not_null:l_quantity',
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_shipdate',
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'range:l_discount',
+       CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'fk:l_orderkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_agg_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-complete daily revenue per event_type: a generated day
+    spine (sequence over the fixed reporting window) CROSS JOIN the type
+    dimension, LEFT-joined to the day aggregate, gaps zero-filled — the
+    reporting twin of resample_locf (which carries values forward;
+    reporting wants explicit zeros). The generated spine is tiny
+    (days x types), so the only real work is the one scan aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    agg = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("__c"),
+        )
+    )
+    return (
+        days.crossJoin(types)
+        .join(agg, ["day", "event_type"], "left")
+        .select(
+            # DATE comes back from Spark as python objects but from DuckDB
+            # as datetime64 — emit midnight TIMESTAMPs so the dtype-strict
+            # hash compare sees the same thing from both engines
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            (F.coalesce(F.col("__c"), F.lit(0)).cast("double") / 100.0)
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_DAILY_GAPFILL = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.c, 0) AS DOUBLE) / 100.0 AS revenue
+FROM days d CROSS JOIN types t
+LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the table-diff every
+    migration/backfill validation runs: per-user spend aggregates of the
+    first vs second half of the month, keys classified added / removed /
+    changed / unchanged with the cent deltas. One aggregate per side,
+    one full-outer join on the key; at 100 TB both sides shuffle once
+    and AQE handles the sizes."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cents = _cents("value")
+
+    def side(pred, tag):
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.sum(cents).alias(f"c_{tag}"), F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    a = side(F.col("ts") < mid, "a")
+    b = side(F.col("ts") >= mid, "b")
+    joined = a.join(b, "user_id", "full_outer")
+    status = (
+        F.when(F.col("c_a").isNull(), F.lit("added"))
+        .when(F.col("c_b").isNull(), F.lit("removed"))
+        .when(F.col("c_a") == F.col("c_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "user_id",
+        status.alias("status"),
+        (F.coalesce(F.col("c_b"), F.lit(0)) - F.coalesce(F.col("c_a"), F.lit(0)))
+        .cast("bigint").alias("delta_cents"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_before"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_after"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS c_a,
+         COUNT(*) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS c_b,
+         COUNT(*) AS n_b
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.c_a IS NULL THEN 'added'
+            WHEN b.c_b IS NULL THEN 'removed'
+            WHEN a.c_a = b.c_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(b.c_b, 0) - COALESCE(a.c_a, 0) AS BIGINT) AS delta_cents,
+       CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_after
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): the at-least-once ingestion
+    defense — the same event delivered twice must reach the sink once.
+    The input stream is the events file-stream unioned with ITSELF (every
+    record duplicated), the state key is event_id, and the watermark
+    bounds how long each key is remembered — the property that keeps the
+    state store finite under unbounded ingestion. Drained with
+    availableNow; the result hash-matches the batch DISTINCT oracle.
+    Fourth streaming class at the gate (stateful sessionize, windowed
+    agg, interval join, now dedup)."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+
+    def one():
+        return load_stream(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type",
+            _cents("value").alias("__c"),
+        )
+
+    doubled = one().unionByName(one())
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        deduped, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, user_id, ts, event_type,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value
+FROM events
+"""
+
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline document chunking: 64-token windows with 8-token
+    overlap, pure Catalyst (split -> start sequence -> slice/join ->
+    posexplode), zero shuffle — chunks stream out of the scan. Oracle
+    reproduces the same slicing with DuckDB list functions."""
+    from ..operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                         i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                   i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}]) AS INTEGER)
+         AS n_tokens
+FROM starts, unnest(idxs) AS u(i)
+"""
+
+
+def q_text_top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 most frequent tokens per language — a window
+    over grouped counts (count desc, token asc tiebreak). The global
+    twin is text_top_tokens; the per-group form adds the rank window
+    over the aggregate, still one explode + one grouped count."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "n", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+ORACLE_TOP_TOKENS_BY_LANG = """
+WITH counts AS (
+  SELECT lang, u.token, COUNT(*) AS n
+  FROM documents, unnest(string_split(trim(text), ' ')) AS u(token)
+  GROUP BY lang, u.token
+)
+SELECT lang, token, n, rnk FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+  FROM counts) WHERE rnk <= 5
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase credited to the
+    same user's most recent click within the preceding hour — the
+    backward as-of join with tolerance, composed over event streams
+    (the forward/nearest directions are gated by asof_join_*; this adds
+    the canonical backward+tolerance business shape). Oracle is the
+    correlated-max formulation DuckDB evaluates directly."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        _cents("value").alias("__c"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        right_columns=["click_ts", "click_id"],
+        direction="backward", tolerance_seconds=3600, tiebreak="click_id",
+    )
+    return out.select(
+        "user_id", "purchase_id", "purchase_ts",
+        (F.col("__c").cast("double") / 100.0).alias("purchase_value"),
+        "click_ts", "click_id",
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.*, c.click_ts, c.click_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+)
+SELECT user_id, purchase_id, purchase_ts,
+       CAST(c AS DOUBLE) / 100.0 AS purchase_value, click_ts, click_id
+FROM matched WHERE rn = 1
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase at the window end), frequency (purchase count) and monetary
+    (cents) scores bucketed into quartiles with NTILE, concatenated into
+    the classic 3-digit segment. Integer inputs throughout; the NTILE
+    order carries a user_id tiebreak so bucketing is deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    asof = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_cents("value")).alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff(asof, F.col("last_ts")).cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id", "recency_days", "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+ORACLE_RFM = """
+WITH base AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+                        DATE '2024-01-31') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency,
+       CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS BIGINT) AS m_score,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS VARCHAR)
+         AS segment
+FROM base
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user timeline (the Markov-chain estimate product teams
+    read). One lag window over (user, ts) with an event_id tiebreak for
+    simultaneous events, then a grouped count — one shuffle for the
+    window, map-side combine for the count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders, written as the LATERAL form (the SQL-surface twin of the
+    window top-n — Catalyst decorrelates it into the same rank plan, so
+    the declarative form costs nothing at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("__lat_orders")
+    cust.createOrReplaceTempView("__lat_customer")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+    """)
+
+
+ORACLE_LATERAL_TOPN = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey,
+       CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+"""
+
+

@@ -1,0 +1,689 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+# North-star: deduplication
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+JACCARD_THRESHOLD = 0.5
+NGRAM_N = 3
+
+# DuckDB shingle set expression (1-based inclusive slices)
+_DUCK_SHINGLES = f"""
+list_distinct(
+  list_transform(
+    range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - {NGRAM_N - 1}, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+{NGRAM_N - 1}], ' ')
+  )
+)
+"""
+
+_ORACLE_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path, exact-verified; with k=32,b=16,r=2 the recall at
+    J>=0.5 is 1-(1-0.25)^16 ≈ 0.99 — validated against the exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic keep-newest-row dedup on a composite key (user, type) —
+    the engine's dropDuplicates-with-ordering (one window shuffle), with
+    event_id as the deterministic tiebreak on timestamp ties."""
+    from ..operators.dedup import dedup_keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_latest(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        ["user_id", "event_type"], "ts", created_col="event_id",
+    )
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT user_id, event_type, ts, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+_DUCK_TOKEN_FP = f"""
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+  (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+)
+"""
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform({_DUCK_TOKENS}, t -> {_DUCK_TOKEN_FP}) AS hashes
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), j ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(hashes, h ->
+                 CAST(floor(CAST(h AS DOUBLE) / (2 ** j)) AS BIGINT) % 2 * 2 - 1)),
+             (a, b) -> a + b
+           )
+         ) AS v
+  FROM tok
+)
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(0, 32), j ->
+             CASE WHEN v[j + 1] > 0 THEN 2.0 ** j ELSE 0.0 END)),
+         (a, b) -> a + b
+       ) AS BIGINT) AS simhash
+FROM votes
+"""
+
+# --------------------------------------------------------------------------
+# North-star composition: corpus curation pipeline
+#   exact dedup (keep lowest id per text)
+#   -> quality floor
+#   -> near-dup removal (drop any doc with an exact-Jaccard near-dup of
+#      LOWER id among the quality survivors — deterministic greedy)
+# The flagship "operators compose" demonstration; every stage reuses an
+# already-oracle-checked operator, and the composition has its own full
+# DuckDB oracle.
+# --------------------------------------------------------------------------
+
+CURATION_QUALITY_FLOOR = 0.52
+
+
+def _corpus_curation(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    from ..operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        tier=tier,
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_curation(spark, sf_dir, "exact")
+
+
+def q_corpus_curation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tier='auto': the near-dup stage is chosen from the corpus' file
+    size (driver-side metadata, no extra job) — exact inverted-index
+    below the measured crossover, MinHash-LSH above it. Same oracle
+    either way (the LSH tier matches the exact survivor set here)."""
+    return _corpus_curation(spark, sf_dir, "auto")
+
+
+def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of the curation pipeline: the near-dup stage
+    composes MinHash+banded-LSH candidate generation (bounded bucket
+    equi-join) instead of the exact inverted-index self-join, whose
+    sum(c^2)-over-shingle-frequencies output is the one quadratic-at-scale
+    term in the exact tier. Candidates are still EXACT-verified, and at
+    k=32/b=16/r=2 recall at J>=0.5 is 1-(1-0.25)^16 ~ 0.99 — on this
+    corpus the survivor set matches the exact tier (same full DuckDB
+    oracle; agreement also pinned in tests/test_north_star.py)."""
+    return _corpus_curation(spark, sf_dir, "lsh")
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (pigeonhole-blocked
+    candidate join + exact xor/popcount verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM ({ORACLE_DEDUP_SIMHASH}) a
+JOIN ({ORACLE_DEDUP_SIMHASH}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+# --------------------------------------------------------------------------
+
+# North-star: near-dup clustering + dataset split + sequence packing — the
+# post-curation stages of a training-data pipeline. Driver-gate-excluded
+# (50-row cap) but fully oracle-pinned via tests/test_oracle_parity.py.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pairs: every paired
+    doc labeled with its cluster's min doc_id (the canonical survivor)."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLE_JACCARD_PAIRS}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+def _duck_grams(n: int, distinct: bool = False) -> str:
+    """DuckDB word-n-gram list (1-based inclusive slices), optionally
+    distinct — the generalization of _DUCK_SHINGLES to any n."""
+    inner = f"""
+list_transform(
+  range(1, greatest(len({_DUCK_TOKENS}) - {n - 1}, 0) + 1),
+  i -> array_to_string({_DUCK_TOKENS}[i:i+{n - 1}], ' ')
+)
+"""
+    return f"list_distinct({inner})" if distinct else inner
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (duplicate-2-gram
+    fraction + top-2-gram fraction)."""
+    from ..operators.dedup import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+ORACLE_REPETITION = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_duck_grams(2)}) AS gram FROM documents
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac
+FROM pg GROUP BY doc_id
+"""
+
+DECON_N = 5
+DECON_BENCH_IDS = 20  # doc_id < 20 plays the benchmark/eval set
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of every training doc
+    (doc_id >= 20) against the eval set (doc_id < 20); emits only
+    contaminated docs — removal is then a broadcast anti-join."""
+    from ..operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") >= DECON_BENCH_IDS),
+        docs.filter(F.col("doc_id") < DECON_BENCH_IDS),
+        n=DECON_N,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH ds AS (
+  SELECT doc_id, unnest({_duck_grams(DECON_N, distinct=True)}) AS shingle
+  FROM documents WHERE doc_id >= {DECON_BENCH_IDS}
+),
+bs AS (
+  SELECT DISTINCT unnest({_duck_grams(DECON_N, distinct=True)}) AS shingle
+  FROM documents WHERE doc_id < {DECON_BENCH_IDS}
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM ds JOIN bs USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_contaminated, n_shingles,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS contaminated_frac
+FROM hits JOIN sizes USING (doc_id)
+"""
+
+BM25_QUERY = ["spark", "join", "window", "vector"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every doc matching the fixed bag-of-words query.
+    All matches (no top-k) so the cross-engine compare is order-free;
+    float compare is rtol=1e-12 (libm-vs-JVM ln ulp), see
+    tests/test_oracle_parity.py::test_bm25_matches_oracle."""
+    from ..functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_QUERY, k1=BM25_K1, b=BM25_B)
+
+
+_BM25_INLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+ORACLE_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+),
+dl AS (SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN ({_BM25_INLIST}) GROUP BY 1, 2
+),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id,
+       SUM(
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+       ) AS score
+FROM tf
+JOIN dfreq USING (t)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition: connected components over the MinHash-LSH
+    near-dup pairs instead of the exact inverted-index tier (same oracle —
+    the LSH tier matches the exact pair set on this corpus; at 10x scale
+    the pairs input dominates dedup_clusters' wall time, NOTES.md)."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
+
+
+SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC = 0.8, 0.1
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment — stable
+    under re-runs, appends and repartitioning (pure function of doc_id)."""
+    from ..operators.sampling import split_bucket_col, split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_bucket_col("doc_id").alias("bucket"),
+        split_col("doc_id", SPLIT_TRAIN_FRAC, SPLIT_VAL_FRAC).alias("split"),
+    )
+
+
+ORACLE_SPLIT = """
+SELECT doc_id,
+       (doc_id * 2654435761) % 1000 AS bucket,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream into 2048-token
+    packs per shard in doc_id order (pack_id = floor(tokens_before /
+    budget) — the distributed formulation; one window shuffle)."""
+    from ..operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, "n_tokens", PACK_BUDGET,
+        order_cols=["doc_id"], shard_cols=["shard"],
+    )
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       tokens_before // {PACK_BUDGET} AS pack_id,
+       tokens_before % {PACK_BUDGET} AS pack_offset
+FROM c
+"""
+
+STRAT_FRACS = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+MIX_TARGETS = {"en": 100, "de": 40, "es": 40, "fr": 40, "zh": 40}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic fraction sampling (downsample the
+    dominant language, keep more of the rest) — map-only, no shuffle,
+    stable under re-runs/appends (pure function of doc_id)."""
+    from ..operators.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", STRAT_FRACS, group_col="lang",
+    )
+
+
+def _strat_pred(lang: str, frac: float) -> str:
+    hi = int(round(frac * 1000))
+    return f"(lang = '{lang}' AND (doc_id * 2654435761) % 1000 < {hi})"
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {" OR ".join(_strat_pred(lang, f) for lang, f in STRAT_FRACS.items())}
+"""
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count domain mixing: the first N docs of each language in
+    deterministic pseudo-random (knuth-bucket, id) order — hard caps for
+    a target training-mix distribution (one window shuffle)."""
+    from ..operators.sampling import take_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return take_per_group(
+        docs.select("doc_id", "lang"), "doc_id", "lang", MIX_TARGETS
+    )
+
+
+ORACLE_MIX_DOMAINS = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 1000, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE {" OR ".join(f"(lang = '{lang}' AND rn <= {n})" for lang, n in MIX_TARGETS.items())}
+"""
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the events table (row/null/distinct
+    counts + min/max per column; operators/profile.py). exact=True is the
+    oracle-parity mode; exact=False swaps the Expand-producing exact
+    distincts for single-pass HLL++ sketches at 100 TB."""
+    from ..operators.profile import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(
+        ev, num_cols=("user_id", "value"), str_cols=("event_type", "props")
+    )
+
+
+def _profile_branch(col: str, numeric: bool) -> str:
+    if numeric:
+        mm = (f"CAST(min({col}) AS DOUBLE) AS min_num, "
+              f"CAST(max({col}) AS DOUBLE) AS max_num, "
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str")
+    else:
+        mm = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+              f"min({col}) AS min_str, max({col}) AS max_str")
+    return (
+        f"SELECT '{col}' AS col, count(*) AS n_rows, "
+        f"count(*) - count({col}) AS n_null, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, {mm} FROM events"
+    )
+
+
+ORACLE_PROFILE = " UNION ALL ".join(
+    _profile_branch(c, n)
+    for c, n in (("user_id", True), ("value", True),
+                 ("event_type", False), ("props", False))
+)
+
+# --------------------------------------------------------------------------
+
+# Cluster representatives: the step after near-dup clustering — keep ONE
+# doc per cluster, the highest-quality member (ties -> lowest doc_id).
+# Composes dedup_clusters + quality scoring; singletons represent
+# themselves (left join + coalesce, per the operator contract).
+# --------------------------------------------------------------------------
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    clusters = dedup_clusters(pairs)
+    s = quality_score_col("text")
+    assigned = (
+        docs.select("doc_id", s.quality_score.alias("quality_score"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    # representative = max quality, tie -> min doc_id (max of -doc_id)
+    ordk = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid"))
+    return assigned.groupBy("cluster_id").agg(
+        F.max_by("doc_id", ordk).alias("rep_doc_id"),
+        F.max_by("quality_score", ordk).alias("rep_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+_DUCK_QUALITY_CTE = f"""
+  SELECT doc_id,
+    (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       / CAST(length(text) AS DOUBLE)) * 0.5
+    + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE)
+       / CAST(len({_DUCK_TOKENS}) AS DOUBLE)) * 0.3
+    + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       / CAST(len({_DUCK_TOKENS}) AS DOUBLE)) / 10.0) * 0.2 AS quality_score
+  FROM documents
+"""
+
+ORACLE_CLUSTER_REPS = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLE_JACCARD_PAIRS}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clus AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+q AS ({_DUCK_QUALITY_CTE}),
+asg AS (
+  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+         q.quality_score
+  FROM q LEFT JOIN clus c USING (doc_id)
+)
+SELECT cluster_id,
+       first(doc_id ORDER BY quality_score DESC, doc_id ASC) AS rep_doc_id,
+       first(quality_score ORDER BY quality_score DESC, doc_id ASC) AS rep_quality,
+       count(*) AS n_members
+FROM asg GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: build the corpus top-K vocabulary in-plan (count +
+# deterministic top-k), broadcast it, and score each document's
+# out-of-vocabulary token rate — the tokenizer-fit signal computed before
+# committing to a vocab. Two shuffles total (token count + per-doc agg).
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
+  )
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram LM scoring: corpus unigram frequencies -> per-document mean
+# log-probability (the cheap perplexity proxy used to rank documents
+# before an expensive model pass). ln() differs ~1 ulp between libm and
+# the JVM, so this is rtol-compared like text_bm25, never value-hashed.
+# --------------------------------------------------------------------------
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # total token count rides a single-partition window over the tiny
+    # frequency table (vocab-sized) — no separate collect/crossJoin job
+    freq = freq.withColumn("total", F.sum("n").over(W.partitionBy()))
+    freq = freq.select(
+        "token", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS n, sum(count(*)) OVER () AS total
+  FROM tok GROUP BY 1
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       avg(ln(f.n / f.total)) AS avg_logprob
+FROM tok t JOIN freq f USING (token)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------

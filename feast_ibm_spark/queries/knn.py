@@ -1,0 +1,290 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+# North-star: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_QUERY_IDS = 8  # vec_id < 8 are the query vectors
+
+_DUCK_DOT = """
+list_reduce(
+  list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 65),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+  (acc, x) -> acc + x
+)
+"""
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return cosine_topk(emb, queries, k=KNN_K)
+
+
+ORACLE_KNN = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {KNN_QUERY_IDS}),
+scored AS (
+  SELECT q.q_vec_id, e.vec_id,
+         {_duck_cosine('q.qe', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.q_vec_id
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+PQ_M, PQ_CODES, PQ_CANDS = 8, 16, 128
+_PQ_DSUB = 8
+
+
+def _duck_dot8(a: str, b: str, j: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  list_transform(range(1, {_PQ_DSUB + 1}), i -> CAST({a}[{j}*{_PQ_DSUB}+i] AS DOUBLE) * CAST({b}[{j}*{_PQ_DSUB}+i] AS DOUBLE))),
+  (acc, x) -> acc + x)"""
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (third tier beside LSH/IVF): codes are 8
+    bytes per 64-dim vector, the ADC scan reads codes not vectors, and
+    the top-128 candidates are exactly re-ranked. Deterministic seed
+    codebooks (subvectors of the 16 lowest-id vectors) make every stage
+    — encode argmin, lookup-table build, ordered ADC fold, candidate
+    cut, exact re-rank — reproducible in SQL, so like knn_ivf this
+    approximate operator carries a full value-hash oracle (verified
+    bit-exact at sf0.01 and sf0.1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return pq_cosine_topk(emb, queries, k=KNN_K,
+                          m=PQ_M, n_codes=PQ_CODES, n_candidates=PQ_CANDS)
+
+
+ORACLE_KNN_PQ = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_CODES})
+),
+enc_dists AS (
+  SELECT e.vec_id, s.code, j.j,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(1, {_PQ_DSUB + 1}), i ->
+        (CAST(e.embedding[j.j*{_PQ_DSUB}+i] AS DOUBLE) - CAST(s.ce[j.j*{_PQ_DSUB}+i] AS DOUBLE))
+        * (CAST(e.embedding[j.j*{_PQ_DSUB}+i] AS DOUBLE) - CAST(s.ce[j.j*{_PQ_DSUB}+i] AS DOUBLE)))),
+      (acc, x) -> acc + x) AS dist
+  FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, {PQ_M}) j(j)
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+    FROM enc_dists) WHERE rn = 1
+),
+luts AS (
+  SELECT q.vec_id AS q_vec_id, j.j, s.code,
+         {_duck_dot8('q.embedding', 's.ce', 'j.j')} AS dotv
+  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, {PQ_M}) j(j)
+  WHERE q.vec_id < {KNN_QUERY_IDS}
+),
+norms AS (
+  SELECT vec_id, sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+approx AS (
+  SELECT l.q_vec_id, c.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.dotv ORDER BY l.j)),
+                     (acc, x) -> acc + x) AS adot
+  FROM luts l JOIN codes c ON c.j = l.j AND c.code = l.code
+  WHERE c.vec_id != l.q_vec_id
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT a.q_vec_id, a.vec_id,
+      row_number() OVER (PARTITION BY a.q_vec_id
+                         ORDER BY a.adot / (qn.nrm * cn.nrm) DESC, a.vec_id ASC) AS rn
+    FROM approx a
+    JOIN norms qn ON qn.vec_id = a.q_vec_id
+    JOIN norms cn ON cn.vec_id = a.vec_id) WHERE rn <= {PQ_CANDS}
+),
+rescored AS (
+  SELECT c.q_vec_id, c.vec_id,
+         {_duck_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.q_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM (
+  SELECT q_vec_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored) WHERE rank <= {KNN_K}
+"""
+
+
+NEAR_DUP_COS = 0.4
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=NEAR_DUP_COS)
+
+
+ORACLE_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+"""
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs. Carries a FULL value-hash oracle (the
+    knn_ivf/knn_pq recipe): the hyperplanes come from a fixed-seed PRNG,
+    so their exact float64 values are embedded as literals in the DuckDB
+    SQL, which reproduces signature packing (sign bits -> per-table
+    code), the (table, sig) bucket self-join, candidate dedup, and the
+    exact fold-kernel rescoring + threshold. The sign of each
+    plane-dot is robust to summation-order differences between numpy
+    BLAS and the SQL left fold except exactly at 0 (probability ~0 for
+    continuous data; verified hash-exact at sf0.01 and sf0.1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+
+
+def _lsh_planes_values() -> str:
+    """The 64 seeded hyperplanes (16 tables x 4 planes, dim 64) as DuckDB
+    VALUES rows ``(t, p, pv DOUBLE[])`` — ``repr(float)`` round-trips, so
+    the SQL sees bit-identical plane coefficients to the Pandas-UDF
+    signature stage in ``near_dup_pairs_lsh``."""
+    planes = _hyperplanes(64, 4 * 16)
+    rows = []
+    for i, pv in enumerate(planes):
+        lit = ", ".join(repr(x) for x in pv)
+        rows.append(f"({i // 4}, {i % 4}, [{lit}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+ORACLE_NEAR_DUP_LSH = f"""
+WITH planes(t, p, pv) AS (VALUES
+{_lsh_planes_values()}
+),
+pdots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         {_DUCK_DOT.format(a='e.embedding', b='pl.pv')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM pdots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_COS}
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via an IVF index. The *approximation* (which cells
+    get probed) is itself deterministic with the seed centroids — the 16
+    lowest-id corpus vectors — so the full pipeline (assignment, probe,
+    candidate meet, exact rescoring) is reproducible in SQL and the query
+    carries a full value-hash oracle, not a rows-only check. Recall vs
+    exact top-k is additionally asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivf_cosine_topk(emb, queries, k=KNN_K)
+
+
+# Mirrors ivf_cosine_topk's seed-centroid path exactly: cells = 16
+# lowest-id vectors; assignment = argmax_j dot(v, c_j)/||c_j|| with
+# lowest-cell tie rule (np.argmax picks the first max); each query probes
+# its 4 best cells; candidates rescored with the exact fold kernel.
+# Row-normalizing v (the numpy path does) scales every cell's sim equally,
+# so the SQL skips it — the argmax/argsort order is unchanged. The fold
+# summation order matches Spark's F.aggregate, so cosines are
+# bit-identical (verified sf0.01 + sf0.1).
+ORACLE_KNN_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS ce,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cell_sims AS (
+  SELECT e.vec_id, c.cell_idx,
+         ({_DUCK_DOT.format(a='e.embedding', b='c.ce')}) / c.cnorm AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell_idx AS cell FROM (
+    SELECT vec_id, cell_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_idx ASC) AS rn
+    FROM cell_sims) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS q_vec_id, cell_idx AS cell FROM (
+    SELECT vec_id, cell_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_idx ASC) AS rn
+    FROM cell_sims WHERE vec_id < {KNN_QUERY_IDS}) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.q_vec_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.q_vec_id
+),
+scored AS (
+  SELECT c.q_vec_id, c.vec_id,
+         {_duck_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.q_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual composition (rows-only: the production ANN shape
+    composes two individually FULL-ORACLED tiers — knn_ivf proves the
+    routing, knn_pq the code scan; recall/determinism/bit-exact-rescore
+    are pinned in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivfpq_cosine_topk(emb, queries, k=KNN_K)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH (no oracle — approximate
+    by design; rows-only check). Validated in tests against exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return lsh_cosine_topk(emb, queries, k=KNN_K)
+
+
+# --------------------------------------------------------------------------

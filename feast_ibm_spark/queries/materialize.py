@@ -1,0 +1,383 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from .core import SESSION_GAP_S  # noqa: F401
+
+# Reference production loop: incremental materialization. Two adjacent
+# day-slice increments (reference README "Materialize"; Feast core drives
+# pull_latest per slice, data_engine_offline_store.py:421-476) are
+# snapshotted with store.materialize (overwrite, then append) and merged
+# by a keep-newest window; the oracle is ONE full-range pull_latest
+# recompute — proving the incremental refresh is exact and idempotent.
+# --------------------------------------------------------------------------
+
+MAT_LO, MAT_MID, MAT_HI = (
+    "2024-01-01 00:00:00", "2024-01-15 00:00:00", "2024-01-31 00:00:00",
+)
+
+
+def q_materialize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.data_source import SparkDataSource
+    from ..sources.reader import read_parquet
+    from ..store import SparkOfflineStore
+
+    configure_runtime(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_materialize_{tag}")
+    shutil.rmtree(dest, ignore_errors=True)  # fresh increments every run
+
+    src = SparkDataSource(
+        path=os.path.join(sf_dir, "events.parquet"), timestamp_field="ts"
+    )
+    common = dict(
+        join_key_columns=["user_id"],
+        feature_name_columns=["value", "event_type"],
+        timestamp_field="ts",
+        created_timestamp_column="event_id",
+        dest_path=dest,
+    )
+    SparkOfflineStore.materialize(
+        spark, src, start_date=MAT_LO, end_date="2024-01-14 23:59:59.999999",
+        mode="overwrite", **common,
+    )
+    SparkOfflineStore.materialize(
+        spark, src, start_date=MAT_MID, end_date=MAT_HI, mode="append", **common,
+    )
+    # merge the increments: newest snapshot row per key wins (same
+    # keep-newest discipline an online store applies on upsert)
+    from ..operators.dedup import dedup_keep_latest
+
+    return dedup_keep_latest(
+        read_parquet(spark, dest), ["user_id"], "ts", created_col="event_id"
+    )
+
+
+ORACLE_MATERIALIZE_INCR = f"""
+SELECT user_id, value, event_type, ts, event_id FROM (
+  SELECT user_id, value, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts BETWEEN TIMESTAMP '{MAT_LO}' AND TIMESTAMP '{MAT_HI}'
+) WHERE rn = 1
+"""
+
+def q_sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window``
+    aggregation — the third formulation gated against ORACLE_SESSIONIZE
+    (after the batch lag+running-sum and the drained streaming state
+    kernel). ``session_window`` merges events whose gaps are < gap
+    into one group, so min/max/count inside each group reproduce the
+    same sessions; ``session_id`` is re-derived per key by start order.
+    Pins that the native operator's merge semantics equal ours —
+    and gives the streaming-native path (watermark + session_window)
+    a batch-verified twin."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    grouped = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return grouped.withColumn(
+        "session_id", F.row_number().over(w).cast("bigint")
+    ).select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+
+PIVOT_TYPES = ["click", "purchase", "refund", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type (`groupBy().pivot()` with an EXPLICIT value list — the implicit
+    list would add a driver-side distinct collect; reference has no
+    pivot surface). Oracle is the conditional-aggregation expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+        .select(
+            "user_id",
+            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in PIVOT_TYPES],
+        )
+    )
+
+
+ORACLE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric attributes to long (attr, value)
+    rows — the inverse of pivot, used to feed generic per-attribute
+    profiling/quality pipelines. Oracle is the UNION ALL expansion."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "value")
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
+def q_window_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour event count per user: a RANGE window frame over
+    event TIME (micros since epoch), not row position — each event sees
+    how many of its key's events fell in the preceding day, inclusive.
+    One shuffle on the key; the frame bound is evaluated per row inside
+    the sorted partition (no self-join, no grid)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_24h"),
+    )
+
+
+ORACLE_ROLLING_24H = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_24h
+FROM events
+"""
+
+
+def q_array_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: per-label
+    min/max L2 norm + count. The norm is a strict left-to-right
+    ``aggregate`` fold over the array (same element order both engines,
+    so the double result is bit-exact); min/max are order-insensitive,
+    so the group aggregate is exact without decimal tricks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+ORACLE_ARRAY_NORM = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings
+)
+SELECT label, min(norm) AS min_norm, max(norm) AS max_norm,
+       count(*) AS n_vectors
+FROM norms GROUP BY label
+"""
+
+
+RESAMPLE_START, RESAMPLE_END = "2024-01-10 00:00:00", "2024-01-17 00:00:00"
+RESAMPLE_STEP_S = 21600  # 6h grid
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular 6-hour feature snapshots per user over one week: the
+    dense-grid twin of the PIT join (operators/resample.py — melt +
+    carry-forward window, one shuffle, no range join). Oracle uses
+    DuckDB's native ASOF JOIN against a generated series — two utterly
+    different formulations, same rows."""
+    from ..operators.resample import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_locf(
+        ev, ["user_id"], "ts", ["value"],
+        RESAMPLE_START, RESAMPLE_END, RESAMPLE_STEP_S,
+        tiebreak_cols=["event_id"],
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH dedup AS (
+  SELECT user_id, ts, value
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT k.user_id, g.gs AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events) k
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '{RESAMPLE_START}',
+                                  TIMESTAMP '{RESAMPLE_END}',
+                                  INTERVAL {RESAMPLE_STEP_S} SECOND)) AS gs
+  ) g
+)
+SELECT grid.user_id, grid.grid_ts, dedup.value AS value
+FROM grid
+ASOF LEFT JOIN dedup
+  ON grid.user_id = dedup.user_id AND dedup.ts <= grid.grid_ts
+"""
+
+
+def q_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned materialize with IDEMPOTENT re-runs: two adjacent
+    day-slice increments, then the second increment re-run verbatim (a
+    backfill/retry). Dynamic partition overwrite makes the re-run replace
+    its own day directories instead of appending, so the merged snapshot
+    still equals one full-range recompute — the same oracle as
+    ``materialize_incremental`` proves it, with the retry duplicating
+    nothing. The snapshot layout also gives readers day-directory pruning
+    (store.materialize_partitioned)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.data_source import SparkDataSource
+    from ..sources.reader import read_parquet
+    from ..store import SparkOfflineStore
+
+    configure_runtime(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_mat_part_{tag}")
+    shutil.rmtree(dest, ignore_errors=True)  # fresh layout every run
+
+    src = SparkDataSource(
+        path=os.path.join(sf_dir, "events.parquet"), timestamp_field="ts"
+    )
+    common = dict(
+        join_key_columns=["user_id"],
+        feature_name_columns=["value", "event_type"],
+        timestamp_field="ts",
+        created_timestamp_column="event_id",
+        dest_path=dest,
+    )
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_LO, end_date="2024-01-14 23:59:59.999999",
+        **common,
+    )
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_MID, end_date=MAT_HI, **common,
+    )
+    # retry of the second increment: replaces its day dirs, adds nothing
+    SparkOfflineStore.materialize_partitioned(
+        spark, src, start_date=MAT_MID, end_date=MAT_HI, **common,
+    )
+    from ..operators.dedup import dedup_keep_latest
+
+    snap = read_parquet(spark, dest).drop("snapshot_day")
+    return dedup_keep_latest(snap, ["user_id"], "ts", created_col="event_id") \
+        .select("user_id", "value", "event_type", "ts", "event_id")
+
+
+MERGE_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_merge_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (the MERGE-INTO the reference's append-only materialize
+    loop lacks, reference :421-476): a latest-per-user snapshot built
+    from events before the cutoff, then a change batch from events after
+    it — ``error`` events become deletes (the key vanishes), everything
+    else upserts. One union + one keyed window, no join
+    (operators/merge.py)."""
+    from pyspark.sql import Window
+
+    from ..operators.merge import merge_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id", "event_type"
+    )
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    changes = ev.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return merge_changes(
+        snapshot, changes, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+ORACLE_MERGE_CDC = f"""
+WITH snap AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+  ) WHERE rn = 1
+),
+unioned AS (
+  SELECT user_id, ts, value, event_id, 'upsert' AS op, 0 AS src FROM snap
+  UNION ALL
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         1 AS src
+  FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+)
+SELECT user_id, ts, value, event_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, src DESC, event_id DESC) AS rn
+  FROM unioned
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+# North-star: multimodal columns (binary payload + Arrow-batched Pandas UDF)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas plumbing over binary payloads; the payload here is
+    the utf-8 encoding of the document text (the container has no media
+    codecs — see operators/multimodal.py). Because the corpus is pure
+    ASCII, byte statistics == codepoint statistics, which the DuckDB
+    oracle computes from the text directly."""
+    from ..operators.multimodal import attach_media_columns, byte_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image", "raw"
+    )
+    return byte_features(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(unicode(text[1:1]) AS BIGINT) AS first_byte,
+  CAST(unicode(text[length(text):length(text)]) AS BIGINT) AS last_byte,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(unicode(text[i:i]) AS BIGINT))),
+    (acc, x) -> (acc + x) % 1000000007
+  ) AS byte_sum_mod
+FROM documents
+"""
+
+# Since round 4 the image/audio decode kernels are REAL (stdlib PNG/BMP +
+# PCM WAV, functions/codecs.py). These two queries pin them with full
+# value-hash oracles by CONSTRUCTION: the payload pixels/samples are a
+# pure function of doc_id, so DuckDB computes the expected statistics
+# from arithmetic alone, never seeing a codec — the Spark side only hash-
+# matches if encode -> decode round-trips the exact pixel/sample values.
+# Float safety: every aggregated quantity is an exactly-representable
+# dyadic rational whose sum stays below 2^53 (pixel sum < 48*255; sample
+# squares are integers/2^30 summing < 2^28), so the totals are
+# order-independent-exact in float64 and the single final division/sqrt
+# is IEEE-identical on both engines — the hash compare is bit-safe.
+
+IMG_H, IMG_W = 4, 4  # 48 RGB bytes per synthetic image
+
+
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode at the gate: synthesize a 4x4 RGB image per doc
+    (pixel[i] = (doc_id*31 + i*7) % 256), PNG-encode it in one Arrow
+    stage (stdlib encoder), then run the real decode_images kernel (chunk
+    walk, inflate, unfilter) and report dims/channels/mean."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import attach_media_columns, decode_images
+
+    @pandas_udf("binary")
+    def synth_png(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import png_encode
+
+        out = []
+        for did in ids:
+            px = (int(did) * 31 + np.arange(IMG_H * IMG_W * 3) * 7) % 256
+            out.append(png_encode(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_png(F.col("doc_id")), "image", "png"
+    )
+    return decode_images(media)
+
+
+ORACLE_MULTIMODAL_DECODE = f"""
+SELECT d.doc_id AS media_id,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM((d.doc_id * 31 + t.i * 7) % 256) AS DOUBLE)
+         / {IMG_H * IMG_W * 3} AS mean_pixel
+FROM documents d CROSS JOIN range(0, {IMG_H * IMG_W * 3}) t(i)
+GROUP BY d.doc_id
+"""
+
+AUDIO_N, AUDIO_SR = 64, 8000
+
+
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode at the gate: synthesize 64 PCM16 samples per doc
+    (sample[i] = ((doc_id*13 + i*17) % 4001) - 2000), WAV-encode with the
+    stdlib writer, then run the real audio_features kernel (wave parser +
+    numpy) for rate/frames/duration/RMS/zero-crossings."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import attach_media_columns, audio_features
+
+    @pandas_udf("binary")
+    def synth_wav(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import wav_encode
+
+        out = []
+        for did in ids:
+            v = ((int(did) * 13 + np.arange(AUDIO_N) * 17) % 4001) - 2000
+            out.append(wav_encode(v.astype(np.int16), AUDIO_SR))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_wav(F.col("doc_id")), "audio", "wav"
+    )
+    return audio_features(media)
+
+
+ORACLE_MULTIMODAL_AUDIO = f"""
+WITH samples AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * 17) % 4001) - 2000 AS v
+  FROM documents d CROSS JOIN range(0, {AUDIO_N}) t(i)
+),
+flags AS (
+  SELECT doc_id, i, v,
+         CASE WHEN (v < 0) != (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM samples
+)
+SELECT doc_id AS media_id,
+       CAST({AUDIO_SR} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST({AUDIO_N} AS BIGINT) AS n_frames,
+       CAST({AUDIO_N} AS DOUBLE) / {AUDIO_SR} AS duration_s,
+       sqrt(SUM((CAST(v AS DOUBLE) / 32768.0) * (CAST(v AS DOUBLE) / 32768.0))
+            / {AUDIO_N}) AS rms,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM flags
+GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------

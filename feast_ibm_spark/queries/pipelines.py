@@ -1,0 +1,756 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from .behavioral import CHUNK_OVERLAP, CHUNK_TOKENS  # noqa: F401
+from .corpus import (  # noqa: F401
+    CURATION_QUALITY_FLOOR,
+    DECON_BENCH_IDS,
+    DECON_N,
+    JACCARD_THRESHOLD,
+    NGRAM_N,
+    _DUCK_SHINGLES,
+    _duck_grams,
+)
+
+def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-row-per-key (the feature store's online-refresh
+    loop): a streaming max_by aggregation keeps ONE struct of state per
+    key however long the stream runs, drained with availableNow in
+    complete mode and hash-compared to the batch latest-per-key oracle.
+    The winner orders by (ts, event_id) so ties are deterministic.
+    Fifth streaming class at the gate."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("__c")
+    )
+    winner = F.max_by(
+        F.struct("ts", "event_id", "__c"),
+        F.struct("ts", "event_id"),
+    ).alias("__w")
+    agg = stream.groupBy("user_id").agg(winner).select(
+        "user_id",
+        F.col("__w.ts").alias("ts"),
+        F.col("__w.event_id").alias("event_id"),
+        F.col("__w.__c").alias("__c"),
+    )
+    sink = f"stream_latest_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        agg, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    return out.select(
+        "user_id", "ts", "event_id",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+    )
+
+
+ORACLE_STREAM_LATEST = """
+SELECT user_id, ts, event_id,
+       CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment drained end-to-end (the serving-side
+    pattern between materializations): purchase events stream in and
+    left-join the STATIC latest-value-per-user snapshot built by the
+    batch latest_per_key operator — no streaming state from the join, so
+    it runs forever at O(1) state. Oracle: the batch join of the same
+    filter against the same latest snapshot. Sixth streaming class."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream, load_table
+    from ..streaming.enrich import enrich_stream
+
+    configure_runtime(spark)
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", _cents("value").alias("__c"))
+    )
+    features = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"),
+        _cents("value").alias("latest_cents"),
+    )
+    # deterministic latest: created column = unique fid breaks ts ties
+    enriched = enrich_stream(
+        stream, features, ["user_id"], ["latest_cents"], "fts",
+        created_timestamp_column="fid",
+    )
+    from ..streaming.run import drain_available_now
+
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        enriched, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+        (F.col("latest_cents").cast("double") / 100.0).alias("latest_value"),
+    )
+
+
+ORACLE_STREAM_ENRICH = """
+WITH latest AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS latest_cents
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       CAST(l.latest_cents AS DOUBLE) / 100.0 AS latest_value
+FROM events e LEFT JOIN latest l USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+def q_layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side physical design at the gate: a Z-order-clustered copy
+    of events (Morton-interleaved user_id x value cents) written once to
+    tmp, read back, and aggregated — proving the clustered layout is
+    content-preserving (the pruning benefit itself is measured in
+    test_plans). Same materialize-once pattern as the csv/orc sources."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.layout import quantize_col, write_zordered
+    from ..sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_zorder_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        write_zordered(
+            ev, dest,
+            ["user_id", quantize_col(F.col("cents"), 0, 50000, 8)],
+            bits=8, n_files=8,
+        )
+    back = read_parquet(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ORACLE_ZORDER_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM events GROUP BY event_type
+"""
+
+
+def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data shape: documents chunked into 64-token
+    windows (8 overlap), then the chunks packed into 512-token training
+    bins under the deterministic (doc_id, chunk_idx) order — chunker and
+    packer are each individually oracled; this pins their composition
+    (token offsets crossing chunk boundaries, chunk ordering through the
+    packer) end-to-end. Map-side chunking into ONE window shuffle."""
+    from ..operators.sampling import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+    return pack_sequences(
+        chunks, "n_tokens", 512, order_cols=["doc_id", "chunk_idx"]
+    ).select("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset")
+
+
+ORACLE_CHUNK_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])
+              AS INTEGER) AS n_tokens
+  FROM starts, unnest(idxs) AS u(i)
+),
+c AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       tokens_before // 512 AS pack_id,
+       tokens_before % 512 AS pack_offset
+FROM c
+"""
+
+
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data pipeline, end to end in one plan:
+    curate (exact dedup -> quality floor -> near-dup prune) -> drop the
+    benchmark ids -> keep the deterministic 'train' split -> benchmark
+    decontamination (5-gram overlap, broadcast anti join) -> chunk into
+    overlapping 64-token windows -> pack into 512-token training bins.
+    Every stage is individually oracle-gated; this query pins the whole
+    composition against one nested DuckDB oracle — the engine's
+    flagship demonstration that the pipeline a 100 TB pretraining corpus
+    actually runs is expressible as a single declarative plan."""
+    return _training_pipeline(spark, sf_dir, tier="exact")
+
+
+def _training_pipeline(
+    spark: SparkSession, sf_dir: str, tier: str
+) -> DataFrame:
+    """The composition behind q_training_pipeline_e2e with the near-dup
+    tier exposed: the gate pins ``tier="exact"`` for oracle-exactness;
+    production (and the 10x scale smoke's auto-tier datapoint, NOTES.md)
+    passes ``"auto"``/``"lsh"`` so the curation stage takes the bounded
+    LSH path once input bytes cross the measured 16 MiB crossover."""
+    from ..operators.curation import curate_corpus
+    from ..operators.dedup import contamination_overlap
+    from ..operators.sampling import chunk_documents, pack_sequences, split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        docs,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        tier=tier,
+    ).select("doc_id")
+    train = (
+        curated.filter(F.col("doc_id") >= DECON_BENCH_IDS)
+        .filter(split_col(F.col("doc_id")) == "train")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    dirty = contamination_overlap(
+        train, docs.filter(F.col("doc_id") < DECON_BENCH_IDS), n=DECON_N
+    ).select("doc_id")
+    clean = train.join(F.broadcast(dirty), "doc_id", "left_anti")
+    chunks = chunk_documents(clean, CHUNK_TOKENS, CHUNK_OVERLAP)
+    return pack_sequences(
+        chunks, "n_tokens", 512, order_cols=["doc_id", "chunk_idx"]
+    ).select("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset")
+
+
+ORACLE_TRAINING_PIPELINE = f"""
+WITH survivors AS (
+  SELECT doc_id, text,
+         (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+         + (CAST(len(list_filter({{toks}}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({{toks}})) * 0.3
+         + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({{toks}})) / 10.0) * 0.2 AS quality_score
+  FROM (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+  WHERE (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+      + (CAST(len(list_filter({{toks}}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({{toks}})) * 0.3
+      + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({{toks}})) / 10.0) * 0.2 >= {CURATION_QUALITY_FLOOR}
+),
+sh AS (SELECT doc_id, unnest({{shingles}}) AS shingle FROM survivors),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+),
+train AS (
+  SELECT s.doc_id, s.text FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup)
+    AND s.doc_id >= {DECON_BENCH_IDS}
+    AND (s.doc_id * 2654435761) % 1000 < 800
+),
+ds AS (
+  SELECT t.doc_id, unnest({{grams5}}) AS g
+  FROM train t
+),
+bs AS (
+  SELECT DISTINCT unnest({{grams5}}) AS g
+  FROM documents d WHERE doc_id < {DECON_BENCH_IDS}
+),
+dirty AS (SELECT DISTINCT doc_id FROM ds JOIN bs USING (g)),
+clean AS (
+  SELECT doc_id, text FROM train WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+toks2 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM clean),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_OVERLAP}) /
+               ({CHUNK_TOKENS - CHUNK_OVERLAP}.0) ) AS BIGINT))) AS idxs
+  FROM toks2
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(t[i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])
+              AS INTEGER) AS n_tokens
+  FROM starts, unnest(idxs) AS u(i)
+),
+c AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       tokens_before // 512 AS pack_id,
+       tokens_before % 512 AS pack_offset
+FROM c
+""".replace("{toks}", _DUCK_TOKENS).replace("{stops}", _DUCK_EN_STOPS).replace(
+    "{shingles}", _DUCK_SHINGLES).replace("{grams5}", _duck_grams(5, distinct=True))
+
+
+def q_agg_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal activity heat profile: events bucketed by ISO day-of-week
+    x hour-of-day with counts and cent sums — the date-part extraction
+    surface (dayofweek/hour) at the gate; one map-side-combinable
+    aggregate over the scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100.0).alias("spend"),
+        )
+    )
+
+
+ORACLE_ACTIVITY_PROFILE = """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- DuckDB 0=Sunday; Spark 1=Sunday
+       CAST(hour(ts) AS BIGINT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+FROM events GROUP BY 1, 2
+"""
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed view, then click
+    AFTER their first view, then purchase AFTER that click. One hash
+    shuffle on user_id; stage times come from conditional MIN aggregates
+    (min ts of stage k past the stage k-1 time), evaluated in one grouped
+    pass per stage — no self-joins, no window sort. At 100 TB this is a
+    single map-side-combinable aggregation per stage over the events
+    scan."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = ev.filter(F.col("event_type") == s1).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return spark.createDataFrame(
+        [(s1, 1), (s2, 2), (s3, 3)], "stage string, stage_idx int"
+    ).join(
+        t1.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s1).alias("stage"), "n")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s2).alias("stage"), "n"))
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).alias("n")).select(F.lit(s3).alias("stage"), "n")),
+        "stage",
+    ).select("stage", "stage_idx", F.col("n").alias("n_users"))
+
+
+ORACLE_FUNNEL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '{FUNNEL_STAGES[0]}' AS stage, 1 AS stage_idx,
+         (SELECT count(*) FROM t1) AS n_users
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[1]}', 2, (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[2]}', 3, (SELECT count(*) FROM t3)
+)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week (cohort),
+    counted distinct in each later week offset. Two shuffles total (first-
+    seen per user, then the cohort matrix aggregate); the classic product-
+    analytics rollup. All outputs are integers — exact."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = (F.floor(F.unix_micros(F.col("ts")) / (7 * 86400 * 1_000_000))).cast(
+        "bigint"
+    )
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.select("user_id", week.alias("event_week"))
+        .join(first, "user_id")
+        .groupBy("cohort_week", (F.col("event_week") - F.col("cohort_week"))
+                 .alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / (7 * 86400 * CAST(1000000 AS BIGINT))) AS BIGINT) AS event_week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(event_week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT f.cohort_week,
+       w.event_week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM weeks w JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_features_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store rolling features: per event, count and spend over
+    1-hour / 24-hour / 7-day trailing RANGE frames — three frames sharing
+    ONE sort (same partition+order key), so Spark plans a single window
+    stage: one shuffle + one sort for all six features. Spend accumulates
+    in integer cents (order-independent); the only double op is the final
+    /100 scale, identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    us = lambda h: h * 3600 * 1_000_000  # noqa: E731
+    base = ev.select("event_id", "user_id", "ts", cents.alias("__c"))
+    frames = {"1h": us(1), "24h": us(24), "7d": us(24 * 7)}
+    cols = [F.col("event_id"), F.col("user_id"), F.col("ts")]
+    for tag, span in frames.items():
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts")))
+            .rangeBetween(-span, 0)
+        )
+        cols.append(F.count(F.lit(1)).over(w).alias(f"n_{tag}"))
+        cols.append(
+            (F.sum("__c").over(w).cast("double") / 100.0).alias(f"spend_{tag}")
+        )
+    return base.select(*cols)
+
+
+ORACLE_MULTI_HORIZON = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts,
+  CAST(count(*) OVER w1 AS BIGINT) AS n_1h,
+  CAST(sum(cents) OVER w1 AS DOUBLE) / 100.0 AS spend_1h,
+  CAST(count(*) OVER w24 AS BIGINT) AS n_24h,
+  CAST(sum(cents) OVER w24 AS DOUBLE) / 100.0 AS spend_24h,
+  CAST(count(*) OVER w7d AS BIGINT) AS n_7d,
+  CAST(sum(cents) OVER w7d AS DOUBLE) / 100.0 AS spend_7d
+FROM c
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+  w24 AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+  w7d AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (ML feature preprocessing): value
+    standardized within its event_type. Group mean/variance derive from
+    exact integer cent sums (sum and sum-of-squares as BIGINT — order-
+    independent), so the mean/std doubles are identical in both engines
+    and the final z expression is a fixed op sequence over exact inputs:
+    hash-comparable with no rtol. One shuffle (the group stats broadcast
+    back via a 5-row join)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    base = ev.select("event_id", "event_type", cents.alias("__c"))
+    stats = base.groupBy("event_type").agg(
+        F.sum("__c").alias("s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
+    )
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("__c").cast("double") / 100.0).alias("value"),
+            ((F.col("__c").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+
+
+ORACLE_ZSCORE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         sum(cents) AS s, sum(cents * cents) AS ss, count(*) AS n
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CAST(c.cents AS DOUBLE) / 100.0 AS value,
+       (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+         / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+         AS zscore
+FROM c JOIN stats s USING (event_type)
+"""
+
+PSI_N_BINS, PSI_SPLIT = 10, "2024-01-15 00:00:00"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two periods (population
+    stability index per event_type): fixed-width bins over the value
+    domain, per-bin proportions before/after the split date, PSI term
+    (pa-pb)*ln(pa/pb) per bin. Counts/proportions are exact; the ln makes
+    the psi_term column an rtol compare (like BM25 — libm-vs-JVM ulp).
+    Laplace-smoothed (+1 per bin) so empty bins stay finite. Two scan
+    aggregates, one tiny bin-grid join — map-side combinable at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    # fixed domain [0, 500) in 10 bins; clamp outliers into the edge bins
+    bin_col = F.least(
+        F.lit(PSI_N_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / (500.0 / PSI_N_BINS))),
+    ).cast("bigint")
+    binned = ev.select(
+        "event_type",
+        bin_col.alias("bin"),
+        (F.col("ts") < split).cast("int").alias("is_a"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + PSI_N_BINS)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + PSI_N_BINS)
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "bin",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        )
+    )
+
+
+ORACLE_PSI = f"""
+WITH binned AS (
+  SELECT event_type,
+         least({PSI_N_BINS - 1},
+               greatest(0, CAST(floor(value / {500.0 / PSI_N_BINS}) AS BIGINT)))
+           AS bin,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, sum(is_a) AS n_a, sum(1 - is_a) AS n_b
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.bin,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+       ((CAST(c.n_a + 1 AS DOUBLE) / (t.tot_a + {PSI_N_BINS}))
+        - (CAST(c.n_b + 1 AS DOUBLE) / (t.tot_b + {PSI_N_BINS})))
+       * ln((CAST(c.n_a + 1 AS DOUBLE) / (t.tot_a + {PSI_N_BINS}))
+            / (CAST(c.n_b + 1 AS DOUBLE) / (t.tot_b + {PSI_N_BINS})))
+         AS psi_term
+FROM counts c JOIN tot t USING (event_type)
+"""
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregation driven to
+    completion: 1-hour event counts + cent sums per event_type over a
+    file-stream read of the events table, drained with availableNow and
+    hash-compared to the batch GROUP BY oracle — the watermark-windowed
+    twin of the sessionize gate row. Counts and cent sums are integers;
+    the one double is the final /100 scale."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "event_type", "ts", _cents("value").alias("__c")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("__c").alias("__s"))
+    )
+    sink = f"stream_wincounts_{uuid.uuid4().hex[:8]}"
+    # complete mode: on bounded availableNow input, append-mode windowed
+    # aggregation would hold back every window the final watermark has not
+    # passed (the trailing hour at minimum), so the drained sink could
+    # never equal the batch oracle. Complete re-emits the full window
+    # table at the last commit — the right drain semantics for a bounded
+    # comparison run; a production continuous run would use append +
+    # watermark and emit each window once finalized.
+    out = drain_available_now(
+        agg, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("__s").cast("double") / 100.0).alias("spend"),
+    )
+
+
+ORACLE_STREAM_WINDOW_COUNTS = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven to completion: every purchase
+    paired with the same user's clicks in the preceding 30 minutes, both
+    sides live file streams with watermark-bounded state
+    (streaming/interval_join.py), drained with availableNow and
+    hash-compared to the batch interval-join oracle. The third streaming
+    class at the gate (stateful sessionize, windowed agg, now a binary
+    stateful join)."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    purchases = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                _cents("value").alias("__c"))
+    )
+    clicks = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+    )
+    sink = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        joined, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.select(
+        "user_id", "purchase_ts", "click_ts",
+        (F.col("__c").cast("double") / 100.0).alias("purchase_value"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+       CAST(CAST(round(p.value * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS purchase_value
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
+# --------------------------------------------------------------------------

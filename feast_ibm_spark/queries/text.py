@@ -1,0 +1,181 @@
+"""Split from the round-4 queries.py monolith; see queries/__init__.py."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from .corpus import (  # noqa: F401
+    CURATION_QUALITY_FLOOR,
+    JACCARD_THRESHOLD,
+    NGRAM_N,
+    _DUCK_SHINGLES,
+)
+
+# North-star: text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col("text").alias("n_tokens"))
+
+
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequencies: lateral explode of the token array
+    into a grouped count, deterministic top-50 by (count desc, token asc).
+    The explode is map-side (no shuffle until the count), so at 100 TB the
+    wide stage carries (token, partial_count) pairs, not raw text."""
+    from ..functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+ORACLE_TOP_TOKENS = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens FROM documents
+"""
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count_col("text").alias("n_bpe_tokens"))
+
+
+ORACLE_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(unicode(text[i:i]) AS BIGINT))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+  ) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+def _duck_stop_count(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({inlist})))"
+
+
+def _oracle_lang_id() -> str:
+    counts = {lang: _duck_stop_count(ws) for lang, ws in LANG_STOPWORDS.items()}
+    cols = ", ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN c_{lg} > 0 AND c_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH counted AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, CASE {whens} ELSE 'unknown' END AS lang_pred FROM counted
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = quality_score_col("text")
+    return docs.select(
+        "doc_id",
+        s.alpha_ratio.alias("alpha_ratio"),
+        s.stop_ratio.alias("stop_ratio"),
+        s.mean_tok_len.alias("mean_tok_len"),
+        s.quality_score.alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+    CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  n_alpha / n_chars AS alpha_ratio,
+  n_stop / n_tok AS stop_ratio,
+  n_alpha / n_tok AS mean_tok_len,
+  (n_alpha / n_chars) * 0.5 + (n_stop / n_tok) * 0.3 + ((n_alpha / n_tok) / 10.0) * 0.2
+    AS quality_score
+FROM base
+"""
+
+ORACLE_CURATION = f"""
+WITH survivors AS (
+  SELECT doc_id, text,
+         (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+         + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({_DUCK_TOKENS})) * 0.3
+         + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({_DUCK_TOKENS})) / 10.0) * 0.2 AS quality_score
+  FROM (
+    SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+  )
+  WHERE (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text)) * 0.5
+      + (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({{stops}}))) AS DOUBLE)
+            / len({_DUCK_TOKENS})) * 0.3
+      + ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / len({_DUCK_TOKENS})) / 10.0) * 0.2 >= {CURATION_QUALITY_FLOOR}
+),
+sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM survivors
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+)
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+       quality_score
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
+""".replace("{stops}", _DUCK_EN_STOPS)
+
+# --------------------------------------------------------------------------

@@ -231,6 +231,46 @@ def test_pull_latest_and_pull_all_against_contract_ducks(spark):
     assert len(all_rows.to_df()) == 4
 
 
+def test_materialize_calling_convention_against_contract_ducks(spark):
+    """Replays feast 0.36's materialization path (the one reference test
+    flow with no executed counterpart here, since feast can't install in
+    this container): LocalMaterializationEngine._materialize_one calls
+    pull_latest_from_table_or_query with exactly the recorded keyword
+    set, consumes the job via to_arrow(), and reads the Arrow columns BY
+    NAME. Drives the adapter the same way, strictly from the fixture."""
+    conv = CONTRACT["materialize_calling_convention"]
+    source, view, driver, _edf = _driver_scenario(spark)
+    config = StrictDuck("RepoConfig",
+                        CONTRACT["classes"]["RepoConfig"]["attributes"],
+                        offline_store=None, project="test_plugin")
+
+    # column resolution exactly as _get_column_names would produce it
+    kwargs = {
+        "config": config,
+        "data_source": view.batch_source,
+        "join_key_columns": [driver.join_key],
+        "feature_name_columns": [f.name for f in view.schema],
+        "timestamp_field": view.batch_source.timestamp_field,
+        "created_timestamp_column": view.batch_source.created_timestamp_column,
+        "start_date": TS(2021, 4, 1),
+        "end_date": TS(2021, 5, 1),
+    }
+    assert sorted(kwargs) == sorted(conv["kwargs"]), (
+        "test drifted from the recorded materialize kwargs"
+    )
+    method = getattr(SparkFeastOfflineStore, conv["offline_method"])
+    job = method(**kwargs)  # keyword-only, like feast core
+
+    assert conv["job_consumes"] == ["to_arrow"]
+    table = job.to_arrow()
+    # _convert_arrow_to_proto reads these columns by name
+    for col in ("driver_id", "conv_rate", "event_timestamp", "created"):
+        assert col in table.column_names, table.column_names
+    got = dict(zip(table.column("driver_id").to_pylist(),
+                   table.column("conv_rate").to_pylist()))
+    assert got == {1001: 1.0, 1002: 2.0, 1003: 3.0}
+
+
 def test_retrieval_job_exposes_feast_surface():
     job = SparkRetrievalJob(lambda: None)
     members = CONTRACT["retrieval_job_surface"]["members"]

@@ -42,9 +42,11 @@ def test_driver_export_ordering():
     # time-based rather than count-based); knn_ivf gained a full oracle in
     # round 4 (deterministic seed cells) but keeps its slot position
     assert names[-2:] == ["knn_ivf", "embedding_near_dup_lsh"]
-    # every exported query except embedding_near_dup_lsh has an oracle
+    # round 5: embedding_near_dup_lsh gained a full oracle (seeded
+    # hyperplanes as SQL literals), so EVERY exported query now carries
+    # one — the first fully-oracled 50/50 export
     no_oracle = [n for n, qd in DRIVER_QUERIES.items() if qd.oracle is None]
-    assert no_oracle == ["embedding_near_dup_lsh"]
+    assert no_oracle == []
 
 
 @pytest.fixture(scope="module")
@@ -107,22 +109,12 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "normalize_zscore",
     "scan_orc_source",
-    "window_rank_suite",
     "agg_grouping_sets_custom",
     "scan_variant_props",
-    "fuzzy_part_names",
-    "scd2_intervals",
-    "agg_daily_gapfill",
-    "snapshot_diff",
     "chunk_documents",
     "text_top_tokens_by_lang",
-    "attribution_last_touch",
-    "rfm_segments",
-    "event_transitions",
-    "join_lateral_topn",
     "streaming_enrich",
     "layout_zorder_roundtrip",
-    "chunk_and_pack",
     "agg_activity_profile",
     # parked round 4 after three consecutive green driver rows each, in
     # exchange for rotating never-gated queries into the export
@@ -149,6 +141,20 @@ _EXCLUDED_WITH_ORACLE = [
     "set_user_cohorts",
     "agg_cube_status_priority",
     "window_running_total",
+    # parked round 5 (each 4x green r1-r4, same-oracle sibling still at
+    # the gate) in exchange for ten never-hashed rotations plus the new
+    # file-sink streaming class
+    "sessionize_events",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "embedding_near_dup",
+    "knn_cosine_topk",
+    "join_top_orders",
+    "join_region_revenue",
+    "agg_pricing_summary",
+    "scan_partitioned_events",
+    "text_fingerprint",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
