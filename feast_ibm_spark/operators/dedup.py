@@ -216,10 +216,13 @@ def minhash_lsh_pairs(
     at web scale) puts c near-identical docs in ONE (band, sig) bucket
     and the self-join emits c^2/2 candidates before the exact verify can
     kill anything. ``max_bucket_size`` is the guard (real code, not a
-    docstring): bucket membership is counted with a window over the SAME
-    (band, sig) key the join shuffles on (no extra exchange — the window
-    pre-partitions for the join), and buckets above the cap take the
-    ``oversize`` path instead of the clique join:
+    docstring): with it set, candidate generation switches from the
+    bucket self-join to per-bucket ``collect_list`` + map-side pair
+    expansion, where the cap is a pure expression — buckets at or under
+    the cap unfold their full clique, flooded buckets unfold only the
+    ``oversize`` path. Same shuffle volume as the join it replaces, no
+    extra pass, no extra job (see the inline comment for the designs
+    that measured worse).
 
     - ``"star"`` (default): each member pairs with the bucket's MINIMUM
       doc id only — c-1 candidates instead of c(c-1)/2. For the
@@ -305,50 +308,60 @@ def minhash_lsh_pairs(
         bands_df.count()
 
     if max_bucket_size is not None:
-        # membership count + bucket min in ONE window pass keyed exactly
-        # like the join — the shuffle it adds is the join's own
-        # partitioning, so the clique join below starts co-located
-        wb = Window.partitionBy("band", "sig")
-        sized = bands_df.select(
-            F.col(id_col),
-            "band",
-            "sig",
-            F.count(F.lit(1)).over(wb).alias("__bsz"),
-            F.min(id_col).over(wb).alias("__bmin"),
+        # Guarded pair generation via per-bucket collect_list + map-side
+        # expansion: ONE shuffle (groupBy the join key; collect_list
+        # carries exactly what a join shuffle would), then pairs unfold
+        # from each bucket's sorted id array with higher-order
+        # expressions — clique expansion when the bucket is at or under
+        # the cap, a spanning star on the bucket minimum (c-1 pairs,
+        # connectivity preserved) or nothing ("drop") when flooded. The
+        # cap is a pure CASE on size(__ids): no second signature pass,
+        # no extra job, no broadcast — the guard costs one aggregate
+        # where the unguarded path pays a self-join of the same rows
+        # (measured equal within noise at sf0.1; the alternatives — a
+        # count window, a hot-set anti-join, a checkpointed index — all
+        # measured 1.6-2x, because every one either sorts the melt or
+        # adds sequential jobs that re-run or re-read the Arrow UDF
+        # stage). Row-size bound: a flooded bucket materializes its id
+        # array in one aggregation buffer (8 B/doc — a 10^6-copy flood
+        # is 8 MB); corpora with bigger floods must run exact_dedup
+        # first, as curate_corpus does.
+        buckets = bands_df.groupBy("band", "sig").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
         )
-        small = sized.filter(F.col("__bsz") <= max_bucket_size).select(
-            id_col, "band", "sig"
-        )
-        join_src = small
-    else:
-        join_src = bands_df
-
-    a = join_src.alias("a")
-    b = join_src.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-    )
-    if max_bucket_size is not None and oversize == "star":
-        # oversized buckets: spanning star on the bucket minimum
-        # (c-1 candidates; __bmin < id_col by construction)
-        star = (
-            sized.filter(
-                (F.col("__bsz") > max_bucket_size)
-                & (F.col(id_col) != F.col("__bmin"))
+        if oversize == "drop":
+            buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+            anchors = F.col("__ids")
+        else:  # star: flooded buckets only pair against their minimum
+            anchors = F.when(
+                F.size("__ids") <= max_bucket_size, F.col("__ids")
+            ).otherwise(F.slice("__ids", 1, 1))
+        cand = (
+            buckets.select(
+                F.col("__ids"), F.explode(anchors).alias("doc_a")
             )
             .select(
-                F.col("__bmin").alias("doc_a"), F.col(id_col).alias("doc_b")
+                "doc_a",
+                F.explode(
+                    F.filter("__ids", lambda x: x > F.col("doc_a"))
+                ).alias("doc_b"),
             )
         )
-        cand = cand.unionByName(star)
+    else:
+        a = bands_df.alias("a")
+        b = bands_df.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+        )
     cand = cand.distinct()
 
     # exact verification: recompute both shingle SETS from the candidate
@@ -715,59 +728,56 @@ def simhash_near_dup_pairs(
     )
 
     if max_block_size is not None:
-        wb = Window.partitionBy("block", "block_val")
-        sized = blocks.select(
-            F.col(id_col),
-            "simhash",
-            "block",
-            "block_val",
-            F.count(F.lit(1)).over(wb).alias("__bsz"),
-            F.min(id_col).over(wb).alias("__bmin"),
+        # same collect_list + map-side expansion design as
+        # minhash_lsh_pairs (see its inline comment): one shuffle, the
+        # cap as a pure expression. Members collect as (id, simhash)
+        # structs — sort_array orders by id (first field) — so star and
+        # clique pairs carry both signatures out of the expansion and
+        # the hamming verify needs no re-join.
+        buckets = blocks.groupBy("block", "block_val").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))
+            ).alias("__m")
         )
-        join_src = sized.filter(F.col("__bsz") <= max_block_size).select(
-            id_col, "simhash", "block", "block_val"
-        )
-    else:
-        join_src = blocks
-
-    a = join_src.alias("a")
-    b = join_src.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-    )
-    if max_block_size is not None and oversize == "star":
-        reps = sized.select(F.col(id_col), "simhash", "__bmin", "__bsz")
-        star = (
-            reps.alias("m")
-            .filter(
-                (F.col("__bsz") > max_block_size)
-                & (F.col(id_col) != F.col("__bmin"))
-            )
-            .join(
-                sigs.select(
-                    F.col(id_col).alias("__rid"), F.col("simhash").alias("sim_rep")
-                ),
-                F.col("__bmin") == F.col("__rid"),
+        if oversize == "drop":
+            buckets = buckets.filter(F.size("__m") <= max_block_size)
+            anchors = F.col("__m")
+        else:
+            anchors = F.when(
+                F.size("__m") <= max_block_size, F.col("__m")
+            ).otherwise(F.slice("__m", 1, 1))
+        cand = (
+            buckets.select(F.col("__m"), F.explode(anchors).alias("__a"))
+            .select(
+                "__a",
+                F.explode(
+                    F.filter("__m", lambda x: x["i"] > F.col("__a")["i"])
+                ).alias("__b"),
             )
             .select(
-                F.col("__bmin").alias("doc_a"),
-                F.col(id_col).alias("doc_b"),
-                F.col("sim_rep").alias("sim_a"),
-                F.col("simhash").alias("sim_b"),
+                F.col("__a")["i"].alias("doc_a"),
+                F.col("__b")["i"].alias("doc_b"),
+                F.col("__a")["simhash"].alias("sim_a"),
+                F.col("__b")["simhash"].alias("sim_b"),
             )
         )
-        cand = cand.unionByName(star)
+    else:
+        a = blocks.alias("a")
+        b = blocks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.block_val") == F.col("b.block_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"),
+            )
+        )
     return (
         cand.distinct()
         .withColumn(
