@@ -654,6 +654,112 @@ def dedup_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph path beside :func:`dedup_clusters`.
+
+    Min-label propagation (the default) converges in O(diameter) rounds,
+    which is right for near-dup graphs (quasi-cliques, diameter 2-3) but
+    degenerates on long chains: a path of 10^4 docs — e.g. consecutive
+    crawl snapshots each near-dup of the previous — needs 10^4 rounds.
+    The star operations contract components in O(log^2 n) rounds on ANY
+    topology:
+
+    - large-star (on the symmetric adjacency): every node's
+      strictly-LARGER neighbors re-attach to the minimum of its closed
+      neighborhood;
+    - small-star (on larger->smaller edges): every node's smaller
+      neighbors (and itself) re-attach to the smallest.
+
+    Both are one groupBy-min + one join each — the same primitive cost
+    per round as a propagation round. Fixed point: every component is a
+    star centered on its minimum id; labels read directly off the edge
+    list. Same output contract as ``dedup_clusters``: (doc_id,
+    cluster_id = component min) for every doc appearing in a pair —
+    equivalence is property-tested on random graphs.
+
+    Iteration hygiene: the round body references the edge frame FOUR
+    times (symmetrize x2, attach, convergence diff), so without
+    truncation the logical plan grows ~4x per round and the analyzer
+    blows up around round 6-8 (persist() does NOT cap logical-plan
+    growth — cache substitution happens at physical planning). Each
+    round therefore lands in an EAGER localCheckpoint (O(1) plan depth,
+    one materialization that the convergence count needs anyway), and
+    the superseded round's blocks are dropped immediately — a
+    checkpointed frame's data is self-contained, so nothing downstream
+    reads through it once its successor exists.
+    """
+    nodes_src = pairs.select(F.col(a_col).alias("u")).unionByName(
+        pairs.select(F.col(b_col).alias("u"))
+    ).distinct()
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iterations):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmins = lmins.select("u", F.least("u", "mn").alias("mn"))
+        # large-star: (v, mn) for v in N(u) with v > u; v > u >= mn,
+        # so emitted edges are already (larger, smaller)
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (larger -> smaller) list: every smaller
+        # neighbor and u itself re-attach to u's minimum neighbor
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        attached = large.join(smins, "u")
+        new_edges = (
+            attached.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(attached.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        new_edges = new_edges.localCheckpoint(eager=True)
+        # converged when the edge SET is unchanged (count equality
+        # first, then the set-difference only when counts agree)
+        same = new_edges.count() == edges.count() and (
+            new_edges.exceptAll(edges).isEmpty()
+        )
+        old, edges = edges, new_edges
+        # new_edges is self-contained (eager checkpoint), so the
+        # superseded round's blocks drop immediately
+        old.unpersist()
+        if same:
+            break
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            nodes_src.select(F.col("u").alias("doc_id"))
+            .join(
+                edges.select(F.col("u").alias("doc_id")), "doc_id", "left_anti"
+            )
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+    )
+    return labels
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -204,6 +204,11 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_clusters": QueryDef(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
                                "connected components over near-dup pairs "
                                "(iterative min-label propagation)"),
+    "dedup_clusters_star": QueryDef(q_dedup_clusters_star,
+                                    ORACLE_DEDUP_CLUSTERS,
+                                    "same components via large-star/"
+                                    "small-star (O(log^2 n) rounds on "
+                                    "adversarial graphs)"),
     "dedup_clusters_lsh": QueryDef(q_dedup_clusters_lsh, ORACLE_DEDUP_CLUSTERS,
                                    "clusters over the MinHash-LSH pair tier "
                                    "(the scale composition)"),
@@ -474,6 +479,7 @@ _DRIVER_EXCLUDE = (
     "join_returned_customers",
     "agg_global_avg_filter",
     "dedup_clusters",
+    "dedup_clusters_star",   # same oracle; dedup_clusters_lsh holds the gate slot
     "split_train_val_test",
     "pack_sequences",
     "sample_stratified",

@@ -216,6 +216,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via alternating large-star/small-star (Kiveris et
+    al.) — the O(log^2 n)-round adversarial-graph path beside min-label
+    propagation. Shares ORACLE_DEDUP_CLUSTERS, so both algorithms are
+    pinned to the identical labeling."""
+    from ..operators.dedup import dedup_clusters_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return dedup_clusters_star(pairs)
+
+
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 pairs AS ({_ORACLE_JACCARD_PAIRS}),

@@ -541,6 +541,59 @@ def test_dedup_clusters_chain_topology(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_star_topologies(spark):
+    """Large-star/small-star must produce the same (doc_id, component
+    min) labels as min-label propagation on chain, clique, and disjoint
+    topologies — and converge in far fewer rounds on a long path
+    (O(log^2 n) vs O(n))."""
+    from feast_ibm_spark.operators.dedup import dedup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # 64-node path: propagation needs 63 rounds; star must finish well
+    # inside max_iterations=10
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters_star(path, max_iterations=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_star_equals_propagation_random(spark):
+    """Property: on random graphs both algorithms emit identical
+    labelings (seeded — deterministic across runs)."""
+    import random
+
+    from feast_ibm_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        n_nodes, n_edges = 60, 45
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        prop = {r["doc_id"]: r["cluster_id"]
+                for r in dedup_clusters(pairs).collect()}
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in dedup_clusters_star(pairs).collect()}
+        assert star == prop, f"trial {trial}: labelings diverge"
+
+
 def test_dedup_clusters_deep_chain_cache_hygiene(spark):
     """A 36-node path graph (diameter 35) needs ~34 propagation rounds —
     the adversarial depth for min-label propagation. Round-5 hygiene:

@@ -88,6 +88,7 @@ _EXCLUDED_WITH_ORACLE = [
     "join_returned_customers",
     "agg_global_avg_filter",
     "dedup_clusters",
+    "dedup_clusters_star",
     "split_train_val_test",
     "pack_sequences",
     "sample_stratified",
