@@ -15,10 +15,27 @@ being silently dropped. Sharing >= 1 gram is a superset of the bound, so
 the equi-join on grams never loses a qualifying pair.
 
 At 100 TB: the join key is a 3-gram — low cardinality per language, so
-hot grams fan out; production corpora add a gram-frequency cap exactly
-like ``ngram_jaccard_pairs(max_shingle_freq=...)`` (dropping ubiquitous
-grams can only lose pairs carried ONLY by boilerplate grams). The
-verify stage is a JVM ``levenshtein`` expression — no Python anywhere.
+hot grams fan out. Two levers (both result-preserving or documented):
+
+- ``length_bucketing=True`` widens the join key to (gram, length
+  bucket): candidate pairs must satisfy ``|len_a - len_b| <= max_dist``
+  anyway, so bucketing lengths at width ``2*max_dist + 1`` and probing
+  the two buckets that can contain a qualifying partner is LOSSLESS
+  (floor is monotone: every length within ``±max_dist`` of ``len_a``
+  lands in one of the two endpoint buckets). A hot gram's fanout drops
+  from c^2 to sum over length-buckets of c_b^2 — for name corpora with
+  spread lengths that is the difference between one whale task and
+  balanced tasks. Costs <=2x rows on the probe side.
+- ``max_gram_freq`` caps the per-gram document frequency exactly like
+  ``ngram_jaccard_pairs(max_shingle_freq=...)``: grams shared by more
+  than that many distinct names leave the JOIN side. A qualifying pair
+  is lost only if EVERY gram it shares is ubiquitous — for edit
+  distance that means two near-identical strings built entirely from
+  boilerplate grams, which is the fanout being priced out. None
+  (default) is exact.
+
+The verify stage is a JVM ``levenshtein`` expression — no Python
+anywhere.
 """
 
 from __future__ import annotations
@@ -33,10 +50,15 @@ def fuzzy_string_pairs(
     df: DataFrame,
     text_col: str,
     max_dist: int = 1,
+    max_gram_freq: int | None = None,
+    length_bucketing: bool = False,
 ) -> DataFrame:
     """All DISTINCT-value pairs of ``text_col`` with
     ``1 <= levenshtein <= max_dist`` (0 excluded — exact duplicates are
     exact-dedup's job). Output: (name_a, name_b, dist), name_a < name_b.
+
+    ``length_bucketing`` is lossless (see module docstring);
+    ``max_gram_freq`` trades boilerplate-only pairs for bounded fanout.
     """
     names = df.select(F.col(text_col).alias("name")).distinct()
     min_safe = Q - 1 + max_dist * Q  # bound positive above this length
@@ -57,11 +79,47 @@ def fuzzy_string_pairs(
         ).alias("gram"),
     )
 
-    a, b = grams.alias("a"), grams.alias("b")
+    if max_gram_freq is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") <= max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
+
+    if length_bucketing:
+        # Bucket width > 2*max_dist: any partner length within ±max_dist
+        # of len(a) falls in bucket floor((len±max_dist)/W) — probe both.
+        w = 2 * max_dist + 1
+        build = grams.withColumn(
+            "bucket", F.floor(F.length("name") / F.lit(w))
+        )
+        probe = grams.select(
+            "name",
+            "gram",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.length("name") - max_dist) / F.lit(w)),
+                        F.floor((F.length("name") + max_dist) / F.lit(w)),
+                    )
+                )
+            ).alias("bucket"),
+        )
+        a, b = probe.alias("a"), build.alias("b")
+        join_cond = (
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+        )
+    else:
+        a, b = grams.alias("a"), grams.alias("b")
+        join_cond = F.col("a.gram") == F.col("b.gram")
+
     cand = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            join_cond
             & (F.col("a.name") < F.col("b.name"))
             & (
                 F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))

@@ -395,6 +395,13 @@ QUERIES: dict[str, QueryDef] = {
     "fuzzy_part_names": QueryDef(q_fuzzy_part_names, ORACLE_FUZZY_NAMES,
                                  "edit-distance-1 typo join (trigram "
                                  "index + levenshtein verify)"),
+    "fuzzy_part_names_bucketed": QueryDef(q_fuzzy_part_names_bucketed,
+                                          ORACLE_FUZZY_NAMES,
+                                          "same typo join via the lossless "
+                                          "(gram, length-bucket) join key"),
+    "streaming_pit_join": QueryDef(q_streaming_pit_join, ORACLE_PIT_TTL,
+                                   "foreachBatch streaming PIT join "
+                                   "drained to the batch oracle"),
     "hierarchy_chain": QueryDef(q_hierarchy_chain,
                                 ORACLE_HIERARCHY_CHAIN,
                                 "WITH RECURSIVE transitive closure "
@@ -452,6 +459,11 @@ QUERIES: dict[str, QueryDef] = {
 # --------------------------------------------------------------------------
 
 _DRIVER_EXCLUDE = (
+    # round-5 additions past the 50-slot cap (local gate): each shares an
+    # already-gated oracle (fuzzy_part_names / pit_join_ttl), so the new
+    # physical paths are pinned by the local replica at gate scale
+    "fuzzy_part_names_bucketed",
+    "streaming_pit_join",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -194,6 +194,19 @@ WHERE levenshtein(a.name, b.name) = 1
 """
 
 
+def q_fuzzy_part_names_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same typo join through the LENGTH-BUCKETED candidate path —
+    the hot-gram fanout lever for 100 TB name corpora. Bucketing is
+    lossless (a qualifying partner's length lands in one of the two
+    probed endpoint buckets; operators/fuzzy.py), so this query must
+    hash-match the SAME brute-force oracle as fuzzy_part_names — the
+    scale path is itself under the value-hash gate."""
+    from ..operators.fuzzy import fuzzy_string_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_string_pairs(part, "p_name", max_dist=1, length_bucketing=True)
+
+
 def q_materialize_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance at the gate: per-user spend
     stats maintained through TWO half-range refreshes (operators/

@@ -407,4 +407,70 @@ def q_streaming_sessionize_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
     )
 
+
+def q_streaming_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment driven to completion — the
+    ``foreachBatch`` PIT path (streaming/pit.py) under the BATCH query's
+    exact oracle.
+
+    The spine arrives as a multi-file parquet STREAM (maxFilesPerTrigger
+    forces several micro-batches, so the per-trigger join genuinely runs
+    more than once); every micro-batch runs the engine's own
+    ``point_in_time_join`` against the static feature table and appends
+    to a parquet sink from the executors. As-of joins are per-row lookups
+    backward in time, so batching the spine cannot change any row's
+    answer — the drained union must hash-match ORACLE_PIT_TTL exactly.
+
+    The reference's PIT join is batch-only
+    (``data_engine_offline_store.py:601-779``); this is its continuous-
+    ingestion twin, and the shape a feature store serves online backfills
+    with at 100 TB: each trigger plans like the batch join (TTL-bounded
+    feature scan, broadcast spine), state lives in the feature store, the
+    stream holds none.
+    """
+    import tempfile
+
+    from ..operators.pit_join import FeatureViewSpec
+    from ..sources.reader import load_table
+    from ..streaming.pit import streaming_pit_join
+
+    configure_runtime(spark)
+    ev = _t(spark, sf_dir, "events")
+    spine = _pit_spine(ev)
+
+    spine_dir = tempfile.mkdtemp(prefix="fis_pit_spine_")
+    spine.repartition(4).write.mode("overwrite").parquet(spine_dir)
+    spine_stream = (
+        spark.readStream.schema(spine.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spine_dir)
+    )
+
+    view = FeatureViewSpec(
+        name="user_events",
+        source=ev,
+        join_keys=["user_id"],
+        features=["value", "event_type"],
+        timestamp_field="ts",
+        created_timestamp_column="event_id",
+        ttl_seconds=PIT_TTL,
+    )
+    out_dir = tempfile.mkdtemp(prefix="fis_pit_sink_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_pit_join(spine_stream, [view], sink=_sink,
+                           strategy="broadcast")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fis_pit_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError("streaming PIT join did not drain in 600s")
+    return spark.read.parquet(out_dir)
+
 # --------------------------------------------------------------------------

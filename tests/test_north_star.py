@@ -774,6 +774,61 @@ def test_fuzzy_string_pairs_completeness(spark):
     assert got == {("ab", "ac"): 1, ("spark engine", "spark engines"): 1}
 
 
+def test_fuzzy_length_bucketing_lossless(spark, sf_dir):
+    """length_bucketing widens the join key to (gram, length bucket) —
+    the hot-gram fanout lever — and must be LOSSLESS: every length within
+    ±max_dist of a name lands in one of the two probed endpoint buckets.
+    Verified by exact output equality on the real part names (both
+    max_dist tiers) plus a synthetic set straddling bucket boundaries."""
+    from feast_ibm_spark.operators.fuzzy import fuzzy_string_pairs
+    from feast_ibm_spark.sources.reader import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    for d in (1, 2):
+        plain = {(r.name_a, r.name_b, r.dist) for r in
+                 fuzzy_string_pairs(part, "p_name", max_dist=d).collect()}
+        bucketed = {(r.name_a, r.name_b, r.dist) for r in
+                    fuzzy_string_pairs(part, "p_name", max_dist=d,
+                                       length_bucketing=True).collect()}
+        assert bucketed == plain
+
+    # boundary straddle: lengths 12/13 sit in different W=3 buckets
+    rows = [(1, "abcdefghijkl"), (2, "abcdefghijklm"), (3, "abcdefghijkmm")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    plain = {(r.name_a, r.name_b) for r in
+             fuzzy_string_pairs(df, "name", max_dist=1).collect()}
+    bucketed = {(r.name_a, r.name_b) for r in
+                fuzzy_string_pairs(df, "name", max_dist=1,
+                                   length_bucketing=True).collect()}
+    assert bucketed == plain and len(plain) >= 2
+
+
+def test_fuzzy_gram_freq_cap(spark):
+    """max_gram_freq drops ubiquitous grams from the join side: pairs
+    whose shared grams are ALL hot disappear (the priced-out fanout),
+    pairs carried by any rare gram survive, and output stays a subset of
+    the exact result."""
+    from feast_ibm_spark.operators.fuzzy import fuzzy_string_pairs
+
+    # 200 names share the boilerplate stem; two carry a rare distinct tail
+    rows = [(i, f"common corporation {i:04d}") for i in range(200)]
+    rows += [(900, "common corporation zq7x"), (901, "common corporation zq8x")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+
+    exact = {(r.name_a, r.name_b) for r in
+             fuzzy_string_pairs(df, "name", max_dist=1).collect()}
+    capped = {(r.name_a, r.name_b) for r in
+              fuzzy_string_pairs(df, "name", max_dist=1,
+                                 max_gram_freq=50).collect()}
+    assert capped <= exact
+    # the rare-tail pair shares grams ("zq7"/"zq8" differ but "q7x"... )
+    # actually shares e.g. " zq" which appears in only 2 names -> survives
+    assert ("common corporation zq7x", "common corporation zq8x") in capped
+    # numeric-tail pairs share only hot boilerplate + digit grams seen in
+    # many names; the cap prunes most of that fanout
+    assert len(capped) < len(exact)
+
+
 def test_ivfpq_recall_determinism_and_exact_rescoring(spark, sf_dir):
     """IVF+PQ composition: candidates come from routed residual-code
     scans, emitted cosines are exact (bit-identical on shared pairs),
