@@ -2,7 +2,8 @@ from .latest import streaming_latest_per_key, streaming_window_counts, stream_pa
 from .stateful import streaming_first_seen, streaming_sessionize
 from .enrich import enrich_stream
 from .pit import streaming_pit_join
-from .run import drain_available_now
+from .run import (drain_available_now, drain_available_now_to_files,
+                  rocksdb_state_store)
 
 __all__ = [
     "streaming_latest_per_key",
@@ -13,4 +14,6 @@ __all__ = [
     "enrich_stream",
     "streaming_pit_join",
     "drain_available_now",
+    "drain_available_now_to_files",
+    "rocksdb_state_store",
 ]

@@ -20,9 +20,56 @@ here cannot lose emitted rows.
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession, bounded_memory_mb: int | None = None):
+    """Run streaming queries started inside this context with the RocksDB
+    state-store provider instead of the default in-memory HDFS-backed one.
+
+    Why this is the 100 TB default: the HDFSBackedStateStoreProvider keeps
+    every key's state AND the last N committed versions as JVM objects in
+    executor heap — state size is bounded by memory, and large-state jobs
+    (dedup over billions of keys, wide interval joins) OOM or GC-stall.
+    RocksDB keeps state off-heap on local disk with incremental
+    checkpointing to the checkpoint location, so per-executor state is
+    bounded by DISK, and ``bounded_memory_mb`` additionally caps the
+    block-cache + memtable budget across all RocksDB instances on an
+    executor (`spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage`).
+
+    The provider is read per-QUERY at start, so a context manager around
+    ``.start()``/drain is the right granularity; the previous provider is
+    restored on exit. Results are provider-independent (same state API) —
+    pinned by tests/test_streaming.py::test_sessionize_rocksdb_provider,
+    which drains the same stream under both providers and compares exactly.
+    """
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = conf.get(key, None)
+    conf.set(key, ROCKSDB_PROVIDER)
+    extras: dict[str, str | None] = {}
+    if bounded_memory_mb is not None:
+        for k, v in {
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+            "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB":
+                str(bounded_memory_mb),
+        }.items():
+            extras[k] = conf.get(k, None)
+            conf.set(k, v)
+    try:
+        yield
+    finally:
+        conf.set(key, prev) if prev is not None else conf.unset(key)
+        for k, old in extras.items():
+            conf.set(k, old) if old is not None else conf.unset(k)
 
 
 def drain_available_now(

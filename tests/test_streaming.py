@@ -327,3 +327,31 @@ def test_streaming_sessionize_query_matches_batch(spark):
     batch = canon(QUERIES["sessionize_events"].fn(spark, sf))
     assert len(streamed) > 0
     assert_frame_equal(streamed, batch)
+
+
+def test_sessionize_rocksdb_provider(spark):
+    """The RocksDB state-store provider — the 100 TB large-state path
+    (off-heap, disk-backed, incrementally checkpointed) — must produce
+    exactly the default provider's result for the stateful sessionize
+    drain. Asserts the provider actually engaged (conf set inside the
+    context, restored after) and the drained outputs match row-for-row."""
+    from pandas.testing import assert_frame_equal
+
+    from feast_ibm_spark.queries import QUERIES
+    from feast_ibm_spark.streaming.run import ROCKSDB_PROVIDER, rocksdb_state_store
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "session_id", "session_start", "session_end", "n_events"]
+
+    def canon(df):
+        pdf = df.toPandas()[cols]
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = canon(QUERIES["streaming_sessionize"].fn(spark, sf))
+    with rocksdb_state_store(spark, bounded_memory_mb=256):
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        rocks = canon(QUERIES["streaming_sessionize"].fn(spark, sf))
+    assert spark.conf.get(key, None) != ROCKSDB_PROVIDER  # restored
+    assert len(rocks) > 0
+    assert_frame_equal(rocks, default)
