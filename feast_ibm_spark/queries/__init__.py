@@ -430,6 +430,9 @@ QUERIES: dict[str, QueryDef] = {
     "normalize_zscore": QueryDef(q_normalize_zscore, ORACLE_ZSCORE,
                                  "per-group z-score (exact integer "
                                  "moment sums; hash-safe)"),
+    "features_time_decay": QueryDef(q_features_time_decay, ORACLE_TIME_DECAY,
+                                    "half-life-decayed recency features "
+                                    "(exact shifted-integer weights)"),
     "drift_psi": QueryDef(q_drift_psi, ORACLE_PSI,
                           "two-period PSI drift per event_type "
                           "(rtol parity; ln ulp)"),
@@ -464,6 +467,7 @@ _DRIVER_EXCLUDE = (
     # physical paths are pinned by the local replica at gate scale
     "fuzzy_part_names_bucketed",
     "streaming_pit_join",
+    "features_time_decay",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -522,6 +522,61 @@ WINDOW
 """
 
 
+TIME_DECAY_ANCHOR = "2024-01-30"  # end of the events range
+TIME_DECAY_MAX_DAYS = 14  # half-life 1 day; weights 2^0 .. 2^-14
+
+
+def q_features_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement features (half-life
+    1 day, anchored at the end of the event range) — the recency-weighted
+    score feature stores serve beside plain rolling windows.
+
+    Decayed sums are normally hash-hostile (pow/exp differ by ulps across
+    engines, float addition is order-dependent). This formulation is
+    EXACT: with integer day ages k in [0, 14], weight 2^-k times cents is
+    the integer ``cents << (14 - k)`` over a common 2^-14 denominator, so
+    the aggregate is one order-independent BIGINT sum and the only double
+    op is a single final division by the exact constant 2^14*100 —
+    bit-identical in any IEEE engine. One hash-partial aggregate shuffle
+    on user_id; at 100 TB the anchor filter prunes the scan to the
+    trailing window before any shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.datediff(F.lit(TIME_DECAY_ANCHOR).cast("date"), F.to_date("ts"))
+    base = (
+        ev.select("user_id", _cents("value").alias("__c"), k.alias("__k"))
+        .filter((F.col("__k") >= 0) & (F.col("__k") <= TIME_DECAY_MAX_DAYS))
+    )
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), {TIME_DECAY_MAX_DAYS} - __k)")
+    denom_spend = float((1 << TIME_DECAY_MAX_DAYS) * 100)
+    denom_n = float(1 << TIME_DECAY_MAX_DAYS)
+    return base.groupBy("user_id").agg(
+        (F.sum(F.col("__c") * w).cast("double") / F.lit(denom_spend))
+        .alias("decayed_spend"),
+        (F.sum(w).cast("double") / F.lit(denom_n)).alias("decayed_n"),
+        F.count(F.lit(1)).alias("n_recent"),
+    )
+
+
+ORACLE_TIME_DECAY = f"""
+WITH c AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         datediff('day', CAST(ts AS DATE), DATE '{TIME_DECAY_ANCHOR}') AS k
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * (CAST(1 AS BIGINT) << ({TIME_DECAY_MAX_DAYS} - k)))
+            AS DOUBLE) / {float((1 << TIME_DECAY_MAX_DAYS) * 100)}
+         AS decayed_spend,
+       CAST(sum(CAST(1 AS BIGINT) << ({TIME_DECAY_MAX_DAYS} - k)) AS DOUBLE)
+         / {float(1 << TIME_DECAY_MAX_DAYS)} AS decayed_n,
+       count(*) AS n_recent
+FROM c
+WHERE k BETWEEN 0 AND {TIME_DECAY_MAX_DAYS}
+GROUP BY user_id
+"""
+
+
 def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization (ML feature preprocessing): value
     standardized within its event_type. Group mean/variance derive from
