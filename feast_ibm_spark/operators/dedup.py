@@ -74,6 +74,65 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def ngram_jaccard_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Text similarity SEARCH: for each query document, the ``k`` most
+    similar corpus documents by word-n-gram Jaccard (exact scores) — the
+    lexical twin of ``similarity.cosine_topk``, for retrieval shapes
+    (find near-boilerplate, locate a quote's source, dedup incoming
+    batches against an existing corpus) where the full pair graph of
+    ``ngram_jaccard_pairs`` is overkill.
+
+    Asymmetric inverted-index probe: the QUERY side's shingles broadcast
+    (queries are few), the corpus index is built map-side and never
+    self-joins — cost is linear in corpus shingles, independent of
+    corpus pair structure, so a boilerplate-heavy corpus cannot go
+    quadratic here. Ranking ties break on ascending corpus id. Output:
+    (q_<id>, <id>, jaccard, rank).
+    """
+    qid = f"q_{id_col}"
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    sh_c = _exploded_shingles(corpus.repartition(par, id_col), text_col, id_col, n)
+    sh_q = _exploded_shingles(queries, text_col, id_col, n).select(
+        F.col(id_col).alias(qid), "shingle"
+    )
+    if hash_shingles:
+        sh_c = sh_c.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        sh_q = sh_q.select(F.col(qid), F.xxhash64("shingle").alias("shingle"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+    sizes_q = sh_q.groupBy(qid).agg(F.count(F.lit(1)).alias("n_q"))
+
+    common = (
+        F.broadcast(sh_q)
+        .join(sh_c, "shingle")
+        .filter(F.col(qid) != F.col(id_col))
+        .groupBy(qid, id_col)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(F.broadcast(sizes_q), qid)
+        .join(sizes_c, id_col)
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_q") + F.col("n_c") - F.col("common")).cast("double"),
+        )
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(qid, id_col, "jaccard", "rank")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -122,6 +122,53 @@ def sample_stratified(
     return df.filter(b < hi)
 
 
+PRIORITY_MOD = 2_147_483_647  # 2^31 - 1; fine-grained uniform hash range
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: keep the ``k`` rows
+    with the SMALLEST priority ``q_i = u_i / w_i`` per group — priority
+    sampling (Duffield, Lund & Thorup, "Priority sampling for estimation
+    of arbitrary subset sums", JACM 2007), with the uniform ``u_i``
+    replaced by a fixed multiplicative hash of the id so the sample is a
+    pure function of the data: stable under re-runs, appends of OTHER
+    rows, repartitioning, and reproducible in any engine.
+
+    Heavier rows draw smaller priorities, so inclusion probability rises
+    with weight — the weighted analogue of :func:`take_per_group`.
+    Cross-engine hashability: ``u_i`` is exact integer arithmetic
+    (``(id * SPLIT_MULT) mod (2^31-1)``, plus 1 to avoid priority 0) and
+    the only float op is ONE IEEE division — correctly rounded, hence
+    bit-identical everywhere; ties (astronomically unlikely) break on id.
+
+    Cost: one window shuffle on ``group_cols`` (or a single global window
+    with no groups — prefer grouped use at scale). ``weight_col`` must be
+    a positive integer column (use exact cents for money weights).
+    Output adds ``priority`` (the sampling key, useful for
+    Horvitz-Thompson-style subset-sum estimation downstream).
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (F.col(id_col).cast("bigint") * F.lit(SPLIT_MULT)) % F.lit(
+        PRIORITY_MOD
+    ) + F.lit(1)
+    prio = u.cast("double") / wcol.cast("double")
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(prio.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("priority", prio)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def take_per_group(
     df: DataFrame,
     id_col: str,

@@ -222,6 +222,13 @@ QUERIES: dict[str, QueryDef] = {
     "mix_domains": QueryDef(q_mix_domains, ORACLE_MIX_DOMAINS,
                             "exact-count domain mixing via deterministic "
                             "per-group take-N"),
+    "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
+                                "deterministic weight-proportional "
+                                "priority sampling per group"),
+    "text_similarity_topk": QueryDef(q_text_similarity_topk,
+                                     ORACLE_TEXT_SEARCH,
+                                     "lexical top-k similarity search "
+                                     "(asymmetric inverted-index probe)"),
     "profile_columns": QueryDef(q_profile_columns, ORACLE_PROFILE,
                                 "one-pass column profile (null/distinct/"
                                 "min/max per column)"),
@@ -257,6 +264,10 @@ QUERIES: dict[str, QueryDef] = {
                                        "LSH-blocked near-dup (deterministic "
                                        "seeded hyperplanes as SQL literals; "
                                        "full value-hash oracle)"),
+    "embedding_clusters": QueryDef(q_embedding_clusters,
+                                   ORACLE_EMBEDDING_CLUSTERS,
+                                   "semantic dedup: connected components "
+                                   "over the embedding near-dup graph"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
     "text_top_tokens": QueryDef(q_text_top_tokens, ORACLE_TOP_TOKENS,
@@ -468,6 +479,9 @@ _DRIVER_EXCLUDE = (
     "fuzzy_part_names_bucketed",
     "streaming_pit_join",
     "features_time_decay",
+    "sample_weighted",
+    "text_similarity_topk",
+    "embedding_clusters",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

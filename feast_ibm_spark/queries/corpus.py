@@ -57,6 +57,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
 
 
+SEARCH_N_QUERIES = 20
+SEARCH_K = 5
+
+
+def q_text_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical similarity SEARCH: top-5 most Jaccard-similar corpus docs
+    for each of the 20 lowest-id documents — the asymmetric
+    inverted-index probe (query shingles broadcast, corpus index never
+    self-joins; linear in corpus size regardless of pair structure).
+    Exact scores; the oracle reproduces the ranking brute-force."""
+    from ..operators.dedup import ngram_jaccard_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < SEARCH_N_QUERIES)
+    return ngram_jaccard_topk(docs, queries, k=SEARCH_K, n=NGRAM_N)
+
+
+ORACLE_TEXT_SEARCH = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT q.doc_id AS q_doc_id, c.doc_id, count(*) AS common
+  FROM sh q JOIN sh c ON q.shingle = c.shingle AND c.doc_id != q.doc_id
+  WHERE q.doc_id < {SEARCH_N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_doc_id, common.doc_id,
+         CAST(common AS DOUBLE) / (sq.n_sh + sc.n_sh - common) AS jaccard
+  FROM common
+  JOIN sizes sq ON sq.doc_id = q_doc_id
+  JOIN sizes sc ON sc.doc_id = common.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY q_doc_id ORDER BY jaccard DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT q_doc_id, doc_id, jaccard, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {SEARCH_K}
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path, exact-verified; with k=32,b=16,r=2 the recall at
     J>=0.5 is 1-(1-0.25)^16 ≈ 0.99 — validated against the exact oracle."""
@@ -485,6 +532,41 @@ WITH ranked AS (
 )
 SELECT doc_id, lang FROM ranked
 WHERE {" OR ".join(f"(lang = '{lang}' AND rn <= {n})" for lang, n in MIX_TARGETS.items())}
+"""
+
+
+WEIGHTED_K = 25
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling: the k smallest
+    hash-priority docs per language with priority u(doc_id)/n_chars —
+    priority sampling (Duffield et al.), so longer documents are
+    proportionally likelier to be kept, yet the sample is an exact pure
+    function of the data (stable under re-runs/appends, reproducible in
+    SQL: integer hash + ONE correctly-rounded IEEE division)."""
+    from ..operators.sampling import priority_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", WEIGHTED_K, group_cols=["lang"],
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+         CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY priority, doc_id) AS rn
+  FROM p
+)
+SELECT doc_id, lang, n_chars, priority FROM ranked WHERE rn <= {WEIGHTED_K}
 """
 
 

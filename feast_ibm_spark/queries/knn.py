@@ -149,6 +149,43 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
 """
 
+ORACLE_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering: connected components over the exact
+    embedding near-dup graph — the embedding-space twin of the text
+    family's dedup_clusters. Each vector in a component is labeled with
+    the component's minimum vec_id (the canonical representative a
+    curation pipeline keeps). Composes the pair generator with the same
+    min-label-propagation operator the text path uses; at 100 TB the
+    pair stage swaps to near_dup_pairs_lsh with no change here."""
+    from ..operators.dedup import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs(emb, threshold=NEAR_DUP_COS)
+    return dedup_clusters(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked near-dup pairs. Carries a FULL value-hash oracle (the
