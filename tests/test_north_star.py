@@ -829,6 +829,58 @@ def test_fuzzy_gram_freq_cap(spark):
     assert len(capped) < len(exact)
 
 
+def test_priority_sample_weight_proportional(spark):
+    """Priority sampling must actually favor heavy rows: with weights
+    100 vs 1 split evenly over 10k ids and k=500, nearly the whole
+    sample should be heavy rows — and the selection must be a pure
+    function of the data (identical across calls)."""
+    from feast_ibm_spark.operators.sampling import priority_sample_per_group
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = priority_sample_per_group(df, "id", "w", k=500).collect()
+    assert len(got) == 500
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy >= 450  # ~100x inclusion odds for heavy rows
+    again = priority_sample_per_group(df, "id", "w", k=500).collect()
+    assert {r.id for r in got} == {r.id for r in again}
+
+
+def test_jaccard_topk_search_sanity(spark, sf_dir):
+    """The lexical search operator: exactly <=k rows per query, ranks
+    dense from 1, jaccard non-increasing with rank, and the top-1 hit
+    agrees with the symmetric pair generator's verdict where both
+    apply (a rank-1 neighbor above the pair threshold must appear as a
+    pair, with the identical score)."""
+    from feast_ibm_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_topk,
+    )
+    from feast_ibm_spark.sources.reader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 10)
+    got = ngram_jaccard_topk(docs, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_doc_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        jacs = [r.jaccard for r in rows]
+        assert jacs == sorted(jacs, reverse=True)
+    pair_scores = {}
+    for r in ngram_jaccard_pairs(docs, threshold=0.5).collect():
+        pair_scores[(r.doc_a, r.doc_b)] = r.jaccard
+        pair_scores[(r.doc_b, r.doc_a)] = r.jaccard
+    for q, rows in by_q.items():
+        top = rows[0]
+        if top.jaccard >= 0.5:
+            assert pair_scores[(q, top.doc_id)] == top.jaccard
+
+
 def test_ivfpq_recall_determinism_and_exact_rescoring(spark, sf_dir):
     """IVF+PQ composition: candidates come from routed residual-code
     scans, emitted cosines are exact (bit-identical on shared pairs),

@@ -156,6 +156,14 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_pricing_summary",
     "scan_partitioned_events",
     "text_fingerprint",
+    # round-5 additions past the 50-slot cap: new physical paths /
+    # shapes, each with a full oracle, pinned here at gate scale
+    "fuzzy_part_names_bucketed",
+    "streaming_pit_join",
+    "features_time_decay",
+    "sample_weighted",
+    "text_similarity_topk",
+    "embedding_clusters",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
