@@ -90,7 +90,17 @@ def main() -> None:
             _np.asarray(s, dtype=_np.int64) + zlib.crc32(b"warm") % 2
         )
 
-    spark.range(1000).select(_warm("id")).count()
+    # range(1000) spawns only the few workers whose tasks run before the
+    # tiny job drains — later queries then pay numpy-import stalls on the
+    # REMAINING slots mid-measurement. Hold every core busy long enough
+    # (~100k rows/task through the Arrow lane) that all defaultParallelism
+    # worker slots fork and import concurrently; run twice so the second
+    # pass verifies reuse (it should be ~instant).
+    par = spark.sparkContext.defaultParallelism
+    for _ in range(2):
+        spark.range(par * 100_000, numPartitions=par).select(
+            _warm("id")
+        ).count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
