@@ -222,6 +222,9 @@ QUERIES: dict[str, QueryDef] = {
     "mix_domains": QueryDef(q_mix_domains, ORACLE_MIX_DOMAINS,
                             "exact-count domain mixing via deterministic "
                             "per-group take-N"),
+    "peak_open_orders": QueryDef(q_peak_open_orders, ORACLE_PEAK_OPEN,
+                                 "sweep-line interval concurrency: peak "
+                                 "open orders per priority"),
     "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
                                 "deterministic weight-proportional "
                                 "priority sampling per group"),
@@ -482,6 +485,7 @@ _DRIVER_EXCLUDE = (
     "sample_weighted",
     "text_similarity_topk",
     "embedding_clusters",
+    "peak_open_orders",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

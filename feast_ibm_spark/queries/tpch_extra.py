@@ -284,3 +284,93 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+
+
+def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: the PEAK number of simultaneously
+    open orders per priority class, plus the first date the peak was hit.
+    An order is open from o_orderdate through its LAST shipment date
+    (max l_shipdate; orders with no shipments are out of scope).
+
+    The classic O(n log n) sweep, distributed: intervals melt to +1/-1
+    boundary deltas, deltas pre-aggregate per (priority, date) — so the
+    running-sum window runs over DATE-cardinality rows, not order
+    cardinality (the skew/scale bound: a priority class's window input is
+    at most the calendar length regardless of order volume) — then one
+    running sum and a peak argmin. Pure integer/date arithmetic =>
+    hash-exact. Two shuffles total (orderkey rollup; priority window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_d"))
+    ivl = orders.join(
+        close, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("open_d"),
+        F.col("close_d"),
+    )
+    deltas = ivl.select(
+        "pri", F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        ivl.select(
+            "pri",
+            F.date_add(F.col("close_d"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window
+
+    net = deltas.groupBy("pri", "d").agg(F.sum("delta").alias("net"))
+    w_run = (
+        Window.partitionBy("pri").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = net.withColumn("open_cnt", F.sum("net").over(w_run))
+    peak = run.groupBy("pri").agg(F.max("open_cnt").alias("peak_open"))
+    return (
+        run.join(peak, "pri")
+        .filter(F.col("open_cnt") == F.col("peak_open"))
+        .groupBy("pri", "peak_open")
+        .agg(F.min("d").alias("first_peak_date"))
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("peak_open").cast("bigint").alias("peak_open"),
+            "first_peak_date",
+        )
+    )
+
+
+ORACLE_PEAK_OPEN = """
+WITH ivl AS (
+  SELECT o_orderpriority AS pri, o_orderdate AS open_d,
+         max(l_shipdate) AS close_d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+),
+deltas AS (
+  SELECT pri, open_d AS d, 1 AS delta FROM ivl
+  UNION ALL
+  SELECT pri, close_d + INTERVAL 1 DAY, -1 FROM ivl
+),
+net AS (
+  SELECT pri, CAST(d AS DATE) AS d, sum(delta) AS net
+  FROM deltas GROUP BY 1, 2
+),
+run AS (
+  SELECT pri, d,
+         sum(net) OVER (PARTITION BY pri ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS open_cnt
+  FROM net
+)
+SELECT pri AS o_orderpriority,
+       CAST(open_cnt AS BIGINT) AS peak_open,
+       min(d) AS first_peak_date
+FROM (
+  SELECT pri, d, open_cnt,
+         max(open_cnt) OVER (PARTITION BY pri) AS pk
+  FROM run
+)
+WHERE open_cnt = pk
+GROUP BY pri, open_cnt
+"""

@@ -164,6 +164,7 @@ _EXCLUDED_WITH_ORACLE = [
     "sample_weighted",
     "text_similarity_topk",
     "embedding_clusters",
+    "peak_open_orders",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
