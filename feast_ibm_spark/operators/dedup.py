@@ -98,32 +98,50 @@ def ngram_jaccard_topk(
     (q_<id>, <id>, jaccard, rank).
     """
     qid = f"q_{id_col}"
+    arr = shingles_col(text_col, n)
+    # repartition before the CPU-heavy shingle stage: single-file local
+    # sources scan as a handful of partitions, which would serialize the
+    # explode+hash (measured 180s vs ~2s at sf0.1); at scale many-file
+    # inputs are already parallel and this is a cheap balance pass.
+    # CAUTION (measured): do NOT project F.size(arr) in the SAME select
+    # as the explode — every non-generator column in a Generate's
+    # projection is evaluated per OUTPUT row, so size(arr) would rebuild
+    # the whole shingle array once per shingle (3.5s vs 0.7s for this
+    # stage at sf0.1; worse after CollapseProject re-inlines a two-step
+    # projection). Sizes come from a separate map-only branch instead.
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    sh_c = _exploded_shingles(corpus.repartition(par, id_col), text_col, id_col, n)
-    sh_q = _exploded_shingles(queries, text_col, id_col, n).select(
-        F.col(id_col).alias(qid), "shingle"
+    sh_c = corpus.repartition(par, id_col).select(
+        F.col(id_col), F.explode(arr).alias("shingle")
+    )
+    # query side: n_q rides the exploded rows (few query docs, so the
+    # per-output-row re-evaluation is negligible and it saves a join)
+    sh_q = queries.select(
+        F.col(id_col).alias(qid),
+        F.size(arr).alias("n_q"),
+        F.explode(arr).alias("shingle"),
     )
     if hash_shingles:
-        sh_c = sh_c.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        sh_q = sh_q.select(F.col(qid), F.xxhash64("shingle").alias("shingle"))
-    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
-    sizes_q = sh_q.groupBy(qid).agg(F.count(F.lit(1)).alias("n_q"))
+        sh_c = sh_c.withColumn("shingle", F.xxhash64("shingle"))
+        sh_q = sh_q.withColumn("shingle", F.xxhash64("shingle"))
 
     common = (
         F.broadcast(sh_q)
         .join(sh_c, "shingle")
         .filter(F.col(qid) != F.col(id_col))
         .groupBy(qid, id_col)
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(F.count(F.lit(1)).alias("common"), F.first("n_q").alias("n_q"))
     )
-    scored = (
-        common.join(F.broadcast(sizes_q), qid)
-        .join(sizes_c, id_col)
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_q") + F.col("n_c") - F.col("common")).cast("double"),
-        )
+    # corpus set sizes: map-only projection (shingles_col is already
+    # distinct, so size(array) == exploded distinct count), joined to the
+    # small candidate aggregate — broadcast the candidates, not the
+    # corpus, so the size branch never shuffles
+    sizes_c = corpus.repartition(par).select(
+        F.col(id_col), F.size(arr).alias("n_c")
+    )
+    scored = sizes_c.join(F.broadcast(common), id_col).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("n_q") + F.col("n_c") - F.col("common")).cast("double"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
     return (
