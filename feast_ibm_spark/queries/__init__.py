@@ -326,6 +326,10 @@ QUERIES: dict[str, QueryDef] = {
                                      ORACLE_UNIGRAM_LOGPROB,
                                      "unigram-LM mean log-prob per doc "
                                      "(rtol parity; ln ulp)"),
+    "text_bigram_logprob": QueryDef(q_text_bigram_logprob,
+                                    ORACLE_BIGRAM_LOGPROB,
+                                    "conditional bigram-LM mean log-prob "
+                                    "per doc (rtol parity; ln ulp)"),
     "join_market_share": QueryDef(q_join_market_share, ORACLE_MARKET_SHARE,
                                   "Q8 shape: conditional share over a "
                                   "7-way star (exact cents division)"),
@@ -486,6 +490,7 @@ _DRIVER_EXCLUDE = (
     "text_similarity_topk",
     "embedding_clusters",
     "peak_open_orders",
+    "text_bigram_logprob",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -780,4 +780,69 @@ GROUP BY 1
 """
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM scoring: per-document mean
+    ``ln P(w_i | w_(i-1))`` under the corpus MLE — one order of context
+    beyond the unigram proxy, the next rung on the perplexity-filter
+    ladder (documents whose word SEQUENCES are unusual score low even
+    when their word choice is typical).
+
+    Bigrams are NON-distinct 2-gram strings (an LM weights every
+    occurrence); the context denominator ``count(w_(i-1) ·)`` rides a
+    vocab-partitioned window over the bigram frequency table, so the
+    corpus is tokenized once and no context-count join is needed.
+    Docs with fewer than two tokens have no bigrams and drop out. ln()
+    differs ~1 ulp libm vs JVM => rtol tier like the unigram query."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_big = F.size(toks) - 1
+    grams = F.when(n_big < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_big),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    big = docs.repartition(par, "doc_id").select(
+        "doc_id", F.explode(grams).alias("bigram")
+    )
+    freq = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("prev", F.substring_index("bigram", " ", 1))
+        .withColumn("n_ctx", F.sum("n").over(W.partitionBy("prev")))
+        .select(
+            "bigram", F.log(F.col("n") / F.col("n_ctx")).alias("logp")
+        )
+    )
+    return (
+        big.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH big AS (
+  SELECT doc_id, unnest({_duck_grams(2)}) AS bigram FROM documents
+),
+freq AS (
+  SELECT bigram, count(*) AS n,
+         sum(count(*)) OVER (PARTITION BY split_part(bigram, ' ', 1))
+           AS n_ctx
+  FROM big GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       avg(ln(f.n / f.n_ctx)) AS avg_logprob
+FROM big b JOIN freq f USING (bigram)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------

@@ -43,7 +43,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 # ln() differs by ~1 ulp between DuckDB (libm) and the JVM; these queries
 # compare with rtol instead of exact equality (see tests/test_oracle_parity.py)
-RTOL_QUERIES = {"text_bm25": 1e-12, "text_unigram_logprob": 1e-12, "drift_psi": 1e-12}
+RTOL_QUERIES = {"text_bm25": 1e-12, "text_unigram_logprob": 1e-12,
+                "text_bigram_logprob": 1e-12, "drift_psi": 1e-12}
 
 
 def compare(

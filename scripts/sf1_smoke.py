@@ -111,6 +111,18 @@ SMOKE_QUERIES = [
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "join_lateral_topn",
+    # round-5 additions: new physical paths + training-pipeline shapes.
+    # embedding_clusters is NOT here: its registered form rides the exact
+    # O(n^2) pair generator (the oracle twin, gate-scale only by design);
+    # the scale composition — near_dup_pairs_lsh + the same ccomp — is
+    # smoked inline instead (NOTES.md round-5 smoke).
+    "fuzzy_part_names_bucketed",
+    "streaming_pit_join",
+    "features_time_decay",
+    "sample_weighted",
+    "text_similarity_topk",
+    "peak_open_orders",
+    "text_bigram_logprob",
 ]
 
 

@@ -166,7 +166,8 @@ _EXCLUDED_WITH_ORACLE = [
     "embedding_clusters",
     "peak_open_orders",
 ]
-_EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
+_EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
+                  "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
 _EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
 
 
