@@ -358,6 +358,8 @@ def near_dup_pairs_lsh(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 16,
+    max_bucket_size: int | None = None,
+    oversize: str = "star",
 ) -> DataFrame:
     """Scale path for ``near_dup_pairs``: hyperplane-LSH blocking instead
     of the O(n^2/2) product.
@@ -369,7 +371,35 @@ def near_dup_pairs_lsh(
     operator; only recall is approximate (tunable via n_planes/n_tables;
     for cos >= 0.4 with 4-bit signatures and 16 tables recall is
     1-(1-(1-acos(0.4)/pi)^4)^16 ~ 0.97).
+
+    BUCKET-SIZE CLIFF (measured, round-5 10x smoke): the signature space
+    per table is only 2^n_planes, so bucket population grows LINEARLY
+    with the corpus — at 200k vectors the default 4-plane/16-table
+    config has ~1.2k vectors per (table, sig) bucket and the self-join
+    emits ~10^10 candidates; the job effectively never finishes. Unlike
+    minhash-LSH (64-bit band signatures, bucket size tracks true
+    duplication), sign-LSH at a LOW threshold cannot make buckets sparse
+    without destroying recall (more planes shrink buckets but collision
+    probability 0.63^n_planes dies exponentially). The honest scale
+    controls, in preference order:
+
+    1. raise ``n_planes`` (+ ``n_tables`` to claw recall back) when the
+       threshold is high enough to afford it;
+    2. set ``max_bucket_size``: per-bucket ``collect_list`` + map-side
+       pair expansion (the minhash guard design, dedup.py) with a pure
+       CASE cap — buckets at or under the cap unfold their clique,
+       flooded buckets unfold a spanning star on the bucket minimum
+       (``oversize="star"``: connectivity preserved for downstream
+       clustering) or nothing (``"drop"``). Ids-only through the
+       shuffle; vectors join back AFTER candidate dedup.
+
+    Default None keeps the exact pre-guard bucket-join behavior (the
+    oracle-pinned gate shape — at gate scales every bucket is far under
+    any sensible cap, but the driver oracle reproduces the JOIN, so the
+    default must stay byte-stable).
     """
+    if oversize not in ("star", "drop"):
+        raise ValueError(f"oversize must be 'star' or 'drop', got {oversize!r}")
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -391,25 +421,62 @@ def near_dup_pairs_lsh(
         _norm_sq(F.col(vec_col)).alias("nsq"),
         F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
     )
-    a = m.alias("a")
-    b = m.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket_size is not None:
+        # ids-only through the bucket shuffle; clique/star unfold as pure
+        # expressions (see dedup.minhash_lsh_pairs for the A/B-measured
+        # design rationale); vectors re-join on the DEDUPED candidates
+        buckets = m.groupBy("t", "sig").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        if oversize == "drop":
+            buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+            anchors = F.col("__ids")
+        else:
+            anchors = F.when(
+                F.size("__ids") <= max_bucket_size, F.col("__ids")
+            ).otherwise(F.slice("__ids", 1, 1))
+        cand = (
+            buckets.select(F.col("__ids"), F.explode(anchors).alias("id_a"))
+            .select(
+                "id_a",
+                F.explode(
+                    F.filter("__ids", lambda x: x > F.col("id_a"))
+                ).alias("id_b"),
+            )
+            .distinct()
         )
-        .agg(
-            F.first(F.col(f"a.{vec_col}")).alias("va"),
-            F.first(F.col(f"b.{vec_col}")).alias("vb"),
-            F.first(F.col("a.nsq")).alias("na"),
-            F.first(F.col("b.nsq")).alias("nb"),
+        va = corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            _norm_sq(F.col(vec_col)).alias("na"),
         )
-    )
+        vb = corpus.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            _norm_sq(F.col(vec_col)).alias("nb"),
+        )
+        cand = cand.join(va, "id_a").join(vb, "id_b")
+    else:
+        a = m.alias("a")
+        b = m.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(
+                F.first(F.col(f"a.{vec_col}")).alias("va"),
+                F.first(F.col(f"b.{vec_col}")).alias("vb"),
+                F.first(F.col("a.nsq")).alias("na"),
+                F.first(F.col("b.nsq")).alias("nb"),
+            )
+        )
     return (
         cand.withColumn(
             "cosine",

@@ -233,6 +233,27 @@ SHOWCASE: list[tuple[str, str]] = [
         "100 TB the aggregates shrink each side to key cardinality before\n"
         "anything joins.",
     ),
+    (
+        "text_similarity_topk",
+        "Asymmetric search, not a pair join: the query side's shingles\n"
+        "broadcast (`BroadcastExchange` on the small side), the corpus\n"
+        "inverted index is probed map-side and never self-joins — cost is\n"
+        "linear in corpus shingles no matter how duplicate-heavy the\n"
+        "corpus is (the c^2 blowup the symmetric pair generators guard\n"
+        "against cannot occur here). Set sizes come from a separate\n"
+        "map-only branch joined to the broadcast candidate aggregate;\n"
+        "`WindowGroupLimit` ships at most k rows per query out of each\n"
+        "task before the final top-k window.",
+    ),
+    (
+        "peak_open_orders",
+        "Interval concurrency without an interval join: intervals melt to\n"
+        "+1/-1 boundary deltas and PRE-AGGREGATE per (priority, date), so\n"
+        "the running-sum window's input is bounded by the calendar, not\n"
+        "the order count — at 100 TB the window reads a few thousand rows\n"
+        "per group however many billions of intervals fed it. Two\n"
+        "shuffles total (per-order rollup; per-priority window).",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

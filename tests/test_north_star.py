@@ -829,6 +829,29 @@ def test_fuzzy_gram_freq_cap(spark):
     assert len(capped) < len(exact)
 
 
+def test_near_dup_lsh_bucket_guard(spark, sf_dir):
+    """The opt-in hot-bucket guard on the embedding LSH pair generator:
+    with a cap above every real bucket the guarded path must emit
+    EXACTLY the unguarded result (same candidates, same exact cosines),
+    and with a tiny cap output stays a (star-)subset that still touches
+    every flooded bucket via its minimum id."""
+    from feast_ibm_spark.operators.similarity import near_dup_pairs_lsh
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = {(r.id_a, r.id_b): r.cosine
+             for r in near_dup_pairs_lsh(emb).collect()}
+    guarded = {(r.id_a, r.id_b): r.cosine
+               for r in near_dup_pairs_lsh(emb, max_bucket_size=10**6).collect()}
+    assert guarded == plain and len(plain) > 0
+
+    capped = {(r.id_a, r.id_b): r.cosine
+              for r in near_dup_pairs_lsh(emb, max_bucket_size=5).collect()}
+    assert set(capped) <= set(plain)
+    for k, v in capped.items():
+        assert v == plain[k]  # scores stay bit-identical
+
+
 def test_priority_sample_weight_proportional(spark):
     """Priority sampling must actually favor heavy rows: with weights
     100 vs 1 split evenly over 10k ids and k=500, nearly the whole
