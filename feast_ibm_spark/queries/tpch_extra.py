@@ -310,15 +310,21 @@ def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("open_d"),
         F.col("close_d"),
     )
+    # melt to boundary deltas via explode, NOT a union — a union of two
+    # selects over ivl would plan the whole order/lineitem subtree once
+    # per branch (plan-audited: 2x scans)
     deltas = ivl.select(
-        "pri", F.col("open_d").alias("d"), F.lit(1).alias("delta")
-    ).unionByName(
-        ivl.select(
-            "pri",
-            F.date_add(F.col("close_d"), 1).alias("d"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "pri",
+        F.explode(
+            F.array(
+                F.struct(F.col("open_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add(F.col("close_d"), 1).alias("d"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("pri", F.col("e.d").alias("d"), F.col("e.delta").alias("delta"))
     from pyspark.sql import Window
 
     net = deltas.groupBy("pri", "d").agg(F.sum("delta").alias("net"))
@@ -327,9 +333,14 @@ def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run = net.withColumn("open_cnt", F.sum("net").over(w_run))
-    peak = run.groupBy("pri").agg(F.max("open_cnt").alias("peak_open"))
+    # peak as a second window over the SAME partition key — a groupBy +
+    # self-join here would duplicate the entire upstream subtree into
+    # both join branches (plan-audited: 2x scans, 2x rollups); stacked
+    # windows share one exchange/sort instead
     return (
-        run.join(peak, "pri")
+        run.withColumn(
+            "peak_open", F.max("open_cnt").over(Window.partitionBy("pri"))
+        )
         .filter(F.col("open_cnt") == F.col("peak_open"))
         .groupBy("pri", "peak_open")
         .agg(F.min("d").alias("first_peak_date"))
