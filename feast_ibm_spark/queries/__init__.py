@@ -225,6 +225,13 @@ QUERIES: dict[str, QueryDef] = {
     "peak_open_orders": QueryDef(q_peak_open_orders, ORACLE_PEAK_OPEN,
                                  "sweep-line interval concurrency: peak "
                                  "open orders per priority"),
+    "window_sliding_distinct": QueryDef(q_window_sliding_distinct,
+                                        ORACLE_SLIDING_DISTINCT,
+                                        "trailing-7d distinct actives via "
+                                        "map-side window expansion"),
+    "copurchase_pairs": QueryDef(q_copurchase_pairs, ORACLE_COPURCHASE,
+                                 "market-basket co-occurrence top-k "
+                                 "(bounded per-order clique)"),
     "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
                                 "deterministic weight-proportional "
                                 "priority sampling per group"),
@@ -491,6 +498,8 @@ _DRIVER_EXCLUDE = (
     "embedding_clusters",
     "peak_open_orders",
     "text_bigram_logprob",
+    "window_sliding_distinct",
+    "copurchase_pairs",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -762,3 +762,48 @@ FROM customer c, LATERAL (
 """
 
 
+
+
+def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU shape.
+
+    COUNT(DISTINCT) cannot ride a sliding window frame, and the naive
+    day x events range self-join multiplies the fact table by the window
+    width against itself. The distributed form: reduce to distinct
+    (day, user) pairs first (one shuffle, web-scale cardinality ~ users
+    x days, far below events), then each pair map-side EXPLODES to the
+    <=7 window-end days it contributes to and one hash aggregate counts
+    distincts per window end. Window ends with no events of their own
+    are dropped via a flag carried through the same aggregate — no
+    second scan, no join anywhere in the plan."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    target = days.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+    )
+    return (
+        target.groupBy("win_end")
+        .agg(
+            F.count_distinct("user_id").alias("active_7d"),
+            F.max(
+                F.when(F.col("day") == F.col("win_end"), 1).otherwise(0)
+            ).alias("__real"),
+        )
+        .filter(F.col("__real") == 1)
+        .select(F.col("win_end").alias("day"), "active_7d")
+    )
+
+
+ORACLE_SLIDING_DISTINCT = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+FROM (SELECT DISTINCT day FROM du) d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""

@@ -385,3 +385,48 @@ FROM (
 WHERE open_cnt = pk
 GROUP BY pri, open_cnt
 """
+
+
+COPURCHASE_TOP_K = 50
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs most often
+    ordered together. The self-join is keyed on the ORDER, so its fanout
+    per order is C(basket, 2) — bounded by the max basket size (7 lines
+    in this schema), never by corpus size: the classic bounded-clique
+    co-occurrence shape, unlike the unbounded hot-key self-joins the
+    dedup family guards against. Distinct (order, part) first so
+    multi-line duplicates of one part count once; deterministic total
+    order (count desc, part_a, part_b) makes LIMIT hash-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(COPURCHASE_TOP_K)
+    )
+
+
+ORACLE_COPURCHASE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {COPURCHASE_TOP_K}
+"""

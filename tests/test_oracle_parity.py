@@ -165,6 +165,8 @@ _EXCLUDED_WITH_ORACLE = [
     "text_similarity_topk",
     "embedding_clusters",
     "peak_open_orders",
+    "window_sliding_distinct",
+    "copurchase_pairs",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM

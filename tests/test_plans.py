@@ -507,3 +507,38 @@ def test_training_pipeline_e2e_plan_has_no_blowup(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert out.count() > 0
+
+
+def test_text_search_is_broadcast_probe_not_self_join(spark, sf_dir):
+    """The lexical top-k search must stay an ASYMMETRIC probe: the query
+    shingles broadcast, the corpus inverted index joins exactly one
+    broadcast hash join (no sort-merge self-join, no cartesian), and the
+    per-query top-k rides a WindowGroupLimit so at most k rows per query
+    leave each task before the final window."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["text_similarity_topk"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "SortMergeJoin" not in text
+    assert has_broadcast_join(out)
+    assert "WindowGroupLimit" in text
+
+
+def test_peak_open_orders_single_subtree(spark, sf_dir):
+    """The sweep-line query's peak lookup and delta melt must not
+    duplicate the upstream subtree: each base table scans ONCE (the
+    groupBy+self-join / union formulations plan-audited at 2x scans),
+    and the running-sum window input is the pre-aggregated
+    (priority, date) frame, never raw intervals."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["peak_open_orders"].fn(spark, sf_dir)
+    text = explain_str(out)
+    import re
+
+    scans = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)\]", text)
+    assert len(scans) == len(set(scans)), f"duplicated scans: {scans}"
+    assert "CartesianProduct" not in text
+    assert "Union" not in text
