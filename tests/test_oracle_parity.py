@@ -61,6 +61,8 @@ def duck():
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
@@ -70,6 +72,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
+        elif s.dtype == object and len(s) and isinstance(
+            s.iloc[0], datetime.date
+        ):
+            # Spark DATE surfaces as python date objects; DuckDB's comes
+            # back datetime64 — normalize both to datetime64[us]
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
