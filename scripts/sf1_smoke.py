@@ -123,6 +123,8 @@ SMOKE_QUERIES = [
     "text_similarity_topk",
     "peak_open_orders",
     "text_bigram_logprob",
+    "window_sliding_distinct",
+    "copurchase_pairs",
 ]
 
 
