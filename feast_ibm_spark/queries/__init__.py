@@ -232,6 +232,12 @@ QUERIES: dict[str, QueryDef] = {
     "copurchase_pairs": QueryDef(q_copurchase_pairs, ORACLE_COPURCHASE,
                                  "market-basket co-occurrence top-k "
                                  "(bounded per-order clique)"),
+    "event_paths": QueryDef(q_event_paths, ORACLE_EVENT_PATHS,
+                            "top-k 3-step event-type paths (lead x2, "
+                            "one window)"),
+    "text_keywords": QueryDef(q_text_keywords, ORACLE_TEXT_KEYWORDS,
+                              "per-doc top-3 keywords by tf x linear idf "
+                              "(exact ranking)"),
     "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
                                 "deterministic weight-proportional "
                                 "priority sampling per group"),
@@ -500,6 +506,8 @@ _DRIVER_EXCLUDE = (
     "text_bigram_logprob",
     "window_sliding_distinct",
     "copurchase_pairs",
+    "event_paths",
+    "text_keywords",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -807,3 +807,47 @@ FROM (SELECT DISTINCT day FROM du) d
 JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
 GROUP BY 1
 """
+
+
+PATH_TOP_K = 20
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the top-20 most common 3-step event-type paths
+    (e1 -> e2 -> e3 over consecutive events of one user). One window
+    (lead x2 over the same sort) turns the event log into path triples
+    map-side after a single per-user shuffle; the count aggregate and a
+    deterministic total order finish it. The generalized shape of
+    event_transitions' 2-step matrix."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE_EVENT_PATHS = f"""
+WITH hops AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*) AS n_paths
+FROM hops WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT {PATH_TOP_K}
+"""

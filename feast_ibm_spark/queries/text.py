@@ -179,3 +179,69 @@ WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
 """.replace("{stops}", _DUCK_EN_STOPS)
 
 # --------------------------------------------------------------------------
+
+
+KEYWORD_TOP_K = 3
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 most distinctive terms
+    by tf x linear-idf. Scoring uses idf = N/df (the linear variant)
+    INSTEAD of ln(N/df) deliberately: score = tf * N / df is then one
+    IEEE division of exact integers — hash-identical across engines and
+    with a cross-engine-stable ranking, where a log-idf's ulp skew could
+    flip near-tied ranks and change WHICH rows appear (a failure rtol
+    cannot absorb). Ranking is monotone in tf/df for fixed N either way.
+
+    Shape: one token explode, tf by (doc, token), df by token off the
+    same aggregate (distinct doc carried by the tf frame — no second
+    scan), broadcast-joined back, one top-k window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one metadata scalar, like the ANN seed fetch
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn(
+            "score",
+            (F.col("tf") * F.lit(n_docs)).cast("double")
+            / F.col("df").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KEYWORD_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+ORACLE_TEXT_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+           / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN dfreq d USING (token)
+)
+SELECT doc_id, token, tf, df, score,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, token ASC
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {KEYWORD_TOP_K}
+"""

@@ -125,6 +125,8 @@ SMOKE_QUERIES = [
     "text_bigram_logprob",
     "window_sliding_distinct",
     "copurchase_pairs",
+    "event_paths",
+    "text_keywords",
 ]
 
 

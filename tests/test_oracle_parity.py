@@ -175,6 +175,8 @@ _EXCLUDED_WITH_ORACLE = [
     "peak_open_orders",
     "window_sliding_distinct",
     "copurchase_pairs",
+    "event_paths",
+    "text_keywords",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
