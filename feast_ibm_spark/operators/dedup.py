@@ -151,6 +151,91 @@ def ngram_jaccard_topk(
     )
 
 
+def jaccard_dedup_against(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_shingles: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL ingestion dedup: for each incoming document, its best
+    near-duplicate already IN the corpus (word-n-gram Jaccard >=
+    threshold) — the production shape for continuous pipelines, where
+    re-running the full pair graph per batch would redo all historical
+    work. Output: (<id>, dup_of, jaccard) — one row per DUPLICATED
+    incoming doc (clean docs emit nothing; anti-join downstream to
+    admit them), dup_of = the highest-Jaccard existing match (ties:
+    lowest existing id).
+
+    Shape: a shingle-keyed equi-join between the two inverted indexes —
+    NOT a self-join and NOT broadcast (both sides are large at scale);
+    candidates only meet on shared shingles, per-side set sizes are
+    map-only branches (the Generate-projection pitfall, see
+    ngram_jaccard_topk), and the threshold test is integer arithmetic.
+    ``max_shingle_freq`` caps hot-shingle fanout exactly as in
+    ``ngram_jaccard_pairs`` (applied to the JOIN only; sizes keep every
+    shingle, so Jaccards never increase)."""
+    arr = shingles_col(text_col, n)
+    par = incoming.sparkSession.sparkContext.defaultParallelism
+
+    def _index(df: DataFrame, alias: str) -> DataFrame:
+        sh = df.repartition(par, id_col).select(
+            F.col(id_col).alias(alias), F.explode(arr).alias("shingle")
+        )
+        if hash_shingles:
+            sh = sh.withColumn("shingle", F.xxhash64("shingle"))
+        return sh
+
+    sh_in = _index(incoming, "__in")
+    sh_ex = _index(corpus, "__ex")
+    if max_shingle_freq is not None:
+        keep = (
+            sh_ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh_ex = sh_ex.join(keep, "shingle")
+
+    common = (
+        sh_in.join(sh_ex, "shingle")
+        .groupBy("__in", "__ex")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_in = incoming.repartition(par).select(
+        F.col(id_col).alias("__in"), F.size(arr).alias("n_in")
+    )
+    sz_ex = corpus.repartition(par).select(
+        F.col(id_col).alias("__ex"), F.size(arr).alias("n_ex")
+    )
+    thr_num = int(round(threshold * 1000))
+    scored = (
+        common.join(sz_in, "__in")
+        .join(sz_ex, "__ex")
+        .withColumn("__union", F.col("n_in") + F.col("n_ex") - F.col("common"))
+        .filter(F.col("common") * 1000 >= F.lit(thr_num) * F.col("__union"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / F.col("__union").cast("double"),
+        )
+    )
+    w = Window.partitionBy("__in").orderBy(
+        F.col("jaccard").desc(), F.col("__ex").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__in").alias(id_col),
+            F.col("__ex").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

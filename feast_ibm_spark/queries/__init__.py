@@ -238,6 +238,10 @@ QUERIES: dict[str, QueryDef] = {
     "text_keywords": QueryDef(q_text_keywords, ORACLE_TEXT_KEYWORDS,
                               "per-doc top-3 keywords by tf x linear idf "
                               "(exact ranking)"),
+    "dedup_incremental": QueryDef(q_dedup_incremental,
+                                  ORACLE_DEDUP_INCREMENTAL,
+                                  "incremental ingestion dedup: new batch "
+                                  "vs existing corpus, best match"),
     "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
                                 "deterministic weight-proportional "
                                 "priority sampling per group"),
@@ -508,6 +512,7 @@ _DRIVER_EXCLUDE = (
     "copurchase_pairs",
     "event_paths",
     "text_keywords",
+    "dedup_incremental",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

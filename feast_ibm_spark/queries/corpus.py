@@ -104,6 +104,56 @@ FROM ranked WHERE rank <= {SEARCH_K}
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id % 5 == 0 arrive as
+    the NEW batch and are checked against the other 80% as the existing
+    corpus — each duplicated incoming doc reports its best existing
+    match. A continuous pipeline runs this per batch instead of
+    re-deriving the full historical pair graph (operators/dedup.py
+    jaccard_dedup_against: shingle-keyed index join, never a
+    self-join)."""
+    from ..operators.dedup import jaccard_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return jaccard_dedup_against(
+        incoming, existing, threshold=JACCARD_THRESHOLD, n=NGRAM_N
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT i.doc_id AS in_id, e.doc_id AS ex_id, count(*) AS common
+  FROM sh i JOIN sh e ON i.shingle = e.shingle
+  WHERE i.doc_id % 5 = 0 AND e.doc_id % 5 != 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT in_id, ex_id,
+         CAST(common AS DOUBLE) / (si.n_sh + se.n_sh - common) AS jaccard
+  FROM common
+  JOIN sizes si ON si.doc_id = in_id
+  JOIN sizes se ON se.doc_id = ex_id
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)}
+                         * (si.n_sh + se.n_sh - common)
+)
+SELECT in_id AS doc_id, ex_id AS dup_of, jaccard
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY in_id ORDER BY jaccard DESC, ex_id ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path, exact-verified; with k=32,b=16,r=2 the recall at
     J>=0.5 is 1-(1-0.25)^16 ≈ 0.99 — validated against the exact oracle."""

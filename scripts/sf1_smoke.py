@@ -127,6 +127,7 @@ SMOKE_QUERIES = [
     "copurchase_pairs",
     "event_paths",
     "text_keywords",
+    "dedup_incremental",
 ]
 
 
