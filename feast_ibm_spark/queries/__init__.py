@@ -229,6 +229,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_SLIDING_DISTINCT,
                                         "trailing-7d distinct actives via "
                                         "map-side window expansion"),
+    "window_sliding_distinct_hll": QueryDef(q_window_sliding_distinct_hll,
+                                            None,
+                                            "same via per-day HLL sketch "
+                                            "union (partial-sketch reuse; "
+                                            "rows-only)"),
     "copurchase_pairs": QueryDef(q_copurchase_pairs, ORACLE_COPURCHASE,
                                  "market-basket co-occurrence top-k "
                                  "(bounded per-order clique)"),
@@ -513,6 +518,7 @@ _DRIVER_EXCLUDE = (
     "event_paths",
     "text_keywords",
     "dedup_incremental",
+    "window_sliding_distinct_hll",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

@@ -798,6 +798,40 @@ def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-partial twin of window_sliding_distinct: per-day
+    Datasketches HLL sketches built ONCE from the raw events, then each
+    day's trailing-7-day active count is the estimate of a UNION of at
+    most 7 daily sketches. This is THE pattern for sliding distincts at
+    100 TB — the raw data is touched once (one per-day aggregate); every
+    window after that merges kilobyte sketches instead of re-expanding
+    events, and the same daily sketches serve any window width, daily
+    AND weekly AND monthly, for free. Approximate by design (rows-only
+    gate; accuracy vs the exact twin pinned in pytest)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    contrib = daily.select(
+        "day",
+        "sk",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+    )
+    return (
+        contrib.groupBy("win_end")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("active_7d"),
+            F.max(
+                F.when(F.col("day") == F.col("win_end"), 1).otherwise(0)
+            ).alias("__real"),
+        )
+        .filter(F.col("__real") == 1)
+        .select(F.col("win_end").alias("day"), "active_7d")
+    )
+
+
 ORACLE_SLIDING_DISTINCT = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

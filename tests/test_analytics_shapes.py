@@ -159,3 +159,18 @@ def test_running_total_is_monotone_per_user(spark, sf_dir):
         g = g.sort_values(["ts", "event_id"])
         assert (g["running_spend"].diff().dropna() >= -1e-9).all()
         assert abs(g["running_spend"].iloc[-1] - round(g["value"], 2).sum()) < 1e-6
+
+
+def test_sliding_distinct_hll_accuracy(spark, sf_dir):
+    """The HLL sketch-union sliding window must track the exact twin
+    closely (HLL at lgK=12 is ~1.6% rel err at 1 sigma; allow 5%) and
+    cover exactly the same days."""
+    from feast_ibm_spark.queries import QUERIES
+
+    exact = {r.day: r.active_7d
+             for r in QUERIES["window_sliding_distinct"].fn(spark, sf_dir).collect()}
+    approx = {r.day: r.active_7d
+              for r in QUERIES["window_sliding_distinct_hll"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])

@@ -852,7 +852,29 @@ def test_near_dup_lsh_bucket_guard(spark, sf_dir):
         assert v == plain[k]  # scores stay bit-identical
 
 
-def test_priority_sample_weight_proportional(spark):
+def test_jaccard_dedup_against_semantics(spark):
+    """Incremental dedup: an incoming doc near-identical to an existing
+    one reports that doc (best match, not just any), a unique incoming
+    doc emits nothing, and existing-vs-existing pairs never appear."""
+    from feast_ibm_spark.operators.dedup import jaccard_dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here"),
+         (3, "completely different content about spark execution plans")],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base),                                  # exact dup of 1
+         (11, "nothing like anything in the corpus at all frankly")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.dup_of, r.jaccard)
+           for r in jaccard_dedup_against(incoming, existing,
+                                          threshold=0.5).collect()}
+    assert set(got) == {10}
+    dup_of, jac = got[10]
+    assert dup_of == 1 and jac == 1.0  # best match is the exact copy
     """Priority sampling must actually favor heavy rows: with weights
     100 vs 1 split evenly over 10k ids and k=500, nearly the whole
     sample should be heavy rows — and the selection must be a pure

@@ -181,7 +181,8 @@ _EXCLUDED_WITH_ORACLE = [
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
-_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq"]
+_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_lsh", "knn_ivfpq",
+                       "window_sliding_distinct_hll"]
 
 
 def test_exclusions_partition_correctly():
