@@ -124,3 +124,64 @@ def curate_corpus(
             "quality_score",
         )
     )
+
+
+def curate_corpus_incremental(
+    incoming: DataFrame,
+    existing: DataFrame,
+    quality_floor: float,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The continuous-ingestion form of :func:`curate_corpus`: admit a
+    NEW batch against an existing corpus without re-curating history.
+
+    Stages (mirroring the batch pipeline, each against the right scope):
+
+    1. exact dedup WITHIN the batch (lowest id per text);
+    2. exact dedup AGAINST the corpus — anti-join on the text value
+       (swap in ``xxhash64(text)`` as the key at 100 TB, same as
+       ``exact_dedup`` documents);
+    3. quality floor on what remains;
+    4. near-dup pruning: batch docs near-duplicating a CORPUS doc drop
+       (``jaccard_dedup_against`` — shingle-keyed index join, linear in
+       batch+corpus, never a corpus self-join), and within the batch the
+       lower id of each near-dup pair survives (the batch-local pair
+       generator, batch-sized input only).
+
+    History is never rescanned beyond its inverted index build; at scale
+    the corpus-side shingle index is the thing to persist/bucketize
+    across batches. Output matches ``curate_corpus``:
+    (id, n_tokens, quality_score) of ADMITTED batch docs."""
+    deduped = exact_dedup(incoming, text_col=text_col, id_col=id_col).select(
+        id_col, text_col
+    )
+    deduped = deduped.join(
+        existing.select(text_col).distinct(), text_col, "left_anti"
+    )
+    s = quality_score_col(text_col)
+    survivors = deduped.withColumn(
+        "quality_score", s.quality_score
+    ).filter(F.col("quality_score") >= quality_floor)
+
+    from .dedup import jaccard_dedup_against
+
+    cross = jaccard_dedup_against(
+        survivors, existing, threshold=jaccard_threshold, n=ngram_n,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col)
+    within = ngram_jaccard_pairs(
+        survivors, n=ngram_n, threshold=jaccard_threshold,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col("doc_b").alias(id_col))
+    drops = cross.unionByName(within).distinct()
+    return (
+        survivors.join(drops, id_col, "left_anti")
+        .select(
+            id_col,
+            token_count_col(text_col).alias("n_tokens"),
+            "quality_score",
+        )
+    )

@@ -247,6 +247,11 @@ QUERIES: dict[str, QueryDef] = {
                                   ORACLE_DEDUP_INCREMENTAL,
                                   "incremental ingestion dedup: new batch "
                                   "vs existing corpus, best match"),
+    "corpus_curation_incremental": QueryDef(q_corpus_curation_incremental,
+                                            ORACLE_CURATION_INCREMENTAL,
+                                            "batch admission curation vs "
+                                            "existing corpus (no history "
+                                            "re-curation)"),
     "sample_weighted": QueryDef(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
                                 "deterministic weight-proportional "
                                 "priority sampling per group"),
@@ -518,6 +523,7 @@ _DRIVER_EXCLUDE = (
     "event_paths",
     "text_keywords",
     "dedup_incremental",
+    "corpus_curation_incremental",
     "window_sliding_distinct_hll",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL

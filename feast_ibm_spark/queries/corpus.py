@@ -896,3 +896,89 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+
+
+def q_corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion curation: the 20% batch (doc_id % 5 == 0)
+    admitted against the other 80% as the existing corpus — exact dedup
+    within batch AND against the corpus, quality floor, then near-dup
+    pruning both cross-corpus (shingle-keyed index join, no corpus
+    self-join) and within-batch. History is never re-curated; the
+    composition has its own full DuckDB oracle."""
+    from ..operators.curation import curate_corpus_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return curate_corpus_incremental(
+        incoming,
+        existing,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _duck_qscore() -> str:
+    return f"""
+(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+   / length(text)) * 0.5
++ (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE)
+   / len({_DUCK_TOKENS})) * 0.3
++ ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+   / len({_DUCK_TOKENS})) / 10.0) * 0.2
+"""
+
+
+ORACLE_CURATION_INCREMENTAL = f"""
+WITH batch AS (
+  SELECT min(doc_id) AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY text
+),
+fresh AS (
+  SELECT * FROM batch
+  WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 5 != 0)
+),
+survivors AS (
+  SELECT doc_id, text, {_duck_qscore()} AS quality_score
+  FROM fresh
+  WHERE {_duck_qscore()} >= {CURATION_QUALITY_FLOOR}
+),
+sh_s AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM survivors
+),
+sh_e AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+  WHERE doc_id % 5 != 0
+),
+sz_s AS (SELECT doc_id, count(*) AS n_sh FROM sh_s GROUP BY doc_id),
+sz_e AS (SELECT doc_id, count(*) AS n_sh FROM sh_e GROUP BY doc_id),
+cross_hit AS (
+  SELECT DISTINCT c.in_id AS doc_id FROM (
+    SELECT a.doc_id AS in_id, e.doc_id AS ex_id, count(*) AS common
+    FROM sh_s a JOIN sh_e e ON a.shingle = e.shingle GROUP BY 1, 2
+  ) c
+  JOIN sz_s ON sz_s.doc_id = c.in_id
+  JOIN sz_e ON sz_e.doc_id = c.ex_id
+  WHERE c.common * 1000
+        >= {int(JACCARD_THRESHOLD * 1000)} * (sz_s.n_sh + sz_e.n_sh - c.common)
+),
+within_hit AS (
+  SELECT DISTINCT c.doc_b AS doc_id FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh_s a JOIN sh_s b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sz_s sa ON sa.doc_id = c.doc_a
+  JOIN sz_s sb ON sb.doc_id = c.doc_b
+  WHERE c.common * 1000
+        >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - c.common)
+)
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+       quality_score
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_id FROM cross_hit)
+  AND doc_id NOT IN (SELECT doc_id FROM within_hit)
+"""

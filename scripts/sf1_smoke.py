@@ -128,6 +128,7 @@ SMOKE_QUERIES = [
     "event_paths",
     "text_keywords",
     "dedup_incremental",
+    "corpus_curation_incremental",
 ]
 
 

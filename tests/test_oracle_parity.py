@@ -178,6 +178,7 @@ _EXCLUDED_WITH_ORACLE = [
     "event_paths",
     "text_keywords",
     "dedup_incremental",
+    "corpus_curation_incremental",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
