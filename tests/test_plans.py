@@ -542,3 +542,29 @@ def test_peak_open_orders_single_subtree(spark, sf_dir):
     assert len(scans) == len(set(scans)), f"duplicated scans: {scans}"
     assert "CartesianProduct" not in text
     assert "Union" not in text
+
+
+def test_sliding_distinct_has_no_join(spark, sf_dir):
+    """The trailing-window distinct must be the map-side-expansion shape:
+    no join anywhere (the naive day x events range join is the
+    anti-pattern), one aggregate over the exploded (day, user) pairs."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["window_sliding_distinct"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "Join" not in text
+    assert "Generate" in text  # the explode expansion
+
+
+def test_incremental_dedup_never_self_joins_corpus(spark, sf_dir):
+    """Batch-vs-corpus dedup joins the two inverted indexes on the
+    shingle key — no cartesian/nested-loop shape, and no corpus
+    SELF-join may appear (the full pair graph is exactly what the
+    incremental form exists to avoid)."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["dedup_incremental"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert out.count() > 0
