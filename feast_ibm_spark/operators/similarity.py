@@ -389,9 +389,20 @@ def near_dup_pairs_lsh(
        pair expansion (the minhash guard design, dedup.py) with a pure
        CASE cap — buckets at or under the cap unfold their clique,
        flooded buckets unfold a spanning star on the bucket minimum
-       (``oversize="star"``: connectivity preserved for downstream
-       clustering) or nothing (``"drop"``). Ids-only through the
-       shuffle; vectors join back AFTER candidate dedup.
+       (``oversize="star"``) or nothing (``"drop"``). Ids-only through
+       the shuffle; vectors join back AFTER candidate dedup.
+
+       Measured recall caveat (sf0.1, threshold 0.4): with the cap above
+       organic bucket size the guarded output matches unguarded (0.999
+       agreement); once the cap BINDS on most buckets, pair recall
+       collapses (0.03 at cap=50 with ~125-member buckets) — unlike
+       minhash-LSH, a flooded sign bucket holds mostly DISSIMILAR
+       vectors, so star edges through the bucket minimum rarely survive
+       the exact verify and connectivity is not meaningfully preserved
+       either. Treat the cap as a WORK bound that should rarely bind;
+       if it binds everywhere the signature space is too coarse for the
+       corpus — fix the signatures (more planes + tables), don't lean
+       on the star.
 
     Default None keeps the exact pre-guard bucket-join behavior (the
     oracle-pinned gate shape — at gate scales every bucket is far under
