@@ -240,6 +240,13 @@ QUERIES: dict[str, QueryDef] = {
     "event_paths": QueryDef(q_event_paths, ORACLE_EVENT_PATHS,
                             "top-k 3-step event-type paths (lead x2, "
                             "one window)"),
+    "agg_value_mad": QueryDef(q_agg_value_mad, ORACLE_VALUE_MAD,
+                              "median/MAD robust dispersion + outlier "
+                              "rule (exact percentiles)"),
+    "sessionize_bounce_rate": QueryDef(q_sessionize_bounce_rate,
+                                       ORACLE_BOUNCE_RATE,
+                                       "per-user session count/bounce "
+                                       "rate over the sessionizer"),
     "text_keywords": QueryDef(q_text_keywords, ORACLE_TEXT_KEYWORDS,
                               "per-doc top-3 keywords by tf x linear idf "
                               "(exact ranking)"),
@@ -525,6 +532,8 @@ _DRIVER_EXCLUDE = (
     "dedup_incremental",
     "corpus_curation_incremental",
     "window_sliding_distinct_hll",
+    "agg_value_mad",
+    "sessionize_bounce_rate",
     # signatures pinned transitively: dedup_simhash_pairs' oracle
     # recomputes the identical per-document signature SQL
     "dedup_simhash",

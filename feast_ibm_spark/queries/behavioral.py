@@ -885,3 +885,59 @@ GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, e1, e2, e3
 LIMIT {PATH_TOP_K}
 """
+
+
+MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant), one literal
+
+
+def q_agg_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: median, MAD (median absolute
+    deviation) and the MAD-rule outlier count — the robust twin of the
+    z-score outlier filter (one extreme value moves a mean/stddev fence,
+    not a median/MAD one). Both medians ride exact interpolated
+    percentiles (Spark percentile == DuckDB quantile_cont bit-for-bit,
+    NOTES.md), attached per-row by two stacked unbounded windows over
+    ONE event_type exchange; the final aggregate reuses that
+    partitioning. Hash-exact: subtraction/abs/compare on identical
+    doubles."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d = (
+        ev.select("event_type", "value")
+        .withColumn("med", F.percentile("value", F.lit(0.5)).over(w))
+        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+        .withColumn("mad", F.percentile("absdev", F.lit(0.5)).over(w))
+    )
+    return d.groupBy("event_type").agg(
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("absdev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+ORACLE_VALUE_MAD = f"""
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       min(d.med) AS median_value,
+       min(md.mad) AS mad,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN d.absdev > {MAD_K} * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY 1
+"""

@@ -474,3 +474,39 @@ def q_streaming_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 # --------------------------------------------------------------------------
+
+
+def q_sessionize_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session quality: session count, single-event ("bounce")
+    sessions, and the bounce rate — the standard product-analytics
+    rollup ON TOP of the oracle-pinned sessionizer (one extra hash
+    aggregate over its output; the rate is one exact division of two
+    integers)."""
+    from ..operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], "ts", SESSION_GAP_S,
+                      tiebreak_cols=["event_id"])
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+ORACLE_BOUNCE_RATE = f"""
+WITH sess AS ({ORACLE_SESSIONIZE})
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS bounce_rate
+FROM sess
+GROUP BY user_id
+"""

@@ -129,6 +129,8 @@ SMOKE_QUERIES = [
     "text_keywords",
     "dedup_incremental",
     "corpus_curation_incremental",
+    "agg_value_mad",
+    "sessionize_bounce_rate",
 ]
 
 

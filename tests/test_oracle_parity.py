@@ -179,6 +179,8 @@ _EXCLUDED_WITH_ORACLE = [
     "text_keywords",
     "dedup_incremental",
     "corpus_curation_incremental",
+    "agg_value_mad",
+    "sessionize_bounce_rate",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
