@@ -540,7 +540,20 @@ def q_features_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in any IEEE engine. One hash-partial aggregate shuffle
     on user_id; at 100 TB the anchor filter prunes the scan to the
     trailing window before any shuffle."""
+    from datetime import date, timedelta
+
+    from ..sources.reader import filter_ts_range
+
     ev = _t(spark, sf_dir, "events")
+    # the day-age predicate below is written on a DERIVED column
+    # (datediff of to_date(ts)) and cannot push down; prefix the exactly
+    # equivalent raw ts range so the scan prunes to the trailing window
+    # (filter_ts_range rewrites into nanos space -> PushedFilters;
+    # plan-pinned in test_plans.py)
+    anchor = date.fromisoformat(TIME_DECAY_ANCHOR)
+    lo = (anchor - timedelta(days=TIME_DECAY_MAX_DAYS)).isoformat() + " 00:00:00"
+    hi = anchor.isoformat() + " 23:59:59.999999"
+    ev = filter_ts_range(ev, "ts", lo, hi)
     k = F.datediff(F.lit(TIME_DECAY_ANCHOR).cast("date"), F.to_date("ts"))
     base = (
         ev.select("user_id", _cents("value").alias("__c"), k.alias("__k"))

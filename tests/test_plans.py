@@ -568,3 +568,14 @@ def test_incremental_dedup_never_self_joins_corpus(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert out.count() > 0
+
+
+def test_time_decay_prunes_scan(spark, sf_dir):
+    """The decay weights filter on a derived day-age column (no
+    pushdown); the query must carry the equivalent raw ts-range
+    predicate so the scan prunes to the trailing window."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["features_time_decay"].fn(spark, sf_dir)
+    pf = pushed_filters(out)
+    assert any("GreaterThan" in f or ">=" in f for f in pf), pf
