@@ -30,14 +30,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth multiplicative hash constant (2654435761 = 2^32 * phi); buckets in
-# [0, SPLIT_BUCKETS). All arithmetic stays far below 2^63 for ids < 2^31.
+# [0, SPLIT_BUCKETS). The id is reduced mod the bucket count BEFORE the
+# multiply — (a*b) mod n == ((a mod n)*(b mod n)) mod n — so the product
+# stays far below 2^63 for ANY bigint id (an unreduced id*SPLIT_MULT
+# overflows int64 at id ~3.5e9, which Spark wraps silently and DuckDB
+# raises on; pre-reduction keeps both engines exact and identical).
 SPLIT_MULT = 2654435761
 SPLIT_BUCKETS = 1000
 
 
 def split_bucket_col(id_col: str | Column) -> Column:
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("bigint") * F.lit(SPLIT_MULT)) % F.lit(SPLIT_BUCKETS)
+    return (
+        (c.cast("bigint") % F.lit(SPLIT_BUCKETS)) * F.lit(SPLIT_MULT)
+    ) % F.lit(SPLIT_BUCKETS)
 
 
 def split_col(
@@ -147,16 +153,22 @@ def priority_sample_per_group(
     the only float op is ONE IEEE division — correctly rounded, hence
     bit-identical everywhere; ties (astronomically unlikely) break on id.
 
-    Cost: one window shuffle on ``group_cols`` (or a single global window
-    with no groups — prefer grouped use at scale). ``weight_col`` must be
+    Cost: one window shuffle on ``group_cols``. With no groups the window
+    is UNPARTITIONED — every row sorts through one task, so the no-group
+    path is bounded by a single executor's memory/CPU; at scale either
+    pass ``group_cols`` or pre-reduce with a per-partition top-k before a
+    global merge. ``weight_col`` must be
     a positive integer column (use exact cents for money weights).
     Output adds ``priority`` (the sampling key, useful for
     Horvitz-Thompson-style subset-sum estimation downstream).
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (F.col(id_col).cast("bigint") * F.lit(SPLIT_MULT)) % F.lit(
-        PRIORITY_MOD
-    ) + F.lit(1)
+    # id pre-reduced mod PRIORITY_MOD so the product never overflows
+    # int64 (max (2^31-2)*SPLIT_MULT < 2^63); identical value for all ids.
+    u = (
+        (F.col(id_col).cast("bigint") % F.lit(PRIORITY_MOD))
+        * F.lit(SPLIT_MULT)
+    ) % F.lit(PRIORITY_MOD) + F.lit(1)
     prio = u.cast("double") / wcol.cast("double")
     w = (
         Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()

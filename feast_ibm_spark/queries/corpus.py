@@ -482,9 +482,9 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SPLIT = """
 SELECT doc_id,
-       (doc_id * 2654435761) % 1000 AS bucket,
-       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+       ((doc_id % 1000) * 2654435761) % 1000 AS bucket,
+       CASE WHEN ((doc_id % 1000) * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN ((doc_id % 1000) * 2654435761) % 1000 < 900 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """
@@ -550,7 +550,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _strat_pred(lang: str, frac: float) -> str:
     hi = int(round(frac * 1000))
-    return f"(lang = '{lang}' AND (doc_id * 2654435761) % 1000 < {hi})"
+    return f"(lang = '{lang}' AND ((doc_id % 1000) * 2654435761) % 1000 < {hi})"
 
 
 ORACLE_SAMPLE_STRATIFIED = f"""
@@ -576,7 +576,7 @@ WITH ranked AS (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 1000, doc_id
+           ORDER BY ((doc_id % 1000) * 2654435761) % 1000, doc_id
          ) AS rn
   FROM documents
 )
@@ -607,7 +607,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_WEIGHTED = f"""
 WITH p AS (
   SELECT doc_id, lang, n_chars,
-         CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+         CAST(((doc_id % 2147483647) * 2654435761) % 2147483647 + 1 AS DOUBLE)
            / CAST(n_chars AS DOUBLE) AS priority
   FROM documents
 ),

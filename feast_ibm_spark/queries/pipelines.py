@@ -295,7 +295,7 @@ train AS (
   SELECT s.doc_id, s.text FROM survivors s
   WHERE s.doc_id NOT IN (SELECT doc_b FROM neardup)
     AND s.doc_id >= {DECON_BENCH_IDS}
-    AND (s.doc_id * 2654435761) % 1000 < 800
+    AND ((s.doc_id % 1000) * 2654435761) % 1000 < 800
 ),
 ds AS (
   SELECT t.doc_id, unnest({{grams5}}) AS g

@@ -29,8 +29,6 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    import datetime
-
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
@@ -40,13 +38,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
-        elif s.dtype == object and len(s) and isinstance(
-            s.iloc[0], datetime.date
-        ):
+        elif s.dtype == object and pd.api.types.infer_dtype(
+            s, skipna=True
+        ) in ("date", "datetime", "datetime64"):
             # Spark DATE -> python date objects; DuckDB DATE -> datetime64
             # (engine-dependent). Normalize; the REAL driver compare
             # accepts either (rollup_ohlc_daily has been driver-green
-            # emitting object dates since round 4).
+            # emitting object dates since round 4). infer_dtype over ALL
+            # non-null values, not s.iloc[0] — a leading None/NaT must not
+            # defeat the detection.
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 

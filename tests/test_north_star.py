@@ -875,6 +875,9 @@ def test_jaccard_dedup_against_semantics(spark):
     assert set(got) == {10}
     dup_of, jac = got[10]
     assert dup_of == 1 and jac == 1.0  # best match is the exact copy
+
+
+def test_priority_sample_favors_heavy_rows(spark):
     """Priority sampling must actually favor heavy rows: with weights
     100 vs 1 split evenly over 10k ids and k=500, nearly the whole
     sample should be heavy rows — and the selection must be a pure

@@ -60,25 +60,23 @@ def duck():
     con.close()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    import datetime
+def _load_check_oracle():
+    """The canonicalizer is shared with scripts/check_oracle.py — one
+    implementation, imported here, so the test gate and the standalone
+    sweep can never disagree on normalization (null-first date columns
+    were mishandled by an earlier per-file copy)."""
+    import importlib.util
 
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif s.dtype == object and len(s) and isinstance(
-            s.iloc[0], datetime.date
-        ):
-            # Spark DATE surfaces as python date objects; DuckDB's comes
-            # back datetime64 — normalize both to datetime64[us]
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(root, "scripts", "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_canon = _load_check_oracle().canon
 
 
 _EXCLUDED_WITH_ORACLE = [
