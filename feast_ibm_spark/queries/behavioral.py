@@ -508,6 +508,61 @@ FROM events
 """
 
 
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen-per-key through the custom
+    ``applyInPandasWithState`` kernel (streaming/stateful.py) with
+    round-6 min-event-id emission: each user's FIRST event — by event_id,
+    not arrival order — passes through; everything later is dropped
+    against one flag of state per key.
+
+    Determinism at the gate is by construction: the events table is
+    written to a temp dir hash-partitioned into 4 files BY user_id, so
+    every key's rows live in exactly one file; the stream reads one file
+    per trigger (4 genuine micro-batches), each key's whole history
+    arrives in a single batch, and the kernel's within-batch min under
+    ``order_cols=["event_id"]`` is therefore the GLOBAL min — the batch
+    oracle (row_number over event_id = 1 per user). At scale the same
+    property holds whenever ingestion files are key-partitioned (the
+    standard compacted-upstream layout); otherwise first-batch-wins
+    applies, documented on the kernel."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.run import drain_available_now
+    from ..streaming.stateful import streaming_first_seen
+
+    configure_runtime(spark)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="fis_first_seen_src_")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    ev.repartition(4, "user_id").write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_first_seen(
+        stream, ["user_id"], order_cols=["event_id"]
+    )
+    sink = f"stream_first_seen_{uuid.uuid4().hex[:8]}"
+    return drain_available_now(
+        out, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+
+
+ORACLE_STREAM_FIRST_SEEN = """
+SELECT event_id, user_id, ts, event_type, value FROM (
+  SELECT event_id, user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
 
 

@@ -176,8 +176,8 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's dedup_clusters. Each vector in a component is labeled with
     the component's minimum vec_id (the canonical representative a
     curation pipeline keeps). Composes the pair generator with the same
-    min-label-propagation operator the text path uses; at 100 TB the
-    pair stage swaps to near_dup_pairs_lsh with no change here."""
+    min-label-propagation operator the text path uses; the 100 TB
+    composition over LSH-blocked pairs is ``embedding_clusters_lsh``."""
     from ..operators.dedup import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -239,6 +239,66 @@ FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.id_a
 JOIN embeddings eb ON eb.vec_id = c.id_b
 WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_COS}
+"""
+
+
+def q_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering at SCALE: connected components over the
+    LSH-blocked near-dup pair tier — the composition a 100 TB corpus
+    actually runs (the exact-pair twin ``embedding_clusters`` is the
+    gate-scale oracle of the same clustering semantics). Pair recall is
+    the LSH generator's; every emitted edge carries a bit-exact cosine,
+    so clusters are a subgraph-closure of the exact tier's. The full
+    value-hash oracle reproduces the seeded hyperplanes, the bucket
+    self-join, the exact verify, and the transitive closure in SQL."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import near_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+    return dedup_clusters(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS_LSH = f"""
+WITH RECURSIVE
+planes(t, p, pv) AS (VALUES
+{_lsh_planes_values()}
+),
+pdots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         {_DUCK_DOT.format(a='e.embedding', b='pl.pv')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM pdots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_COS}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
 """
 
 

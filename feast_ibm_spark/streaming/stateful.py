@@ -145,12 +145,21 @@ def streaming_first_seen(
     stream: DataFrame,
     key_cols: list[str],
     state_ttl_seconds: float | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming exact-dedup: pass through only the FIRST row per key.
 
     State per key is one flag; every later occurrence (same batch or any
     later batch) is dropped. Row choice within the first batch follows
-    arrival order, matching at-least-once streaming dedup semantics.
+    arrival order by default; pass ``order_cols`` (round-6) to instead
+    emit the batch's minimum row under that column tuple — arrival-order
+    INDEPENDENT within the batch, which makes the whole drained result a
+    pure function of the data whenever each key's rows arrive in one
+    micro-batch (e.g. a file stream whose files are hash-partitioned by
+    the key, the shape ``q_streaming_first_seen`` uses). Across batches
+    the first batch containing the key still wins — append-mode
+    streaming cannot retract an emission in favor of a later-arriving
+    smaller row.
 
     ``state_ttl_seconds`` bounds total state for unbounded key universes:
     a key's flag is evicted after that much processing time without new
@@ -171,9 +180,19 @@ def streaming_first_seen(
             return  # no TTL: flag is immutable, skip the state-store write
         first = None
         if not state.exists:
-            for pdf in pdfs:
-                if len(pdf) and first is None:
-                    first = pdf.iloc[:1]
+            if order_cols is None:
+                for pdf in pdfs:
+                    if len(pdf) and first is None:
+                        first = pdf.iloc[:1]
+            else:
+                chunks = [pdf for pdf in pdfs if len(pdf)]
+                if chunks:
+                    allrows = (
+                        chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                    )
+                    first = allrows.sort_values(
+                        order_cols, kind="mergesort"
+                    ).iloc[:1]
         state.update((1,))
         if state_ttl_seconds is not None:
             # refresh the TTL on every occurrence (sliding eviction window)

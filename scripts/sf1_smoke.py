@@ -131,6 +131,12 @@ SMOKE_QUERIES = [
     "corpus_curation_incremental",
     "agg_value_mad",
     "sessionize_bounce_rate",
+    # round-6: the sign-LSH auto-config cliff fix (20k vectors is exactly
+    # the measured r5 blowup point — default args must now terminate) and
+    # its clustering composition; both auto-resolve to (9 planes, 64
+    # tables, cap 512) at this scale
+    "embedding_near_dup_lsh",
+    "embedding_clusters_lsh",
 ]
 
 

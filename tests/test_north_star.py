@@ -382,6 +382,87 @@ def test_near_dup_pairs_lsh_recall(spark, sf_dir):
         assert cos == exact[pair]  # bit-identical scoring kernel
 
 
+def test_lsh_auto_config_resolution():
+    """The round-6 scale-safety rule: at or below AUTO_MIN_ROWS the auto
+    config must be EXACTLY the historical oracle-pinned (4, 16, uncapped)
+    shape (both gate scales are far below the threshold); above it planes
+    grow with log2(n) so expected bucket size stays ~constant, a work cap
+    engages, and the table budget is respected. Recall estimates must be
+    honest: >=0.95 where the threshold affords it, degraded-and-reported
+    where sign-LSH fundamentally can't be sparse + high-recall."""
+    from feast_ibm_spark.operators.similarity import (
+        AUTO_MAX_TABLES,
+        AUTO_MIN_ROWS,
+        lsh_auto_config,
+    )
+
+    for n in (500, 2000, AUTO_MIN_ROWS):
+        assert lsh_auto_config(n, 0.4)[:3] == (4, 16, None)
+    # 20k vectors = the measured round-5 blowup point: planes must widen
+    planes, tables, cap, est = lsh_auto_config(20_000, 0.4)
+    assert planes == 9 and tables == AUTO_MAX_TABLES and cap == 512
+    assert 0.5 < est < 0.8  # degraded recall REPORTED, not hidden
+    # high threshold at the same size: recall target met within budget
+    p7, t7, _, est7 = lsh_auto_config(20_000, 0.7)
+    assert est7 >= 0.95 and t7 <= AUTO_MAX_TABLES
+    # planes monotone in corpus size, clamped
+    assert lsh_auto_config(10**9, 0.9)[0] == 24
+
+
+def test_near_dup_lsh_auto_matches_pinned_at_gate_scale(spark, sf_dir):
+    """Default ('auto') arguments must be byte-identical to the explicit
+    historical (4, 16, uncapped) config at gate scale — the driver oracle
+    pins that exact shape."""
+    from feast_ibm_spark.operators.similarity import near_dup_pairs_lsh
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {(r.id_a, r.id_b): r.cosine
+            for r in near_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    pinned = {(r.id_a, r.id_b): r.cosine
+              for r in near_dup_pairs_lsh(
+                  emb, threshold=0.4, n_planes=4, n_tables=16,
+                  max_bucket_size=None).collect()}
+    assert auto == pinned and len(auto) > 0
+
+
+def test_near_dup_lsh_auto_scaled_recall(spark):
+    """Recall-vs-unguarded extended to the AUTO-SCALED config (verdict r5
+    item 3): on a corpus synthesized above AUTO_MIN_ROWS with planted
+    near-dup pairs, the auto config must (a) terminate with default
+    args, (b) emit only exact-verified pairs, (c) find a solid majority
+    of the planted high-cosine pairs — the regime auto-scaling targets."""
+    import numpy as np
+
+    from feast_ibm_spark.operators.similarity import (
+        lsh_auto_config,
+        near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    n_base = 2_600  # 5200 vectors total > AUTO_MIN_ROWS
+    base = rng.normal(size=(n_base, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # each planted twin: tiny perturbation -> cosine ~0.995
+    twin = base + 0.05 * rng.normal(size=(n_base, 64))
+    twin /= np.linalg.norm(twin, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n_base)] + [
+        (n_base + i, twin[i].tolist()) for i in range(n_base)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    planes, tables, cap, est = lsh_auto_config(2 * n_base, 0.9)
+    assert planes > 4 and cap is not None  # auto actually engaged
+    got = near_dup_pairs_lsh(emb, threshold=0.9).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    planted = {(i, n_base + i) for i in range(n_base)}
+    found = len(pairs & planted)
+    # est is the per-pair collision bound; allow slack for the cap
+    assert found >= 0.8 * est * n_base
+    for r in got:  # every emitted pair is exact-verified
+        assert r.cosine >= 0.9
+
+
 def test_ivf_with_trained_centroids(spark, sf_dir):
     """k-means||-trained cells should give recall at least as good as the
     seed-vector cells at the same n_probe budget."""

@@ -79,10 +79,13 @@ def _load_check_oracle():
 _canon = _load_check_oracle().canon
 
 
+# Every registered query NOT in the driver export and carrying a full
+# oracle — pinned here with the driver's own compare at gate scale.
+# Rotation history lives in NOTES.md "Gate rotation ledger".
 _EXCLUDED_WITH_ORACLE = [
     "dedup_simhash",
     "text_token_count",
-    "pit_join_union_window",  # slot yielded to streaming_sessionize
+    "pit_join_union_window",
     "window_rolling_24h",
     "array_norm_stats",
     "sessionize_native_window",
@@ -123,8 +126,6 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_enrich",
     "layout_zorder_roundtrip",
     "agg_activity_profile",
-    # parked round 4 after three consecutive green driver rows each, in
-    # exchange for rotating never-gated queries into the export
     "agg_rollup_region_revenue",
     "join_nation_trade_flow",
     "text_lang_id",
@@ -148,9 +149,6 @@ _EXCLUDED_WITH_ORACLE = [
     "set_user_cohorts",
     "agg_cube_status_priority",
     "window_running_total",
-    # parked round 5 (each 4x green r1-r4, same-oracle sibling still at
-    # the gate) in exchange for ten never-hashed rotations plus the new
-    # file-sink streaming class
     "sessionize_events",
     "corpus_curation",
     "dedup_ngram_jaccard",
@@ -162,23 +160,24 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_pricing_summary",
     "scan_partitioned_events",
     "text_fingerprint",
-    # round-5 additions past the 50-slot cap: new physical paths /
-    # shapes, each with a full oracle, pinned here at gate scale
-    "fuzzy_part_names_bucketed",
-    "streaming_pit_join",
-    "features_time_decay",
-    "sample_weighted",
-    "text_similarity_topk",
-    "embedding_clusters",
-    "peak_open_orders",
-    "window_sliding_distinct",
-    "copurchase_pairs",
-    "event_paths",
-    "text_keywords",
-    "dedup_incremental",
-    "corpus_curation_incremental",
-    "agg_value_mad",
-    "sessionize_bounce_rate",
+    # parked round 6 (green driver rows + family sibling at the gate)
+    "fuzzy_part_names",
+    "streaming_sessionize_files",
+    "pit_join_nottl",
+    "join_excess_suppliers",
+    "window_spend_quartiles",
+    "merge_cdc_snapshot",
+    "pivot_event_counts",
+    "resample_locf",
+    "rollup_ohlc_daily",
+    "funnel_conversion",
+    "quality_report",
+    "hierarchy_chain",
+    "materialize_agg_incremental",
+    "join_market_share",
+    "asof_join_forward",
+    "range_join_ship_windows",
+    "dedup_clusters_lsh",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
