@@ -194,3 +194,33 @@ def quality_score_col(text: str | Column = "text") -> Column:
         mean_tok_len.alias("mean_tok_len"),
         score.alias("quality_score"),
     )
+
+
+# PII scanning/redaction (round 6). Patterns are deliberately written in
+# the common subset of Java regex (Spark, executor-side codegen) and RE2
+# (DuckDB oracle): plain character classes, no backrefs/lookarounds, so
+# match sets are engine-identical. Extend with locale packs as needed;
+# at 100 TB both the scan and the redaction are map-only expressions
+# inside whole-stage codegen — zero shuffle, scan-bound.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_email_count_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PII_EMAIL_RE))
+
+
+def pii_phone_count_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PII_PHONE_RE))
+
+
+def pii_redact_col(text: str | Column = "text") -> Column:
+    """Emails then phones replaced with typed placeholders — email first
+    so a phone-looking fragment inside a matched email can't double-fire
+    (neither engine rescans replacement text; placeholders contain no
+    digits or '@', so ordering is the only cross-pattern hazard)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

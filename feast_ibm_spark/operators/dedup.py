@@ -1055,3 +1055,82 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where the containee's
+    shingle set is mostly inside the container's — ``containment(a in b)
+    = |A n B| / |A| >= threshold``. Catches what Jaccard structurally
+    cannot: a short document quoted whole inside a much longer one has
+    containment ~1 but Jaccard ~|A|/|B| (arbitrarily small), so
+    symmetric dedup keeps both copies. This is the doc-vs-doc twin of
+    the eval-set decontamination check (``decontaminate_overlap``).
+
+    Same single inverted-index self-join as :func:`ngram_jaccard_pairs`
+    (pairs meet ONLY on shared shingles; the unordered common-count is
+    computed once on ``a < b``), then BOTH directions are evaluated from
+    (common, size_a, size_b) with the integer threshold test — emitting
+    an ordered row per passing direction costs projection, not a second
+    join. ``hash_shingles`` / ``max_shingle_freq`` behave exactly as on
+    the Jaccard operator (the frequency cap only ever LOWERS computed
+    containment — dropped shingles still count in |A|).
+
+    Output: (doc_id, container_id, containment) — doc_id is the
+    containee. A mutually-containing pair (near-identical docs) emits
+    two rows, one per direction.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    thr_num = int(round(threshold * 1000))
+    joined = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = joined.filter(
+        F.col("common") * 1000 >= F.lit(thr_num) * F.col("size_a")
+    ).select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias("container_id"),
+        (F.col("common").cast("double") / F.col("size_a").cast("double"))
+        .alias("containment"),
+    )
+    rev = joined.filter(
+        F.col("common") * 1000 >= F.lit(thr_num) * F.col("size_b")
+    ).select(
+        F.col("doc_b").alias(id_col),
+        F.col("doc_a").alias("container_id"),
+        (F.col("common").cast("double") / F.col("size_b").cast("double"))
+        .alias("containment"),
+    )
+    return fwd.unionByName(rev)

@@ -264,3 +264,46 @@ def chunk_documents(
             "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
         )
     )
+
+
+EPOCH_STRIDE = 1_000_003  # prime offset decorrelating successive epochs
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training-shuffle for one epoch: every row
+    gets a pseudo-random ``(shard, pos)`` coordinate that is a pure
+    function of ``(id, epoch)`` — the order a data loader reads shard
+    files in. Epoch e and epoch e+1 are decorrelated permutations of
+    the same corpus (the multiplicative hash of ``id + e*EPOCH_STRIDE``),
+    so "reshuffle every epoch" needs no RNG state, survives re-runs and
+    job restarts mid-epoch, and two engines agree row-for-row.
+
+    Cost: one shuffle — the per-shard position window partitions on
+    ``shard`` (pick ``n_shards`` ≈ output-file count; each shard sorts
+    independently, so no global sort and no single-task bottleneck).
+    The hash pre-reduces the id mod PRIORITY_MOD before multiplying, so
+    arithmetic is overflow-free for any bigint id in Spark AND the SQL
+    oracle (the round-6 split_bucket_col fix applies here too).
+    """
+    u = (
+        (
+            (F.col(id_col).cast("bigint") + F.lit(epoch * EPOCH_STRIDE))
+            % F.lit(PRIORITY_MOD)
+        )
+        * F.lit(SPLIT_MULT)
+    ) % F.lit(PRIORITY_MOD)
+    shard = (u % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(F.lit(epoch), shard).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.lit(epoch).cast("int").alias("epoch"),
+        F.col(id_col),
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

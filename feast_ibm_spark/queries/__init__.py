@@ -507,6 +507,25 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_STREAM_INTERVAL_JOIN,
                                         "drained stream-stream interval "
                                         "join vs batch oracle"),
+    "text_pii_scan": QueryDef(q_text_pii_scan, ORACLE_TEXT_PII,
+                              "PII scan + redaction (injected emails/"
+                              "phones; map-only regex, no UDF)"),
+    "training_shuffle": QueryDef(q_training_shuffle,
+                                 ORACLE_TRAINING_SHUFFLE,
+                                 "epoch-deterministic global training "
+                                 "shuffle (per-epoch permutations)"),
+    "dedup_containment": QueryDef(q_dedup_containment,
+                                  ORACLE_DEDUP_CONTAINMENT,
+                                  "asymmetric n-gram containment pairs "
+                                  "(quote/subset detection)"),
+    "scan_binary_files": QueryDef(q_scan_binary_files, ORACLE_SCAN_BINARY,
+                                  "binaryFile whole-file source, "
+                                  "content-verified by sha256/length"),
+    "multimodal_resize_stats": QueryDef(q_multimodal_resize_stats,
+                                        ORACLE_MULTIMODAL_RESIZE,
+                                        "PNG decode -> NN resize -> "
+                                        "re-encode -> decode chain vs "
+                                        "arithmetic oracle"),
 }
 
 # --------------------------------------------------------------------------
@@ -581,6 +600,13 @@ _DRIVER_EXCLUDE = (
     "asof_join_forward",           # attribution_last_touch (backward) stays
     "range_join_ship_windows",
     "dedup_clusters_lsh",          # embedding_clusters_lsh takes the slot
+    # round-6 additions past the 50-slot cap (local gate this round;
+    # first-in-line for the round-7 rotation)
+    "text_pii_scan",
+    "training_shuffle",
+    "dedup_containment",
+    "scan_binary_files",
+    "multimodal_resize_stats",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -982,3 +982,49 @@ FROM survivors
 WHERE doc_id NOT IN (SELECT doc_id FROM cross_hit)
   AND doc_id NOT IN (SELECT doc_id FROM within_hit)
 """
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: ordered (containee, container)
+    pairs with |A n B|/|A| >= 0.6 — catches short docs quoted whole
+    inside longer ones, which symmetric Jaccard structurally misses
+    (containment ~1, Jaccard ~|A|/|B|). One inverted-index self-join;
+    both directions evaluated from the same unordered common counts
+    (operators/dedup.ngram_containment_pairs)."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=NGRAM_N, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, common, sa.n_sh AS size_a, sb.n_sh AS size_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a AS doc_id, doc_b AS container_id,
+       CAST(common AS DOUBLE) / size_a AS containment
+FROM j WHERE common * 1000 >= {int(CONTAINMENT_THRESHOLD * 1000)} * size_a
+UNION ALL
+SELECT doc_b AS doc_id, doc_a AS container_id,
+       CAST(common AS DOUBLE) / size_b AS containment
+FROM j WHERE common * 1000 >= {int(CONTAINMENT_THRESHOLD * 1000)} * size_b
+"""

@@ -149,3 +149,100 @@ GROUP BY doc_id
 """
 
 # --------------------------------------------------------------------------
+
+
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — whole-file-as-row ingestion, the entry
+    point for raw media at scale (each image/audio file becomes one
+    binary row; Spark parallelizes over files and partition directories,
+    no splitting). Here the corpus is materialized as one text file per
+    document under ``doc_id=N/`` partition dirs, read back through the
+    binaryFile source with partition discovery, and verified by content:
+    byte length and SHA-256 of every file must match what DuckDB
+    computes from the original text column (the text writer appends one
+    LF per line, the only byte the file adds). At 100 TB the same plan
+    shape reads object-store media buckets; content is NOT shuffled —
+    the digest/length projection happens inside the scan stage."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="fis_binfiles_")
+    docs.repartition(8).write.mode("overwrite").partitionBy("doc_id").text(
+        out_dir
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out_dir)
+    )
+    return files.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
+
+
+ORACLE_SCAN_BINARY = """
+SELECT doc_id,
+       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       sha256(text || chr(10)) AS sha256
+FROM documents
+"""
+
+
+RESIZE_W, RESIZE_H = 2, 2
+
+
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image transform chain, REAL at every step: synthesize a
+    4x4 RGB image per doc (pixel[i] = (doc_id*31 + i*7) % 256), PNG-
+    encode (stdlib), nearest-neighbor resize to 2x2 with a re-encode
+    (operators/multimodal.resize_images), then decode the RESIZED bytes
+    and report dims/mean. Nearest-neighbor at 4->2 samples rows {0,2} x
+    cols {0,2}, so the arithmetic oracle sums the pixel formula over
+    exactly those 12 flat indices — any slip anywhere in the
+    encode/unfilter/index/re-encode chain shifts the mean and fails the
+    value hash. All three Arrow stages are mapInPandas/pandas_udf; no
+    pixel ever crosses an executor boundary un-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import (
+        attach_media_columns,
+        decode_images,
+        resize_images,
+    )
+
+    @pandas_udf("binary")
+    def synth_png(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import png_encode
+
+        out = []
+        for did in ids:
+            px = (int(did) * 31 + np.arange(IMG_H * IMG_W * 3) * 7) % 256
+            out.append(png_encode(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_png(F.col("doc_id")), "image", "png"
+    )
+    return decode_images(resize_images(media, RESIZE_W, RESIZE_H))
+
+
+# the 12 flat pixel indices NN 4->2 samples: (y*4+x)*3+c, y,x in {0,2}
+ORACLE_MULTIMODAL_RESIZE = f"""
+SELECT d.doc_id AS media_id,
+       CAST({RESIZE_W} AS BIGINT) AS width,
+       CAST({RESIZE_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM((d.doc_id * 31 + ((y.y * {IMG_W} + x.x) * 3 + c.c) * 7) % 256)
+            AS DOUBLE) / {RESIZE_W * RESIZE_H * 3} AS mean_pixel
+FROM documents d
+CROSS JOIN (VALUES (0), (2)) y(y)
+CROSS JOIN (VALUES (0), (2)) x(x)
+CROSS JOIN range(0, 3) c(c)
+GROUP BY d.doc_id
+"""

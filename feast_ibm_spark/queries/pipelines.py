@@ -822,3 +822,46 @@ JOIN events c
 
 
 # --------------------------------------------------------------------------
+
+
+SHUFFLE_EPOCHS, SHUFFLE_SHARDS = 2, 8
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global training shuffle: every document gets a
+    pseudo-random (shard, pos) read coordinate per epoch, a pure function
+    of (doc_id, epoch) — reshuffle-every-epoch with no RNG state, stable
+    under re-runs and restarts (operators/sampling.epoch_shuffle). Two
+    epochs exported to pin that the permutations actually differ. One
+    window shuffle per epoch, partitioned by shard — no global sort."""
+    from ..operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        epoch_shuffle(docs, "doc_id", epoch=e, n_shards=SHUFFLE_SHARDS)
+        for e in range(SHUFFLE_EPOCHS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _shuffle_epoch_sql(epoch: int) -> str:
+    stride = 1_000_003 * epoch
+    return f"""
+SELECT CAST({epoch} AS INTEGER) AS epoch, doc_id,
+       CAST(u % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY u % {SHUFFLE_SHARDS} ORDER BY u, doc_id
+       ) AS INTEGER) AS pos
+FROM (
+  SELECT doc_id,
+         ((doc_id + {stride}) % 2147483647) * 2654435761 % 2147483647 AS u
+  FROM documents
+)"""
+
+
+ORACLE_TRAINING_SHUFFLE = " UNION ALL ".join(
+    _shuffle_epoch_sql(e) for e in range(SHUFFLE_EPOCHS)
+)

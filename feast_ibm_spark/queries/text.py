@@ -245,3 +245,74 @@ SELECT doc_id, token, tf, df, score,
 FROM scored
 QUALIFY rank <= {KEYWORD_TOP_K}
 """
+
+
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the corpus (training-data hygiene: no
+    emails/phone numbers may reach a training shard). The synthetic
+    corpus contains no organic PII, so the query first INJECTS
+    deterministic PII — docs with doc_id%7==0 gain a doc_id-derived
+    email, doc_id%11==0 a doc_id-derived phone (doc_id%77==0 both) —
+    then counts matches and emits the redacted length, all as pure
+    map-side expressions (regexp scan inside whole-stage codegen, no
+    shuffle, no UDF). The oracle repeats injection+scan+redaction in
+    RE2; patterns live in the Java-regex/RE2 common subset so the match
+    sets are engine-identical (functions/text.py PII_*_RE)."""
+    from ..functions.text import (
+        pii_email_count_col,
+        pii_phone_count_col,
+        pii_redact_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(" contact user%d@example.com", F.col("doc_id")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.format_string(
+                    " call 555-%03d-%04d",
+                    (F.col("doc_id") % 1000).cast("int"),
+                    (F.col("doc_id") % 10000).cast("int"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        pii_email_count_col("text").cast("bigint").alias("n_emails"),
+        pii_phone_count_col("text").cast("bigint").alias("n_phones"),
+        F.length(pii_redact_col("text")).cast("bigint").alias("clean_len"),
+    )
+
+
+ORACLE_TEXT_PII = """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN printf(' contact user%d@example.com', doc_id)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN printf(' call 555-%03d-%04d',
+                             CAST(doc_id % 1000 AS INTEGER),
+                             CAST(doc_id % 10000 AS INTEGER))
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+         AS clean_len
+FROM injected
+"""

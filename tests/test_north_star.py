@@ -569,6 +569,39 @@ def test_curation_auto_tier_picks_by_input_bytes(spark, sf_dir):
     assert as_exact == as_lsh
 
 
+def test_curation_auto_threshold_is_measurement_backed():
+    """DEFAULT_LSH_MIN_BYTES is not a free constant: it must sit strictly
+    between the two MEASURED operating points (exact tier wins at ~5 MB
+    of input text, loses ~4x at ~50 MB — scripts/sf1_smoke.py runs
+    recorded in NOTES.md), and the NOTES record backing it must exist so
+    the constant cannot drift without re-measuring. Err-toward-LSH is
+    deliberate: LSH is the tier that stays viable as inputs grow, so the
+    threshold sits at the geometric split of the bracket, below its
+    arithmetic midpoint."""
+    import os
+    import re
+
+    from feast_ibm_spark.operators.curation import DEFAULT_LSH_MIN_BYTES
+
+    exact_wins_bytes = 5 << 20   # sf0.1 corpus: exact 0.6s vs LSH 1.1s
+    lsh_wins_bytes = 50 << 20    # 10x corpus: exact 19.2s vs LSH 5.0s
+    assert exact_wins_bytes < DEFAULT_LSH_MIN_BYTES < lsh_wins_bytes
+    # geometric split of the measured bracket (~15.8 MiB) — the constant
+    # is that split rounded to a power of two, biased toward LSH
+    geo = (exact_wins_bytes * lsh_wins_bytes) ** 0.5
+    assert abs(DEFAULT_LSH_MIN_BYTES - geo) / geo < 0.25
+    assert DEFAULT_LSH_MIN_BYTES < (exact_wins_bytes + lsh_wins_bytes) / 2
+    notes = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "NOTES.md")
+    ).read()
+    # the measured crossover record the constant is derived from
+    assert re.search(r"19\.2\s*(s;|vs)", notes) and "5.0s" in notes, (
+        "NOTES.md lost the curation-tier crossover measurement "
+        "(exact 19.2s vs LSH 5.0s at the 10x corpus)"
+    )
+
+
 def test_input_size_bytes_one_listing_per_directory(spark, tmp_path, monkeypatch):
     """The FS metadata probe must issue ONE directory listing per parent
     dir, never one RPC per file (10^6 objects at 100 TB), and the total

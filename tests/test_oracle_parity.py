@@ -178,6 +178,12 @@ _EXCLUDED_WITH_ORACLE = [
     "asof_join_forward",
     "range_join_ship_windows",
     "dedup_clusters_lsh",
+    # round-6 additions past the 50-slot cap (local gate)
+    "text_pii_scan",
+    "training_shuffle",
+    "dedup_containment",
+    "scan_binary_files",
+    "multimodal_resize_stats",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
