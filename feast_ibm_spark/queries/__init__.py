@@ -526,6 +526,16 @@ QUERIES: dict[str, QueryDef] = {
                                         "PNG decode -> NN resize -> "
                                         "re-encode -> decode chain vs "
                                         "arithmetic oracle"),
+    "event_interarrival": QueryDef(q_event_interarrival,
+                                   ORACLE_INTERARRIVAL,
+                                   "per-user inter-arrival gap stats "
+                                   "(lag + exact percentiles, one "
+                                   "keyed shuffle)"),
+    "market_basket_rules": QueryDef(q_market_basket_rules,
+                                    ORACLE_BASKET_RULES,
+                                    "association rules with exact "
+                                    "support/confidence/lift over "
+                                    "bounded-clique basket pairs"),
 }
 
 # --------------------------------------------------------------------------
@@ -607,6 +617,8 @@ _DRIVER_EXCLUDE = (
     "dedup_containment",
     "scan_binary_files",
     "multimodal_resize_stats",
+    "event_interarrival",
+    "market_basket_rules",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

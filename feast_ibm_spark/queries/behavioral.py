@@ -996,3 +996,64 @@ SELECT d.event_type,
 FROM d JOIN md USING (event_type)
 GROUP BY 1
 """
+
+
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: gaps between consecutive
+    events (lag over the per-user time order, exact integer
+    microseconds), then exact interpolated median/p90 and max per user
+    — the cadence profile feeding bot/burst detection and session-gap
+    tuning. One window shuffle for the lag (keyed by user), one
+    re-aggregation on the same key — with AQE the two stages share the
+    user_id partitioning, so the data moves once. Gap percentiles on
+    integer microseconds interpolate identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").asc(), F.col("event_id").asc()
+                    )
+                )
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_us, array(0.5, 0.9))").alias("p"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_gaps",
+            "p[0] AS p50_gap_us",
+            "p[1] AS p90_gap_us",
+            "max_gap_us",
+        )
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+       quantile_cont(gap_us, 0.9) AS p90_gap_us,
+       max(gap_us) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""

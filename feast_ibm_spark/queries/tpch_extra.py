@@ -430,3 +430,102 @@ GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT {COPURCHASE_TOP_K}
 """
+
+
+RULE_MIN_BOTH, RULE_MIN_CONF_PCT = 3, 10
+
+
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: directed rules
+    antecedent -> consequent with exact support / confidence / lift.
+    Pair counts come from the same bounded-clique order-keyed self-join
+    as ``copurchase_pairs`` (fanout C(basket,2), never corpus-quadratic);
+    each unordered pair then expands into its two directed rules by
+    projection. All three metrics are ONE IEEE division of exact
+    integer products (lift = (n_both*n_total)/(n_ante*n_cons)), so
+    values hash bit-identically; the confidence floor is tested in
+    integer arithmetic before any division. The total-orders scalar
+    rides a broadcast 1-row cross join — no data moves for it."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= RULE_MIN_BOTH)
+    )
+    rules = both.selectExpr(
+        "part_a AS antecedent", "part_b AS consequent", "n_both"
+    ).unionByName(
+        both.selectExpr(
+            "part_b AS antecedent", "part_a AS consequent", "n_both"
+        )
+    )
+    total = items.select(
+        F.countDistinct("l_orderkey").alias("n_total")
+    )
+    na = part_n.selectExpr("l_partkey AS antecedent", "n_part AS n_ante")
+    nc = part_n.selectExpr("l_partkey AS consequent", "n_part AS n_cons")
+    return (
+        rules.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_both") * 100 >= F.lit(RULE_MIN_CONF_PCT) * F.col("n_ante"))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_total").cast("double"))
+            .alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_ante").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_total")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET_RULES = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_n AS (
+  SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+),
+both_n AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULE_MIN_BOTH}
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_both FROM both_n
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, n_both FROM both_n
+),
+total AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items)
+SELECT r.antecedent, r.consequent, r.n_both,
+       CAST(r.n_both AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS support,
+       CAST(r.n_both AS DOUBLE) / CAST(na.n_part AS DOUBLE) AS confidence,
+       CAST(r.n_both * t.n_total AS DOUBLE)
+         / CAST(na.n_part * nc.n_part AS DOUBLE) AS lift
+FROM rules r
+JOIN part_n na ON na.l_partkey = r.antecedent
+JOIN part_n nc ON nc.l_partkey = r.consequent
+CROSS JOIN total t
+WHERE r.n_both * 100 >= {RULE_MIN_CONF_PCT} * na.n_part
+"""

@@ -18,6 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+PLAN_LINE_CAP = 400
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_PLANS", "/root/testdata/sf0.01")
 
 # (query name, scale commentary)
@@ -254,6 +255,41 @@ SHOWCASE: list[tuple[str, str]] = [
         "per group however many billions of intervals fed it. Two\n"
         "shuffles total (per-order rollup; per-priority window).",
     ),
+    (
+        "embedding_near_dup_lsh",
+        "Sign-LSH near-dup with the round-6 AUTO config: signatures come\n"
+        "from one Arrow-batched matmul UDF, candidates meet in a (table,\n"
+        "sig) equi-self-join, and the exact fold-kernel rescoring runs on\n"
+        "candidates only. At gate scale auto resolves to the byte-stable\n"
+        "pinned (4,16) shape shown here; above 4096 rows the signature\n"
+        "space widens with log2(n) so bucket population — and therefore\n"
+        "the self-join's output — stays bounded per table, with a\n"
+        "star-capped collect_list path as the skew backstop (20k-vector\n"
+        "smoke: 26.5s where the fixed config never terminated).",
+    ),
+    (
+        "embedding_clusters_lsh",
+        "Semantic dedup at scale: the LSH pair generator feeds the\n"
+        "min-label-propagation connected components — each iteration is\n"
+        "one grouped min + one join, O(log n) rounds with lineage\n"
+        "checkpointing, so cluster assignment never materializes the\n"
+        "exact O(n^2) pair graph the gate-scale twin uses.",
+    ),
+    (
+        "text_pii_scan",
+        "PII scan + redaction: zero exchanges, zero Python — the regex\n"
+        "match/count/replace all live inside WholeStageCodegen in the scan\n"
+        "stage, so at 100 TB the operator is I/O-bound and embarrassingly\n"
+        "parallel. The plan IS the scan.",
+    ),
+    (
+        "training_shuffle",
+        "Epoch-deterministic training shuffle: the (shard, pos) coordinate\n"
+        "is an overflow-safe integer hash (map-side) plus ONE per-shard\n"
+        "window — exactly one hash exchange per epoch, no global sort, no\n"
+        "range partitioning; shards sort independently so no task sees\n"
+        "more than corpus/n_shards rows.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
@@ -285,6 +321,15 @@ def main() -> None:
         text = explain_str(df).rstrip()
         # strip the volatile Location lines (absolute tmp paths churn)
         text = re.sub(r"Location: \S+", "Location: <path>", text)
+        # iterative/cached plans (connected components) and literal-heavy
+        # oracles render tens of thousands of lines; cap each section —
+        # the shape argument lives in the first screens, not the tail
+        lines = text.splitlines()
+        if len(lines) > PLAN_LINE_CAP:
+            text = "\n".join(lines[:PLAN_LINE_CAP]) + (
+                f"\n... [{len(lines) - PLAN_LINE_CAP} more lines elided —"
+                " iterative plan; regenerate locally for the full tree]"
+            )
         n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", text))
         n_bcast = len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", text))
         n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", text))

@@ -137,6 +137,14 @@ SMOKE_QUERIES = [
     # tables, cap 512) at this scale
     "embedding_near_dup_lsh",
     "embedding_clusters_lsh",
+    # round-6 batch 2: containment's inverted-index fanout is the scale
+    # risk; pii/shuffle/resize pin the map-only and Arrow-chain paths
+    # (scan_binary_files is excluded: 10x its per-doc partition-dir write
+    # is a filesystem stress, not a query-shape signal)
+    "dedup_containment",
+    "text_pii_scan",
+    "training_shuffle",
+    "multimodal_resize_stats",
 ]
 
 

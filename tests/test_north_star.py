@@ -1099,3 +1099,97 @@ def test_chunk_documents_semantics(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, 4, 4)
+
+
+def test_containment_catches_quoted_subset(spark):
+    """The asymmetric case Jaccard misses by construction: a short doc
+    quoted whole inside a much longer one must appear as (short in
+    long) with containment 1.0, must NOT appear in the reverse
+    direction, and must fall below a 0.5 Jaccard gate."""
+    from feast_ibm_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.upper()),
+         (3, "totally unrelated content words here nothing shared")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_id, r.container_id): r.containment
+           for r in ngram_containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the long doc is not contained in the short
+    jac = {(r.doc_a, r.doc_b)
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # symmetric dedup misses exactly this pair
+
+
+def test_containment_mutual_near_identical(spark):
+    """Near-identical docs contain each other: two rows, one per
+    direction, each >= the threshold."""
+    from feast_ibm_spark.operators.dedup import ngram_containment_pairs
+
+    base = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " eleven")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_id, r.container_id): r.containment
+           for r in ngram_containment_pairs(docs, threshold=0.8).collect()}
+    assert got[(1, 2)] == 1.0          # all of doc1's shingles are in doc2
+    assert 0.8 <= got[(2, 1)] < 1.0    # doc2 has one extra shingle
+
+
+def test_pii_redact_and_count(spark):
+    """Counts and redaction: multiple PII instances per row, email-first
+    ordering, and clean text left untouched."""
+    from feast_ibm_spark.functions.text import (
+        pii_email_count_col,
+        pii_phone_count_col,
+        pii_redact_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "reach a@b.io or c.d-e@f-g.org today"),
+         (2, "call 555-123-4567 then 555-000-1111"),
+         (3, "mixed x@y.com and 123-456-7890"),
+         (4, "no pii at all in this row")],
+        "id bigint, text string",
+    )
+    got = {r.id: (r.e, r.p, r.clean) for r in df.select(
+        "id",
+        pii_email_count_col("text").alias("e"),
+        pii_phone_count_col("text").alias("p"),
+        pii_redact_col("text").alias("clean"),
+    ).collect()}
+    assert got[1][:2] == (2, 0) and got[1][2] == "reach <EMAIL> or <EMAIL> today"
+    assert got[2][:2] == (0, 2) and got[2][2] == "call <PHONE> then <PHONE>"
+    assert got[3][:2] == (1, 1) and got[3][2] == "mixed <EMAIL> and <PHONE>"
+    assert got[4][:2] == (0, 0) and got[4][2] == "no pii at all in this row"
+
+
+def test_epoch_shuffle_is_stable_and_complete(spark):
+    """Every row appears exactly once per epoch; per-shard positions are
+    dense from 1; the permutation is identical across calls (pure
+    function of the data) and differs between epochs."""
+    from feast_ibm_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    e0 = epoch_shuffle(df, "doc_id", epoch=0, n_shards=4).collect()
+    assert len(e0) == 1000 and len({r.doc_id for r in e0}) == 1000
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1))
+    again = epoch_shuffle(df, "doc_id", epoch=0, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in e0} == {
+        (r.doc_id, r.shard, r.pos) for r in again}
+    e1 = {r.doc_id: (r.shard, r.pos) for r in
+          epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()}
+    m0 = {r.doc_id: (r.shard, r.pos) for r in e0}
+    moved = sum(1 for d in m0 if m0[d] != e1[d])
+    assert moved > 900  # epochs are decorrelated permutations

@@ -184,6 +184,8 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_containment",
     "scan_binary_files",
     "multimodal_resize_stats",
+    "event_interarrival",
+    "market_basket_rules",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM

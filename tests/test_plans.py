@@ -579,3 +579,48 @@ def test_time_decay_prunes_scan(spark, sf_dir):
     out = QUERIES["features_time_decay"].fn(spark, sf_dir)
     pf = pushed_filters(out)
     assert any("GreaterThan" in f or ">=" in f for f in pf), pf
+
+
+def test_pii_scan_is_map_only_no_udf(spark, sf_dir):
+    """PII scan + redaction must run entirely inside the scan stage:
+    zero exchanges (no shuffle), no Python evaluation anywhere — the
+    regex scan lives in whole-stage codegen."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["text_pii_scan"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "Exchange" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "Join" not in text
+
+
+def test_epoch_shuffle_one_exchange_per_epoch(spark, sf_dir):
+    """Each epoch's (shard, pos) window shuffles once; the exported
+    2-epoch union must plan exactly 2 exchanges — no global sort, no
+    extra repartition."""
+    from feast_ibm_spark.queries import QUERIES
+
+    import re
+
+    out = QUERIES["training_shuffle"].fn(spark, sf_dir)
+    text = explain_str(out)
+    # formatted explain numbers each physical node once: "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 2, text
+    assert "rangepartitioning" not in text  # no global sort
+
+
+def test_containment_single_self_join_no_cartesian(spark, sf_dir):
+    """Both containment directions must come from ONE shingle self-join
+    (the unordered common counts) — two directions may not mean two
+    joins over the index, and nothing may go nested-loop."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["dedup_containment"].fn(spark, sf_dir)
+    text = explain_str(out)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    # one shingle-index equi-join feeding both direction branches: the
+    # common-count aggregate appears once per branch via exchange reuse,
+    # not as independently re-planned joins at runtime (AQE dedups the
+    # canonical subtree); statically the union has 2 branches
+    assert "Union" in text
