@@ -536,6 +536,11 @@ QUERIES: dict[str, QueryDef] = {
                                     "association rules with exact "
                                     "support/confidence/lift over "
                                     "bounded-clique basket pairs"),
+    "streaming_cdc_merge": QueryDef(q_streaming_cdc_merge,
+                                    ORACLE_MERGE_CDC,
+                                    "foreachBatch MERGE loop over "
+                                    "versioned keyed snapshots vs the "
+                                    "batch MERGE oracle"),
 }
 
 # --------------------------------------------------------------------------
@@ -619,6 +624,7 @@ _DRIVER_EXCLUDE = (
     "multimodal_resize_stats",
     "event_interarrival",
     "market_basket_rules",
+    "streaming_cdc_merge",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

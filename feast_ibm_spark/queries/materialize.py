@@ -381,3 +381,76 @@ SELECT user_id, ts, value, event_id FROM (
 
 
 # --------------------------------------------------------------------------
+
+
+def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge (streaming/cdc.py): the batch twin's change
+    set arrives as a live 4-file parquet stream (maxFilesPerTrigger=1 —
+    four genuine micro-batches), and every batch MERGEs into a versioned
+    keyed snapshot via foreachBatch; the drained final version must
+    hash-match the batch MERGE oracle. The state carries tombstones, so
+    each step is a pure per-key (ts, event_id) max — associative, hence
+    arrival-order independent: ANY partitioning of the changes into
+    batches converges to the oracle. Eighth streaming class at the gate
+    (sessionize, window agg, interval join, dedup, latest, PIT,
+    first-seen, now table maintenance)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.cdc import streaming_cdc_merge
+
+    configure_runtime(spark)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id", "event_type"
+    )
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value", "event_id",
+                F.lit("upsert").alias("op"))
+    )
+    changes = ev.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="fis_cdc_src_")
+    changes.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    writer, state_path = streaming_cdc_merge(
+        stream,
+        snapshot,
+        tempfile.mkdtemp(prefix="fis_cdc_state_"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    q = (
+        writer.option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fis_cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(state_path())
+        .where(F.col("op") != "delete")
+        .select("user_id", "ts", "value", "event_id")
+    )

@@ -2,6 +2,7 @@ from .latest import streaming_latest_per_key, streaming_window_counts, stream_pa
 from .stateful import streaming_first_seen, streaming_sessionize
 from .enrich import enrich_stream
 from .pit import streaming_pit_join
+from .cdc import merge_batch_into_snapshot, streaming_cdc_merge
 from .run import (drain_available_now, drain_available_now_to_files,
                   rocksdb_state_store)
 
@@ -13,6 +14,8 @@ __all__ = [
     "streaming_sessionize",
     "enrich_stream",
     "streaming_pit_join",
+    "merge_batch_into_snapshot",
+    "streaming_cdc_merge",
     "drain_available_now",
     "drain_available_now_to_files",
     "rocksdb_state_store",

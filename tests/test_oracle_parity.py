@@ -186,6 +186,7 @@ _EXCLUDED_WITH_ORACLE = [
     "multimodal_resize_stats",
     "event_interarrival",
     "market_basket_rules",
+    "streaming_cdc_merge",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM

@@ -355,3 +355,49 @@ def test_sessionize_rocksdb_provider(spark):
     assert spark.conf.get(key, None) != ROCKSDB_PROVIDER  # restored
     assert len(rocks) > 0
     assert_frame_equal(rocks, default)
+
+
+def test_streaming_cdc_merge_cross_batch_semantics(spark, tmp_path):
+    """Delete-then-upsert and upsert-then-delete must both resolve to
+    the LATEST op per key regardless of which micro-batch carried which
+    change — tombstones stay mergeable state, not terminal removals."""
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.streaming.cdc import streaming_cdc_merge
+
+    snapshot = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 10.0, 100, "upsert"),
+         (2, TS(2024, 1, 1), 20.0, 101, "upsert"),
+         (3, TS(2024, 1, 1), 30.0, 102, "upsert")],
+        "user_id bigint, ts timestamp, value double, event_id bigint, op string",
+    )
+    # key 1: deleted then re-upserted LATER -> survives with new value
+    # key 2: upserted then deleted LATER    -> gone
+    # key 3: untouched                      -> original row
+    changes = spark.createDataFrame(
+        [(1, TS(2024, 1, 2), 0.0, 200, "delete"),
+         (1, TS(2024, 1, 3), 11.0, 201, "upsert"),
+         (2, TS(2024, 1, 2), 21.0, 202, "upsert"),
+         (2, TS(2024, 1, 3), 0.0, 203, "delete")],
+        "user_id bigint, ts timestamp, value double, event_id bigint, op string",
+    )
+    src = str(tmp_path / "src")
+    # one file per change row -> 4 micro-batches, deletes and upserts
+    # split across batch boundaries in both orders
+    changes.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    writer, state_path = streaming_cdc_merge(
+        stream, snapshot, str(tmp_path / "state"),
+        key_cols=["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
+    )
+    q = (writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    final = {r.user_id: (r.value, r.event_id)
+             for r in spark.read.parquet(state_path())
+             .where("op != 'delete'").collect()}
+    assert final == {1: (11.0, 201), 3: (30.0, 102)}
