@@ -145,6 +145,9 @@ SMOKE_QUERIES = [
     "text_pii_scan",
     "training_shuffle",
     "multimodal_resize_stats",
+    "event_interarrival",
+    "market_basket_rules",
+    "streaming_cdc_merge",
 ]
 
 

@@ -624,3 +624,42 @@ def test_containment_single_self_join_no_cartesian(spark, sf_dir):
     # not as independently re-planned joins at runtime (AQE dedups the
     # canonical subtree); statically the union has 2 branches
     assert "Union" in text
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective filter on the
+    build side of a shuffle join should inject a bloom-filter aggregate
+    there and a might_contain probe into the OTHER side's scan stage —
+    at 100 TB this prunes most probe rows before the exchange. The
+    application-side size gate (default 10 GB — trivially met by a real
+    fact table, never by gate-scale data) is lowered to 0 here to
+    demonstrate the at-scale plan on test data; broadcast is disabled
+    because a broadcast join already ships the keys."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        text = explain_str(j)
+        assert "bloom_filter_agg" in text, "no bloom filter built"
+        assert "might_contain" in text, "no probe-side membership test"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
