@@ -104,3 +104,51 @@ def merge_changes(
         .where((F.col("__rn") == 1) & (F.col(op_col) != F.lit(OP_DELETE)))
         .select(*value_cols)
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_cols: list[str],
+) -> DataFrame:
+    """COLUMN-LEVEL survivorship (golden-record construction): per key,
+    each attribute independently takes its latest NON-NULL value in
+    ``order_cols`` order — the master-data-management merge, distinct
+    from row-level CDC (``merge_changes``) where one winning row
+    supplies every column. A key whose freshest row has a null email
+    but an older row has a real one keeps the real email AND the
+    freshest other attributes.
+
+    One shuffle: every attribute resolves in the same key-partitioned
+    window via ``last(col, ignorenulls=True)`` over the full frame, and
+    the per-key reduction to one row rides the same exchange (rn over
+    the identical window spec — Spark reuses the sort). Engine-exact:
+    no arithmetic at all, only ordered selection; ties are excluded by
+    construction when ``order_cols`` ends in a unique column.
+
+    Output: key cols + one survived column per attr + ``n_sources``
+    (how many rows contributed to the key).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = df
+    for c in attr_cols:
+        out = out.withColumn(
+            f"__surv_{c}", F.last(F.col(c), ignorenulls=True).over(frame)
+        )
+    out = out.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(
+            Window.partitionBy(*key_cols)
+        )
+    )
+    return (
+        out.where(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            *[F.col(f"__surv_{c}").alias(c) for c in attr_cols],
+            F.col("__n").cast("bigint").alias("n_sources"),
+        )
+    )

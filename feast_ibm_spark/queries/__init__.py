@@ -541,6 +541,13 @@ QUERIES: dict[str, QueryDef] = {
                                     "foreachBatch MERGE loop over "
                                     "versioned keyed snapshots vs the "
                                     "batch MERGE oracle"),
+    "golden_record": QueryDef(q_golden_record, ORACLE_GOLDEN_RECORD,
+                              "column-level survivorship merge: each "
+                              "attr keeps its own latest non-null"),
+    "scan_merge_schema": QueryDef(q_scan_merge_schema, ORACLE_MERGE_SCHEMA,
+                                  "mergeSchema read across schema "
+                                  "generations (added column, no "
+                                  "rewrite)"),
 }
 
 # --------------------------------------------------------------------------
@@ -625,6 +632,8 @@ _DRIVER_EXCLUDE = (
     "event_interarrival",
     "market_basket_rules",
     "streaming_cdc_merge",
+    "golden_record",
+    "scan_merge_schema",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

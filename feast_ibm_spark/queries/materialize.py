@@ -454,3 +454,58 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("op") != "delete")
         .select("user_id", "ts", "value", "event_id")
     )
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level survivorship (golden record): per user, each derived
+    attribute independently keeps its latest NON-NULL observation —
+    sparse attribute feeds (view-value, purchase-value, last error time)
+    are synthesized from the events table with NULLs where the event
+    type doesn't carry the attribute, so the merge genuinely skips nulls
+    per column instead of degenerating to latest-row-wins
+    (operators/merge.survivorship_merge). One keyed shuffle resolves
+    every column."""
+    from ..operators.merge import survivorship_merge
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("last_error_ts"),
+    )
+    return survivorship_merge(
+        sparse,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        attr_cols=["view_value", "purchase_value", "last_error_ts"],
+    )
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH sparse AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN value END AS view_value,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+         CASE WHEN event_type = 'error' THEN ts END AS last_error_ts
+  FROM events
+),
+surv AS (
+  SELECT user_id,
+         last_value(view_value IGNORE NULLS) OVER w AS view_value,
+         last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value,
+         last_value(last_error_ts IGNORE NULLS) OVER w AS last_error_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_sources
+  FROM sparse
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, view_value, purchase_value, last_error_ts,
+       CAST(n_sources AS BIGINT) AS n_sources
+FROM surv WHERE rn = 1
+"""

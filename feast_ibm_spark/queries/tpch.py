@@ -1171,3 +1171,59 @@ FROM spend
 """
 
 # --------------------------------------------------------------------------
+
+
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (the lakehouse reality: a table's files were
+    written across schema versions): generation 1 of the events feed has
+    (event_id, user_id, value); generation 2 added event_type. One
+    ``mergeSchema`` read reconciles both — gen-1 rows surface NULL for
+    the later column, nothing rewrites old files, and the unified scan
+    aggregates across generations. The oracle reproduces the same union
+    with a NULL literal for the missing column. At 100 TB this is why
+    adding a column is a metadata operation, not a 100 TB rewrite."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = tempfile.mkdtemp(prefix="fis_schevo_")
+    ev.where(F.col("ts") < cutoff).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(base + "/gen=1")
+    ev.where(F.col("ts") >= cutoff).select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return (
+        unified.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("<pre-schema>")).alias(
+                "event_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_MERGE_SCHEMA = """
+WITH unified AS (
+  SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  UNION ALL
+  SELECT event_id, user_id, value, event_type
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT COALESCE(event_type, '<pre-schema>') AS event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM unified GROUP BY 1
+"""

@@ -148,6 +148,8 @@ SMOKE_QUERIES = [
     "event_interarrival",
     "market_basket_rules",
     "streaming_cdc_merge",
+    "golden_record",
+    "scan_merge_schema",
 ]
 
 

@@ -1193,3 +1193,27 @@ def test_epoch_shuffle_is_stable_and_complete(spark):
     m0 = {r.doc_id: (r.shard, r.pos) for r in e0}
     moved = sum(1 for d in m0 if m0[d] != e1[d])
     assert moved > 900  # epochs are decorrelated permutations
+
+
+def test_survivorship_merge_is_column_level(spark):
+    """Golden-record semantics: each attribute survives independently —
+    the freshest row's nulls must NOT erase older non-null values, which
+    is exactly where row-level latest-wins (merge_changes) differs."""
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.operators.merge import survivorship_merge
+
+    df = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 1, "a@x.io", None),
+         (1, TS(2024, 1, 2), 2, None, "Alice"),
+         (1, TS(2024, 1, 3), 3, None, None),
+         (2, TS(2024, 1, 1), 4, None, None)],
+        "k bigint, ts timestamp, id bigint, email string, name string",
+    )
+    got = {r.k: (r.email, r.name, r.n_sources)
+           for r in survivorship_merge(
+               df, ["k"], ["ts", "id"], ["email", "name"]).collect()}
+    # freshest row for k=1 is all-null, yet both attrs survive from
+    # their own latest non-null observations
+    assert got[1] == ("a@x.io", "Alice", 3)
+    assert got[2] == (None, None, 1)

@@ -187,6 +187,8 @@ _EXCLUDED_WITH_ORACLE = [
     "event_interarrival",
     "market_basket_rules",
     "streaming_cdc_merge",
+    "golden_record",
+    "scan_merge_schema",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
