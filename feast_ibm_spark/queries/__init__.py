@@ -548,6 +548,12 @@ QUERIES: dict[str, QueryDef] = {
                                   "mergeSchema read across schema "
                                   "generations (added column, no "
                                   "rewrite)"),
+    "feature_engineering_e2e": QueryDef(q_feature_engineering_e2e,
+                                        ORACLE_FEATURE_E2E,
+                                        "flagship serving-side "
+                                        "composition: latest + 7d + "
+                                        "decayed + z-score + split in "
+                                        "one plan"),
 }
 
 # --------------------------------------------------------------------------
@@ -634,6 +640,7 @@ _DRIVER_EXCLUDE = (
     "streaming_cdc_merge",
     "golden_record",
     "scan_merge_schema",
+    "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

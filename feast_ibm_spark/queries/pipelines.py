@@ -865,3 +865,161 @@ FROM (
 ORACLE_TRAINING_SHUFFLE = " UNION ALL ".join(
     _shuffle_epoch_sql(e) for e in range(SHUFFLE_EPOCHS)
 )
+
+
+FE_HI = "2024-01-30 23:59:59.999999"
+FE_LO7 = "2024-01-24 00:00:00"
+
+
+def q_feature_engineering_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP feature-store composition (the serving-side twin of
+    training_pipeline_e2e): one plan exports the ML-ready per-user
+    feature vector a model server would read — latest observation
+    (as-of the anchor), trailing-7-day activity, exponentially
+    time-decayed engagement (the exact shifted-integer half-life
+    formulation), a population z-score of the latest value from exact
+    integer moments, and the deterministic train/val/test split — all
+    hash-exact.
+
+    Plan shape: the latest-row window, the 7-day aggregate and the
+    decay aggregate all key on user_id (AQE reuses the partitioning);
+    the z-score moments collapse to ONE broadcast row (no second pass
+    over events); the split is a projection. Left joins carry users
+    whose trailing windows are empty with exact zero defaults. At
+    100 TB each branch prunes its scan to its own time window before
+    anything shuffles (filter_ts_range -> PushedFilters)."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import split_col
+    from ..sources.reader import filter_ts_range
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.select("user_id", "ts", "event_id", cents.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"),
+                F.col("__c").alias("last_cents"))
+    )
+
+    seven = (
+        filter_ts_range(ev, "ts", FE_LO7, FE_HI)
+        .select("user_id", cents.alias("__c"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_7d"), F.sum("__c").alias("__s7"))
+    )
+
+    k = F.datediff(F.lit(TIME_DECAY_ANCHOR).cast("date"), F.to_date("ts"))
+    dk = F.col("__k")
+    decay_base = (
+        filter_ts_range(
+            ev, "ts",
+            "2024-01-16 00:00:00", FE_HI,
+        )
+        .select("user_id", cents.alias("__c"), k.alias("__k"))
+        .filter((dk >= 0) & (dk <= TIME_DECAY_MAX_DAYS))
+    )
+    wgt = F.expr(f"shiftleft(CAST(1 AS BIGINT), {TIME_DECAY_MAX_DAYS} - __k)")
+    decayed = decay_base.groupBy("user_id").agg(
+        (F.sum(F.col("__c") * wgt).cast("double")
+         / F.lit(float((1 << TIME_DECAY_MAX_DAYS) * 100))).alias("decayed_spend"),
+        (F.sum(wgt).cast("double")
+         / F.lit(float(1 << TIME_DECAY_MAX_DAYS))).alias("decayed_n"),
+    )
+
+    stats = latest.agg(
+        F.sum("last_cents").alias("s"),
+        F.sum(F.col("last_cents") * F.col("last_cents")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
+    )
+
+    return (
+        latest.join(seven, "user_id", "left")
+        .join(decayed, "user_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "last_ts",
+            (F.col("last_cents").cast("double") / 100.0).alias("last_value"),
+            ((F.col("last_cents").cast("double") - mean) / F.sqrt(var))
+            .alias("z_last_value"),
+            F.coalesce(F.col("n_7d"), F.lit(0)).cast("bigint").alias("n_7d"),
+            (F.coalesce(F.col("__s7"), F.lit(0)).cast("double") / 100.0)
+            .alias("spend_7d"),
+            F.coalesce(F.col("decayed_spend"), F.lit(0.0)).alias("decayed_spend"),
+            F.coalesce(F.col("decayed_n"), F.lit(0.0)).alias("decayed_n"),
+            split_col("user_id").alias("split"),
+        )
+    )
+
+
+ORACLE_FEATURE_E2E = f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+latest AS (
+  SELECT user_id, ts AS last_ts, cents AS last_cents FROM (
+    SELECT user_id, ts, cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+),
+seven AS (
+  SELECT user_id, count(*) AS n_7d, sum(cents) AS s7
+  FROM c WHERE ts >= TIMESTAMP '{FE_LO7}' AND ts <= TIMESTAMP '{FE_HI}'
+  GROUP BY user_id
+),
+decayed AS (
+  SELECT user_id,
+         CAST(sum(cents * (CAST(1 AS BIGINT) << ({TIME_DECAY_MAX_DAYS} - k)))
+              AS DOUBLE) / {float((1 << TIME_DECAY_MAX_DAYS) * 100)}
+           AS decayed_spend,
+         CAST(sum(CAST(1 AS BIGINT) << ({TIME_DECAY_MAX_DAYS} - k)) AS DOUBLE)
+           / {float(1 << TIME_DECAY_MAX_DAYS)} AS decayed_n
+  FROM (
+    SELECT user_id, cents,
+           datediff('day', CAST(ts AS DATE), DATE '{TIME_DECAY_ANCHOR}') AS k
+    FROM c
+    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      AND ts <= TIMESTAMP '{FE_HI}'
+  )
+  WHERE k BETWEEN 0 AND {TIME_DECAY_MAX_DAYS}
+  GROUP BY user_id
+),
+stats AS (
+  SELECT sum(last_cents) AS s, sum(last_cents * last_cents) AS ss,
+         count(*) AS n
+  FROM latest
+)
+SELECT l.user_id, l.last_ts,
+       CAST(l.last_cents AS DOUBLE) / 100.0 AS last_value,
+       (CAST(l.last_cents AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n)
+         / sqrt(CAST(t.ss AS DOUBLE) / t.n
+                - (CAST(t.s AS DOUBLE) / t.n) * (CAST(t.s AS DOUBLE) / t.n))
+         AS z_last_value,
+       CAST(COALESCE(sv.n_7d, 0) AS BIGINT) AS n_7d,
+       CAST(COALESCE(sv.s7, 0) AS DOUBLE) / 100.0 AS spend_7d,
+       COALESCE(d.decayed_spend, 0.0) AS decayed_spend,
+       COALESCE(d.decayed_n, 0.0) AS decayed_n,
+       CASE WHEN ((l.user_id % 1000) * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN ((l.user_id % 1000) * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM latest l
+LEFT JOIN seven sv ON sv.user_id = l.user_id
+LEFT JOIN decayed d ON d.user_id = l.user_id
+CROSS JOIN stats t
+"""

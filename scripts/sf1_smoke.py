@@ -150,6 +150,7 @@ SMOKE_QUERIES = [
     "streaming_cdc_merge",
     "golden_record",
     "scan_merge_schema",
+    "feature_engineering_e2e",
 ]
 
 

@@ -189,6 +189,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_cdc_merge",
     "golden_record",
     "scan_merge_schema",
+    "feature_engineering_e2e",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM

@@ -663,3 +663,19 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_feature_e2e_prunes_branch_scans_and_broadcasts_stats(spark, sf_dir):
+    """The serving-side flagship: the 7-day and decay branches must push
+    their own ts-range predicates to their scans (no branch reads the
+    full history), the population-stats row must arrive by broadcast
+    (never a shuffle for one row), and nothing may plan nested-loop."""
+    from feast_ibm_spark.queries import QUERIES
+
+    out = QUERIES["feature_engineering_e2e"].fn(spark, sf_dir)
+    text = explain_str(out)
+    fs = pushed_filters(out)
+    ranged = [f for f in fs if "GreaterThanOrEqual(ts" in f]
+    assert len(ranged) >= 2, fs  # both trailing-window branches pruned
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+    assert "CartesianProduct" not in text
