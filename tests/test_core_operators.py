@@ -848,3 +848,96 @@ if _HAS_HYPOTHESIS:
             ).collect()
         }
         assert got == expected
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 4),                       # key
+                st.integers(0, 30),                      # hour (order)
+                st.one_of(st.none(), st.integers(0, 9)), # attr a (sparse)
+                st.one_of(st.none(), st.integers(0, 9)), # attr b (sparse)
+            ),
+            min_size=0, max_size=16,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_survivorship_property_matches_brute_force(spark, rows):
+        """Golden-record merge vs per-key brute force: each attribute
+        independently takes the value of the LAST row (by (ts, rid))
+        where it is non-null; n_sources counts all contributing rows."""
+        from feast_ibm_spark.operators.merge import survivorship_merge
+
+        base = TS(2024, 1, 1)
+        data = [
+            (k, base + timedelta(hours=h), i,
+             float(a) if a is not None else None,
+             float(b) if b is not None else None)
+            for i, (k, h, a, b) in enumerate(rows)
+        ]
+
+        expected = {}
+        for k, ts, rid, a, b in sorted(data, key=lambda r: (r[1], r[2])):
+            prev = expected.get(k, (None, None, 0))
+            expected[k] = (
+                a if a is not None else prev[0],
+                b if b is not None else prev[1],
+                prev[2] + 1,
+            )
+
+        df = spark.createDataFrame(
+            data or [(None, None, None, None, None)],
+            "k bigint, ts timestamp, rid bigint, a double, b double",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r.k: (r.a, r.b, r.n_sources)
+            for r in survivorship_merge(
+                df, ["k"], ["ts", "rid"], ["a", "b"]
+            ).collect()
+        }
+        assert got == expected
+
+    @given(
+        docs=st.lists(
+            st.lists(st.integers(0, 6), min_size=0, max_size=10),
+            min_size=0, max_size=6,
+        ),
+        thr=st.sampled_from([0.5, 0.8, 1.0]),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_containment_property_matches_brute_force(spark, docs, thr):
+        """Containment pairs vs per-pair set arithmetic over 1-gram
+        shingle sets (n=1 keeps the brute force trivial): every ordered
+        pair with |A n B|/|A| >= thr, both directions, exact score."""
+        from feast_ibm_spark.operators.dedup import ngram_containment_pairs
+
+        texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+        sets = {i: set(toks) for i, toks in enumerate(docs) if toks}
+        expected = {}
+        for i, A in sets.items():
+            for j, B in sets.items():
+                if i == j:
+                    continue
+                common = len(A & B)
+                if common * 1000 >= int(round(thr * 1000)) * len(A):
+                    expected[(i, j)] = common / len(A)
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)) or [(None, None)],
+            "doc_id bigint, text string",
+        ).filter(F.col("doc_id").isNotNull())
+        got = {
+            (r.doc_id, r.container_id): r.containment
+            for r in ngram_containment_pairs(df, n=1, threshold=thr).collect()
+        }
+        assert got == expected
