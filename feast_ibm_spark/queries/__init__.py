@@ -283,8 +283,9 @@ QUERIES: dict[str, QueryDef] = {
                                     "(the 100 TB path) — same exact oracle"),
     "knn_cosine_topk": QueryDef(q_knn_cosine_topk, ORACLE_KNN,
                                 "brute-force cosine top-k"),
-    "knn_lsh": QueryDef(q_knn_lsh, None,
-                        "hyperplane-LSH ANN (approximate; rows-only)"),
+    "knn_lsh": QueryDef(q_knn_lsh, ORACLE_KNN_LSH,
+                        "hyperplane-LSH ANN (full value-hash oracle "
+                        "since round 6: seeded planes as SQL literals)"),
     "knn_ivfpq": QueryDef(q_knn_ivfpq, None,
                           "IVF+PQ residual ANN (rows-only; tiers "
                           "individually full-oracled)"),
@@ -573,8 +574,10 @@ QUERIES: dict[str, QueryDef] = {
 _DRIVER_EXCLUDE = (
     # rows-only (no oracle) approximates — accuracy asserted in pytest;
     # the sketch/ANN classes keep gate rows via knn_ivf/embedding_near_dup_lsh
-    "agg_approx_event_stats", "knn_lsh", "knn_ivfpq",
+    "agg_approx_event_stats", "knn_ivfpq",
     "window_sliding_distinct_hll",
+    # full-oracle since round 6 (seeded-plane literals), local gate
+    "knn_lsh",
     # rtol-compared (ln differs ~1 ulp libm vs JVM; exact hash can't gate)
     "text_bm25", "text_unigram_logprob", "text_bigram_logprob", "drift_psi",
     # oracle pinned transitively by a gated sibling's SQL

@@ -377,11 +377,53 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH (no oracle — approximate
-    by design; rows-only check). Validated in tests against exact top-k."""
+    """Approximate ANN via random-hyperplane LSH. Full value-hash oracle
+    since round 6 (ORACLE_KNN_LSH): the seeded planes embed as SQL
+    literals, the bucket meet + exact rescoring + top-k reproduce in
+    DuckDB — the approximation is deterministic, so it hashes. Recall
+    vs exact top-k additionally asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return lsh_cosine_topk(emb, queries, k=KNN_K)
 
 
 # --------------------------------------------------------------------------
+
+
+# Round 6: knn_lsh graduates from rows-only to a FULL value-hash oracle —
+# the same seeded-hyperplane literals as ORACLE_NEAR_DUP_LSH reproduce the
+# signature packing; candidates are the query-corpus bucket meet over any
+# of the 16 tables; rescoring is the exact fold kernel; top-k ties break
+# on ascending corpus id exactly like the operator's window.
+ORACLE_KNN_LSH = f"""
+WITH planes(t, p, pv) AS (VALUES
+{_lsh_planes_values()}
+),
+pdots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         {_DUCK_DOT.format(a='e.embedding', b='pl.pv')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM pdots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_vec_id, c.vec_id
+  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+  WHERE q.vec_id < {KNN_QUERY_IDS} AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cd.q_vec_id, cd.vec_id,
+         {_duck_cosine('eq.embedding', 'ec.embedding')} AS cosine
+  FROM cand cd
+  JOIN embeddings eq ON eq.vec_id = cd.q_vec_id
+  JOIN embeddings ec ON ec.vec_id = cd.vec_id
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {KNN_K}
+"""
