@@ -286,9 +286,10 @@ QUERIES: dict[str, QueryDef] = {
     "knn_lsh": QueryDef(q_knn_lsh, ORACLE_KNN_LSH,
                         "hyperplane-LSH ANN (full value-hash oracle "
                         "since round 6: seeded planes as SQL literals)"),
-    "knn_ivfpq": QueryDef(q_knn_ivfpq, None,
-                          "IVF+PQ residual ANN (rows-only; tiers "
-                          "individually full-oracled)"),
+    "knn_ivfpq": QueryDef(q_knn_ivfpq, ORACLE_KNN_IVFPQ,
+                          "IVF+PQ residual ANN (full value-hash oracle "
+                          "since round 6: route + residual-ADC + "
+                          "re-rank all in SQL)"),
     "knn_pq": QueryDef(q_knn_pq, ORACLE_KNN_PQ,
                        "PQ (ADC) ANN with exact re-rank — deterministic "
                        "seed codebooks; full value-hash oracle"),
@@ -574,10 +575,10 @@ QUERIES: dict[str, QueryDef] = {
 _DRIVER_EXCLUDE = (
     # rows-only (no oracle) approximates — accuracy asserted in pytest;
     # the sketch/ANN classes keep gate rows via knn_ivf/embedding_near_dup_lsh
-    "agg_approx_event_stats", "knn_ivfpq",
+    "agg_approx_event_stats",
     "window_sliding_distinct_hll",
-    # full-oracle since round 6 (seeded-plane literals), local gate
-    "knn_lsh",
+    # full-oracle since round 6 (deterministic seed constructions), local
+    "knn_lsh", "knn_ivfpq",
     # rtol-compared (ln differs ~1 ulp libm vs JVM; exact hash can't gate)
     "text_bm25", "text_unigram_logprob", "text_bigram_logprob", "drift_psi",
     # oracle pinned transitively by a gated sibling's SQL

@@ -367,10 +367,12 @@ SELECT q_vec_id, vec_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ residual composition (rows-only: the production ANN shape
-    composes two individually FULL-ORACLED tiers — knn_ivf proves the
-    routing, knn_pq the code scan; recall/determinism/bit-exact-rescore
-    are pinned in pytest)."""
+    """IVF+PQ residual composition — the production large-scale ANN
+    shape. FULL value-hash oracle since round 6 (ORACLE_KNN_IVFPQ): the
+    deterministic seed construction makes cell routing, the residual
+    encode argmin, LUT build, ordered ADC fold, candidate cut and exact
+    re-rank all SQL-reproducible (verified hash-exact at sf0.01 AND
+    sf0.1). Recall/determinism additionally pinned in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return ivfpq_cosine_topk(emb, queries, k=KNN_K)
@@ -426,4 +428,129 @@ SELECT q_vec_id, vec_id, cosine, rank FROM (
          row_number() OVER (PARTITION BY q_vec_id
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= {KNN_K}
+"""
+
+
+IVFPQ_CELLS, IVFPQ_PROBE, IVFPQ_M, IVFPQ_CODES, IVFPQ_CANDS = 16, 4, 8, 16, 64
+
+
+def _duck_res_dot8(res: str, cb: str, j: str) -> str:
+    """dot of an 8-wide subvector slice of two DOUBLE[] lists."""
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  list_transform(range(1, {_PQ_DSUB + 1}),
+    i -> CAST({res}[{j}*{_PQ_DSUB}+i] AS DOUBLE) * CAST({cb}[{j}*{_PQ_DSUB}+i] AS DOUBLE))),
+  (acc, x) -> acc + x)"""
+
+
+# Round 6: knn_ivfpq graduates from rows-only to a FULL value-hash oracle.
+# Every stage of the production ANN composition is deterministic given the
+# seed construction (cells = 16 lowest-id vectors; residual codebooks =
+# residuals of the NEXT 16), so the whole pipeline — cell assignment,
+# residual encode argmin, probe-cell top-4, LUT build, ordered ADC fold,
+# candidate cut, exact re-rank — reproduces in SQL, exactly like the
+# individually-oracled knn_ivf and knn_pq tiers it composes.
+ORACLE_KNN_IVFPQ = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS ce,
+         sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVFPQ_CELLS})
+),
+tail AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS te
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {IVFPQ_CODES} OFFSET {IVFPQ_CELLS})
+),
+tail_assign AS (
+  SELECT code, te, ce AS tce FROM (
+    SELECT t.code, t.te, c.ce,
+           row_number() OVER (PARTITION BY t.code
+             ORDER BY ({_DUCK_DOT.format(a='t.te', b='c.ce')}) / c.cnorm DESC,
+                      c.cell_idx ASC) AS rn
+    FROM tail t CROSS JOIN cents c) WHERE rn = 1
+),
+codebooks AS (
+  SELECT code,
+         list_transform(range(1, 65), i -> te[i] - tce[i]) AS cb
+  FROM tail_assign
+),
+assign AS (
+  SELECT vec_id, cell, ce,
+         list_transform(range(1, 65), i -> emb[i] - ce[i]) AS res
+  FROM (
+    SELECT e.vec_id, e.embedding AS emb, c.cell_idx AS cell, c.ce,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ({_DUCK_DOT.format(a='e.embedding', b='c.ce')}) / c.cnorm DESC,
+                      c.cell_idx ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT a.vec_id, j.j, b.code,
+           row_number() OVER (PARTITION BY a.vec_id, j.j ORDER BY
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                 (a.res[j.j*{_PQ_DSUB}+i] - b.cb[j.j*{_PQ_DSUB}+i])
+                 * (a.res[j.j*{_PQ_DSUB}+i] - b.cb[j.j*{_PQ_DSUB}+i]))),
+               (acc, x) -> acc + x) ASC, b.code ASC) AS rn
+    FROM assign a CROSS JOIN codebooks b CROSS JOIN range(0, {IVFPQ_M}) j(j)
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS q_vec_id, cell_idx AS cell FROM (
+    SELECT e.vec_id, c.cell_idx,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ({_DUCK_DOT.format(a='e.embedding', b='c.ce')}) / c.cnorm DESC,
+                      c.cell_idx ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < {KNN_QUERY_IDS}) WHERE rn <= {IVFPQ_PROBE}
+),
+norms AS (
+  SELECT vec_id, sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+heads AS (
+  SELECT q.vec_id AS q_vec_id, c.cell_idx AS cell,
+         {_DUCK_DOT.format(a='q.embedding', b='c.ce')} AS head
+  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < {KNN_QUERY_IDS}
+),
+luts AS (
+  SELECT q.vec_id AS q_vec_id, j.j, b.code,
+         {_duck_res_dot8('q.embedding', 'b.cb', 'j.j')} AS dotv
+  FROM embeddings q CROSS JOIN codebooks b CROSS JOIN range(0, {IVFPQ_M}) j(j)
+  WHERE q.vec_id < {KNN_QUERY_IDS}
+),
+approx AS (
+  SELECT p.q_vec_id, a.vec_id,
+         (h.head + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(l.dotv ORDER BY l.j)), (acc, x) -> acc + x))
+           / (qn.nrm * cn.nrm) AS approx
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN luts l ON l.q_vec_id = p.q_vec_id AND l.j = c.j AND l.code = c.code
+  JOIN heads h ON h.q_vec_id = p.q_vec_id AND h.cell = a.cell
+  JOIN norms qn ON qn.vec_id = p.q_vec_id
+  JOIN norms cn ON cn.vec_id = a.vec_id
+  WHERE a.vec_id != p.q_vec_id
+  GROUP BY p.q_vec_id, a.vec_id, h.head, qn.nrm, cn.nrm
+),
+cands AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT q_vec_id, vec_id,
+           row_number() OVER (PARTITION BY q_vec_id
+                              ORDER BY approx DESC, vec_id ASC) AS rn
+    FROM approx) WHERE rn <= {IVFPQ_CANDS}
+),
+rescored AS (
+  SELECT c.q_vec_id, c.vec_id,
+         {_duck_cosine('q.embedding', 'e.embedding')} AS cosine
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.q_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT q_vec_id, vec_id, cosine, rank FROM (
+  SELECT q_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored) WHERE rank <= {KNN_K}
 """

@@ -190,11 +190,12 @@ _EXCLUDED_WITH_ORACLE = [
     "golden_record",
     "scan_merge_schema",
     "feature_engineering_e2e",
-    "knn_lsh",  # full seeded-plane oracle since round 6
+    "knn_lsh",    # full seeded-plane oracle since round 6
+    "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
-_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats", "knn_ivfpq",
+_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats",
                        "window_sliding_distinct_hll"]
 
 
