@@ -550,6 +550,11 @@ QUERIES: dict[str, QueryDef] = {
                                   "mergeSchema read across schema "
                                   "generations (added column, no "
                                   "rewrite)"),
+    "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
+                                     ORACLE_JSON_QUARANTINE,
+                                     "bad-record quarantine channel on "
+                                     "JSON ingestion (routed, counted, "
+                                     "traceable — never fatal)"),
     "feature_engineering_e2e": QueryDef(q_feature_engineering_e2e,
                                         ORACLE_FEATURE_E2E,
                                         "flagship serving-side "
@@ -644,6 +649,7 @@ _DRIVER_EXCLUDE = (
     "streaming_cdc_merge",
     "golden_record",
     "scan_merge_schema",
+    "scan_json_quarantine",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

@@ -1227,3 +1227,76 @@ SELECT COALESCE(event_type, '<pre-schema>') AS event_type,
        count(DISTINCT user_id) AS n_users
 FROM unified GROUP BY 1
 """
+
+
+def q_scan_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine on semi-structured ingestion: a feed where
+    ~1/13 of the JSON payloads are corrupted (closing brace chopped —
+    deterministic by event_id) parses with a corrupt-record channel
+    (``columnNameOfCorruptRecord``), so malformed rows are ROUTED, not
+    dropped and not fatal: good rows surface their typed field, bad rows
+    are counted with a traceable sample id, and the pipeline total never
+    changes. The oracle reproduces the corruption and the routing with
+    ``json_valid`` — verified equivalent to Spark's PERMISSIVE corrupt
+    channel for this corruption class. At 100 TB this is the difference
+    between one poison record killing an ingest and a quarantine table
+    to triage."""
+    ev = _t(spark, sf_dir, "events")
+    fed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    parsed = fed.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "props",
+            "k bigint, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+        ).alias("s"),
+    )
+    return (
+        parsed.select(
+            "event_id",
+            "event_type",
+            F.col("s.k").alias("k"),
+            F.col("s._corrupt").isNotNull().alias("bad"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("bad").cast("bigint")).alias("n_quarantined"),
+            F.sum(F.when(~F.col("bad"), F.col("k"))).alias("sum_k_good"),
+            F.min(F.when(F.col("bad"), F.col("event_id"))).alias(
+                "first_bad_event_id"
+            ),
+        )
+    )
+
+
+ORACLE_JSON_QUARANTINE = """
+WITH fed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS props
+  FROM events
+),
+routed AS (
+  SELECT event_id, event_type,
+         NOT json_valid(props) AS bad,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM fed
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN NOT bad THEN k END) AS BIGINT) AS sum_k_good,
+       min(CASE WHEN bad THEN event_id END) AS first_bad_event_id
+FROM routed GROUP BY event_type
+"""

@@ -151,6 +151,7 @@ SMOKE_QUERIES = [
     "golden_record",
     "scan_merge_schema",
     "feature_engineering_e2e",
+    "scan_json_quarantine",
 ]
 
 

@@ -190,6 +190,7 @@ _EXCLUDED_WITH_ORACLE = [
     "golden_record",
     "scan_merge_schema",
     "feature_engineering_e2e",
+    "scan_json_quarantine",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
