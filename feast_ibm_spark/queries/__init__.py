@@ -550,6 +550,12 @@ QUERIES: dict[str, QueryDef] = {
                                   "mergeSchema read across schema "
                                   "generations (added column, no "
                                   "rewrite)"),
+    "layout_compaction_roundtrip": QueryDef(
+        q_layout_compaction_roundtrip, ORACLE_COMPACTION_ROUNDTRIP,
+        "small-file compaction with atomic swap, content-preserving"),
+    "table_checksum": QueryDef(q_table_checksum, ORACLE_TABLE_CHECKSUM,
+                               "order-independent content checksum "
+                               "(sum+xor of portable row hashes)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -650,6 +656,8 @@ _DRIVER_EXCLUDE = (
     "golden_record",
     "scan_merge_schema",
     "scan_json_quarantine",
+    "layout_compaction_roundtrip",
+    "table_checksum",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

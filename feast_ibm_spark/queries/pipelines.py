@@ -1023,3 +1023,40 @@ LEFT JOIN seven sv ON sv.user_id = l.user_id
 LEFT JOIN decayed d ON d.user_id = l.user_id
 CROSS JOIN stats t
 """
+
+
+def q_layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction at the gate: the events table is first
+    written as 64 tiny files (the accumulated-incremental-appends
+    pathology), compacted in place to a handful of right-sized files
+    with an atomic directory swap (sources/layout.compact — shuffle-free
+    coalesce when shrinking), then read back and aggregated: compaction
+    must be exactly content-preserving while the file count collapses
+    (the count reduction itself is pinned in test_sources). The oracle
+    is the same aggregate over the original table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.layout import compact
+    from ..sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_compact_{tag}")
+    if not os.path.exists(os.path.join(dest, "_COMPACTED")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(dest)
+        compact(spark, dest, target_rows_per_file=500_000)
+        open(os.path.join(dest, "_COMPACTED"), "w").close()
+    back = read_parquet(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ORACLE_COMPACTION_ROUNDTRIP = ORACLE_ZORDER_ROUNDTRIP

@@ -1300,3 +1300,74 @@ SELECT event_type,
        min(CASE WHEN bad THEN event_id END) AS first_bad_event_id
 FROM routed GROUP BY event_type
 """
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the cross-system
+    reconciliation primitive ("does the replica hold exactly this
+    data?"). Each row folds to one canonical string (doubles as cents,
+    timestamps as epoch micros — formatting-free integers, so the
+    string is engine-identical), hashes with the engine-portable
+    polynomial rolling hash (functions/text.fingerprint_col, mod 1e9+7),
+    and aggregates per event_type with the two order-independent
+    reductions: SUM (bigint; < 2^63 up to ~9e9 rows per group — the
+    documented bound) and XOR. Any single changed/missing/duplicated
+    row flips both with overwhelming probability. Map-side combinable:
+    at 100 TB this is one scan + one tiny shuffle of (group, sum, xor,
+    n) partials."""
+    from ..functions.text import fingerprint_col
+
+    ev = _t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.col("event_type"),
+        _cents("value").cast("string"),
+    )
+    h = fingerprint_col(canon)
+    return (
+        ev.select("event_type", h.alias("__h"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("__h").alias("sum_hash"),
+            F.expr("bit_xor(__h)").alias("xor_hash"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _oracle_table_checksum() -> str:
+    from ..functions.text import FP_BASE, FP_MOD
+
+    return f"""
+WITH canon AS (
+  SELECT event_type,
+         concat_ws('|',
+           CAST(event_id AS VARCHAR),
+           CAST(user_id AS VARCHAR),
+           CAST(epoch_us(ts) AS VARCHAR),
+           event_type,
+           CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS s
+  FROM events
+),
+hashed AS (
+  SELECT event_type,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(s) + 1),
+          i -> CAST(unicode(s[i:i]) AS BIGINT))),
+      (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+    ) AS h
+  FROM canon
+)
+SELECT event_type,
+       CAST(sum(h) AS BIGINT) AS sum_hash,
+       bit_xor(h) AS xor_hash,
+       count(*) AS n_rows
+FROM hashed GROUP BY event_type
+"""
+
+
+ORACLE_TABLE_CHECKSUM = _oracle_table_checksum()

@@ -152,6 +152,7 @@ SMOKE_QUERIES = [
     "scan_merge_schema",
     "feature_engineering_e2e",
     "scan_json_quarantine",
+    "table_checksum",
 ]
 
 

@@ -191,6 +191,8 @@ _EXCLUDED_WITH_ORACLE = [
     "scan_merge_schema",
     "feature_engineering_e2e",
     "scan_json_quarantine",
+    "layout_compaction_roundtrip",
+    "table_checksum",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
