@@ -556,6 +556,9 @@ QUERIES: dict[str, QueryDef] = {
     "table_checksum": QueryDef(q_table_checksum, ORACLE_TABLE_CHECKSUM,
                                "order-independent content checksum "
                                "(sum+xor of portable row hashes)"),
+    "graph_pagerank": QueryDef(q_graph_pagerank, ORACLE_PAGERANK,
+                               "fixed-point integer PageRank over the "
+                               "co-purchase graph (3 exact rounds)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -658,6 +661,7 @@ _DRIVER_EXCLUDE = (
     "scan_json_quarantine",
     "layout_compaction_roundtrip",
     "table_checksum",
+    "graph_pagerank",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

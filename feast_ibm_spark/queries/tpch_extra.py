@@ -529,3 +529,87 @@ JOIN part_n nc ON nc.l_partkey = r.consequent
 CROSS JOIN total t
 WHERE r.n_both * 100 >= {RULE_MIN_CONF_PCT} * na.n_part
 """
+
+
+PR_EDGE_MIN_BOTH, PR_ITERS = 2, 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the co-purchase graph (parts as nodes,
+    ordered-together-at-least-twice as undirected edges, doubled into a
+    directed list): which parts are central to the co-purchase network.
+    Every per-edge contribution is an exact integer floor division
+    (operators/graph.pagerank_fixed_point), so three unrolled
+    message-passing rounds — join + aggregate per round, O(E) each —
+    produce bit-identical scores in any engine; the oracle unrolls the
+    same three rounds in SQL."""
+    from ..operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
+    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst").unionByName(
+        pairs.selectExpr("pb AS src", "pa AS dst")
+    )
+    out = pagerank_fixed_point(edges, iterations=PR_ITERS)
+    return out.select(F.col("node").alias("part"), "score_scaled")
+
+
+def _pr_round(prev: str, label: str) -> str:
+    return f"""{label} AS (
+  SELECT n.node, CAST(150000 + COALESCE(m.mass, 0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * s.score) // (100 * d.deg)) AS mass
+    FROM edges e
+    JOIN {prev} s ON s.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) m ON m.node = n.node
+)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_EDGE_MIN_BOTH}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+),
+deg AS (
+  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+),
+s0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+),
+{_pr_round('s0', 's1')},
+{_pr_round('s1', 's2')},
+{_pr_round('s2', 's3')}
+SELECT node AS part, score AS score_scaled FROM s3
+"""

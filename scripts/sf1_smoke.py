@@ -153,6 +153,7 @@ SMOKE_QUERIES = [
     "feature_engineering_e2e",
     "scan_json_quarantine",
     "table_checksum",
+    "graph_pagerank",
 ]
 
 

@@ -1217,3 +1217,25 @@ def test_survivorship_merge_is_column_level(spark):
     # their own latest non-null observations
     assert got[1] == ("a@x.io", "Alice", 3)
     assert got[2] == (None, None, 1)
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """A hub receiving mass from many spokes must outrank the spokes;
+    scores are a pure function of the edge set (identical across runs),
+    and every node keeps at least the teleport mass."""
+    from feast_ibm_spark.operators.graph import PR_SCALE, pagerank_fixed_point
+
+    # star: 0 <-> each of 1..6 (hub 0), plus an isolated pair 7 <-> 8
+    star = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    pair = [(7, 8), (8, 7)]
+    edges = spark.createDataFrame(star + pair, "src bigint, dst bigint")
+    got = {r.node: r.score_scaled
+           for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    assert got[0] > got[1] > 0
+    assert all(got[i] == got[1] for i in range(2, 7))  # spokes symmetric
+    assert got[7] == got[8]                            # pair symmetric
+    teleport = (15 * PR_SCALE) // 100
+    assert all(v >= teleport for v in got.values())
+    again = {r.node: r.score_scaled
+             for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    assert got == again

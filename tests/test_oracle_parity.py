@@ -193,6 +193,7 @@ _EXCLUDED_WITH_ORACLE = [
     "scan_json_quarantine",
     "layout_compaction_roundtrip",
     "table_checksum",
+    "graph_pagerank",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
