@@ -283,6 +283,24 @@ SHOWCASE: list[tuple[str, str]] = [
         "parallel. The plan IS the scan.",
     ),
     (
+        "feature_engineering_e2e",
+        "The serving-side flagship: four per-user feature branches share\n"
+        "the user_id partitioning (latest-row window, 7-day aggregate,\n"
+        "decay aggregate), each branch's time window is pushed to its own\n"
+        "parquet scan, and the population z-score moments collapse to ONE\n"
+        "broadcast row — no second pass over events, no global join. The\n"
+        "assembly is left joins on the shared key.",
+    ),
+    (
+        "graph_pagerank",
+        "Iterative message passing unrolled into the plan: each PageRank\n"
+        "round is one edges-scores-degree join feeding a per-destination\n"
+        "aggregate — O(E) work per round, all integer arithmetic (exact\n"
+        "floor div), no float accumulation anywhere. The same body runs\n"
+        "inside a checkpointed driver loop for round counts that would\n"
+        "make the unrolled lineage too deep.",
+    ),
+    (
         "training_shuffle",
         "Epoch-deterministic training shuffle: the (shard, pos) coordinate\n"
         "is an overflow-safe integer hash (map-side) plus ONE per-shard\n"
