@@ -1239,3 +1239,33 @@ def test_pagerank_fixed_point_semantics(spark):
     again = {r.node: r.score_scaled
              for r in pagerank_fixed_point(edges, iterations=3).collect()}
     assert got == again
+
+
+def test_containment_shingle_freq_cap_only_lowers(spark):
+    """max_shingle_freq on the containment operator: dropping hot
+    shingles from the JOIN side only (sizes still count everything)
+    means computed containment can only DROP — emitted pairs are a
+    subset with scores <= the uncapped run's, and pairs carried by rare
+    shingles survive untouched."""
+    from feast_ibm_spark.operators.dedup import ngram_containment_pairs
+
+    hot = "common boilerplate header words appear everywhere always"
+    docs = spark.createDataFrame(
+        [(1, hot + " unique alpha beta"),
+         (2, hot + " unique alpha beta gamma delta epsilon"),
+         (3, hot + " totally different tail content here now"),
+         (4, hot + " yet another unrelated ending for this doc")],
+        "doc_id bigint, text string",
+    )
+    plain = {(r.doc_id, r.container_id): r.containment
+             for r in ngram_containment_pairs(
+                 docs, n=2, threshold=0.3).collect()}
+    capped = {(r.doc_id, r.container_id): r.containment
+              for r in ngram_containment_pairs(
+                  docs, n=2, threshold=0.3, max_shingle_freq=2).collect()}
+    assert set(capped) <= set(plain)
+    for pair, c in capped.items():
+        assert c <= plain[pair]
+    # the (1 in 2) containment is carried by the rare "unique alpha
+    # beta..." shingles (freq 2 <= cap), so it survives the cap
+    assert (1, 2) in capped
