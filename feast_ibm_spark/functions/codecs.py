@@ -263,3 +263,174 @@ def decode_image_bytes(data: bytes, fmt: str | None = None) -> np.ndarray:
         f"format {fmt or 'unknown'} needs PIL, which is not installed "
         "(stdlib kernels cover png/bmp)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (multi-frame) — round 6. A GIF89a-structured container with GIF LZW
+# (variable-width codes, clear/EOI, 12-bit cap with table reset) over a
+# 256-entry grayscale palette: the engine's REAL multi-frame media format,
+# which upgrades video-style frame sampling from an env-gated stub to an
+# executed kernel (operators/multimodal.frame_sample). The encoder/decoder
+# pair is roundtrip-verified across code-size growth and table reset; the
+# LZW code-size boundary policy is self-consistent between the pair (the
+# classic early-change ambiguity; external-viewer compatibility is
+# untested in this container — no PIL/ffmpeg to cross-check against).
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    out_bits: list[int] = []
+
+    def emit(code: int, size: int) -> None:
+        for b in range(size):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear, code_size)
+    buf = b""
+    for sym in indices:
+        nxt = buf + bytes([sym])
+        if nxt in table:
+            buf = nxt
+        else:
+            emit(table[buf], code_size)
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            elif next_code - 1 == (1 << 12):
+                emit(clear, code_size)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            buf = bytes([sym])
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        code = 0
+        for b in range(code_size):
+            byte = data[(bitpos + b) >> 3]
+            code |= ((byte >> ((bitpos + b) & 7)) & 1) << b
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= n_expected:
+            break
+    return bytes(out[:n_expected])
+
+
+def gif_encode(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) uint8 grayscale -> multi-frame GIF bytes."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise UnsupportedMediaError("gif_encode expects (n, h, w) uint8")
+    n, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes([i, i, i])  # grayscale global palette
+    mcs = 8
+    for f in range(n):
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        data = _gif_lzw_encode(frames[f].ravel().tolist(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Multi-frame GIF bytes -> (n_frames, h, w) uint8 (palette R channel)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF bitstream")
+    w, h, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 7)
+        palette = np.frombuffer(
+            data[pos : pos + 3 * gct_size], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * gct_size
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise UnsupportedMediaError(f"unexpected GIF block 0x{b:02x}")
+        _, _, fw, fh, lflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        if lflags & 0x80:
+            pos += 3 * (2 << (lflags & 7))
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), mcs, fw * fh), dtype=np.uint8
+        )
+        frames.append(idx.reshape(fh, fw))
+    if not frames:
+        raise UnsupportedMediaError("GIF contains no image blocks")
+    arr = np.stack(frames)
+    if palette is not None:
+        arr = palette[arr, 0]
+    return arr

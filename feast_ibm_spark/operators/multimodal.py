@@ -261,11 +261,76 @@ def decode_stub(df: DataFrame) -> DataFrame:
     return decode_images(df)
 
 
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over multi-frame media (round 6): decode the
+    container, keep every ``every_n``-th frame, emit one row per kept
+    frame with its stats — the training-pipeline shape that turns video
+    into a frame dataset. The executed format is GIF (the engine's
+    stdlib multi-frame codec, functions/codecs.py — real LZW
+    decompression inside the Arrow batch); true video containers
+    (mp4/webm) still require ffmpeg/PyAV and keep the documented raise
+    (frame_sample_stub). Map-only: no shuffle, frames never leave their
+    batch un-aggregated."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import UnsupportedMediaError, gif_decode
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                if fmt != "gif":
+                    raise UnsupportedMediaError(
+                        f"frame_sample decodes gif; {fmt!r} needs "
+                        "ffmpeg/PyAV (frame_sample_stub)"
+                    )
+                frames = gif_decode(bytes(payload))
+                n = frames.shape[0]
+                for idx in range(0, n, every_n):
+                    f = frames[idx]
+                    rows.append(
+                        (
+                            int(mid),
+                            idx,
+                            n,
+                            f.shape[0],
+                            f.shape[1],
+                            float(np.float64(f.sum()) / f.size),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "height", "width", "mean_pixel",
+                ],
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — still a stub: no container/codec parser
-    (ffmpeg/PyAV) is available, and video bitstreams are not feasibly
-    parsed with the stdlib. The plan (schema, Arrow batching) is real;
-    the kernel raises at execution with the reason."""
+    """TRUE-video frame sampling — still a stub for mp4/webm (no
+    ffmpeg/PyAV in this environment; those bitstreams are not feasibly
+    parsed with the stdlib). Multi-frame sampling IS real for the GIF
+    container — use :func:`frame_sample`. The plan (schema, Arrow
+    batching) here is real; the kernel raises at execution with the
+    reason."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:

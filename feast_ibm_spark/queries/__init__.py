@@ -556,6 +556,11 @@ QUERIES: dict[str, QueryDef] = {
     "table_checksum": QueryDef(q_table_checksum, ORACLE_TABLE_CHECKSUM,
                                "order-independent content checksum "
                                "(sum+xor of portable row hashes)"),
+    "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample,
+                                        ORACLE_FRAME_SAMPLE,
+                                        "REAL multi-frame sampling: GIF "
+                                        "LZW decode in-batch, every-nth "
+                                        "frame vs arithmetic oracle"),
     "graph_pagerank": QueryDef(q_graph_pagerank, ORACLE_PAGERANK,
                                "fixed-point integer PageRank over the "
                                "co-purchase graph (3 exact rounds)"),
@@ -662,6 +667,7 @@ _DRIVER_EXCLUDE = (
     "layout_compaction_roundtrip",
     "table_checksum",
     "graph_pagerank",
+    "multimodal_frame_sample",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

@@ -246,3 +246,60 @@ CROSS JOIN (VALUES (0), (2)) x(x)
 CROSS JOIN range(0, 3) c(c)
 GROUP BY d.doc_id
 """
+
+
+GIF_FRAMES, GIF_EVERY_N = 6, 2
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame media sampling at the gate: a 6-frame 4x4
+    grayscale GIF is synthesized per doc (pixel[f][i] = (doc_id*31 +
+    f*17 + i*7) % 256), LZW-compressed by the engine's stdlib GIF
+    encoder, then the frame_sample kernel decodes the container inside
+    the Arrow batch and keeps every 2nd frame (0, 2, 4) — one row per
+    kept frame with its mean. The arithmetic oracle recomputes each
+    kept frame's mean from the pixel formula, so any slip in the LZW
+    round-trip, frame indexing, or sampling stride fails the value
+    hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import attach_media_columns, frame_sample
+
+    @pandas_udf("binary")
+    def synth_gif(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import gif_encode
+
+        out = []
+        npx = IMG_H * IMG_W
+        for did in ids:
+            frames = np.empty((GIF_FRAMES, IMG_H, IMG_W), dtype=np.uint8)
+            for f in range(GIF_FRAMES):
+                px = (int(did) * 31 + f * 17 + np.arange(npx) * 7) % 256
+                frames[f] = px.astype(np.uint8).reshape(IMG_H, IMG_W)
+            out.append(gif_encode(frames))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_gif(F.col("doc_id")), "video", "gif"
+    )
+    return frame_sample(media, every_n=GIF_EVERY_N)
+
+
+ORACLE_FRAME_SAMPLE = f"""
+SELECT d.doc_id AS media_id,
+       f.f AS frame_idx,
+       CAST({GIF_FRAMES} AS BIGINT) AS n_frames,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST(SUM((d.doc_id * 31 + f.f * 17 + t.i * 7) % 256) AS DOUBLE)
+         / {IMG_H * IMG_W} AS mean_pixel
+FROM documents d
+CROSS JOIN range(0, {GIF_FRAMES}) f(f)
+CROSS JOIN range(0, {IMG_H * IMG_W}) t(i)
+WHERE f.f % {GIF_EVERY_N} = 0
+GROUP BY d.doc_id, f.f
+"""

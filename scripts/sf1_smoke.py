@@ -154,6 +154,7 @@ SMOKE_QUERIES = [
     "scan_json_quarantine",
     "table_checksum",
     "graph_pagerank",
+    "multimodal_frame_sample",
 ]
 
 

@@ -1269,3 +1269,38 @@ def test_containment_shingle_freq_cap_only_lowers(spark):
     # the (1 in 2) containment is carried by the rare "unique alpha
     # beta..." shingles (freq 2 <= cap), so it survives the cap
     assert (1, 2) in capped
+
+
+def test_gif_codec_roundtrip_and_frame_sample(spark):
+    """The GIF pair must round-trip arbitrary frames (incl. shapes that
+    force LZW code-size growth), and the frame_sample kernel must keep
+    exactly the every-nth frames with exact means."""
+    import numpy as np
+
+    from feast_ibm_spark.functions.codecs import gif_decode, gif_encode
+    from feast_ibm_spark.operators.multimodal import (
+        attach_media_columns,
+        frame_sample,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 4, 4), (5, 8, 3), (2, 64, 64)]:
+        fr = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert (gif_decode(gif_encode(fr)) == fr).all()
+
+    frames = rng.randint(0, 256, (7, 4, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif_encode(frames)))], "doc_id bigint, payload binary"
+    )
+    media = attach_media_columns(df, "doc_id", F.col("payload"), "video", "gif")
+    got = {r.frame_idx: r for r in frame_sample(media, every_n=3).collect()}
+    assert set(got) == {0, 3, 6}
+    for idx, r in got.items():
+        assert r.n_frames == 7 and (r.height, r.width) == (4, 4)
+        assert r.mean_pixel == float(frames[idx].astype(np.float64).mean())
+
+    # non-gif formats still raise the documented gate
+    bad = attach_media_columns(df, "doc_id", F.col("payload"), "video", "mp4")
+    import pytest as _pt
+    with _pt.raises(Exception, match="ffmpeg|PyAV|gif"):
+        frame_sample(bad).collect()

@@ -194,6 +194,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_compaction_roundtrip",
     "table_checksum",
     "graph_pagerank",
+    "multimodal_frame_sample",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
