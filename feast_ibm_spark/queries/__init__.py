@@ -556,6 +556,11 @@ QUERIES: dict[str, QueryDef] = {
     "table_checksum": QueryDef(q_table_checksum, ORACLE_TABLE_CHECKSUM,
                                "order-independent content checksum "
                                "(sum+xor of portable row hashes)"),
+    "scan_csv_quarantine": QueryDef(q_scan_csv_quarantine,
+                                    ORACLE_CSV_QUARANTINE,
+                                    "quarantine channel on the CSV file "
+                                    "reader (type-failure routing; empty "
+                                    "!= corrupt)"),
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample,
                                         ORACLE_FRAME_SAMPLE,
                                         "REAL multi-frame sampling: GIF "
@@ -668,6 +673,7 @@ _DRIVER_EXCLUDE = (
     "table_checksum",
     "graph_pagerank",
     "multimodal_frame_sample",
+    "scan_csv_quarantine",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

@@ -1371,3 +1371,77 @@ FROM hashed GROUP BY event_type
 
 
 ORACLE_TABLE_CHECKSUM = _oracle_table_checksum()
+
+
+def q_scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILE-READER twin of scan_json_quarantine: the quarantine
+    channel on the CSV source itself (``columnNameOfCorruptRecord`` on
+    ``spark.read.csv``, not from_json). The events table is serialized
+    to CSV lines with the value field replaced by a non-numeric token
+    for event_id % 17 == 0; the typed PERMISSIVE read routes those rows
+    into the corrupt column — note a legitimately EMPTY field is a null,
+    NOT a corrupt row (pinned by the oracle's rule), which is exactly
+    the distinction a quarantine channel must preserve. Values travel
+    as shortest-roundtrip double strings (Java Double.toString), so
+    good rows re-parse bit-exactly and the cent sums match the original
+    table."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 17 == 0, F.lit("xx")).otherwise(
+                F.col("value").cast("string")
+            ),
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="fis_csvq_")
+    lines.repartition(4).write.mode("overwrite").text(d)
+
+    parsed = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(d)
+    )
+    return (
+        parsed.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("_corrupt").isNotNull().alias("bad"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("bad").cast("bigint")).alias("n_quarantined"),
+            F.sum(
+                F.when(~F.col("bad"),
+                       F.round(F.col("value") * 100).cast("bigint"))
+            ).alias("sum_cents_good"),
+            F.min(F.when(F.col("bad"), F.col("event_id"))).alias(
+                "first_bad_event_id"
+            ),
+        )
+    )
+
+
+ORACLE_CSV_QUARANTINE = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN event_id % 17 != 0
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS sum_cents_good,
+       min(CASE WHEN event_id % 17 = 0 THEN event_id END)
+         AS first_bad_event_id
+FROM events GROUP BY event_type
+"""

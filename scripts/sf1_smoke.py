@@ -155,6 +155,7 @@ SMOKE_QUERIES = [
     "table_checksum",
     "graph_pagerank",
     "multimodal_frame_sample",
+    "scan_csv_quarantine",
 ]
 
 

@@ -195,6 +195,7 @@ _EXCLUDED_WITH_ORACLE = [
     "table_checksum",
     "graph_pagerank",
     "multimodal_frame_sample",
+    "scan_csv_quarantine",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
