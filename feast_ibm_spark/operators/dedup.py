@@ -236,6 +236,52 @@ def jaccard_dedup_against(
     )
 
 
+def _shingle_common_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hash_shingles: bool,
+    max_shingle_freq: int | None,
+    persist: bool = False,
+):
+    """Shared inverted-index stage for the exact pair operators: build
+    the (optionally hashed) shingle index, per-doc set sizes, apply the
+    hot-shingle frequency cap to the JOIN side only, and self-join into
+    unordered common counts. Returns (common, sizes) where common has
+    (doc_a < doc_b, common) and sizes has (id_col, n_shingles) — the
+    Jaccard and containment operators differ only in the threshold
+    projection applied on top (factored in round 6 so the cap/sizes
+    ordering can never drift between them)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -283,30 +329,8 @@ def ngram_jaccard_pairs(
     NOTES.md). An explicit ``persist=True`` remains for nondeterministic
     upstreams (e.g. a sampled corpus), where recompute would be wrong,
     not just slow."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
-    if hash_shingles:
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    if max_shingle_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") <= max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    common, sizes = _shingle_common_counts(
+        df, text_col, id_col, n, hash_shingles, max_shingle_freq, persist
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
@@ -1087,29 +1111,8 @@ def ngram_containment_pairs(
     containee. A mutually-containing pair (near-identical docs) emits
     two rows, one per direction.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
-    if hash_shingles:
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    if max_shingle_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") <= max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                 F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    common, sizes = _shingle_common_counts(
+        df, text_col, id_col, n, hash_shingles, max_shingle_freq
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"),
                       F.col("n_shingles").alias("size_a"))

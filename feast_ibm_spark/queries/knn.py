@@ -196,9 +196,24 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fold-kernel rescoring + threshold. The sign of each
     plane-dot is robust to summation-order differences between numpy
     BLAS and the SQL left fold except exactly at 0 (probability ~0 for
-    continuous data; verified hash-exact at sf0.01 and sf0.1)."""
+    continuous data; verified hash-exact at sf0.01 and sf0.1).
+
+    The config is pinned EXPLICITLY to the shape the oracle's plane
+    literals encode (round-6 review fix): the operator's ``"auto"``
+    default resolves to this same shape at today's gate sizes, but a
+    future sf bump past AUTO_MIN_ROWS would silently diverge from the
+    fixed-literal oracle — explicit args make the parity
+    data-independent. The auto path itself is pinned by
+    test_near_dup_lsh_auto_matches_pinned_at_gate_scale and the 10x
+    default-args smoke."""
     emb = _t(spark, sf_dir, "embeddings")
-    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS,
+                              **_LSH_ORACLE_CONFIG)
+
+
+# the exact shape ORACLE_NEAR_DUP_LSH / ORACLE_EMBEDDING_CLUSTERS_LSH
+# hard-code via their seeded plane literals
+_LSH_ORACLE_CONFIG = dict(n_planes=4, n_tables=16, max_bucket_size=None)
 
 
 def _lsh_planes_values() -> str:
@@ -255,7 +270,8 @@ def q_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import near_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
+    pairs = near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS,
+                               **_LSH_ORACLE_CONFIG)
     return dedup_clusters(pairs, a_col="id_a", b_col="id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )

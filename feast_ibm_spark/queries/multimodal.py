@@ -192,10 +192,15 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCAN_BINARY = """
 SELECT doc_id,
-       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
        sha256(text || chr(10)) AS sha256
 FROM documents
 """
+# strlen (BYTES), not length (characters): the Spark side measures
+# F.length on BINARY content, i.e. octets — length(text) would silently
+# disagree on any multi-byte UTF-8 document (round-6 review fix;
+# current corpora are ASCII so both passed, but the invariant must be
+# data-independent)
 
 
 RESIZE_W, RESIZE_H = 2, 2

@@ -871,6 +871,19 @@ FE_HI = "2024-01-30 23:59:59.999999"
 FE_LO7 = "2024-01-24 00:00:00"
 
 
+def _fe_decay_lo() -> str:
+    """Decay-window lower bound DERIVED from the shared time-decay
+    constants (anchor minus max days), so changing either constant moves
+    the scan prefilter and the k-filter together — a hard-coded literal
+    here silently kept excluding the old window (round-6 review fix)."""
+    from datetime import date, timedelta
+
+    anchor = date.fromisoformat(TIME_DECAY_ANCHOR)
+    return (
+        anchor - timedelta(days=TIME_DECAY_MAX_DAYS)
+    ).isoformat() + " 00:00:00"
+
+
 def q_feature_engineering_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP feature-store composition (the serving-side twin of
     training_pipeline_e2e): one plan exports the ML-ready per-user
@@ -919,7 +932,7 @@ def q_feature_engineering_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     decay_base = (
         filter_ts_range(
             ev, "ts",
-            "2024-01-16 00:00:00", FE_HI,
+            _fe_decay_lo(), FE_HI,
         )
         .select("user_id", cents.alias("__c"), k.alias("__k"))
         .filter((dk >= 0) & (dk <= TIME_DECAY_MAX_DAYS))
@@ -994,7 +1007,7 @@ decayed AS (
     SELECT user_id, cents,
            datediff('day', CAST(ts AS DATE), DATE '{TIME_DECAY_ANCHOR}') AS k
     FROM c
-    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    WHERE ts >= TIMESTAMP '{_fe_decay_lo()}'
       AND ts <= TIMESTAMP '{FE_HI}'
   )
   WHERE k BETWEEN 0 AND {TIME_DECAY_MAX_DAYS}

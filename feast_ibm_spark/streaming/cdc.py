@@ -73,21 +73,49 @@ def streaming_cdc_merge(
     version after the stream drains. ``initial_snapshot`` must already
     carry the ``op`` column (``'upsert'`` for live rows)."""
     spark = changes_stream.sparkSession
-    v0 = os.path.join(state_dir, "v0")
-    initial_snapshot.write.mode("overwrite").parquet(v0)
-    current = {"path": v0, "version": 0}
+
+    # Restart-safe versioning (round-6 review fix): snapshot versions are
+    # keyed by the STREAM'S batch id, not a driver-side counter, and the
+    # base snapshot is only written once — so a restart from a durable
+    # checkpoint resumes from the highest committed version instead of
+    # silently resetting to the initial snapshot while the checkpoint
+    # skips the already-committed batches. A REPLAYED batch (crash
+    # mid-write) re-reads its true predecessor (highest version strictly
+    # below its own id) and overwrites its own directory — idempotent,
+    # which is exactly what foreachBatch exactly-once requires of sinks.
+    base = os.path.join(state_dir, "v_base")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        initial_snapshot.write.mode("overwrite").parquet(base)
+
+    def _committed_versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        out = []
+        for name in os.listdir(state_dir):
+            if name.startswith("b") and name[1:].isdigit() and os.path.exists(
+                os.path.join(state_dir, name, "_SUCCESS")
+            ):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def _path_for(version: int | None) -> str:
+        return base if version is None else os.path.join(
+            state_dir, f"b{version}"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        state = spark.read.parquet(current["path"])
+        prior = [v for v in _committed_versions() if v < batch_id]
+        state = spark.read.parquet(_path_for(prior[-1] if prior else None))
         merged = merge_batch_into_snapshot(
             state, batch_df, key_cols, ts_col, tiebreak_cols
         )
-        nxt = current["version"] + 1
-        nxt_path = os.path.join(state_dir, f"v{nxt}")
-        merged.write.mode("overwrite").parquet(nxt_path)
-        current["path"], current["version"] = nxt_path, nxt
+        merged.write.mode("overwrite").parquet(_path_for(batch_id))
+
+    def current_state_path() -> str:
+        versions = _committed_versions()
+        return _path_for(versions[-1] if versions else None)
 
     writer = changes_stream.writeStream.foreachBatch(_process)
-    return writer, lambda: current["path"]
+    return writer, current_state_path

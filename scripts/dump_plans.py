@@ -339,6 +339,12 @@ def main() -> None:
         text = explain_str(df).rstrip()
         # strip the volatile Location lines (absolute tmp paths churn)
         text = re.sub(r"Location: \S+", "Location: <path>", text)
+        # summary metrics come from the FULL plan text; truncation below
+        # is display-only (counting after the cap under-reported long
+        # iterative plans — round-6 review fix)
+        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", text))
+        n_bcast = len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", text))
+        n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", text))
         # iterative/cached plans (connected components) and literal-heavy
         # oracles render tens of thousands of lines; cap each section —
         # the shape argument lives in the first screens, not the tail
@@ -348,9 +354,6 @@ def main() -> None:
                 f"\n... [{len(lines) - PLAN_LINE_CAP} more lines elided —"
                 " iterative plan; regenerate locally for the full tree]"
             )
-        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", text))
-        n_bcast = len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", text))
-        n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", text))
         summary_rows.append(
             f"| `{name}` | {n_pushed} | {n_bcast} | {n_shuffle} |"
         )

@@ -401,3 +401,55 @@ def test_streaming_cdc_merge_cross_batch_semantics(spark, tmp_path):
              for r in spark.read.parquet(state_path())
              .where("op != 'delete'").collect()}
     assert final == {1: (11.0, 201), 3: (30.0, 102)}
+
+
+def test_streaming_cdc_merge_survives_restart(spark, tmp_path):
+    """The round-6 review defect, pinned: a SECOND run over the same
+    state dir + checkpoint (the durable continuous-maintenance shape)
+    must resume from the highest committed version — not reset to the
+    initial snapshot while the checkpoint skips the committed batches."""
+    from datetime import datetime as TS
+
+    from feast_ibm_spark.streaming.cdc import streaming_cdc_merge
+
+    schema = "user_id bigint, ts timestamp, value double, event_id bigint, op string"
+    snapshot = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 10.0, 100, "upsert")], schema
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        writer, state_path = streaming_cdc_merge(
+            stream, snapshot, state_dir,
+            key_cols=["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
+        )
+        q = (writer.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return state_path
+
+    # run 1: one change batch upserts key 2
+    spark.createDataFrame(
+        [(2, TS(2024, 1, 2), 20.0, 200, "upsert")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    state_path = run_once()
+    got1 = {r.user_id for r in spark.read.parquet(state_path()).collect()}
+    assert got1 == {1, 2}
+
+    # "restart": new files arrive, a FRESH writer reuses state + ckpt
+    spark.createDataFrame(
+        [(3, TS(2024, 1, 3), 30.0, 300, "upsert")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    state_path = run_once()
+    final = {r.user_id: r.value
+             for r in spark.read.parquet(state_path())
+             .where("op != 'delete'").collect()}
+    # key 2 from the PRE-restart batch must still be present
+    assert final == {1: 10.0, 2: 20.0, 3: 30.0}
