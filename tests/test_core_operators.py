@@ -941,3 +941,38 @@ if _HAS_HYPOTHESIS:
             for r in ngram_containment_pairs(df, n=1, threshold=thr).collect()
         }
         assert got == expected
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        n_frames=st.integers(1, 4),
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["random", "constant", "tiled"]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_gif_lzw_roundtrip_property(n_frames, h, w, seed, mode):
+        """The hand-written GIF/LZW pair must round-trip ANY frame
+        content — random bytes (incompressible), constant frames
+        (maximal LZW runs), and small tiles (dictionary reuse) — across
+        arbitrary small geometries. Pure codec property, no Spark."""
+        import numpy as np
+
+        from feast_ibm_spark.functions.codecs import gif_decode, gif_encode
+
+        rng = np.random.RandomState(seed)
+        if mode == "random":
+            frames = rng.randint(0, 256, (n_frames, h, w), dtype=np.uint8)
+        elif mode == "constant":
+            frames = np.full((n_frames, h, w), seed % 256, dtype=np.uint8)
+        else:
+            tile = rng.randint(0, 256, (2, 2), dtype=np.uint8)
+            frames = np.tile(tile, (n_frames, (h + 1) // 2, (w + 1) // 2))[
+                :, :h, :w
+            ].copy()
+        enc = gif_encode(frames)
+        dec = gif_decode(enc)
+        assert dec.shape == frames.shape
+        assert (dec == frames).all()
