@@ -198,22 +198,27 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLAS and the SQL left fold except exactly at 0 (probability ~0 for
     continuous data; verified hash-exact at sf0.01 and sf0.1).
 
-    The config is pinned EXPLICITLY to the shape the oracle's plane
-    literals encode (round-6 review fix): the operator's ``"auto"``
-    default resolves to this same shape at today's gate sizes, but a
-    future sf bump past AUTO_MIN_ROWS would silently diverge from the
-    fixed-literal oracle — explicit args make the parity
-    data-independent. The auto path itself is pinned by
-    test_near_dup_lsh_auto_matches_pinned_at_gate_scale and the 10x
-    default-args smoke."""
+    The query deliberately keeps the operator's ``"auto"`` defaults:
+    at every oracle-compared scale (sf0.01/sf0.1, far below
+    AUTO_MIN_ROWS) auto resolves byte-exactly to the oracle's pinned
+    (4, 16, uncapped) shape, while at smoke scale (20k vectors) it
+    resolves to the scaled config — pinning the args here instead was
+    tried in the round-6 review and REVERTED: it reintroduced the
+    quadratic bucket-join cliff at exactly the scale the auto design
+    exists for (the sf1 smoke caught it). The oracle coupling is
+    guarded loudly by test_lsh_oracle_shape_guard: if the parity corpus
+    ever grows past AUTO_MIN_ROWS, that test fails with instructions to
+    regenerate the oracle planes, BEFORE a mysterious gate hash
+    mismatch."""
     emb = _t(spark, sf_dir, "embeddings")
-    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS,
-                              **_LSH_ORACLE_CONFIG)
+    return near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
 
 
 # the exact shape ORACLE_NEAR_DUP_LSH / ORACLE_EMBEDDING_CLUSTERS_LSH
-# hard-code via their seeded plane literals
-_LSH_ORACLE_CONFIG = dict(n_planes=4, n_tables=16, max_bucket_size=None)
+# hard-code via their seeded plane literals (see q_embedding_near_dup_lsh
+# docstring for why the QUERY still uses auto; test_lsh_oracle_shape_guard
+# enforces that auto and this shape agree at every oracle-compared scale)
+LSH_ORACLE_CONFIG = dict(n_planes=4, n_tables=16, max_bucket_size=None)
 
 
 def _lsh_planes_values() -> str:
@@ -270,8 +275,7 @@ def q_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import near_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS,
-                               **_LSH_ORACLE_CONFIG)
+    pairs = near_dup_pairs_lsh(emb, threshold=NEAR_DUP_COS)
     return dedup_clusters(pairs, a_col="id_a", b_col="id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )

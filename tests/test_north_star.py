@@ -1304,3 +1304,35 @@ def test_gif_codec_roundtrip_and_frame_sample(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="ffmpeg|PyAV|gif"):
         frame_sample(bad).collect()
+
+
+def test_lsh_oracle_shape_guard():
+    """The loud code-level coupling between the LSH gate queries' auto
+    defaults and their fixed-literal oracles (round-6 review): at every
+    ORACLE-COMPARED scale the auto config must resolve byte-exactly to
+    the shape the oracle planes encode. If this fails, the parity corpus
+    outgrew AUTO_MIN_ROWS — regenerate ORACLE_NEAR_DUP_LSH /
+    ORACLE_EMBEDDING_CLUSTERS_LSH for the auto-resolved plane count (or
+    raise AUTO_MIN_ROWS) BEFORE the driver gate reports a mysterious
+    hash mismatch. Do NOT pin the query args instead: that reintroduces
+    the quadratic bucket-join cliff at smoke scale (measured, round 6)."""
+    import duckdb
+
+    from feast_ibm_spark.operators.similarity import lsh_auto_config
+    from feast_ibm_spark.queries.knn import LSH_ORACLE_CONFIG, NEAR_DUP_COS
+
+    oracle_shape = (
+        LSH_ORACLE_CONFIG["n_planes"],
+        LSH_ORACLE_CONFIG["n_tables"],
+        LSH_ORACLE_CONFIG["max_bucket_size"],
+    )
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        got = lsh_auto_config(n, NEAR_DUP_COS)[:3]
+        assert got == oracle_shape, (
+            f"{sf}: {n} vectors auto-resolves to {got} but the oracle "
+            f"plane literals encode {oracle_shape} — regenerate the "
+            "oracle for the new shape (see docstring)"
+        )
