@@ -360,6 +360,10 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_CLUSTER_REPS,
                                         "best-quality representative per "
                                         "near-dup cluster (tie: lowest id)"),
+    "cluster_representatives_lsh": QueryDef(
+        q_cluster_representatives_lsh, ORACLE_CLUSTER_REPS,
+        "same representative selection over the MinHash-LSH pair tier "
+        "(the 100 TB composition; shared oracle)"),
     "text_vocab_coverage": QueryDef(q_text_vocab_coverage,
                                     ORACLE_VOCAB_COVERAGE,
                                     "in-plan top-K vocabulary + per-doc "
@@ -674,6 +678,7 @@ _DRIVER_EXCLUDE = (
     "graph_pagerank",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
+    "cluster_representatives_lsh",
     "feature_engineering_e2e",
 )
 _DRIVER_FIRST = (

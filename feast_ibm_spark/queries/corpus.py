@@ -663,11 +663,12 @@ ORACLE_PROFILE = " UNION ALL ".join(
 # --------------------------------------------------------------------------
 
 
-def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _representatives_over_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail for both representative queries: cluster the pair
+    graph, attach quality, pick max-quality (tie: lowest id) per
+    cluster; singletons self-represent."""
     from ..operators.dedup import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
     clusters = dedup_clusters(pairs)
     s = quality_score_col("text")
     assigned = (
@@ -682,6 +683,26 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("quality_score", ordk).alias("rep_quality"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return _representatives_over_pairs(docs, pairs)
+
+
+def q_cluster_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition of representative selection: the SAME
+    cluster+pick tail over the MinHash-LSH pair tier instead of the
+    exact inverted-index tier — at gate scale the LSH candidates recall
+    every exact pair (pinned by test_minhash_matches_exact), so this
+    shares ORACLE_CLUSTER_REPS; at scale it inherits the banded-bucket
+    linearity the exact tier lacks."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return _representatives_over_pairs(docs, pairs)
 
 
 _DUCK_QUALITY_CTE = f"""

@@ -156,6 +156,7 @@ SMOKE_QUERIES = [
     "graph_pagerank",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
+    "cluster_representatives_lsh",
 ]
 
 

@@ -196,6 +196,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_pagerank",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
+    "cluster_representatives_lsh",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
 ]
