@@ -573,6 +573,12 @@ QUERIES: dict[str, QueryDef] = {
     "graph_pagerank": QueryDef(q_graph_pagerank, ORACLE_PAGERANK,
                                "fixed-point integer PageRank over the "
                                "co-purchase graph (3 exact rounds)"),
+    "graph_triangles": QueryDef(q_graph_triangles, ORACLE_TRIANGLES,
+                                "per-node triangle counts, degree-ordered "
+                                "orientation (O(sqrt(E)) wedge bound)"),
+    "streaming_topk": QueryDef(q_streaming_topk, ORACLE_STREAM_TOPK,
+                               "complete-mode streaming top-k leaderboard "
+                               "(sort+limit inside the streaming plan)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -676,6 +682,8 @@ _DRIVER_EXCLUDE = (
     "layout_compaction_roundtrip",
     "table_checksum",
     "graph_pagerank",
+    "graph_triangles",
+    "streaming_topk",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -766,6 +766,63 @@ GROUP BY 1, 2
 """
 
 
+STREAM_TOPK_K = 10
+
+
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard driven to completion: the 10
+    highest-spending users over the events file-stream, with the SORT and
+    LIMIT inside the streaming plan — Structured Streaming allows them
+    only in complete output mode, where every trigger re-emits the full
+    reranked table (the live-leaderboard semantics a dashboard wants).
+    Rank order is total: (cents DESC, user_id) — a boundary tie at rank
+    k can never make the cut ambiguous. Spend accumulates in integer
+    cents; the one double is the final /100 scale.
+
+    At 100 TB: complete mode re-emits only the k retained rows — the
+    state that matters (per-user running sums) lives in the aggregation
+    state store, which shuffles once on user_id and scales with distinct
+    keys, not event volume; the sort after the agg sees one row per user
+    per trigger and the limit prunes it to k (TakeOrderedAndProject, no
+    global sort materialization). Tenth streaming class at the gate."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "user_id", _cents("value").alias("__c")
+    )
+    board = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("__c").alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("user_id"))
+        .limit(STREAM_TOPK_K)
+    )
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        board, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("__s").cast("double") / 100.0).alias("spend"),
+    )
+
+
+ORACLE_STREAM_TOPK = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+FROM events
+GROUP BY user_id
+ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id
+LIMIT {STREAM_TOPK_K}
+"""
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join driven to completion: every purchase
     paired with the same user's clicks in the preceding 30 minutes, both

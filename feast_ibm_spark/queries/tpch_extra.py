@@ -613,3 +613,61 @@ s0 AS (
 {_pr_round('s2', 's3')}
 SELECT node AS part, score AS score_scaled FROM s3
 """
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the same co-purchase graph PageRank
+    runs on: how embedded each part is in tightly-knit co-purchase
+    cliques (the classic clustering/community signal). The operator
+    (operators/graph.triangle_counts) uses degree-ordered orientation so
+    wedge fan-out is bounded by O(sqrt(E)) per node on skewed graphs —
+    the oracle counts the same triangle set with the simple a<b<c
+    three-way join, which is fine at gate scale and identical by
+    construction (orientation changes the enumeration order, never the
+    triangle set)."""
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
+    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst")
+    out = triangle_counts(edges)
+    return out.select(F.col("node").alias("part"), "n_triangles")
+
+
+ORACLE_TRIANGLES = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_EDGE_MIN_BOTH}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node AS part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node
+"""

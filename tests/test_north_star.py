@@ -1241,6 +1241,24 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_triangle_counts_semantics(spark):
+    """A 4-clique gives every member C(3,2)=3 triangles; a node on a
+    single triangle gets 1; a hub whose spokes are mutually unconnected
+    gets 0 (absent from the output). Input direction and duplicate edges
+    must not matter — the operator canonicalizes to an undirected set."""
+    from feast_ibm_spark.operators.graph import triangle_counts
+
+    clique4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    tri = [(10, 11), (11, 12), (12, 10)]
+    star = [(20, i) for i in range(21, 26)]  # hub 20, no spoke-spoke edge
+    noise = [(j, i) for (i, j) in clique4] + clique4  # both directions + dups
+    edges = spark.createDataFrame(
+        clique4 + tri + star + noise, "src bigint, dst bigint"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+
+
 def test_containment_shingle_freq_cap_only_lowers(spark):
     """max_shingle_freq on the containment operator: dropping hot
     shingles from the JOIN side only (sizes still count everything)

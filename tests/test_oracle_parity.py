@@ -194,6 +194,8 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_compaction_roundtrip",
     "table_checksum",
     "graph_pagerank",
+    "graph_triangles",
+    "streaming_topk",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
