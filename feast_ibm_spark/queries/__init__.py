@@ -149,6 +149,9 @@ QUERIES: dict[str, QueryDef] = {
                                 "oracle as the CSV twin)"),
     "scan_csv_source": QueryDef(q_scan_csv_source, ORACLE_CSV_SOURCE,
                                 "S2 non-parquet format: CSV object source"),
+    "scan_text_logs": QueryDef(q_scan_text_logs, ORACLE_TEXT_LOGS,
+                               "S2 extension: raw log-line text source, "
+                               "regexp_extract parse roundtrip"),
     "scan_partitioned_events": QueryDef(q_scan_partitioned_events,
                                         ORACLE_PARTITIONED_SCAN,
                                         "native partition pruning over a "
@@ -684,6 +687,7 @@ _DRIVER_EXCLUDE = (
     "graph_pagerank",
     "graph_triangles",
     "streaming_topk",
+    "scan_text_logs",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

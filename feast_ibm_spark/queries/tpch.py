@@ -863,6 +863,69 @@ def q_scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def q_scan_text_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 extension: raw LOG LINES as a source — the shape real
+    clickstream/access-log ingestion has before any schema exists. The
+    events table is rendered once into Apache-combined-style lines
+    (``format_string``, value carried as integer cents so the roundtrip
+    is exact), served back through ``SparkDataSource(format="text")`` as
+    a single string column, parsed with ``regexp_extract`` (JVM-side,
+    codegen — the scale path for log parsing; no Python in the loop),
+    and aggregated. The oracle computes the same aggregate straight from
+    the events table, so the gate pins the whole render -> text scan ->
+    regex parse -> agg roundtrip. Unparseable lines (none here by
+    construction, but the filter is the production guard) are dropped
+    explicitly rather than poisoning casts."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.data_source import SparkDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_log_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "events")
+            .select(
+                F.format_string(
+                    'user=%d - [%s] "GET /%s HTTP/1.1" 200 %d',
+                    F.col("user_id"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                    F.col("event_type"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(dest)
+        )
+    src = SparkDataSource(path=dest, format="text")
+    pat = r'^user=(\d+) - \[[^\]]+\] "GET /(\w+) HTTP/1\.1" 200 (\d+)$'
+    parsed = src.load(spark).select(
+        F.regexp_extract("value", pat, 1).alias("uid_s"),
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+        F.regexp_extract("value", pat, 3).alias("cents_s"),
+    )
+    return (
+        parsed.filter(F.col("uid_s") != "")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col("uid_s").cast("bigint")).alias("n_users"),
+            (F.sum(F.col("cents_s").cast("bigint")).cast("double") / 100.0)
+            .alias("sum_value"),
+        )
+    )
+
+
+ORACLE_TEXT_LOGS = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+"""
+
 # --------------------------------------------------------------------------
 # Reference surface F3 as a driver query: native partition pruning over a
 # date-partitioned layout (reference :665-667 injects string predicates

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..types import spark_type_to_feast_value_type
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
+# parquet/csv/json are the reference's cos_type set (:147); orc and text
+# extend it — text serves raw line-oriented data (logs) as a single
+# `value` string column for downstream regex/JSON parsing.
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 
 class _CustomSourceOptionsShim:

@@ -196,6 +196,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_pagerank",
     "graph_triangles",
     "streaming_topk",
+    "scan_text_logs",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -11,6 +11,8 @@ import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from feast_ibm_spark.sources.data_source import (
     DataSourceValidationError,
     SparkDataSource,
@@ -80,6 +82,27 @@ def test_path_source_roundtrip(spark, sample_df, tmp_path_factory, fmt):
     assert {int(x) for x in rows} == {1, 2, 3}
     cols = dict(src.get_table_column_names_and_types(spark))
     assert set(cols) == {"id", "name", "value", "ts"}
+
+
+def test_text_source_serves_raw_lines(spark, tmp_path_factory):
+    """format="text" serves raw lines as a single `value` string column —
+    the pre-schema log-ingestion shape; parsing is the consumer's job."""
+    path = str(tmp_path_factory.mktemp("src") / "lines_txt")
+    spark.createDataFrame(
+        [("id=1 msg=a",), ("id=2 msg=b",), ("id=3 msg=c",)], "value string"
+    ).write.mode("overwrite").text(path)
+
+    src = SparkDataSource(path=path, format="text")
+    src.validate(spark)
+    df = src.load(spark)
+    assert df.columns == ["value"]
+    got = {
+        int(r.uid)
+        for r in df.select(
+            F.regexp_extract("value", r"^id=(\d+)", 1).alias("uid")
+        ).collect()
+    }
+    assert got == {1, 2, 3}
 
 
 def test_csv_source_retrieval_end_to_end(spark, sample_df, tmp_path_factory):
