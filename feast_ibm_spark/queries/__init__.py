@@ -582,6 +582,10 @@ QUERIES: dict[str, QueryDef] = {
     "streaming_topk": QueryDef(q_streaming_topk, ORACLE_STREAM_TOPK,
                                "complete-mode streaming top-k leaderboard "
                                "(sort+limit inside the streaming plan)"),
+    "graph_pagerank_incremental": QueryDef(
+        q_graph_pagerank_incremental, ORACLE_PAGERANK,
+        "delta-edge PageRank refresh from materialized per-iteration "
+        "state — bit-identical to the full-graph oracle"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -686,6 +690,7 @@ _DRIVER_EXCLUDE = (
     "table_checksum",
     "graph_pagerank",
     "graph_triangles",
+    "graph_pagerank_incremental",
     "streaming_topk",
     "scan_text_logs",
     "multimodal_frame_sample",

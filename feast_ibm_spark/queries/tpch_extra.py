@@ -534,19 +534,11 @@ WHERE r.n_both * 100 >= {RULE_MIN_CONF_PCT} * na.n_part
 PR_EDGE_MIN_BOTH, PR_ITERS = 2, 3
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point PageRank over the co-purchase graph (parts as nodes,
-    ordered-together-at-least-twice as undirected edges, doubled into a
-    directed list): which parts are central to the co-purchase network.
-    Every per-edge contribution is an exact integer floor division
-    (operators/graph.pagerank_fixed_point), so three unrolled
-    message-passing rounds — join + aggregate per round, O(E) each —
-    produce bit-identical scores in any engine; the oracle unrolls the
-    same three rounds in SQL."""
-    from ..operators.graph import pagerank_fixed_point
-
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+def _copurchase_edges(items: DataFrame, directed: bool = True) -> DataFrame:
+    """Co-purchase graph from a distinct (l_orderkey, l_partkey) item
+    set: parts ordered together in >= PR_EDGE_MIN_BOTH orders become an
+    undirected edge, optionally doubled into a directed list (the shape
+    pagerank consumes; triangle counting canonicalizes either)."""
     a, b = items.alias("a"), items.alias("b")
     pairs = (
         a.join(
@@ -561,9 +553,26 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
     )
-    edges = pairs.selectExpr("pa AS src", "pb AS dst").unionByName(
-        pairs.selectExpr("pb AS src", "pa AS dst")
-    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst")
+    if directed:
+        edges = edges.unionByName(pairs.selectExpr("pb AS src", "pa AS dst"))
+    return edges
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the co-purchase graph (parts as nodes,
+    ordered-together-at-least-twice as undirected edges, doubled into a
+    directed list): which parts are central to the co-purchase network.
+    Every per-edge contribution is an exact integer floor division
+    (operators/graph.pagerank_fixed_point), so three unrolled
+    message-passing rounds — join + aggregate per round, O(E) each —
+    produce bit-identical scores in any engine; the oracle unrolls the
+    same three rounds in SQL."""
+    from ..operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = _copurchase_edges(items)
     out = pagerank_fixed_point(edges, iterations=PR_ITERS)
     return out.select(F.col("node").alias("part"), "score_scaled")
 
@@ -629,22 +638,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
-    )
-    edges = pairs.selectExpr("pa AS src", "pb AS dst")
-    out = triangle_counts(edges)
+    out = triangle_counts(_copurchase_edges(items, directed=False))
     return out.select(F.col("node").alias("part"), "n_triangles")
 
 
@@ -671,3 +665,50 @@ SELECT node AS part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT z FROM tri
 ) GROUP BY node
 """
+
+
+PR_INCR_BASE_MOD = 7  # base graph = orders with l_orderkey % 7 != 0
+
+
+def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-edge PageRank refresh (graph IVM): the co-purchase graph is
+    split into a BASE (orders with ``l_orderkey % 7 != 0``) whose
+    per-iteration scores are materialized once per sf_dir (the stored
+    state a nightly job owns), and a DELTA — the edges the remaining
+    orders add (pair counts only grow, so the base edge set is a subset
+    of the full one and the delta is pure additions, the CDC-append
+    shape). ``pagerank_incremental`` re-evaluates only the delta's 3-hop
+    frontier against the stored rounds and must land BIT-IDENTICAL to
+    the full fixed-point run — the oracle is literally graph_pagerank's
+    full-graph SQL, making this the registry's strongest IVM pin: two
+    completely different execution strategies, one hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.graph import (
+        pagerank_incremental,
+        pagerank_iteration_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    base_items = items.filter(
+        F.col("l_orderkey") % PR_INCR_BASE_MOD != 0
+    )
+    base_edges = _copurchase_edges(base_items)
+    full_edges = _copurchase_edges(items)
+    delta_edges = full_edges.join(base_edges, ["src", "dst"], "left_anti")
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_pr_state_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        pagerank_iteration_scores(base_edges, iterations=PR_ITERS).write.mode(
+            "overwrite"
+        ).parquet(dest)
+    state = spark.read.parquet(dest)
+
+    out = pagerank_incremental(
+        base_edges, delta_edges, state, iterations=PR_ITERS
+    )
+    return out.select(F.col("node").alias("part"), "score_scaled")

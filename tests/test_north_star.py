@@ -1241,6 +1241,37 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_pagerank_incremental_equals_full_recompute(spark):
+    """Delta-edge refresh must be BIT-IDENTICAL to a full fixed-point
+    run on the union graph — integer arithmetic makes this exact, and
+    the frontier logic (deg-changed sources' out-neighbors + new nodes,
+    propagated one hop per round) must cover every truly-changed node.
+    Exercised on a graph where the delta (a) rewires an existing hub,
+    (b) introduces brand-new nodes, one of them source-only."""
+    from feast_ibm_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_incremental,
+        pagerank_iteration_scores,
+    )
+
+    base = (
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        + [(5, 6), (6, 7), (7, 5), (8, 1)]
+    )
+    delta = [(0, 9), (9, 10), (10, 0), (11, 12)]  # 11 is source-only & new
+    base_df = spark.createDataFrame(base, "src bigint, dst bigint")
+    delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+    full_df = spark.createDataFrame(base + delta, "src bigint, dst bigint")
+
+    want = {r.node: r.score_scaled
+            for r in pagerank_fixed_point(full_df, iterations=3).collect()}
+    state = pagerank_iteration_scores(base_df, iterations=3)
+    got = {r.node: r.score_scaled
+           for r in pagerank_incremental(base_df, delta_df, state,
+                                         iterations=3).collect()}
+    assert got == want
+
+
 def test_triangle_counts_semantics(spark):
     """A 4-clique gives every member C(3,2)=3 triangles; a node on a
     single triangle gets 1; a hub whose spokes are mutually unconnected

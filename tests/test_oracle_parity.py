@@ -195,6 +195,7 @@ _EXCLUDED_WITH_ORACLE = [
     "table_checksum",
     "graph_pagerank",
     "graph_triangles",
+    "graph_pagerank_incremental",
     "streaming_topk",
     "scan_text_logs",
     "multimodal_frame_sample",
