@@ -184,6 +184,13 @@ def pagerank_incremental(
     delta_n = delta_edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if delta_n.isEmpty():
+        # no-op refresh: the answer IS the stored final round (measured:
+        # the frontier machinery costs ~8s of fixed checkpoint overhead
+        # even on an empty delta — skip it)
+        return base_scores.filter(F.col("iter") == iterations).select(
+            "node", F.col("score").alias("score_scaled")
+        )
     full = (
         base_edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
