@@ -80,6 +80,84 @@ def input_size_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def remove_boilerplate_segments(
+    docs: DataFrame,
+    seg_tokens: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style repeated-segment removal: split each
+    document into consecutive ``seg_tokens``-token segments, find
+    segments occurring in >= ``min_docs`` DISTINCT documents (nav bars,
+    cookie banners, license headers — the cross-document boilerplate
+    exact-dedup can't see because the surrounding text differs), drop
+    those segments from every document, and reconstruct the text from
+    the surviving segments in order.
+
+    Plan shape: one explode (map-side, streams out of the scan), one
+    grouped distinct-count to find the hot set, a BROADCAST anti-join
+    against it — the hot set is tiny by construction (it is the
+    heavy-hitter tail of the segment distribution), so the corpus never
+    reshuffles for the filter — then one groupBy(doc) to reassemble.
+    ``array_sort`` over (seg_idx, seg) structs restores order without a
+    window.
+
+    Output: (id, clean_text, n_segments, n_removed); a fully-boilerplate
+    document survives with clean_text = ''.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ").alias(
+            "t"
+        ),
+    )
+    n_seg = F.ceil(F.size("t") / F.lit(seg_tokens)).cast("bigint")
+    counts = toks.withColumn("n_segments", n_seg)
+    seg = counts.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segments") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("t", i * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    hot = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    kept = seg.join(F.broadcast(hot), "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        counts.select(id_col, "n_segments")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            (
+                F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     quality_floor: float,

@@ -586,6 +586,10 @@ QUERIES: dict[str, QueryDef] = {
         q_graph_pagerank_incremental, ORACLE_PAGERANK,
         "delta-edge PageRank refresh from materialized per-iteration "
         "state — bit-identical to the full-graph oracle"),
+    "corpus_boilerplate_removal": QueryDef(
+        q_corpus_boilerplate_removal, ORACLE_BOILERPLATE,
+        "cross-document repeated-segment removal + ordered text "
+        "reconstruction (broadcast hot-set anti-join)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -693,6 +697,7 @@ _DRIVER_EXCLUDE = (
     "graph_pagerank_incremental",
     "streaming_topk",
     "scan_text_logs",
+    "corpus_boilerplate_removal",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

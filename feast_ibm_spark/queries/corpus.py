@@ -1049,3 +1049,65 @@ SELECT doc_b AS doc_id, doc_a AS container_id,
        CAST(common AS DOUBLE) / size_b AS containment
 FROM j WHERE common * 1000 >= {int(CONTAINMENT_THRESHOLD * 1000)} * size_b
 """
+
+
+# North-star: cross-document boilerplate removal
+# --------------------------------------------------------------------------
+
+BOILER_SEG_TOKENS, BOILER_MIN_DOCS = 3, 5
+
+
+def q_corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style repeated-segment removal: consecutive
+    3-token segments occurring in >= 5 distinct documents (the nav-bar /
+    cookie-banner / license-header shape exact dedup can't see) are
+    dropped from every document and the text is rebuilt from the
+    surviving segments in order. The hot-segment set is tiny by
+    construction, so the corpus filter is a broadcast anti-join — the
+    documents never reshuffle for it (operators/curation.py
+    remove_boilerplate_segments). Oracle reproduces segmentation with
+    DuckDB list slices and rebuilds with ordered string_agg."""
+    from ..operators.curation import remove_boilerplate_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        docs, seg_tokens=BOILER_SEG_TOKENS, min_docs=BOILER_MIN_DOCS
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, t,
+         CAST(ceil(len(t) / {BOILER_SEG_TOKENS}.0) AS BIGINT) AS n_segments,
+         range(0, CAST(ceil(len(t) / {BOILER_SEG_TOKENS}.0) AS BIGINT)) AS idxs
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           t[i * {BOILER_SEG_TOKENS} + 1 : i * {BOILER_SEG_TOKENS}
+             + {BOILER_SEG_TOKENS}], ' ') AS seg
+  FROM counts, unnest(idxs) AS u(i)
+),
+hot AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg
+  ) WHERE nd >= {BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       c.n_segments,
+       c.n_segments - coalesce(a.n_kept, 0) AS n_removed
+FROM counts c LEFT JOIN agg a USING (doc_id)
+"""

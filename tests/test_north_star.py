@@ -1241,6 +1241,36 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_boilerplate_segment_removal_semantics(spark):
+    """Segments repeated across >= min_docs documents vanish from every
+    document; unique content survives in original order; a document that
+    is pure boilerplate comes back empty rather than disappearing."""
+    from feast_ibm_spark.operators.curation import (
+        remove_boilerplate_segments,
+    )
+
+    banner = "accept all cookies"  # 3 tokens = one segment at seg_tokens=3
+    rows = [
+        (1, f"{banner} alpha beta gamma"),
+        (2, f"delta epsilon zeta {banner}"),
+        (3, f"{banner} eta theta iota"),
+        (4, banner),                      # pure boilerplate
+        (5, "kappa lambda mu nu xi omicron"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_boilerplate_segments(
+            docs, seg_tokens=3, min_docs=3
+        ).collect()
+    }
+    assert got[1] == ("alpha beta gamma", 2, 1)
+    assert got[2] == ("delta epsilon zeta", 2, 1)
+    assert got[3] == ("eta theta iota", 2, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("kappa lambda mu nu xi omicron", 2, 0)
+
+
 def test_pagerank_incremental_equals_full_recompute(spark):
     """Delta-edge refresh must be BIT-IDENTICAL to a full fixed-point
     run on the union graph — integer arithmetic makes this exact, and

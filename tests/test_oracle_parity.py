@@ -198,6 +198,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_pagerank_incremental",
     "streaming_topk",
     "scan_text_logs",
+    "corpus_boilerplate_removal",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
