@@ -374,3 +374,54 @@ def triangle_counts(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peel over an undirected graph: each round
+    recomputes degrees and drops every node below ``k`` together with
+    its edges — after enough rounds this is exactly the k-core (the
+    maximal subgraph with all degrees >= k). The round count is FIXED
+    and unrolled so the result is a pure function of (edge set, k,
+    rounds), reproducible in any engine — the same determinism recipe
+    as the fixed-iteration PageRank; a production run at unknown depth
+    wraps the same body in a driver loop until no node drops (peel
+    depth is bounded by the degeneracy ordering, usually tens of rounds
+    even on web-scale graphs), with the lineage checkpointing used here.
+
+    Each round is two grouped counts + two left-semi equi-joins — O(E)
+    per round, shrinking monotonically, no shuffle amplification.
+
+    Output: (node, core_deg) — degrees inside the surviving subgraph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionByName(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    for _ in range(rounds):
+        keep = _deg(e).filter(F.col("core_deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return _deg(e)

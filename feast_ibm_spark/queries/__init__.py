@@ -590,6 +590,10 @@ QUERIES: dict[str, QueryDef] = {
         q_corpus_boilerplate_removal, ORACLE_BOILERPLATE,
         "cross-document repeated-segment removal + ordered text "
         "reconstruction (broadcast hot-set anti-join)"),
+    "graph_kcore": QueryDef(
+        q_graph_kcore, ORACLE_KCORE,
+        "fixed-round k-core peel (k=3, 4 unrolled rounds), "
+        "surviving in-core degrees"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -698,6 +702,7 @@ _DRIVER_EXCLUDE = (
     "streaming_topk",
     "scan_text_logs",
     "corpus_boilerplate_removal",
+    "graph_kcore",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -712,3 +712,58 @@ def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_edges, delta_edges, state, iterations=PR_ITERS
     )
     return out.select(F.col("node").alias("part"), "score_scaled")
+
+
+KCORE_K, KCORE_ROUNDS = 3, 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel over the co-purchase graph: 4 rounds of
+    drop-degree-below-3, then surviving in-core degrees — the dense-core
+    community signal (parts entangled in heavily cross-sold clusters).
+    The round count unrolls into both engines identically (the
+    fixed-iteration determinism recipe shared with PageRank); the unit
+    test pins that 4 rounds reach the true fixpoint on a graph built to
+    need cascading peels."""
+    from ..operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    out = kcore_peel(
+        _copurchase_edges(items, directed=False), k=KCORE_K,
+        rounds=KCORE_ROUNDS,
+    )
+    return out.select(F.col("node").alias("part"), "core_deg")
+
+
+def _core_round(prev: str, label: str) -> str:
+    keep = (
+        f"(SELECT node FROM (SELECT a AS node FROM {prev} "
+        f"UNION ALL SELECT b FROM {prev}) "
+        f"GROUP BY node HAVING count(*) >= {KCORE_K})"
+    )
+    return (
+        f"{label} AS MATERIALIZED (\n  SELECT a, b FROM {prev}\n"
+        f"  WHERE a IN {keep}\n    AND b IN {keep}\n)"
+    )
+
+
+ORACLE_KCORE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_EDGE_MIN_BOTH}
+),
+{_core_round('e0', 'e1')},
+{_core_round('e1', 'e2')},
+{_core_round('e2', 'e3')},
+{_core_round('e3', 'e4')}
+SELECT node AS part, count(*) AS core_deg FROM (
+  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4
+) GROUP BY node
+"""

@@ -1241,6 +1241,27 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_kcore_peel_cascades_to_fixpoint(spark):
+    """A 5-clique with a pendant chain hanging off it: the chain needs
+    CASCADING peels (removing the tail drops the next node below k),
+    the clique survives intact with in-core degree 4, and running one
+    extra round changes nothing once the fixpoint is reached."""
+    from feast_ibm_spark.operators.graph import kcore_peel
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chain = [(4, 10), (10, 11), (11, 12)]  # peels 12 -> 11 -> 10
+    extra = [(10, 13), (10, 14)]  # deg(10)=4 pre-peel, still not in core
+    edges = spark.createDataFrame(
+        clique + chain + extra, "src bigint, dst bigint"
+    )
+    got = {r.node: r.core_deg
+           for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    again = {r.node: r.core_deg
+             for r in kcore_peel(edges, k=3, rounds=5).collect()}
+    assert again == got
+
+
 def test_boilerplate_segment_removal_semantics(spark):
     """Segments repeated across >= min_docs documents vanish from every
     document; unique content survives in original order; a document that

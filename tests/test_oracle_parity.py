@@ -199,6 +199,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_topk",
     "scan_text_logs",
     "corpus_boilerplate_removal",
+    "graph_kcore",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
