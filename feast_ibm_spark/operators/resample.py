@@ -104,3 +104,123 @@ def resample_locf(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return carried.filter(F.col("__is_grid") == 1).drop("__is_grid")
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    start: str | Column,
+    end: str | Column,
+    step_seconds: int,
+    grid_col: str = "grid_ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_locf`: each grid
+    instant gets the value interpolated between the key's surrounding
+    observations instead of the carried-forward one.
+
+    ``value_col`` must be an INTEGER column (callers scale money to
+    cents first): the interpolation weight is computed in exact integer
+    microseconds with truncating division —
+
+        v = v0 + sign(v1-v0) * (|v1-v0| * (g-t0)) div (t1-t0)
+
+    — the numerator is kept non-negative so truncation and floor agree
+    and any SQL engine reproduces the value bit-exactly (the formula is
+    safe while |v1-v0| * gap_us < 2^63; cents x month-scale gaps sit
+    orders of magnitude under that). Instants outside [first obs, last
+    obs] are NULL (no extrapolation); an observation exactly AT a grid
+    instant returns that observation.
+
+    Same melt shape as LOCF, run twice: one ascending window carries the
+    previous observation's (ts, value) forward, one descending window
+    carries the next observation's backward — still ONE shuffle on the
+    key partitioning (the two window sorts share it), no range join.
+    """
+    start_c = F.lit(start).cast("timestamp") if isinstance(start, str) else start
+    end_c = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+
+    obs = df.select(*key_cols, ts_col, value_col)
+    if tiebreak_cols:
+        w_tie = Window.partitionBy(*key_cols, ts_col).orderBy(
+            *[F.col(c).desc() for c in tiebreak_cols]
+        )
+        obs = (
+            df.select(*key_cols, ts_col, value_col, *tiebreak_cols)
+            .withColumn("__tie", F.row_number().over(w_tie))
+            .filter(F.col("__tie") == 1)
+            .select(*key_cols, ts_col, value_col)
+        )
+
+    grid = (
+        obs.select(*key_cols)
+        .distinct()
+        .withColumn(
+            grid_col,
+            F.explode(
+                F.sequence(
+                    start_c, end_c, F.expr(f"INTERVAL {step_seconds} SECONDS")
+                )
+            ),
+        )
+    )
+    obs_tagged = obs.select(
+        *key_cols,
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.lit(None).cast("timestamp").alias(grid_col),
+        F.col(value_col).alias("__v"),
+    )
+    grid_tagged = grid.select(
+        *key_cols,
+        F.col(grid_col).alias("__t"),
+        F.lit(1).alias("__is_grid"),
+        F.col(grid_col),
+        F.lit(None).cast(obs.schema[value_col].dataType).alias("__v"),
+    )
+    melted = obs_tagged.unionByName(grid_tagged)
+    # ascending: observation at an equal instant sorts FIRST (visible to
+    # the grid row); descending: it also sorts first, so it is likewise
+    # visible as the "next" observation — both windows see it
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__t").asc(), F.col("__is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__t").desc(), F.col("__is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_v = F.when(F.col("__is_grid") == 0, F.col("__v"))
+    obs_t = F.when(F.col("__is_grid") == 0, F.col("__t"))
+    surrounded = melted.select(
+        *key_cols,
+        F.col(grid_col),
+        F.col("__is_grid"),
+        F.last(obs_v, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("__pt"),
+        F.last(obs_v, ignorenulls=True).over(w_next).alias("__nv"),
+        F.last(obs_t, ignorenulls=True).over(w_next).alias("__nt"),
+    )
+    d_us = F.unix_micros("__nt") - F.unix_micros("__pt")
+    dv = F.col("__nv") - F.col("__pv")
+    # sign-safe truncating division: the numerator is always
+    # non-negative, so `div` (truncation) and `//` (floor) agree and the
+    # oracle reproduces the value bit-exactly
+    interp = (
+        F.when(F.col("__pv").isNull() | F.col("__nv").isNull(), F.lit(None))
+        .when(d_us == 0, F.col("__pv"))
+        .when(dv >= 0, F.col("__pv") + F.expr(
+            f"((__nv - __pv) * (unix_micros({grid_col}) - unix_micros(__pt)))"
+            f" div (unix_micros(__nt) - unix_micros(__pt))"))
+        .otherwise(F.col("__pv") - F.expr(
+            f"((__pv - __nv) * (unix_micros({grid_col}) - unix_micros(__pt)))"
+            f" div (unix_micros(__nt) - unix_micros(__pt))"))
+    )
+    return (
+        surrounded.filter(F.col("__is_grid") == 1)
+        .select(*key_cols, F.col(grid_col), interp.alias(value_col))
+    )

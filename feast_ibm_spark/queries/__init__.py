@@ -594,6 +594,10 @@ QUERIES: dict[str, QueryDef] = {
         q_graph_kcore, ORACLE_KCORE,
         "fixed-round k-core peel (k=3, 4 unrolled rounds), "
         "surviving in-core degrees"),
+    "resample_interpolate": QueryDef(
+        q_resample_interpolate, ORACLE_RESAMPLE_INTERP,
+        "grid resampling with exact-integer linear interpolation "
+        "(vs two opposite-direction DuckDB ASOF joins)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -703,6 +707,7 @@ _DRIVER_EXCLUDE = (
     "scan_text_logs",
     "corpus_boilerplate_removal",
     "graph_kcore",
+    "resample_interpolate",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -263,6 +263,71 @@ ASOF LEFT JOIN dedup
 """
 
 
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of resample_locf on the same 6-hour
+    grid: each instant gets the value interpolated between the user's
+    surrounding observations, in exact integer cents x microseconds with
+    sign-safe truncating division (operators/resample.py) — so the
+    interpolated values hash bit-exactly against the oracle's two
+    opposite-direction DuckDB ASOF joins. NULL outside [first obs, last
+    obs]; an observation exactly at an instant returns itself."""
+    from ..operators.resample import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("__c")
+    )
+    out = resample_interpolate(
+        ev, ["user_id"], "ts", "__c",
+        RESAMPLE_START, RESAMPLE_END, RESAMPLE_STEP_S,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "grid_ts",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+    )
+
+
+ORACLE_RESAMPLE_INTERP = f"""
+WITH dedup AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT k.user_id, g.gs AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events) k
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '{RESAMPLE_START}',
+                                  TIMESTAMP '{RESAMPLE_END}',
+                                  INTERVAL {RESAMPLE_STEP_S} SECOND)) AS gs
+  ) g
+),
+surrounded AS (
+  SELECT grid.user_id, grid.grid_ts,
+         p.c AS pv, epoch_us(p.ts) AS pt,
+         n.c AS nv, epoch_us(n.ts) AS nt,
+         epoch_us(grid.grid_ts) AS gt
+  FROM grid
+  ASOF LEFT JOIN dedup p
+    ON grid.user_id = p.user_id AND p.ts <= grid.grid_ts
+  ASOF LEFT JOIN dedup n
+    ON grid.user_id = n.user_id AND n.ts >= grid.grid_ts
+)
+SELECT user_id, grid_ts,
+       CAST(CASE
+         WHEN pv IS NULL OR nv IS NULL THEN NULL
+         WHEN nt = pt THEN pv
+         WHEN nv >= pv THEN pv + ((nv - pv) * (gt - pt)) // (nt - pt)
+         ELSE pv - ((pv - nv) * (gt - pt)) // (nt - pt)
+       END AS DOUBLE) / 100.0 AS value
+FROM surrounded
+"""
+
+
 def q_materialize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned materialize with IDEMPOTENT re-runs: two adjacent
     day-slice increments, then the second increment re-run verbatim (a

@@ -1241,6 +1241,41 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_resample_interpolate_semantics(spark):
+    """Midpoint of a rising segment interpolates exactly; an observation
+    AT a grid instant returns itself; instants before the first / after
+    the last observation are NULL (no extrapolation); a falling segment
+    truncates toward zero in BOTH engines (sign-safe formula)."""
+    import datetime as dt
+
+    from feast_ibm_spark.operators.resample import resample_interpolate
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(2), 100), (1, t(4), 300),  # rising segment across h2..h4
+        (1, t(6), 299),                  # falling by 1 over 2h: trunc check
+        (2, t(3, 30), 1000),             # single off-grid obs: all NULL
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v bigint")
+    got = {
+        (r.k, r.grid_ts.hour): r.v
+        for r in resample_interpolate(
+            df, ["k"], "ts", "v",
+            "2024-01-01 00:00:00", "2024-01-01 08:00:00", 3600,
+        ).collect()
+    }
+    assert got[(1, 0)] is None and got[(1, 1)] is None   # before first obs
+    assert got[(1, 2)] == 100                            # exactly at obs
+    assert got[(1, 3)] == 200                            # midpoint of 100->300
+    assert got[(1, 4)] == 300
+    # falling 300->299 over 2h: at 5h the true value is 299.5, and the
+    # sign-safe formula gives 300 - (1 * 1h) div 2h = 300 in both engines
+    assert got[(1, 5)] == 300
+    assert got[(1, 6)] == 299
+    assert got[(1, 7)] is None                           # after last obs
+    assert all(got[(2, h)] is None for h in range(0, 9))  # obs off-grid only
+
+
 def test_kcore_peel_cascades_to_fixpoint(spark):
     """A 5-clique with a pendant chain hanging off it: the chain needs
     CASCADING peels (removing the tail drops the next node below k),

@@ -200,6 +200,7 @@ _EXCLUDED_WITH_ORACLE = [
     "scan_text_logs",
     "corpus_boilerplate_removal",
     "graph_kcore",
+    "resample_interpolate",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
