@@ -598,6 +598,10 @@ QUERIES: dict[str, QueryDef] = {
         q_resample_interpolate, ORACLE_RESAMPLE_INTERP,
         "grid resampling with exact-integer linear interpolation "
         "(vs two opposite-direction DuckDB ASOF joins)"),
+    "drift_ks": QueryDef(
+        q_drift_ks, ORACLE_DRIFT_KS,
+        "exact two-sample KS drift statistic per event_type "
+        "(integer cross-multiplied CDFs, bin-free)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -708,6 +712,7 @@ _DRIVER_EXCLUDE = (
     "corpus_boilerplate_removal",
     "graph_kcore",
     "resample_interpolate",
+    "drift_ks",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -1130,3 +1130,88 @@ def q_layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 ORACLE_COMPACTION_ROUNDTRIP = ORACLE_ZORDER_ROUNDTRIP
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type,
+    EXACT: for before/after the split date, D = max over observed values
+    of |F_a(v) - F_b(v)|. The comparison is done on the integer
+    cross-multiplied form |cum_a*n_b - cum_b*n_a| (no float CDFs, no
+    epsilon), so unlike the binned+smoothed PSI the statistic is
+    bin-free, parameter-free, and value-hashable; the single double is
+    the final D division. One grouped count per (type, value), one
+    cumulative window over the value order, one max — a shuffle on
+    event_type x value and a window, both map-side combinable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    per_value = (
+        ev.select(
+            "event_type",
+            _cents("value").alias("v"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("in_a").alias("na"),
+            F.sum(1 - F.col("in_a")).alias("nb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.sum("na").over(w_tot).alias("ta"),
+        F.sum("nb").over(w_tot).alias("tb"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+            ).alias("ks_num"),
+            F.first("ta").alias("n_before"),
+            F.first("tb").alias("n_after"),
+        )
+        .select(
+            "event_type", "ks_num", "n_before", "n_after",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_before") * F.col("n_after")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+ORACLE_DRIFT_KS = f"""
+WITH per_value AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 0 ELSE 1 END) AS nb
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(na) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(na) OVER (PARTITION BY event_type) AS ta,
+         SUM(nb) OVER (PARTITION BY event_type) AS tb
+  FROM per_value
+)
+SELECT event_type,
+       MAX(abs(ca * tb - cb * ta)) AS ks_num,
+       ANY_VALUE(ta) AS n_before,
+       ANY_VALUE(tb) AS n_after,
+       CAST(MAX(abs(ca * tb - cb * ta)) AS DOUBLE)
+         / CAST(ANY_VALUE(ta) * ANY_VALUE(tb) AS DOUBLE) AS ks_stat
+FROM cum GROUP BY event_type
+"""

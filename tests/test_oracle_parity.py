@@ -201,6 +201,7 @@ _EXCLUDED_WITH_ORACLE = [
     "corpus_boilerplate_removal",
     "graph_kcore",
     "resample_interpolate",
+    "drift_ks",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
