@@ -307,3 +307,59 @@ def epoch_shuffle(
         shard.alias("shard"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+NEG_A, NEG_B = 1_315_423_911, 2_654_435_761  # odd mixing constants
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    row gets ``k`` pseudo-random OTHER rows as negatives, with no
+    cross join, no RNG state, and no driver loop — the negative index is
+    a pure hash of (id, rank):
+
+        off  = 1 + (id * NEG_A + rank * NEG_B) % (n - 1)
+        neg  = (id + off) % n
+
+    ``off`` is in [1, n-1], so a row can never draw itself. Requires
+    DENSE ids 0..n-1 (rank first otherwise — a one-time global sort, or
+    reuse an existing dense index). The mix stays within int64 while
+    n * NEG_A < 2^63, i.e. up to ~7e9 rows — reduce id modulo a smaller
+    range first past that (the priority_sample_per_group lesson).
+
+    Plan shape: one scalar count (broadcast), a map-side explode to k
+    rows, and ONE equi-join on the computed index to materialize the
+    negative's payload — shuffle on the join key only, uniformly
+    distributed by construction (no skew, no hot partition).
+
+    Output: (id, neg_rank 1..k, neg_<id_col>) plus the negative row's
+    payload columns prefixed ``neg_``.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    payload = [c for c in df.columns if c != id_col]
+    neg_side = df.select(
+        F.col(id_col).alias("__neg_join"),
+        *[F.col(c).alias(f"neg_{c}") for c in payload],
+    )
+    off = 1 + (
+        F.col(id_col) * F.lit(NEG_A) + F.col("neg_rank") * F.lit(NEG_B)
+    ) % (F.col("__n") - 1)
+    return (
+        df.select(id_col)
+        .crossJoin(F.broadcast(total))  # 1-row scalar, not a real cross
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+            "__n",
+        )
+        .withColumn(
+            f"neg_{id_col}", (F.col(id_col) + off) % F.col("__n")
+        )
+        .drop("__n")
+        .join(neg_side, F.col(f"neg_{id_col}") == F.col("__neg_join"))
+        .drop("__neg_join")
+    )

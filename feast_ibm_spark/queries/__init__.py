@@ -602,6 +602,10 @@ QUERIES: dict[str, QueryDef] = {
         q_drift_ks, ORACLE_DRIFT_KS,
         "exact two-sample KS drift statistic per event_type "
         "(integer cross-multiplied CDFs, bin-free)"),
+    "training_negative_pairs": QueryDef(
+        q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
+        "deterministic hash-drawn contrastive negatives, "
+        "no cross join / no RNG, exact pairing value-hashed"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -713,6 +717,7 @@ _DRIVER_EXCLUDE = (
     "graph_kcore",
     "resample_interpolate",
     "drift_ks",
+    "training_negative_pairs",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -1215,3 +1215,35 @@ SELECT event_type,
          / CAST(ANY_VALUE(ta) * ANY_VALUE(tb) AS DOUBLE) AS ks_stat
 FROM cum GROUP BY event_type
 """
+
+
+NEG_K = 4
+
+
+def q_training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: 4 deterministic hash-drawn
+    negatives per document with the negative's payload joined in —
+    no cross join, no RNG, one uniformly-distributed equi-join
+    (operators/sampling.negative_sample_pairs). The oracle replays the
+    same (id, rank) hash in SQL, so the exact pairing is value-hashed,
+    not just the counts."""
+    from ..operators.sampling import negative_sample_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return negative_sample_pairs(docs, k=NEG_K).select(
+        "doc_id", "neg_rank", "neg_doc_id", "neg_n_chars"
+    )
+
+
+ORACLE_NEGATIVE_PAIRS = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+r AS (SELECT unnest(range(1, {NEG_K} + 1)) AS neg_rank),
+neg AS (
+  SELECT d.doc_id, r.neg_rank,
+         (d.doc_id + 1 + (d.doc_id * {1_315_423_911}
+            + r.neg_rank * {2_654_435_761}) % (n.n - 1)) % n.n AS neg_doc_id
+  FROM documents d CROSS JOIN n CROSS JOIN r
+)
+SELECT neg.doc_id, neg.neg_rank, neg.neg_doc_id, p.n_chars AS neg_n_chars
+FROM neg JOIN documents p ON p.doc_id = neg.neg_doc_id
+"""

@@ -1241,6 +1241,25 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_negative_sample_pairs_never_self(spark):
+    """Every row draws exactly k negatives, never itself, all within
+    the id range, and the draw is a pure function of (id, rank) —
+    identical across runs."""
+    from feast_ibm_spark.operators.sampling import negative_sample_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(7)], "doc_id bigint, tag string"
+    )
+    out = negative_sample_pairs(df, k=3).collect()
+    assert len(out) == 7 * 3
+    for r in out:
+        assert r.neg_doc_id != r.doc_id
+        assert 0 <= r.neg_doc_id < 7
+        assert r.neg_tag == f"p{r.neg_doc_id}"
+    again = negative_sample_pairs(df, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_resample_interpolate_semantics(spark):
     """Midpoint of a rising segment interpolates exactly; an observation
     AT a grid instant returns itself; instants before the first / after

@@ -202,6 +202,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_kcore",
     "resample_interpolate",
     "drift_ks",
+    "training_negative_pairs",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
