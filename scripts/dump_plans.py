@@ -308,6 +308,35 @@ SHOWCASE: list[tuple[str, str]] = [
         "range partitioning; shards sort independently so no task sees\n"
         "more than corpus/n_shards rows.",
     ),
+    (
+        "graph_triangles",
+        "Degree-ordered orientation: every undirected edge points from its\n"
+        "lower-(degree, id) endpoint, so wedge fan-out per node is bounded\n"
+        "by O(sqrt(E)) REGARDLESS of skew — the million-follower hub\n"
+        "contributes ~zero wedges because all its edges point into it.\n"
+        "Two equi-joins (wedge build, closing-edge probe) + one explode\n"
+        "aggregate; the naive 2-path join would be quadratic in the\n"
+        "hottest degree, which is exactly what a power-law graph has.",
+    ),
+    (
+        "corpus_boilerplate_removal",
+        "The hot-segment set (segments in >= min_docs documents) is the\n"
+        "heavy-hitter tail of the distribution — tiny by construction —\n"
+        "so the corpus-wide removal is a BROADCAST anti-join: the\n"
+        "documents are exploded map-side, filtered against the broadcast\n"
+        "set, and reassembled with one groupBy(doc). The corpus never\n"
+        "reshuffles to discover or apply the boilerplate set.",
+    ),
+    (
+        "resample_interpolate",
+        "Both surrounding observations come from ONE melt: grid and\n"
+        "observation rows union into a single key partitioning and two\n"
+        "window passes (ascending carry-forward, descending carry-back)\n"
+        "share that exchange — no range join, no per-grid-point probe.\n"
+        "The interpolation itself is exact integer cents x microseconds\n"
+        "with sign-safe truncating division, so the values are\n"
+        "reproducible bit-for-bit in any engine.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
