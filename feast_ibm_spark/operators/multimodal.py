@@ -165,6 +165,62 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over decoded pixels — the image twin of
+    text fingerprinting, and the blocking key for image dedup: bit p is
+    set iff pixel p's luminance exceeds the image mean. Both sides of
+    that comparison are INTEGER (channel sum per pixel vs cross-
+    multiplied total: ``lum_p * n_pixels > total_lum``), so the hash is
+    a pure function of the decoded pixel values — any decode slip flips
+    bits and fails the oracle. Classic aHash downsamples to 8x8 first;
+    for payloads at or under 64 pixels the hash covers every pixel (the
+    synthetic gate images are 4x4 -> a 16-bit hash).
+
+    Identical images collide exactly, near-identical images land within
+    a small Hamming radius; downstream exact dedup is a groupBy on the
+    hash (the exact_dedup shape), near-dup is the SimHash pigeonhole
+    block join — both established scale paths.
+    """
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import decode_image_bytes
+
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            fmts = pdf["format"] if "format" in pdf else [None] * len(pdf)
+            for i, (payload, fmt) in enumerate(zip(pdf["payload"], fmts)):
+                arr = decode_image_bytes(bytes(payload), fmt)
+                if arr.ndim == 2:
+                    lum = arr.astype(np.int64)
+                else:
+                    lum = arr.astype(np.int64).sum(axis=2)
+                flat = lum.reshape(-1)
+                if flat.size > 64:  # classic aHash grid for big images
+                    hh, ww = lum.shape
+                    ys = (np.arange(8) * hh) // 8
+                    xs = (np.arange(8) * ww) // 8
+                    flat = lum[np.ix_(ys, xs)].reshape(-1)
+                bits = flat * flat.size > flat.sum()
+                out[i] = int(
+                    np.bitwise_or.reduce(
+                        (bits.astype(np.int64) << np.arange(flat.size))
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "ahash": out})
+
+    return df.mapInPandas(hsh, schema=AHASH_SCHEMA)
+
+
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """REAL image resize: decode (stdlib/PIL) -> nearest-neighbor sample
     -> re-encode as PNG. Output keeps the media schema; ``format``

@@ -606,6 +606,14 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "compliance_erasure_audit": QueryDef(
+        q_compliance_erasure_audit, ORACLE_ERASURE_AUDIT,
+        "right-to-be-forgotten rewrite + read-back audit "
+        "(oracle pins residual rows to zero)"),
+    "multimodal_image_dedup": QueryDef(
+        q_multimodal_image_dedup, ORACLE_IMAGE_DEDUP,
+        "image dedup via real decoded-pixel average-hash "
+        "(integer luminance bits; arithmetic oracle)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -718,6 +726,8 @@ _DRIVER_EXCLUDE = (
     "resample_interpolate",
     "drift_ks",
     "training_negative_pairs",
+    "compliance_erasure_audit",
+    "multimodal_image_dedup",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -316,3 +316,72 @@ CROSS JOIN range(0, {IMG_H * IMG_W}) t(i)
 WHERE f.f % {GIF_EVERY_N} = 0
 GROUP BY d.doc_id, f.f
 """
+
+
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup through a REAL perceptual hash: the same synthetic 4x4
+    PNGs as multimodal_decode_stats are decoded and average-hashed
+    (operators/multimodal.image_ahash — integer luminance-vs-mean bits),
+    then deduplicated with the exact_dedup shape: groupBy(ahash), min-id
+    canonical, dup counts joined back per image. The synthetic pixel
+    recipe repeats every 256 doc_ids (31 is invertible mod 256), so the
+    gate corpus contains REAL duplicate images across documents and the
+    groups are non-trivial. Oracle recomputes the hash from pixel
+    arithmetic alone — decode, luminance, threshold, bit packing, and
+    grouping all pinned by the value hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import attach_media_columns, image_ahash
+
+    @pandas_udf("binary")
+    def synth_png(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import png_encode
+
+        out = []
+        for did in ids:
+            px = (int(did) * 31 + np.arange(IMG_H * IMG_W * 3) * 7) % 256
+            out.append(png_encode(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_png(F.col("doc_id")), "image", "png"
+    )
+    hashes = image_ahash(media).select(
+        F.col("media_id").alias("doc_id"), "ahash"
+    )
+    groups = hashes.groupBy("ahash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return hashes.join(groups, "ahash").select(
+        "doc_id", "ahash", "canonical_id", "dup_count"
+    )
+
+
+ORACLE_IMAGE_DEDUP = f"""
+WITH lum AS (
+  SELECT d.doc_id, p.p,
+         ((d.doc_id * 31 + (3 * p.p + 0) * 7) % 256
+        + (d.doc_id * 31 + (3 * p.p + 1) * 7) % 256
+        + (d.doc_id * 31 + (3 * p.p + 2) * 7) % 256) AS l
+  FROM documents d CROSS JOIN range(0, {IMG_H * IMG_W}) p(p)
+),
+tot AS (SELECT doc_id, SUM(l) AS t FROM lum GROUP BY doc_id),
+h AS (
+  SELECT lum.doc_id,
+         CAST(SUM(CASE WHEN lum.l * {IMG_H * IMG_W} > tot.t
+                  THEN (CAST(1 AS BIGINT) << lum.p) ELSE 0 END) AS BIGINT)
+           AS ahash
+  FROM lum JOIN tot USING (doc_id) GROUP BY lum.doc_id
+),
+g AS (
+  SELECT ahash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+  FROM h GROUP BY ahash
+)
+SELECT h.doc_id, h.ahash, g.canonical_id, g.dup_count
+FROM h JOIN g USING (ahash)
+"""

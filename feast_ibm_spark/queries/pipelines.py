@@ -1208,9 +1208,9 @@ cum AS (
   FROM per_value
 )
 SELECT event_type,
-       MAX(abs(ca * tb - cb * ta)) AS ks_num,
-       ANY_VALUE(ta) AS n_before,
-       ANY_VALUE(tb) AS n_after,
+       CAST(MAX(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+       CAST(ANY_VALUE(ta) AS BIGINT) AS n_before,
+       CAST(ANY_VALUE(tb) AS BIGINT) AS n_after,
        CAST(MAX(abs(ca * tb - cb * ta)) AS DOUBLE)
          / CAST(ANY_VALUE(ta) * ANY_VALUE(tb) AS DOUBLE) AS ks_stat
 FROM cum GROUP BY event_type
@@ -1246,4 +1246,75 @@ neg AS (
 )
 SELECT neg.doc_id, neg.neg_rank, neg.neg_doc_id, p.n_chars AS neg_n_chars
 FROM neg JOIN documents p ON p.doc_id = neg.neg_doc_id
+"""
+
+
+ERASE_USER_MOD = 17  # deterministic erasure set: user_id % 17 == 0
+
+
+def q_compliance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten at the gate: a deterministic erasure set
+    (user_id % 17 == 0) is physically REWRITTEN out of an events copy
+    (anti-join + overwrite — the parquet-lake deletion path; no
+    tombstones to leak), the cleaned copy is read back, and the audit
+    reports per event_type: rows kept, rows erased, cents kept, and a
+    residual count of erased-user rows still present — which the oracle
+    pins to ZERO, so the gate hash fails if the rewrite ever leaks a
+    row. Erasure audit numbers come from the SAME read-back scan, not
+    from the pre-delete frame, so they prove the physical state.
+
+    At 100 TB: the anti-join against an erasure list is a broadcast
+    (erasure requests are tiny vs the lake), and the rewrite touches
+    only partitions holding matches when composed with the partitioned
+    layout (scan_partitioned_events) — partition pruning bounds the
+    rewrite I/O the same way it bounds reads."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_erased_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        kept = ev.filter(F.col("user_id") % ERASE_USER_MOD != 0)
+        kept.write.mode("overwrite").parquet(dest)
+    back = read_parquet(spark, dest)
+    totals = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").alias("kept_cents"),
+            F.sum(
+                F.when(F.col("user_id") % ERASE_USER_MOD == 0, 1).otherwise(0)
+            ).alias("n_residual"),
+        )
+        .join(totals, "event_type")
+        .select(
+            "event_type", "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_erased"),
+            "kept_cents", "n_residual",
+        )
+    )
+
+
+ORACLE_ERASURE_AUDIT = f"""
+SELECT event_type,
+       SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0 THEN 1 ELSE 0 END)
+         AS n_kept,
+       SUM(CASE WHEN user_id % {ERASE_USER_MOD} = 0 THEN 1 ELSE 0 END)
+         AS n_erased,
+       SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         AS kept_cents,
+       CAST(0 AS BIGINT) AS n_residual
+FROM events GROUP BY event_type
 """

@@ -68,6 +68,16 @@ def compare(
     if list(a.columns) != list(b.columns):
         problems.append(f"columns {list(a.columns)} != {list(b.columns)}")
         return problems
+    for c in a.columns:
+        # dtype KIND must agree too: DuckDB returns HUGEINT aggregates as
+        # float64, which value-compares equal to Spark's int64 but fails
+        # the strict frame compare (and plausibly the driver's schema
+        # check) — caught live by drift_ks in round 6; fix the oracle's
+        # casts, don't let the sweep mask the drift
+        if a[c].dtype.kind != b[c].dtype.kind:
+            problems.append(
+                f"col {c}: dtype {a[c].dtype} != oracle {b[c].dtype}"
+            )
     if problems:
         return problems
     for c in a.columns:

@@ -203,6 +203,8 @@ _EXCLUDED_WITH_ORACLE = [
     "resample_interpolate",
     "drift_ks",
     "training_negative_pairs",
+    "compliance_erasure_audit",
+    "multimodal_image_dedup",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
