@@ -1308,13 +1308,13 @@ def q_compliance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ERASURE_AUDIT = f"""
 SELECT event_type,
-       SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0 THEN 1 ELSE 0 END)
-         AS n_kept,
-       SUM(CASE WHEN user_id % {ERASE_USER_MOD} = 0 THEN 1 ELSE 0 END)
-         AS n_erased,
-       SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0
+       CAST(SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN user_id % {ERASE_USER_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_erased,
+       CAST(SUM(CASE WHEN user_id % {ERASE_USER_MOD} != 0
                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
-         AS kept_cents,
+            AS BIGINT) AS kept_cents,
        CAST(0 AS BIGINT) AS n_residual
 FROM events GROUP BY event_type
 """
