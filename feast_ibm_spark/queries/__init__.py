@@ -614,6 +614,14 @@ QUERIES: dict[str, QueryDef] = {
         q_multimodal_image_dedup, ORACLE_IMAGE_DEDUP,
         "image dedup via real decoded-pixel average-hash "
         "(integer luminance bits; arithmetic oracle)"),
+    "features_last_k_events": QueryDef(
+        q_features_last_k_events, ORACLE_LAST_K,
+        "sequence-model context features: previous-K event types "
+        "in exact order + spend, one bounded-frame window"),
+    "graph_ppr_recommend": QueryDef(
+        q_graph_ppr_recommend, ORACLE_PPR,
+        "personalized-PageRank recommendations from a promoted "
+        "seed set (integer-exact seeded teleport)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -728,6 +736,8 @@ _DRIVER_EXCLUDE = (
     "training_negative_pairs",
     "compliance_erasure_audit",
     "multimodal_image_dedup",
+    "features_last_k_events",
+    "graph_ppr_recommend",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -1057,3 +1057,51 @@ SELECT user_id,
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
+
+
+LASTK_K = 3
+
+
+def q_features_last_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model feature shape: for every event, the user's
+    previous K=3 event types in order (joined to one string — the
+    hash-stable encoding) and their spend sum — the
+    recent-history context window a sequence recommender consumes.
+    ONE keyed window with a bounded rows-frame serves both features; the
+    frame order (ts, event_id) is total, so the collected sequence is
+    deterministic and the value hash pins the exact event ORDER, not
+    just membership. Map-side bounded state — the frame never exceeds K
+    rows regardless of a user's history length."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-LASTK_K, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.concat_ws(",", F.collect_list("event_type").over(w)).alias(
+            "prev_types"
+        ),
+        F.coalesce(
+            F.sum(_cents("value")).over(w), F.lit(0)
+        ).alias("prev_cents"),
+    )
+
+
+ORACLE_LAST_K = f"""
+SELECT event_id, user_id,
+       COALESCE(array_to_string(
+         list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {LASTK_K} PRECEDING AND 1 PRECEDING), ','), '')
+         AS prev_types,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {LASTK_K} PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS prev_cents
+FROM events
+"""

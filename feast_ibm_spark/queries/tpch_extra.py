@@ -767,3 +767,79 @@ SELECT node AS part, count(*) AS core_deg FROM (
   SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4
 ) GROUP BY node
 """
+
+
+PPR_SEED_MOD = 50  # "promoted" seed parts: p % 50 == 0
+
+
+def q_graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank recommendations over the co-purchase graph:
+    teleport mass returns only to the promoted seed set (part % 50 == 0),
+    so nonzero scores rank every part by co-purchase reachability FROM
+    the promotion — the classic graph recommender. Integer-exact like
+    the global PageRank; the oracle unrolls the same seeded rounds."""
+    from ..operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = _copurchase_edges(items)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % PPR_SEED_MOD == 0)
+    )
+    out = personalized_pagerank(edges, seeds, iterations=PR_ITERS)
+    return out.select(F.col("node").alias("part"), "score_scaled")
+
+
+def _ppr_round(prev: str, label: str) -> str:
+    return f"""{label} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % {PPR_SEED_MOD} = 0 THEN 150000 ELSE 0 END
+              + COALESCE(m.mass, 0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * s.score) // (100 * d.deg)) AS mass
+    FROM edges e
+    JOIN {prev} s ON s.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) m ON m.node = n.node
+)"""
+
+
+ORACLE_PPR = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_EDGE_MIN_BOTH}
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node % {PPR_SEED_MOD} = 0
+              THEN 1000000 ELSE 0 END AS BIGINT) AS score
+  FROM nodes
+),
+{_ppr_round('s0', 's1')},
+{_ppr_round('s1', 's2')},
+{_ppr_round('s2', 's3')}
+SELECT node AS part, score AS score_scaled FROM s3
+"""

@@ -1241,6 +1241,39 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_personalized_pagerank_semantics(spark):
+    """Mass flows only FROM the seeds (hand-computed exact values on a
+    chain: the initial PR_SCALE pulse travels one hop per round while
+    the steady teleport trickle refills behind it), components not
+    reachable from any seed finish at exactly 0, and seeding EVERY node
+    reproduces global PageRank bit-for-bit (the recurrences coincide
+    when the teleport set is all nodes)."""
+    from feast_ibm_spark.operators.graph import (
+        pagerank_fixed_point,
+        personalized_pagerank,
+    )
+
+    chain = [(0, 1), (1, 2), (2, 3)]             # 0 -> 1 -> 2 -> 3
+    island = [(10, 11), (11, 10)]                # unreachable from 0
+    edges = spark.createDataFrame(chain + island, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {r.node: r.score_scaled
+           for r in personalized_pagerank(edges, seeds, 3).collect()}
+    # round 3 by hand: seed holds teleport 150000; 1 and 2 carry the
+    # teleport trickle damped once/twice; 3 carries the 3-hop pulse
+    assert got == {0: 150000, 1: 127500, 2: 108375, 3: 614125,
+                   10: 0, 11: 0}
+
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11)], "node bigint"
+    )
+    ppr = {r.node: r.score_scaled
+           for r in personalized_pagerank(edges, all_nodes, 3).collect()}
+    glob = {r.node: r.score_scaled
+            for r in pagerank_fixed_point(edges, 3).collect()}
+    assert ppr == glob
+
+
 def test_negative_sample_pairs_never_self(spark):
     """Every row draws exactly k negatives, never itself, all within
     the id range, and the draw is a pure function of (id, rank) —

@@ -205,6 +205,8 @@ _EXCLUDED_WITH_ORACLE = [
     "training_negative_pairs",
     "compliance_erasure_audit",
     "multimodal_image_dedup",
+    "features_last_k_events",
+    "graph_ppr_recommend",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
