@@ -157,6 +157,22 @@ SMOKE_QUERIES = [
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
+    # round-6 second session: graph family (iterative joins are the scale
+    # risk), the boilerplate broadcast anti-join, the two-window
+    # interpolation melt, and the new map-heavy shapes
+    "graph_triangles",
+    "graph_pagerank_incremental",
+    "graph_kcore",
+    "graph_ppr_recommend",
+    "streaming_topk",
+    "scan_text_logs",
+    "corpus_boilerplate_removal",
+    "resample_interpolate",
+    "drift_ks",
+    "training_negative_pairs",
+    "compliance_erasure_audit",
+    "multimodal_image_dedup",
+    "features_last_k_events",
 ]
 
 
