@@ -1523,3 +1523,85 @@ def test_lsh_oracle_shape_guard():
             f"plane literals encode {oracle_shape} — regenerate the "
             "oracle for the new shape (see docstring)"
         )
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP_GRAPH = True
+except Exception:  # pragma: no cover
+    _HAS_HYP_GRAPH = False
+
+
+if _HAS_HYP_GRAPH:
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_triangle_counts_property_matches_brute_force(spark, edges):
+        """Degree-ordered orientation vs itertools brute force on random
+        small graphs (self-loops and duplicate/reversed edges included in
+        the input on purpose — canonicalization must absorb them)."""
+        from itertools import combinations
+
+        from feast_ibm_spark.operators.graph import triangle_counts
+
+        es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nodes = sorted({n for e in es for n in e})
+        want = {}
+        for x, y, z in combinations(nodes, 3):
+            if ((x, y) in es and (y, z) in es and (x, z) in es):
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == want
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=30,
+        ),
+        k=st.integers(2, 4),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_kcore_property_matches_brute_force(spark, edges, k):
+        """Fixed-round peel with rounds >= n_nodes equals the true k-core
+        computed by a Python peel-to-fixpoint."""
+        from feast_ibm_spark.operators.graph import kcore_peel
+
+        es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                break
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+        want = {}
+        for a, b in es:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        got = {r.node: r.core_deg
+               for r in kcore_peel(df, k=k, rounds=10).collect()}
+        assert got == want
