@@ -1605,3 +1605,78 @@ if _HAS_HYP_GRAPH:
         got = {r.node: r.core_deg
                for r in kcore_peel(df, k=k, rounds=10).collect()}
         assert got == want
+
+
+if _HAS_HYP_GRAPH:
+
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(1, 2),        # key
+                st.integers(0, 96),       # obs offset (15-min units)
+                st.integers(-500, 500),   # integer value (cents-like)
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_resample_interpolate_property_matches_brute_force(spark, obs):
+        """Exact-integer interpolation vs a pure-Python replay of the
+        documented formula on random per-key series (duplicate
+        timestamps deduped by the same tiebreak rule)."""
+        import datetime as dt
+
+        from feast_ibm_spark.operators.resample import resample_interpolate
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (k, base + dt.timedelta(minutes=15 * o), int(v), i)
+            for i, (k, o, v) in enumerate(obs)
+        ]
+        df = spark.createDataFrame(
+            rows, "k bigint, ts timestamp, v bigint, tie bigint"
+        )
+        got = {
+            (r.k, r.grid_ts): r.v
+            for r in resample_interpolate(
+                df, ["k"], "ts", "v",
+                "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600,
+                tiebreak_cols=["tie"],
+            ).collect()
+        }
+
+        # brute force: dedup (max tie per (k, ts)), then the exact
+        # integer formula per grid instant
+        series = {}
+        for k, ts, v, tie in rows:
+            cur = series.setdefault(k, {})
+            if ts not in cur or tie > cur[ts][1]:
+                cur[ts] = (v, tie)
+        want = {}
+        for k, cur in series.items():
+            pts = sorted((ts, v) for ts, (v, _) in cur.items())
+            for h in range(25):
+                g = base + dt.timedelta(hours=h)
+                prevs = [(t, v) for t, v in pts if t <= g]
+                nexts = [(t, v) for t, v in pts if t >= g]
+                if not prevs or not nexts:
+                    want[(k, g)] = None
+                    continue
+                t0, v0 = prevs[-1]
+                t1, v1 = nexts[0]
+                if t0 == t1:
+                    want[(k, g)] = v0
+                    continue
+                w = int((g - t0).total_seconds() * 1_000_000)
+                d = int((t1 - t0).total_seconds() * 1_000_000)
+                dv = v1 - v0
+                if dv >= 0:
+                    want[(k, g)] = v0 + (dv * w) // d
+                else:
+                    want[(k, g)] = v0 - ((-dv) * w) // d
+        assert got == want
