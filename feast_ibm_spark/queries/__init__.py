@@ -622,6 +622,10 @@ QUERIES: dict[str, QueryDef] = {
         q_graph_ppr_recommend, ORACLE_PPR,
         "personalized-PageRank recommendations from a promoted "
         "seed set (integer-exact seeded teleport)"),
+    "mix_temperature_weights": QueryDef(
+        q_mix_temperature_weights, ORACLE_MIX_TEMPERATURE,
+        "temperature (alpha=0.5) mixture budgets per language "
+        "(integer isqrt weights, exact floor-div split)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -738,6 +742,7 @@ _DRIVER_EXCLUDE = (
     "multimodal_image_dedup",
     "features_last_k_events",
     "graph_ppr_recommend",
+    "mix_temperature_weights",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -1111,3 +1111,59 @@ SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
        c.n_segments - coalesce(a.n_kept, 0) AS n_removed
 FROM counts c LEFT JOIN agg a USING (doc_id)
 """
+
+
+MIX_TEMP_BUDGET = 1_000_000  # token budget to allocate across languages
+
+
+def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture allocation (the XLM-R/mC4 recipe at
+    alpha=0.5): per-language token counts are reweighted by their square
+    root so low-resource languages get super-proportional budget, then a
+    fixed token budget is split by the reweighted shares. Cross-engine
+    exactness: the weight is the INTEGER floor(sqrt(n)) (IEEE sqrt is
+    correctly rounded, so floor is engine-identical for n < 2^52) and
+    the budget split is one integer floor division — no float
+    accumulation anywhere; the one double is the final share. Two tiny
+    aggregates and a broadcast scalar — the corpus scan dominates."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", token_count_col("text").alias("__nt"))
+        .groupBy("lang")
+        .agg(F.sum("__nt").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint")
+        )
+    )
+    total = counts.agg(F.sum("w").alias("__tw"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row scalar
+        .select(
+            "lang",
+            "n_tokens",
+            "w",
+            F.expr(f"({MIX_TEMP_BUDGET}L * w) div __tw").alias(
+                "budget_tokens"
+            ),
+            (F.col("w").cast("double") / F.col("__tw").cast("double"))
+            .alias("share"),
+        )
+    )
+
+
+ORACLE_MIX_TEMPERATURE = f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+SELECT w.lang, w.n_tokens, w.w,
+       ({MIX_TEMP_BUDGET} * w.w) // tot.tw AS budget_tokens,
+       CAST(w.w AS DOUBLE) / CAST(tot.tw AS DOUBLE) AS share
+FROM w CROSS JOIN tot
+"""

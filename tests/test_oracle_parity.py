@@ -207,6 +207,7 @@ _EXCLUDED_WITH_ORACLE = [
     "multimodal_image_dedup",
     "features_last_k_events",
     "graph_ppr_recommend",
+    "mix_temperature_weights",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
