@@ -626,6 +626,10 @@ QUERIES: dict[str, QueryDef] = {
         q_mix_temperature_weights, ORACLE_MIX_TEMPERATURE,
         "temperature (alpha=0.5) mixture budgets per language "
         "(integer isqrt weights, exact floor-div split)"),
+    "agg_equidepth_bins": QueryDef(
+        q_agg_equidepth_bins, ORACLE_EQUIDEPTH,
+        "equi-depth quantile histogram per event_type "
+        "(ntile over a total order; fixed-bound twin exists)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -743,6 +747,7 @@ _DRIVER_EXCLUDE = (
     "features_last_k_events",
     "graph_ppr_recommend",
     "mix_temperature_weights",
+    "agg_equidepth_bins",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

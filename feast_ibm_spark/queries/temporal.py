@@ -310,3 +310,55 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+
+
+EQUIDEPTH_BINS = 4
+
+
+def q_agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram per event_type — the
+    value-distribution summary optimizers and drift monitors keep: 4
+    ntile buckets over a TOTAL order (cents, then event_id so ties
+    split deterministically), each reporting its min/max/count/sum.
+    The fixed-bound twin is agg_value_histogram; equi-depth adapts bin
+    edges to the data. One keyed window + one grouped aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        _cents("value").asc(), F.col("event_id").asc()
+    )
+    binned = ev.select(
+        "event_type",
+        _cents("value").alias("__c"),
+        F.ntile(EQUIDEPTH_BINS).over(w).alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("__c").cast("double") / 100.0).alias("lo"),
+            (F.max("__c").cast("double") / 100.0).alias("hi"),
+            (F.sum("__c").cast("double") / 100.0).alias("bin_sum"),
+        )
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"),
+                "n", "lo", "hi", "bin_sum")
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         ntile({EQUIDEPTH_BINS}) OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(c) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(c) AS DOUBLE) / 100.0 AS hi,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 100.0 AS bin_sum
+FROM binned GROUP BY 1, 2
+"""

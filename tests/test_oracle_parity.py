@@ -208,6 +208,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_last_k_events",
     "graph_ppr_recommend",
     "mix_temperature_weights",
+    "agg_equidepth_bins",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
