@@ -630,6 +630,10 @@ QUERIES: dict[str, QueryDef] = {
         q_agg_equidepth_bins, ORACLE_EQUIDEPTH,
         "equi-depth quantile histogram per event_type "
         "(ntile over a total order; fixed-bound twin exists)"),
+    "write_audit_publish": QueryDef(
+        q_write_audit_publish, ORACLE_WAP,
+        "Write-Audit-Publish: staged bytes audited (count + checksum) "
+        "before the atomic publish; live path read back"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -748,6 +752,7 @@ _DRIVER_EXCLUDE = (
     "graph_ppr_recommend",
     "mix_temperature_weights",
     "agg_equidepth_bins",
+    "write_audit_publish",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

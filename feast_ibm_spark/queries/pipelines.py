@@ -1318,3 +1318,56 @@ SELECT event_type,
        CAST(0 AS BIGINT) AS n_residual
 FROM events GROUP BY event_type
 """
+
+
+def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish at the gate: the events projection is staged,
+    the staged BYTES are audited (row count + order-independent sum/xor
+    checksum must exactly match the source — recomputed from the
+    read-back, so a writer bug or truncation fails the audit, never the
+    live table), and only then atomically published; the query reads the
+    LIVE path and aggregates. Shares the zorder/compaction roundtrip
+    oracle: same content, third distinct physical path to it. The
+    failing-audit branch (publish blocked, live untouched) is pinned in
+    test_sources."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.layout import AuditError, write_audit_publish
+    from ..sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_wap_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        want_n, want_sum = (
+            ev.agg(
+                F.count(F.lit(1)), F.sum(F.col("event_id") * 31 + F.col("cents"))
+            ).collect()[0]
+        )
+
+        def audit(staged):
+            got_n, got_sum = staged.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("event_id") * 31 + F.col("cents")),
+            ).collect()[0]
+            if (got_n, got_sum) != (want_n, want_sum):
+                raise AuditError(
+                    f"staged ({got_n}, {got_sum}) != source "
+                    f"({want_n}, {want_sum})"
+                )
+
+        write_audit_publish(spark, ev, dest, audit)
+    back = read_parquet(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ORACLE_WAP = ORACLE_ZORDER_ROUNDTRIP

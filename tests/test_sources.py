@@ -105,6 +105,36 @@ def test_text_source_serves_raw_lines(spark, tmp_path_factory):
     assert got == {1, 2, 3}
 
 
+def test_write_audit_publish_blocks_bad_data(spark, tmp_path_factory):
+    """A failing audit must leave the LIVE directory exactly as it was
+    (old content still readable) and keep the staging dir for
+    inspection; a passing audit atomically replaces it."""
+    import os
+
+    from feast_ibm_spark.sources.layout import AuditError, write_audit_publish
+
+    dest = str(tmp_path_factory.mktemp("wap") / "live")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    write_audit_publish(spark, v1, dest, lambda staged: None)
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {1, 2}
+
+    v2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+
+    def failing_audit(staged):
+        raise AuditError("row count regression")
+
+    import pytest as _pytest
+
+    with _pytest.raises(AuditError):
+        write_audit_publish(spark, v2, dest, failing_audit)
+    # live untouched, staging left behind for inspection
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {1, 2}
+    assert os.path.isdir(dest + "__staging")
+
+    write_audit_publish(spark, v2, dest, lambda staged: None)
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {3}
+
+
 def test_csv_source_retrieval_end_to_end(spark, sample_df, tmp_path_factory):
     """A retrieval operator (time-range scan) over a CSV source with an
     explicit read; csv types come back as strings without a schema, so load
