@@ -634,6 +634,10 @@ QUERIES: dict[str, QueryDef] = {
         q_write_audit_publish, ORACLE_WAP,
         "Write-Audit-Publish: staged bytes audited (count + checksum) "
         "before the atomic publish; live path read back"),
+    "streaming_router": QueryDef(
+        q_streaming_router, ORACLE_STREAM_ROUTER,
+        "one-pass dual-sink stream routing (idempotent per-batch "
+        "dirs; 11th streaming class)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -753,6 +757,7 @@ _DRIVER_EXCLUDE = (
     "mix_temperature_weights",
     "agg_equidepth_bins",
     "write_audit_publish",
+    "streaming_router",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

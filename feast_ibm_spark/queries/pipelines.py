@@ -1371,3 +1371,58 @@ def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WAP = ORACLE_ZORDER_ROUNDTRIP
+
+
+def q_streaming_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dual-sink stream routing driven to completion: the
+    events file-stream is split into a priority lane (purchases) and a
+    standard lane (everything else) by ONE foreachBatch — each
+    micro-batch persists once and both lanes write it filtered into
+    idempotent batch=<id> directories (streaming/router.py), so a
+    retried batch overwrites itself instead of duplicating. Both lanes
+    are read back and aggregated with their lane label; the oracle is
+    the batch CASE split. Eleventh streaming class at the gate
+    (multi-sink routing)."""
+    import tempfile
+    import uuid
+
+    from ..sources.reader import load_stream
+    from ..streaming.router import route_stream
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("__c")
+    )
+    base = tempfile.mkdtemp(prefix=f"fis_router_{uuid.uuid4().hex[:8]}_")
+    dirs = route_stream(
+        stream,
+        {
+            "priority": F.col("event_type") == "purchase",
+            "standard": F.col("event_type") != "purchase",
+        },
+        base_dir=base,
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    lanes = [
+        spark.read.parquet(d).withColumn("lane", F.lit(name))
+        for name, d in dirs.items()
+    ]
+    both = lanes[0].unionByName(lanes[1])
+    return (
+        both.groupBy("lane", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__c").cast("double") / 100.0).alias("lane_value"),
+        )
+    )
+
+
+ORACLE_STREAM_ROUTER = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'priority'
+            ELSE 'standard' END AS lane,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS lane_value
+FROM events GROUP BY 1, 2
+"""

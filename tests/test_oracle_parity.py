@@ -210,6 +210,7 @@ _EXCLUDED_WITH_ORACLE = [
     "mix_temperature_weights",
     "agg_equidepth_bins",
     "write_audit_publish",
+    "streaming_router",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
