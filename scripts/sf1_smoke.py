@@ -177,6 +177,7 @@ SMOKE_QUERIES = [
     "mix_temperature_weights",
     "agg_equidepth_bins",
     "write_audit_publish",
+    "streaming_router",
 ]
 
 
