@@ -173,7 +173,6 @@ SMOKE_QUERIES = [
     "compliance_erasure_audit",
     "multimodal_image_dedup",
     "features_last_k_events",
-    "graph_ppr_recommend",
     "mix_temperature_weights",
     "agg_equidepth_bins",
     "write_audit_publish",
