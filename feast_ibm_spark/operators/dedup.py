@@ -53,7 +53,16 @@ def shingles_col(text_col: str = "text", n: int = 3):
     Docs with fewer than ``n`` tokens get an EMPTY array. The guard is
     load-bearing: ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark, and
     ``slice(toks, 0, n)`` throws INVALID_PARAMETER_VALUE — so without the
-    ``when`` a single too-short document would fail the whole job."""
+    ``when`` a single too-short document would fail the whole job.
+
+    Blank/whitespace-only text tokenizes to the single EMPTY token (the
+    split-of-'' artifact, identical in Spark and DuckDB — the oracles
+    depend on this agreement), so at n=1 every blank doc carries the
+    degenerate '' shingle and blank docs pair with each other at
+    containment/Jaccard 1.0 — consistent with exact_dedup, which also
+    groups them (identical content). A corpus with MANY blanks makes ''
+    a hot shingle; the quality floor (curation) removes blanks before
+    pairing, and ``max_shingle_freq`` caps the bucket otherwise."""
     toks = tokens_col(text_col)
     n_sh = F.size(toks) - (n - 1)
     return F.when(

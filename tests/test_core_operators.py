@@ -922,7 +922,12 @@ if _HAS_HYPOTHESIS:
         from feast_ibm_spark.operators.dedup import ngram_containment_pairs
 
         texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
-        sets = {i: set(toks) for i, toks in enumerate(docs) if toks}
+        # a blank doc tokenizes to the single EMPTY token in both engines
+        # (documented on shingles_col) — model it, don't exclude it:
+        # hypothesis found that two blank docs pair at containment 1.0,
+        # exactly like exact_dedup grouping identical (empty) content
+        sets = {i: (set(toks) if toks else {""})
+                for i, toks in enumerate(docs)}
         expected = {}
         for i, A in sets.items():
             for j, B in sets.items():
