@@ -638,6 +638,10 @@ QUERIES: dict[str, QueryDef] = {
         q_streaming_router, ORACLE_STREAM_ROUTER,
         "one-pass dual-sink stream routing (idempotent per-batch "
         "dirs; 11th streaming class)"),
+    "scan_python_source": QueryDef(
+        q_scan_python_source, ORACLE_PYTHON_SOURCE,
+        "custom Python Data Source (Spark 4 API): partitioned "
+        "generator table vs pure-arithmetic oracle"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -758,6 +762,7 @@ _DRIVER_EXCLUDE = (
     "agg_equidepth_bins",
     "write_audit_publish",
     "streaming_router",
+    "scan_python_source",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

@@ -1508,3 +1508,51 @@ SELECT event_type,
          AS first_bad_event_id
 FROM events GROUP BY event_type
 """
+
+
+PYSRC_ROWS, PYSRC_PARTS = 10_000, 8
+
+
+def q_scan_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extensibility at the gate: a CUSTOM Python Data Source
+    (Spark 4 pyspark.sql.datasource API — sources/python_source.py)
+    serving a deterministic generator table in 8 genuine input
+    partitions, aggregated per event_type. Every generated row is a pure
+    function of its global index, so the DuckDB oracle reproduces the
+    whole "table" from range() arithmetic — a value-hashed source with
+    no files behind it. (sf_dir is unused: the source's point is that
+    there is no storage.)"""
+    from ..sources.python_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", PYSRC_ROWS)
+        .option("n_partitions", PYSRC_PARTS)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+ORACLE_PYTHON_SOURCE = f"""
+WITH gen AS (
+  SELECT i AS event_id, i % 97 AS user_id,
+         ['view', 'click', 'purchase', 'signup', 'error'][(i % 5) + 1]
+           AS event_type,
+         (i * 31) % 10000 AS cents
+  FROM range(0, {PYSRC_ROWS}) t(i)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS first_id,
+       MAX(event_id) AS last_id
+FROM gen GROUP BY event_type
+"""

@@ -1,0 +1,76 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API) —
+engine EXTENSIBILITY as a first-class surface (north-star; no reference
+counterpart, the reference can only name cos_types its managed service
+already knows).
+
+``SyntheticEventsDataSource`` is a deterministic generator source: every
+row is a pure function of its global index, so (a) the source needs no
+storage at all — "reading" IS computing, the shape load-generation and
+integration-test fixtures want; and (b) a SQL oracle can reproduce every
+row from arithmetic alone, which is what lets the driver gate value-hash
+a source that has no files behind it.
+
+Scale design: the reader reports ``n_partitions`` input partitions, each
+generating a contiguous index range — embarrassingly parallel, zero
+skew, no driver-side row materialization (rows yield from the executor
+in Arrow batches via the API's iterator contract). Filters are NOT
+pushed (``pushFilters`` default) — a generator's cost is the generation
+itself, so Spark's post-scan filter is already optimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+SYNTH_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, cents bigint"
+)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_partitions)  # ceil
+        return [
+            _RangePartition(i * per, min((i + 1) * per, self.n_rows))
+            for i in range(self.n_partitions)
+            if i * per < self.n_rows
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                i % 97,
+                EVENT_TYPES[i % 5],
+                (i * 31) % 10000,
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """spark.read.format("synthetic_events").option("n_rows", ...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration with the session's DataSource manager."""
+    spark.dataSource.register(SyntheticEventsDataSource)

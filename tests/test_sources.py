@@ -105,6 +105,32 @@ def test_text_source_serves_raw_lines(spark, tmp_path_factory):
     assert got == {1, 2, 3}
 
 
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python Data Source must honor its partition plan
+    (n_partitions genuine input splits covering the index range exactly
+    once), generate rows as a pure function of the index (identical
+    across reads), and respect column pruning at the API level (reads
+    still work when only one column is selected)."""
+    from feast_ibm_spark.sources.python_source import register
+
+    register(spark)
+
+    def load(n, p):
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", n).option("n_partitions", p).load()
+        )
+
+    df = load(103, 4)  # non-divisible on purpose: last split is short
+    assert df.rdd.getNumPartitions() == 4
+    ids = sorted(r.event_id for r in df.select("event_id").collect())
+    assert ids == list(range(103))  # exactly-once index coverage
+    a = sorted(map(tuple, load(50, 3).collect()))
+    b = sorted(map(tuple, load(50, 3).collect()))
+    assert a == b
+    assert load(10, 2).select("cents").count() == 10
+
+
 def test_write_audit_publish_blocks_bad_data(spark, tmp_path_factory):
     """A failing audit must leave the LIVE directory exactly as it was
     (old content still readable) and keep the staging dir for
