@@ -642,6 +642,10 @@ QUERIES: dict[str, QueryDef] = {
         q_scan_python_source, ORACLE_PYTHON_SOURCE,
         "custom Python Data Source (Spark 4 API): partitioned "
         "generator table vs pure-arithmetic oracle"),
+    "streaming_python_source": QueryDef(
+        q_streaming_python_source, ORACLE_PYTHON_STREAM,
+        "custom STREAMING Python source drained via restart-resume "
+        "(offset replay + sink commit log; 12th streaming class)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -763,6 +767,7 @@ _DRIVER_EXCLUDE = (
     "write_audit_publish",
     "streaming_router",
     "scan_python_source",
+    "streaming_python_source",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

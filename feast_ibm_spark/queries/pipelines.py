@@ -1426,3 +1426,67 @@ SELECT CASE WHEN event_type = 'purchase' THEN 'priority'
          AS lane_value
 FROM events GROUP BY 1, 2
 """
+
+
+PYSTREAM_ROWS, PYSTREAM_BATCH = 10_000, 2_500
+
+
+def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING source through the Spark 4 Python datasource API
+    (sources/python_source.py SyntheticEventsStreamSource), drained
+    through restart-resume: each availableNow run commits exactly one
+    micro-batch of the generator and stops; the loop restarts the query
+    on the SAME checkpoint until a run reports no new offsets — the
+    custom source's offset/replay contract (readBetweenOffsets is a pure
+    index function) plus the file sink's commit log make the composition
+    exactly-once ACROSS restarts, which is precisely the recovery story
+    a production stream needs. The aggregate of the accumulated sink
+    hash-matches the same pure-arithmetic oracle as the batch twin.
+    Twelfth streaming class. (sf_dir unused: generator source.)"""
+    import tempfile
+    import uuid
+
+    from ..sources.python_source import register_stream
+    from ..streaming.run import drain_available_now_to_files
+
+    configure_runtime(spark)
+    register_stream(spark)
+    base = tempfile.mkdtemp(prefix=f"fis_pystream_{uuid.uuid4().hex[:8]}_")
+    out_dir, ckpt = base + "/out", base + "/ckpt"
+    n_runs = 0
+    while n_runs < 2 * (PYSTREAM_ROWS // PYSTREAM_BATCH) + 2:
+        stream = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("n_rows", PYSTREAM_ROWS)
+            .option("batch_rows", PYSTREAM_BATCH)
+            .load()
+        )
+        back = drain_available_now_to_files(stream, out_dir, ckpt)
+        n_runs += 1
+        if back.count() >= PYSTREAM_ROWS:
+            break
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+ORACLE_PYTHON_STREAM = f"""
+WITH gen AS (
+  SELECT i AS event_id, i % 97 AS user_id,
+         ['view', 'click', 'purchase', 'signup', 'error'][(i % 5) + 1]
+           AS event_type,
+         (i * 31) % 10000 AS cents
+  FROM range(0, {PYSTREAM_ROWS}) t(i)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS first_id,
+       MAX(event_id) AS last_id
+FROM gen GROUP BY event_type
+"""

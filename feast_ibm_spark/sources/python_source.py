@@ -20,7 +20,12 @@ itself, so Spark's post-scan filter is already optimal.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -49,12 +54,7 @@ class SyntheticEventsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            yield (
-                i,
-                i % 97,
-                EVENT_TYPES[i % 5],
-                (i * 31) % 10000,
-            )
+            yield gen_event_row(i)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -74,3 +74,54 @@ class SyntheticEventsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration with the session's DataSource manager."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def gen_event_row(i: int) -> tuple:
+    """The shared deterministic row formula — one definition so the
+    batch source, the streaming source, and the SQL oracles can never
+    drift from each other."""
+    return (i, i % 97, EVENT_TYPES[i % 5], (i * 31) % 10000)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader contract: offsets are {"pos": n};
+    each ``read`` serves at most ``batch_rows`` rows and advances the
+    offset — the micro-batch boundary. ``readBetweenOffsets`` replays
+    any committed range exactly (pure function of the index), which is
+    what makes checkpoint recovery exactly-once for this source."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", 1000))
+        self.step = int(options.get("batch_rows", 250))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.step, self.n)
+        return iter([gen_event_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [gen_event_row(i) for i in range(start["pos"], end["pos"])]
+        )
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """spark.readStream.format("synthetic_events_stream") — the
+    STREAMING twin of the batch generator source, same row formula."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamSource)

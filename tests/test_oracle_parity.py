@@ -212,6 +212,7 @@ _EXCLUDED_WITH_ORACLE = [
     "write_audit_publish",
     "streaming_router",
     "scan_python_source",
+    "streaming_python_source",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
