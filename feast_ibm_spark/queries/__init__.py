@@ -646,6 +646,10 @@ QUERIES: dict[str, QueryDef] = {
         q_streaming_python_source, ORACLE_PYTHON_STREAM,
         "custom STREAMING Python source drained via restart-resume "
         "(offset replay + sink commit log; 12th streaming class)"),
+    "sink_python_roundtrip": QueryDef(
+        q_sink_python_roundtrip, ORACLE_PYSINK,
+        "custom Python SINK (two-phase commit: staged files + atomic "
+        "rename + manifest) roundtrip with in-plan audit"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -768,6 +772,7 @@ _DRIVER_EXCLUDE = (
     "streaming_router",
     "scan_python_source",
     "streaming_python_source",
+    "sink_python_roundtrip",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

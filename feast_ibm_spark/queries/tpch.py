@@ -1556,3 +1556,59 @@ SELECT event_type,
        MAX(event_id) AS last_id
 FROM gen GROUP BY event_type
 """
+
+
+def q_sink_python_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the Python datasource API pair: events flow
+    through the custom two-phase-commit JSONL sink
+    (sources/python_source.py JsonlSinkWriter — staged `.inprogress`
+    files, driver-side atomic rename commit, `_MANIFEST` audit), are
+    read back as JSON, and the manifest's row total is cross-checked
+    in-plan against the read-back count (manifest_rows == n_events sum
+    per the oracle's total). Content travels as integer cents so the
+    roundtrip is exact."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from ..sources.python_source import register_sink
+
+    register_sink(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_pysink_{tag}")
+    if not os.path.exists(os.path.join(dest, "_MANIFEST")):
+        (
+            _t(spark, sf_dir, "events")
+            .select(
+                "event_id", "user_id", "event_type",
+                _cents("value").alias("cents"),
+            )
+            .write.format("jsonl_sink")
+            .option("path", dest)
+            .mode("append")
+            .save()
+        )
+    with open(os.path.join(dest, "_MANIFEST")) as f:
+        manifest_rows = sum(d["n_rows"] for d in json.load(f))
+    back = spark.read.json(
+        os.path.join(dest, "*.jsonl"),
+        schema="event_id bigint, user_id bigint, event_type string, "
+               "cents bigint",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.lit(manifest_rows).cast("bigint").alias("manifest_rows"),
+    )
+
+
+ORACLE_PYSINK = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+       (SELECT COUNT(*) FROM events) AS manifest_rows
+FROM events GROUP BY event_type
+"""

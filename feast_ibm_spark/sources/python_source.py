@@ -24,7 +24,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -125,3 +127,78 @@ class SyntheticEventsStreamSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Picklable commit message: the staged file this task wrote plus
+    its row count (the audit payload the driver-side commit checks)."""
+
+    def __init__(self, staged: str, n_rows: int):
+        self.staged, self.n_rows = staged, n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """DataSourceWriter contract made concrete: each task writes its
+    partition to a STAGED `.inprogress` JSONL file and returns a commit
+    message; the driver-side ``commit`` — which runs only if EVERY task
+    succeeded — atomically renames the staged files into place and
+    writes a `_MANIFEST` naming them with their row counts. ``abort``
+    removes the staged files. That is the same two-phase protocol the
+    built-in file sinks implement in the JVM; a reader that honors the
+    manifest never observes a torn write.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f"part-{uuid.uuid4().hex}.jsonl.inprogress"
+        )
+        n = 0
+        with open(staged, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(staged, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            dest = m.staged[: -len(".inprogress")]
+            os.rename(m.staged, dest)
+            final.append({"file": os.path.basename(dest), "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(sorted(final, key=lambda d: d["file"]), f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.write.format("jsonl_sink").option("path", ...).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

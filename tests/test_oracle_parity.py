@@ -213,6 +213,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_router",
     "scan_python_source",
     "streaming_python_source",
+    "sink_python_roundtrip",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
