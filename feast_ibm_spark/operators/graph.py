@@ -492,3 +492,59 @@ def personalized_pagerank(
             )
         )
     return scores.select("node", F.col("score").alias("score_scaled"))
+
+
+def pagerank_fixed_point_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank, integer-exact: mass leaves each node in
+    proportion to integer edge WEIGHTS instead of splitting evenly —
+
+        c(u -> v) = (85 * s(u) * w_uv) div (100 * W_u),  W_u = sum w_u*
+
+    so a part co-purchased with something 50 times pulls 50x the rank
+    mass of a once-seen pairing. Same O(E)-per-round join + aggregate
+    as the uniform operator; exact while 85 * max_score * max_weight
+    stays under 2^63 (score mass is bounded by ~PR_SCALE * n_nodes, so
+    this holds to billions of nodes for weights up to ~10^4 —
+    renormalize weights first beyond that)."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    wsum = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.sum(F.col(weight_col)).alias("wtot")
+    )
+    scores = nodes.withColumn("score", F.lit(PR_SCALE).cast("bigint"))
+    base = F.lit((15 * PR_SCALE) // 100).cast("bigint")
+    for _ in range(iterations):
+        contrib = (
+            edges.join(scores, edges[src_col] == scores["node"])
+            .join(wsum, scores["node"] == wsum["node"])
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr(
+                    f"({PR_D_NUM} * score * {weight_col})"
+                    f" div ({PR_D_DEN} * wtot)"
+                ).alias("c"),
+            )
+        )
+        scores = (
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("c").alias("in_mass")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (base + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("bigint")
+                .alias("score"),
+            )
+        )
+    return scores.select("node", F.col("score").alias("score_scaled"))

@@ -650,6 +650,10 @@ QUERIES: dict[str, QueryDef] = {
         q_sink_python_roundtrip, ORACLE_PYSINK,
         "custom Python SINK (two-phase commit: staged files + atomic "
         "rename + manifest) roundtrip with in-plan audit"),
+    "graph_pagerank_weighted": QueryDef(
+        q_graph_pagerank_weighted, ORACLE_PAGERANK_WEIGHTED,
+        "weighted PageRank: rank mass follows co-purchase VOLUME "
+        "(integer-exact weighted contributions)"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -773,6 +777,7 @@ _DRIVER_EXCLUDE = (
     "scan_python_source",
     "streaming_python_source",
     "sink_python_roundtrip",
+    "graph_pagerank_weighted",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

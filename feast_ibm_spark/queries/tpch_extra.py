@@ -843,3 +843,83 @@ s0 AS MATERIALIZED (
 {_ppr_round('s2', 's3')}
 SELECT node AS part, score AS score_scaled FROM s3
 """
+
+
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph: the pair count
+    (how many orders held both parts) is the edge weight, so rank mass
+    follows co-purchase VOLUME, not mere adjacency — the ranking a
+    merchandiser actually wants. Integer-exact
+    (operators/graph.pagerank_fixed_point_weighted); the oracle unrolls
+    the same weighted rounds."""
+    from ..operators.graph import pagerank_fixed_point_weighted
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
+    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst", "n AS weight").unionByName(
+        pairs.selectExpr("pb AS src", "pa AS dst", "n AS weight")
+    )
+    out = pagerank_fixed_point_weighted(edges, iterations=PR_ITERS)
+    return out.select(F.col("node").alias("part"), "score_scaled")
+
+
+def _wpr_round(prev: str, label: str) -> str:
+    return f"""{label} AS MATERIALIZED (
+  SELECT n.node, CAST(150000 + COALESCE(m.mass, 0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((85 * s.score * e.weight) // (100 * w.wtot)) AS mass
+    FROM edges e
+    JOIN {prev} s ON s.node = e.src
+    JOIN wsum w ON w.node = e.src
+    GROUP BY e.dst) m ON m.node = n.node
+)"""
+
+
+ORACLE_PAGERANK_WEIGHTED = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PR_EDGE_MIN_BOTH}
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, n AS weight FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst, n AS weight FROM pairs
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+),
+wsum AS MATERIALIZED (
+  SELECT src AS node, CAST(SUM(weight) AS BIGINT) AS wtot
+  FROM edges GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+),
+{_wpr_round('s0', 's1')},
+{_wpr_round('s1', 's2')},
+{_wpr_round('s2', 's3')}
+SELECT node AS part, score AS score_scaled FROM s3
+"""

@@ -1241,6 +1241,36 @@ def test_pagerank_fixed_point_semantics(spark):
     assert got == again
 
 
+def test_weighted_pagerank_semantics(spark):
+    """All-ones weights reproduce uniform PageRank bit-for-bit (the
+    recurrences coincide), and shifting weight toward one out-edge
+    shifts rank mass toward its head."""
+    from feast_ibm_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_fixed_point_weighted,
+    )
+
+    raw = [(0, 1), (0, 2), (1, 0), (2, 0)]
+    uni = spark.createDataFrame(
+        [(a, b, 1) for a, b in raw], "src bigint, dst bigint, weight bigint"
+    )
+    got = {r.node: r.score_scaled
+           for r in pagerank_fixed_point_weighted(uni, 3).collect()}
+    want = {r.node: r.score_scaled
+            for r in pagerank_fixed_point(
+                spark.createDataFrame(raw, "src bigint, dst bigint"), 3
+            ).collect()}
+    assert got == want
+
+    skew = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src bigint, dst bigint, weight bigint",
+    )
+    s = {r.node: r.score_scaled
+         for r in pagerank_fixed_point_weighted(skew, 3).collect()}
+    assert s[1] > s[2]  # 9x the weight -> more mass at node 1
+
+
 def test_personalized_pagerank_semantics(spark):
     """Mass flows only FROM the seeds (hand-computed exact values on a
     chain: the initial PR_SCALE pulse travels one hop per round while

@@ -214,6 +214,7 @@ _EXCLUDED_WITH_ORACLE = [
     "scan_python_source",
     "streaming_python_source",
     "sink_python_roundtrip",
+    "graph_pagerank_weighted",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
