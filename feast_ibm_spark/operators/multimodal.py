@@ -409,3 +409,64 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
     """Backwards-compatible name for the pre-round-4 stub: now the REAL
     nearest-neighbor resize (see resize_images)."""
     return resize_images(df, width=width, height=height)
+
+
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("n_silent", LongType()),
+        StructField("min_win_abs", LongType()),
+        StructField("max_win_abs", LongType()),
+    ]
+)
+
+
+def audio_silence(
+    df: DataFrame, window: int = 16, threshold: int = 14_000
+) -> DataFrame:
+    """Silence-segment detection over REAL PCM decode — the trim/VAD
+    primitive an audio-training pipeline runs before segmentation: the
+    track is cut into fixed ``window``-sample frames and a frame whose
+    INTEGER absolute-amplitude sum (raw PCM16 units — the decoder's
+    [-1,1] floats are exact dyadic rationals, so round(x*32768)
+    recovers the samples losslessly) is below ``threshold`` counts as
+    silent. Everything reported is an integer, so the whole analysis is
+    value-hashable — no float energy thresholds to drift cross-engine.
+    Arrow-batched like every media kernel; a trailing partial window is
+    dropped (standard frame semantics)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import wav_decode
+
+        for pdf in batches:
+            n_w = np.empty(len(pdf), dtype=np.int64)
+            n_s = np.empty(len(pdf), dtype=np.int64)
+            lo = np.empty(len(pdf), dtype=np.int64)
+            hi = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                x, _ = wav_decode(bytes(payload))
+                raw = np.round(x[:, 0] * 32768.0).astype(np.int64)
+                k = len(raw) // window
+                sums = (
+                    np.abs(raw[: k * window]).reshape(k, window).sum(axis=1)
+                    if k
+                    else np.zeros(0, dtype=np.int64)
+                )
+                n_w[i] = k
+                n_s[i] = int((sums < threshold).sum())
+                lo[i] = int(sums.min()) if k else 0
+                hi[i] = int(sums.max()) if k else 0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_windows": n_w,
+                    "n_silent": n_s,
+                    "min_win_abs": lo,
+                    "max_win_abs": hi,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=SILENCE_SCHEMA)

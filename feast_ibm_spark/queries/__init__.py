@@ -654,6 +654,10 @@ QUERIES: dict[str, QueryDef] = {
         q_graph_pagerank_weighted, ORACLE_PAGERANK_WEIGHTED,
         "weighted PageRank: rank mass follows co-purchase VOLUME "
         "(integer-exact weighted contributions)"),
+    "multimodal_audio_silence": QueryDef(
+        q_multimodal_audio_silence, ORACLE_AUDIO_SILENCE,
+        "silence-segment detection (trim/VAD primitive) through the "
+        "real WAV path; all-integer windowed analysis"),
     "scan_json_quarantine": QueryDef(q_scan_json_quarantine,
                                      ORACLE_JSON_QUARANTINE,
                                      "bad-record quarantine channel on "
@@ -778,6 +782,7 @@ _DRIVER_EXCLUDE = (
     "streaming_python_source",
     "sink_python_roundtrip",
     "graph_pagerank_weighted",
+    "multimodal_audio_silence",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",

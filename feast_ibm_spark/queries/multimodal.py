@@ -385,3 +385,60 @@ g AS (
 SELECT h.doc_id, h.ahash, g.canonical_id, g.dup_count
 FROM h JOIN g USING (ahash)
 """
+
+
+SIL_WINDOW, SIL_THRESHOLD = 16, 14_000
+
+
+def q_multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection through the REAL WAV path: the same
+    synthetic PCM16 tracks as multimodal_audio_stats are decoded and cut
+    into 16-sample windows; a window whose integer absolute-amplitude
+    sum is under the threshold counts as silent
+    (operators/multimodal.audio_silence — the trim/VAD primitive).
+    Every reported quantity is an integer, so the oracle reproduces the
+    whole analysis from sample arithmetic alone — encode, decode,
+    framing, abs-sum, and threshold all pinned by the value hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import attach_media_columns, audio_silence
+
+    @pandas_udf("binary")
+    def synth_wav(ids):  # no hints: queries.py stringizes annotations
+        import numpy as np
+        import pandas as pd
+
+        from feast_ibm_spark.functions.codecs import wav_encode
+
+        out = []
+        for did in ids:
+            v = ((int(did) * 13 + np.arange(AUDIO_N) * 17) % 4001) - 2000
+            out.append(wav_encode(v.astype(np.int16), AUDIO_SR))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_columns(
+        docs, "doc_id", synth_wav(F.col("doc_id")), "audio", "wav"
+    )
+    return audio_silence(media, window=SIL_WINDOW, threshold=SIL_THRESHOLD)
+
+
+ORACLE_AUDIO_SILENCE = f"""
+WITH samples AS (
+  SELECT d.doc_id, t.i,
+         abs(((d.doc_id * 13 + t.i * 17) % 4001) - 2000) AS a,
+         t.i // {SIL_WINDOW} AS win
+  FROM documents d CROSS JOIN range(0, {AUDIO_N}) t(i)
+),
+wins AS (
+  SELECT doc_id, win, CAST(SUM(a) AS BIGINT) AS s
+  FROM samples GROUP BY doc_id, win
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN s < {SIL_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_silent,
+       MIN(s) AS min_win_abs,
+       MAX(s) AS max_win_abs
+FROM wins GROUP BY doc_id
+"""

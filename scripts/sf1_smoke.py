@@ -177,6 +177,10 @@ SMOKE_QUERIES = [
     "agg_equidepth_bins",
     "write_audit_publish",
     "streaming_router",
+    "streaming_python_source",
+    "sink_python_roundtrip",
+    "graph_pagerank_weighted",
+    "multimodal_audio_silence",
 ]
 
 

@@ -215,6 +215,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_python_source",
     "sink_python_roundtrip",
     "graph_pagerank_weighted",
+    "multimodal_audio_silence",
     "multimodal_frame_sample",
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
