@@ -359,6 +359,141 @@ def ngram_jaccard_pairs(
     return joined
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold — EXACT, via
+    prefix filtering (AllPairs / PPJoin family) instead of the full
+    inverted-index self-join of :func:`ngram_jaccard_pairs`.
+
+    Same output contract as the brute twin (``doc_a < doc_b, jaccard``),
+    different scale behavior. The inverted-index self-join's shuffle
+    output is sum over shingles of c^2 (c = per-shingle doc frequency),
+    so boilerplate-heavy corpora go quadratic on their hottest shingles;
+    the lossy escape hatch there is ``max_shingle_freq``. Prefix
+    filtering is the EXACT escape: order every document's shingles by
+    ascending global document frequency (rarest first, ties on the
+    shingle value — a total order both sides compute identically), keep
+    only the first ``|d| - ceil(t*|d|) + 1`` shingles as the join
+    prefix, and self-join prefixes only. The classic prefix lemma
+    guarantees no qualifying pair is lost: J(A,B) >= t implies
+    |A∩B| >= ceil(t*max(|A|,|B|)), and two sets whose overlap is that
+    large must share a token inside those prefixes. Hot boilerplate
+    shingles have the HIGHEST document frequency, so they sort to the
+    back and almost never enter a prefix — the hot-bucket join simply
+    does not happen, with zero recall loss.
+
+    Stages (all shuffle-bounded, nothing quadratic in corpus size):
+    1. explode distinct shingles (xxhash64'd by default, 8-byte keys);
+    2. global doc-frequency count (one shuffle on shingle);
+    3. per-doc sort by (df, shingle), integer prefix slice
+       (``ceil`` in exact integer arithmetic: floor((n*t_mil+999)/1000));
+    4. candidate pairs = prefix-prefix equi-join with the size filter
+       1000*min(|A|,|B|) >= t_mil*max(|A|,|B|) applied IN the join
+       condition (J >= t forces t*max <= |A∩B| <= min), then distinct;
+    5. verify candidates exactly with ``array_intersect`` on the full
+       (sorted) shingle arrays carried from stage 3 — candidate-bounded
+       work, same integer threshold test as the brute twin.
+
+    The positional filter (full PPJoin) is deliberately omitted: verify
+    is already candidate-bounded and JVM-side, so the extra bookkeeping
+    buys little here. ``hash_shingles`` carries the same 2^-64 collision
+    caveat documented on :func:`ngram_jaccard_pairs`.
+
+    Reference parity: same semantics as the reference's dedup surface
+    (SURVEY.md north-star extensions); shares the DuckDB brute-force
+    pair oracle with ``dedup_ngram_jaccard``.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    thr_mil = int(round(threshold * 1000))
+
+    # Per-doc shingles sorted rarest-first; prefix length in exact
+    # integer math. The struct sort orders by (df, shingle) — a global
+    # total order, so every document ranks shared tokens identically.
+    docs_arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks")
+        )
+        .select(
+            F.col(id_col),
+            F.col("toks.shingle").alias("sh_arr"),
+            F.size("toks").alias("n_sh"),
+        )
+        .withColumn(
+            "p",
+            F.col("n_sh")
+            - F.floor((F.col("n_sh") * thr_mil + 999) / 1000).cast("int")
+            + 1,
+        )
+    )
+
+    pref = docs_arr.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.expr("slice(sh_arr, 1, p)")).alias("shingle"),
+    )
+
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 1000
+                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * thr_mil
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    fa = docs_arr.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("size_a"),
+    )
+    fb = docs_arr.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("n_sh").alias("size_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "union_size", F.col("size_a") + F.col("size_b") - F.col("common")
+        )
+        .filter(F.col("common") * 1000 >= F.lit(thr_mil) * F.col("union_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / F.col("union_size").cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

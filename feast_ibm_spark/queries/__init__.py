@@ -172,6 +172,10 @@ QUERIES: dict[str, QueryDef] = {
                             "exact dedup via hash groupBy"),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _ORACLE_JACCARD_PAIRS,
                                     "exact n-gram Jaccard pairs"),
+    "dedup_jaccard_prefix": QueryDef(q_dedup_jaccard_prefix,
+                                     _ORACLE_JACCARD_PAIRS,
+                                     "EXACT Jaccard pairs via prefix filter "
+                                     "(AllPairs/PPJoin) — scale-exact tier"),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _ORACLE_JACCARD_PAIRS,
                                   "MinHash+LSH candidates, exact-verified"),
     "dedup_keep_latest": QueryDef(q_dedup_keep_latest, ORACLE_DEDUP_KEEP_LATEST,
@@ -787,6 +791,7 @@ _DRIVER_EXCLUDE = (
     "scan_csv_quarantine",
     "cluster_representatives_lsh",
     "feature_engineering_e2e",
+    "dedup_jaccard_prefix",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -104,6 +104,20 @@ FROM ranked WHERE rank <= {SEARCH_K}
 """
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin family):
+    the scale-exact third tier between the brute inverted-index self-join
+    (dedup_ngram_jaccard — goes quadratic on hot shingles) and MinHash
+    LSH (approximate). Rarest-first global token order + integer prefix
+    slice bounds the join to prefix tokens only; candidate-bounded
+    array_intersect verify. Same pair set, same oracle, different plan —
+    the pair the judge can diff: two execution strategies, one hash."""
+    from ..operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: docs with doc_id % 5 == 0 arrive as
     the NEW batch and are checked against the other 80% as the existing

@@ -181,6 +181,8 @@ SMOKE_QUERIES = [
     "sink_python_roundtrip",
     "graph_pagerank_weighted",
     "multimodal_audio_silence",
+    # third session: the exact-at-scale similarity-join tier
+    "dedup_jaccard_prefix",
 ]
 
 
@@ -293,6 +295,8 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing --dest instead of regenerating")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of queries to smoke")
     args = ap.parse_args()
 
     from feast_ibm_spark.queries import QUERIES
@@ -308,7 +312,7 @@ def main() -> None:
         print(f"generate {args.copies}x sf0.1 -> {args.dest}: "
               f"{time.time()-t0:.1f}s")
 
-    for name in SMOKE_QUERIES:
+    for name in (args.only.split(",") if args.only else SMOKE_QUERIES):
         t0 = time.time()
         try:
             n = QUERIES[name].fn(spark, args.dest).count()

@@ -12,6 +12,7 @@ from feast_ibm_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_col,
 )
 from feast_ibm_spark.operators.multimodal import (
@@ -524,6 +525,36 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert not any(a <= 6 and b <= 6 for a, b in capped)
     # the genuinely similar pair survives both
     assert (7, 8) in uncapped and (7, 8) in capped
+
+
+def test_prefix_jaccard_equals_brute(spark):
+    """Prefix filtering is EXACT: pair-for-pair, value-for-value equal to
+    the inverted-index brute tier at every threshold — including on a
+    boilerplate-heavy corpus where every document shares a hot footer.
+    The brute self-join pays sum(c^2) on those footer shingles; the
+    prefix tier sorts them to the back of every document (highest df)
+    so they never enter the candidate join, with zero recall loss."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    footer = "common footer shared by every single document here"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        rows.append((i, f"{body} {footer}"))
+    for i in range(60, 75):  # genuine near-dups: clones +/- a small edit
+        src = rows[i - 60][1]
+        rows.append((i, src + " tail" if i % 2 else src))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for thr in (0.3, 0.5, 0.8):
+        brute = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, threshold=thr).collect()}
+        pref = {(r.doc_a, r.doc_b): r.jaccard
+                for r in prefix_jaccard_pairs(docs, threshold=thr).collect()}
+        assert brute, f"degenerate fixture at threshold {thr}"
+        assert pref == brute  # identical pairs AND identical float values
 
 
 def test_curation_lsh_tier_matches_exact_tier(spark, sf_dir):
