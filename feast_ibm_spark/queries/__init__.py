@@ -439,6 +439,10 @@ QUERIES: dict[str, QueryDef] = {
     "chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNKS,
                                 "fixed-token chunking with overlap "
                                 "(map-side, zero shuffle)"),
+    "chunk_documents_udtf": QueryDef(q_chunk_documents_udtf, ORACLE_CHUNKS,
+                                     "same chunking through the Spark 4 "
+                                     "Python UDTF API (LATERAL, Arrow) — "
+                                     "two strategies, one oracle"),
     "text_top_tokens_by_lang": QueryDef(q_text_top_tokens_by_lang,
                                         ORACLE_TOP_TOKENS_BY_LANG,
                                         "grouped top-k tokens per lang"),
@@ -792,6 +796,7 @@ _DRIVER_EXCLUDE = (
     "cluster_representatives_lsh",
     "feature_engineering_e2e",
     "dedup_jaccard_prefix",
+    "chunk_documents_udtf",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

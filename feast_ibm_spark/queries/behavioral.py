@@ -599,6 +599,18 @@ FROM starts, unnest(idxs) AS u(i)
 """
 
 
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking semantics executed through the Spark 4 Python
+    UDTF API (LATERAL table function, Arrow-batched) instead of Catalyst
+    higher-order functions — the extensibility template for chunkers
+    Catalyst can't express (real tokenizers, sentence segmenters). Two
+    execution strategies, one oracle (ORACLE_CHUNKS)."""
+    from ..functions.table_functions import chunk_documents_udtf
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents_udtf(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
 def q_text_top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k: the 5 most frequent tokens per language — a window
     over grouped counts (count desc, token asc tiebreak). The global

@@ -1132,6 +1132,34 @@ def test_chunk_documents_semantics(spark):
         chunk_documents(df, 4, 4)
 
 
+def test_chunk_udtf_matches_catalyst_twin(spark):
+    """The Python-UDTF chunker is row-for-row identical to the Catalyst
+    higher-order-function chunker — same canonical chunk count, same
+    overlap, same short tails, same blank-doc degenerate ('' token, one
+    empty chunk). Two execution strategies, one contract."""
+    from feast_ibm_spark.functions.table_functions import chunk_documents_udtf
+    from feast_ibm_spark.operators.sampling import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b"),
+        (3, ""),                      # blank doc degenerate
+        (4, "  padded   whitespace  here   "),
+        (5, " ".join(f"w{i}" for i in range(9))),  # tail inside overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(df, 4, 1).collect()}
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents_udtf(df, 4, 1).collect()}
+    assert got == want and want
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # stride <= 0 surfaces from the UDTF
+        chunk_documents_udtf(df, 4, 4).collect()
+
+
 def test_containment_catches_quoted_subset(spark):
     """The asymmetric case Jaccard misses by construction: a short doc
     quoted whole inside a much longer one must appear as (short in

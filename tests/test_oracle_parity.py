@@ -221,6 +221,8 @@ _EXCLUDED_WITH_ORACLE = [
     "cluster_representatives_lsh",
     "knn_lsh",    # full seeded-plane oracle since round 6
     "knn_ivfpq",  # full residual-composition oracle since round 6
+    "dedup_jaccard_prefix",  # shares the brute pair oracle (third session)
+    "chunk_documents_udtf",  # shares ORACLE_CHUNKS with the Catalyst twin
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
