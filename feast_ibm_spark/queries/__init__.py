@@ -232,6 +232,11 @@ QUERIES: dict[str, QueryDef] = {
     "peak_open_orders": QueryDef(q_peak_open_orders, ORACLE_PEAK_OPEN,
                                  "sweep-line interval concurrency: peak "
                                  "open orders per priority"),
+    "window_moving_median": QueryDef(q_window_moving_median,
+                                     ORACLE_MOVING_MEDIAN,
+                                     "rolling 7-event EXACT median per user "
+                                     "(frame-bounded collect+sort, no "
+                                     "whole-partition state)"),
     "window_sliding_distinct": QueryDef(q_window_sliding_distinct,
                                         ORACLE_SLIDING_DISTINCT,
                                         "trailing-7d distinct actives via "
@@ -797,6 +802,7 @@ _DRIVER_EXCLUDE = (
     "feature_engineering_e2e",
     "dedup_jaccard_prefix",
     "chunk_documents_udtf",
+    "window_moving_median",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -913,6 +913,52 @@ GROUP BY 1
 PATH_TOP_K = 20
 
 
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event EXACT median of spend per user — the robust
+    (outlier-proof) twin of a rolling mean, the shape behind anomaly
+    baselines and robust feature smoothing.
+
+    Spark refuses ``median``/``percentile`` over a window FRAME
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC — only whole-partition),
+    so the distributed form is frame-bounded ``collect_list`` ->
+    ``array_sort`` -> integer middle-element interpolation, all
+    JVM-side expressions. State per row is bounded by the frame width
+    (7 values), so unlike a whole-partition collect this scales with
+    the frame, not the partition; work is partition-parallel per user.
+    Median in cents: (lo + hi) / 2 of the two middle sorted values —
+    one IEEE-exact division, matching DuckDB's interpolating median
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("__cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return (
+        ev.withColumn("__cents", F.round(F.col("value") * 100).cast("bigint"))
+        .select(
+            "event_id",
+            "user_id",
+            ((lo + hi).cast("double") / F.lit(2.0)).alias("med7_cents"),
+        )
+    )
+
+
+ORACLE_MOVING_MEDIAN = """
+SELECT event_id, user_id,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7_cents
+FROM events
+"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining: the top-20 most common 3-step event-type paths
     (e1 -> e2 -> e3 over consecutive events of one user). One window

@@ -183,6 +183,7 @@ SMOKE_QUERIES = [
     "multimodal_audio_silence",
     # third session: the exact-at-scale similarity-join tier
     "dedup_jaccard_prefix",
+    "window_moving_median",
 ]
 
 
