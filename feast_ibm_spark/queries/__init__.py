@@ -529,6 +529,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_STREAM_INTERVAL_JOIN,
                                         "drained stream-stream interval "
                                         "join vs batch oracle"),
+    "streaming_session_window": QueryDef(q_streaming_session_window,
+                                         ORACLE_SESSIONIZE,
+                                         "NATIVE streaming session_window "
+                                         "(built-in merging session state) "
+                                         "— 4th formulation, same oracle"),
     "text_pii_scan": QueryDef(q_text_pii_scan, ORACLE_TEXT_PII,
                               "PII scan + redaction (injected emails/"
                               "phones; map-only regex, no UDF)"),
@@ -803,6 +808,7 @@ _DRIVER_EXCLUDE = (
     "dedup_jaccard_prefix",
     "chunk_documents_udtf",
     "window_moving_median",
+    "streaming_session_window",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -756,6 +756,57 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming gap-sessionization: Spark's built-in
+    ``session_window`` running inside a Structured Streaming plan
+    (watermark + merging session state), drained with availableNow and
+    gated against the SAME ORACLE_SESSIONIZE as the batch lag+running-sum
+    form, the drained custom state kernel (streaming_sessionize), and the
+    batch native form (sessionize_native_window) — four formulations, one
+    oracle. This is the streaming class the engine's built-in state store
+    manages end-to-end: sessions merge across micro-batches as late
+    events bridge gaps, no user state code at all.
+
+    Complete mode for the bounded comparison drain (same rationale as
+    streaming_window_counts: append would hold back every session the
+    final watermark has not passed); ``session_id`` is re-derived per
+    user by start order AFTER the drain — a batch window over the tiny
+    session table, not streaming state."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+    from .core import SESSION_GAP_S
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select("user_id", "ts")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    sink = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        agg, sink, output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_"),
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.withColumn(
+        "session_id", F.row_number().over(w).cast("bigint")
+    ).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events"
+    )
+
+
 ORACLE_STREAM_WINDOW_COUNTS = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,

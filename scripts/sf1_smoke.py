@@ -184,6 +184,7 @@ SMOKE_QUERIES = [
     # third session: the exact-at-scale similarity-join tier
     "dedup_jaccard_prefix",
     "window_moving_median",
+    "streaming_session_window",
 ]
 
 

@@ -224,6 +224,7 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_jaccard_prefix",  # shares the brute pair oracle (third session)
     "chunk_documents_udtf",  # shares ORACLE_CHUNKS with the Catalyst twin
     "window_moving_median",
+    "streaming_session_window",  # 13th streaming class, ORACLE_SESSIONIZE
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
