@@ -144,6 +144,10 @@ QUERIES: dict[str, QueryDef] = {
                                    "OR-of-ANDs disjunctive predicates (Q19)"),
     "scan_json_props": QueryDef(q_scan_json_props, ORACLE_JSON_PROPS,
                                 "typed from_json extraction + aggregate"),
+    "scan_xml_source": QueryDef(q_scan_xml_source, ORACLE_CSV_SOURCE,
+                                "XML object source (Spark 4 built-in "
+                                "reader; sixth source format) — cents "
+                                "ride the text roundtrip exactly"),
     "scan_orc_source": QueryDef(q_scan_orc_source, ORACLE_CSV_SOURCE,
                                 "S2 extension: ORC object source (same "
                                 "oracle as the CSV twin)"),
@@ -809,6 +813,7 @@ _DRIVER_EXCLUDE = (
     "chunk_documents_udtf",
     "window_moving_median",
     "streaming_session_window",
+    "scan_xml_source",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -864,6 +864,45 @@ def q_scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 extension: XML object source through Spark 4's BUILT-IN xml
+    reader (rowTag row extraction + schema inference) — the sixth format
+    in the source matrix (parquet/csv/json/orc/text/xml). Money rides as
+    integer cents in the XML payload so the text roundtrip is exact;
+    same materialize-once pattern and oracle as the CSV/ORC twins."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.data_source import SparkDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_xml_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "event")
+            .option("rootTag", "events")
+            .save(dest)
+        )
+    src = SparkDataSource(path=dest, format="xml", options={"rowTag": "event"})
+    return (
+        src.load(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def q_scan_text_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 extension: raw LOG LINES as a source — the shape real
     clickstream/access-log ingestion has before any schema exists. The

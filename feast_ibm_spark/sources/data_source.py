@@ -28,7 +28,7 @@ from ..types import spark_type_to_feast_value_type
 # parquet/csv/json are the reference's cos_type set (:147); orc and text
 # extend it — text serves raw line-oriented data (logs) as a single
 # `value` string column for downstream regex/JSON parsing.
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "text")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "text", "xml")
 
 
 class _CustomSourceOptionsShim:

@@ -225,6 +225,7 @@ _EXCLUDED_WITH_ORACLE = [
     "chunk_documents_udtf",  # shares ORACLE_CHUNKS with the Catalyst twin
     "window_moving_median",
     "streaming_session_window",  # 13th streaming class, ORACLE_SESSIONIZE
+    "scan_xml_source",  # sixth source format (Spark 4 built-in xml)
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
