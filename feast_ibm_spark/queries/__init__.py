@@ -538,6 +538,12 @@ QUERIES: dict[str, QueryDef] = {
                                          "NATIVE streaming session_window "
                                          "(built-in merging session state) "
                                          "— 4th formulation, same oracle"),
+    "streaming_state_inspect": QueryDef(q_streaming_state_inspect,
+                                        ORACLE_SESSIONIZE,
+                                        "session table reconstructed from "
+                                        "the CHECKPOINT STATE FILES via the "
+                                        "statestore reader — state decoding "
+                                        "pinned to the same oracle"),
     "text_pii_scan": QueryDef(q_text_pii_scan, ORACLE_TEXT_PII,
                               "PII scan + redaction (injected emails/"
                               "phones; map-only regex, no UDF)"),
@@ -814,6 +820,7 @@ _DRIVER_EXCLUDE = (
     "window_moving_median",
     "streaming_session_window",
     "scan_xml_source",
+    "streaming_state_inspect",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -807,6 +807,54 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION gated for correctness: run the native
+    session-window stream to completion, then read the query's
+    checkpointed state back through Spark 4's ``statestore`` data source
+    (streaming/state_reader.py) and reconstruct the session table FROM
+    THE STATE FILES — not from the sink. After a complete-mode bounded
+    drain the state holds exactly the final session set, so this pins
+    byte-level state decoding against the same ORACLE_SESSIONIZE as the
+    other four sessionization formulations. The ops capability this
+    proves: audit/debug what a live 100 TB streaming job is holding in
+    state (skewed keys, stuck sessions) without touching the job."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..sources.reader import load_stream
+    from ..streaming.run import drain_available_now
+    from ..streaming.state_reader import read_session_window_state
+    from .core import SESSION_GAP_S
+
+    configure_runtime(spark)
+    stream = load_stream(spark, sf_dir, "events").select("user_id", "ts")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="fis_ckpt_ssi_")
+    drain_available_now(
+        agg, f"stream_ssi_{uuid.uuid4().hex[:8]}", output_mode="complete",
+        checkpoint_dir=ckpt,
+    )
+    sessions = read_session_window_state(spark, ckpt)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sessions.withColumn(
+        "session_id", F.row_number().over(w).cast("bigint")
+    ).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events"
+    )
+
+
 ORACLE_STREAM_WINDOW_COUNTS = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,

@@ -185,6 +185,7 @@ SMOKE_QUERIES = [
     "dedup_jaccard_prefix",
     "window_moving_median",
     "streaming_session_window",
+    "streaming_state_inspect",
 ]
 
 
