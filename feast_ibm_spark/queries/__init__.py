@@ -236,6 +236,11 @@ QUERIES: dict[str, QueryDef] = {
     "peak_open_orders": QueryDef(q_peak_open_orders, ORACLE_PEAK_OPEN,
                                  "sweep-line interval concurrency: peak "
                                  "open orders per priority"),
+    "agg_salted_hot_keys": QueryDef(q_agg_salted_hot_keys,
+                                    ORACLE_SALTED_HOT_KEYS,
+                                    "salted two-phase agg over hot keys "
+                                    "(skew lever; row-identical to the "
+                                    "direct groupBy oracle)"),
     "window_moving_median": QueryDef(q_window_moving_median,
                                      ORACLE_MOVING_MEDIAN,
                                      "rolling 7-event EXACT median per user "
@@ -821,6 +826,7 @@ _DRIVER_EXCLUDE = (
     "streaming_session_window",
     "scan_xml_source",
     "streaming_state_inspect",
+    "agg_salted_hot_keys",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

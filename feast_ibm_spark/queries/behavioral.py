@@ -959,6 +959,50 @@ FROM events
 """
 
 
+def q_agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant aggregation over a HOT grouping key: events has only
+    a handful of event types, so a direct groupBy funnels millions of
+    rows per type into single reduce tasks at scale. The salted
+    two-phase form (operators/skew.py) fans every type over 32 salts
+    first, then merges the tiny partial table — row-identical to the
+    direct groupBy (the oracle IS the direct form), different shuffle
+    shape. AQE splits skewed join partitions but not skewed agg keys;
+    this is the manual lever."""
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "__s": ("sum", "__cents"),
+            "first_ts": ("min", "ts"),
+            "last_ts": ("max", "ts"),
+        },
+        salt_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        (F.col("__s").cast("double") / 100.0).alias("spend"),
+        "first_ts",
+        "last_ts",
+    )
+
+
+ORACLE_SALTED_HOT_KEYS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining: the top-20 most common 3-step event-type paths
     (e1 -> e2 -> e3 over consecutive events of one user). One window

@@ -174,3 +174,40 @@ def test_sliding_distinct_hll_accuracy(spark, sf_dir):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    """Salting changes the shuffle shape, never the answer: on a frame
+    with one dominant hot key, the two-phase salted aggregate is
+    row-identical to the direct groupBy for every supported fn, and the
+    physical plan carries the two-stage shape (an extra exchange)."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.skew import salted_agg
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i % 97)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id bigint, k string, v double")
+    aggs = {
+        "n": ("count", "id"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    got = {r.k: (r.n, r.s, r.lo, r.hi)
+           for r in salted_agg(df, ["k"], aggs, salt_col="id").collect()}
+    want = {r.k: (r.n, r.s, r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert got == want
+    assert got["hot"][0] == 4500 and got["cold"][0] == 500
+
+    plan = salted_agg(df, ["k"], aggs, salt_col="id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # two-phase: exchange on (k, salt) then exchange on (k)
+    assert plan.count("Exchange") >= 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        salted_agg(df, ["k"], {"a": ("avg", "v")}, salt_col="id")

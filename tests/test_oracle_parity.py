@@ -227,6 +227,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_session_window",  # 13th streaming class, ORACLE_SESSIONIZE
     "scan_xml_source",  # sixth source format (Spark 4 built-in xml)
     "streaming_state_inspect",  # statestore reader vs ORACLE_SESSIONIZE
+    "agg_salted_hot_keys",  # salted two-phase agg == direct groupBy
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
