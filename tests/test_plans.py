@@ -679,3 +679,52 @@ def test_feature_e2e_prunes_branch_scans_and_broadcasts_stats(spark, sf_dir):
     assert len(ranged) >= 2, fs  # both trailing-window branches pruned
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
     assert "CartesianProduct" not in text
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join (semi-join reduction) is ON in
+    this engine's sessions and injects a `might_contain(bloom_filter_agg)`
+    probe-side filter once its size thresholds are met — at 100 TB this
+    prunes fact-side shuffle rows whose keys cannot join (the selective
+    dim filter never reaches them otherwise). Local data sits below the
+    10 GB application-side threshold, so the test relaxes the thresholds
+    to observe the injection, and pins that a BROADCAST join (the
+    planner's choice when the dim IS small) correctly gets no bloom —
+    broadcast already prunes at the probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def plan_of(join_df):
+        return join_df._jdf.queryExecution().optimizedPlan().toString()
+
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+
+    # broadcast planning (default): no bloom filter belongs in the plan
+    assert "might_contain" not in plan_of(j)
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
