@@ -549,6 +549,10 @@ QUERIES: dict[str, QueryDef] = {
                                         "the CHECKPOINT STATE FILES via the "
                                         "statestore reader — state decoding "
                                         "pinned to the same oracle"),
+    "text_bpe_train": QueryDef(q_text_bpe_train, ORACLE_BPE_TRAIN,
+                               "REAL BPE training: top-8 merges learned "
+                               "from corpus stats (greedy replace "
+                               "semantics identical across engines)"),
     "text_pii_scan": QueryDef(q_text_pii_scan, ORACLE_TEXT_PII,
                               "PII scan + redaction (injected emails/"
                               "phones; map-only regex, no UDF)"),
@@ -827,6 +831,7 @@ _DRIVER_EXCLUDE = (
     "scan_xml_source",
     "streaming_state_inspect",
     "agg_salted_hot_keys",
+    "text_bpe_train",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -316,3 +316,68 @@ SELECT doc_id,
          AS clean_len
 FROM injected
 """
+
+
+BPE_N_MERGES = 8
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE training (Sennrich-style word-frequency formulation):
+    learn the top-8 merges from corpus statistics — tokenize + word-freq
+    aggregate over the full corpus (the distributed heavy part), then 8
+    iterative rounds of weighted adjacent-pair counting, deterministic
+    argmax, and greedy merge application over the vocabulary. The
+    self-delimited sequence encoding makes merge application ONE string
+    replace whose non-overlapping left-to-right semantics are identical
+    in Spark, DuckDB, and Python (operators/bpe.py) — so the oracle
+    unrolls the same 8 rounds in SQL (MATERIALIZED per the round-6
+    iterative-CTE lesson) and the gate value-hashes the learned merge
+    table itself."""
+    from ..operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    # control-char delimiters, mirroring operators/bpe.py (chr(1)/chr(2));
+    # the token regex carries ESCAPED control chars — RE2 and Java agree
+    parts = ["""
+WITH base AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS f,
+         chr(1) || array_to_string(string_split(w, ''), chr(2) || chr(1))
+                || chr(2) AS seq
+  FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+  )
+  WHERE w <> '' AND strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
+  GROUP BY w
+),
+r0 AS MATERIALIZED (SELECT f, seq FROM base)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(f) AS BIGINT) AS freq
+  FROM (SELECT f, regexp_extract_all(seq, '\\x01([^\\x02]+)\\x02', 1) AS t
+        FROM r{k - 1}),
+       unnest(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
+),
+r{k} AS MATERIALIZED (
+  SELECT f, replace(seq, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                    chr(1) || m.l || m.r || chr(2)) AS seq
+  FROM r{k - 1}, m{k} m
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, freq AS pair_freq FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle(BPE_N_MERGES)

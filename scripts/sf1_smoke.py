@@ -186,6 +186,7 @@ SMOKE_QUERIES = [
     "window_moving_median",
     "streaming_session_window",
     "streaming_state_inspect",
+    "text_bpe_train",
 ]
 
 

@@ -1769,3 +1769,54 @@ if _HAS_HYP_GRAPH:
                 else:
                     want[(k, g)] = v0 - ((-dv) * w) // d
         assert got == want
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train == a pure-Python Sennrich reference on a crafted corpus
+    exercising greedy overlap ((a)(a)(a) -> (aa)(a)), frequency
+    weighting, multi-char merges, and the (freq DESC, left, right)
+    tie-break."""
+    from collections import Counter
+
+    from feast_ibm_spark.operators.bpe import bpe_train
+
+    docs = [
+        (1, "aaa aaa banana banana banana bandana"),
+        (2, "banana abc abc abc xyz xyz"),
+        (3, "aaa bandana cab cab"),
+    ]
+
+    def reference(texts, n_merges):
+        vocab = Counter()
+        for t in texts:
+            vocab.update(w for w in t.strip().split() if w)
+        seqs = {w: list(w) for w in vocab}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for w, s in seqs.items():
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            (l, r), freq = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, l + r, freq))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):  # greedy left-to-right
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [(r.rank, r.left, r.right, r.merged, r.pair_freq)
+           for r in bpe_train(df, n_merges=6).orderBy("rank").collect()]
+    want = reference([t for _, t in docs], 6)
+    assert got == want and len(got) == 6
