@@ -56,17 +56,9 @@ _PAIRS = (
 )
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 8,
-) -> DataFrame:
-    """Learn the top ``n_merges`` BPE merges from the corpus.
-
-    Returns (rank, left, right, merged, pair_freq) — one row per learned
-    merge, in learning order. Deterministic for a fixed corpus.
-    """
-    spark = df.sparkSession
+def _train(df: DataFrame, text_col: str, n_merges: int):
+    """Shared trainer core: returns (merges list, final vocab DataFrame
+    with (w, f, seq) — each word's post-merge symbol sequence)."""
     words = (
         df.select(F.explode(tokens_col(text_col)).alias("w"))
         .filter(
@@ -78,6 +70,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("f"))
     )
     cur = words.select(
+        "w",
         "f",
         F.concat(
             F.lit(D1), F.concat_ws(D2 + D1, F.split("w", "")), F.lit(D2)
@@ -105,6 +98,7 @@ def bpe_train(
         l, r, freq = top[0].l, top[0].r, int(top[0].freq)
         merges.append((rank, l, r, l + r, freq))
         nxt = cur.select(
+            "w",
             "f",
             F.replace(
                 F.col("seq"),
@@ -114,7 +108,65 @@ def bpe_train(
         ).localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
+    return merges, cur
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merges from the corpus.
+
+    Returns (rank, left, right, merged, pair_freq) — one row per learned
+    merge, in learning order. Deterministic for a fixed corpus.
+    """
+    spark = df.sparkSession
+    merges, cur = _train(df, text_col, n_merges)
     cur.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train-then-APPLY: tokenize every document with the merges just
+    learned from the corpus and report per-document subword token counts
+    — the real-tokenizer version of token budgeting (how many tokens
+    will this corpus cost?).
+
+    Because every occurrence of a word segments identically, application
+    is a broadcast join from document words to the trained vocabulary's
+    final segmentation (the same word->segments table real tokenizers
+    cache) — the corpus is never re-scanned per merge. Output:
+    (id, n_words, n_tokens) with n_tokens = sum of per-word subword
+    counts; words the trainer excluded (delimiter control chars — never
+    real text) are excluded here too, identically in the oracle.
+    """
+    _, vocab = _train(df, text_col, n_merges)
+    seg = vocab.select(
+        "w",
+        F.size(
+            F.regexp_extract_all("seq", F.lit(TOK_PATTERN), F.lit(1))
+        ).alias("n_sub"),
+    )
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("w")
+    )
+    # NOTE: the vocab localCheckpoint stays alive — the returned plan
+    # reads it (unpersisting before the caller's action would drop the
+    # checkpointed blocks a truncated lineage cannot rebuild); Spark's
+    # ContextCleaner reclaims it once the result goes out of scope.
+    return (
+        doc_words.join(F.broadcast(seg), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_tokens"),
+        )
     )

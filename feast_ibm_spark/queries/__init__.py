@@ -549,6 +549,10 @@ QUERIES: dict[str, QueryDef] = {
                                         "the CHECKPOINT STATE FILES via the "
                                         "statestore reader — state decoding "
                                         "pinned to the same oracle"),
+    "text_bpe_encode": QueryDef(q_text_bpe_encode, ORACLE_BPE_ENCODE,
+                                "train-then-APPLY token budgeting: per-doc "
+                                "subword counts via the cached "
+                                "word->segments broadcast join"),
     "text_bpe_train": QueryDef(q_text_bpe_train, ORACLE_BPE_TRAIN,
                                "REAL BPE training: top-8 merges learned "
                                "from corpus stats (greedy replace "
@@ -832,6 +836,7 @@ _DRIVER_EXCLUDE = (
     "streaming_state_inspect",
     "agg_salted_hot_keys",
     "text_bpe_train",
+    "text_bpe_encode",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

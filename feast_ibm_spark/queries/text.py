@@ -339,12 +339,15 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=BPE_N_MERGES)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    # control-char delimiters, mirroring operators/bpe.py (chr(1)/chr(2));
-    # the token regex carries ESCAPED control chars — RE2 and Java agree
+def _bpe_chain(n_merges: int) -> str:
+    """The shared WITH-chain of the BPE oracles: vocab base + n unrolled
+    training rounds. Control-char delimiters, mirroring operators/bpe.py
+    (chr(1)/chr(2)); the token regex carries ESCAPED control chars — RE2
+    and Java agree. MATERIALIZED per the round-6 iterative-CTE lesson
+    (inlined CTEs re-evaluate the base subtree ~3^rounds times)."""
     parts = ["""
 WITH base AS MATERIALIZED (
-  SELECT CAST(count(*) AS BIGINT) AS f,
+  SELECT w, CAST(count(*) AS BIGINT) AS f,
          chr(1) || array_to_string(string_split(w, ''), chr(2) || chr(1))
                 || chr(2) AS seq
   FROM (
@@ -353,7 +356,7 @@ WITH base AS MATERIALIZED (
   WHERE w <> '' AND strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
   GROUP BY w
 ),
-r0 AS MATERIALIZED (SELECT f, seq FROM base)"""]
+r0 AS MATERIALIZED (SELECT w, f, seq FROM base)"""]
     for k in range(1, n_merges + 1):
         parts.append(f""",
 p{k} AS MATERIALIZED (
@@ -367,17 +370,54 @@ m{k} AS MATERIALIZED (
   SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l, r LIMIT 1
 ),
 r{k} AS MATERIALIZED (
-  SELECT f, replace(seq, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
-                    chr(1) || m.l || m.r || chr(2)) AS seq
+  SELECT w, f,
+         replace(seq, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                 chr(1) || m.l || m.r || chr(2)) AS seq
   FROM r{k - 1}, m{k} m
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", "
         f"l || r AS merged, freq AS pair_freq FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank")
-    return "".join(parts)
+    return _bpe_chain(n_merges) + f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    return _bpe_chain(n_merges) + f""",
+seg AS MATERIALIZED (
+  SELECT w,
+         CAST(len(regexp_extract_all(seq, '\\x01([^\\x02]+)\\x02', 1))
+              AS BIGINT) AS n_sub
+  FROM r{n_merges}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+) d
+JOIN seg USING (w)
+GROUP BY doc_id
+"""
 
 
 ORACLE_BPE_TRAIN = _bpe_oracle(BPE_N_MERGES)
+ORACLE_BPE_ENCODE = _bpe_encode_oracle(BPE_N_MERGES)
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY token budgeting: every document tokenized with
+    the merges just learned from this corpus; per-doc word and subword
+    counts. Application is a broadcast join from document words to the
+    trained vocabulary's cached word->segments table (the corpus is
+    never re-scanned per merge) — the same asymmetry real tokenizers
+    exploit. Oracle extends the train chain with the segmentation join."""
+    from ..operators.bpe import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, n_merges=BPE_N_MERGES)

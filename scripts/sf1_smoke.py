@@ -187,6 +187,7 @@ SMOKE_QUERIES = [
     "streaming_session_window",
     "streaming_state_inspect",
     "text_bpe_train",
+    "text_bpe_encode",
 ]
 
 

@@ -229,6 +229,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_state_inspect",  # statestore reader vs ORACLE_SESSIONIZE
     "agg_salted_hot_keys",  # salted two-phase agg == direct groupBy
     "text_bpe_train",  # 8 unrolled MATERIALIZED rounds, same greedy replace
+    "text_bpe_encode",  # train chain + segmentation join (token budgeting)
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
