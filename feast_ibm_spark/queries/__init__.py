@@ -304,6 +304,14 @@ QUERIES: dict[str, QueryDef] = {
                                     "(the 100 TB path) — same exact oracle"),
     "knn_cosine_topk": QueryDef(q_knn_cosine_topk, ORACLE_KNN,
                                 "brute-force cosine top-k"),
+    "embed_linear_probe": QueryDef(q_embed_linear_probe,
+                                   ORACLE_LINEAR_PROBE,
+                                   "batch inference: K-class linear probe "
+                                   "head, map-side ordered-fold scoring, "
+                                   "argmax + correctness"),
+    "eval_pr_curve": QueryDef(q_eval_pr_curve, ORACLE_PR_CURVE,
+                              "model eval: exact PR confusion counts at "
+                              "9 thresholds in one pass"),
     "knn_lsh": QueryDef(q_knn_lsh, ORACLE_KNN_LSH,
                         "hyperplane-LSH ANN (full value-hash oracle "
                         "since round 6: seeded planes as SQL literals)"),
@@ -837,6 +845,8 @@ _DRIVER_EXCLUDE = (
     "agg_salted_hot_keys",
     "text_bpe_train",
     "text_bpe_encode",
+    "embed_linear_probe",
+    "eval_pr_curve",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -574,3 +574,119 @@ SELECT q_vec_id, vec_id, cosine, rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM rescored) WHERE rank <= {KNN_K}
 """
+
+
+# North-star: batch model inference + evaluation over embeddings
+# --------------------------------------------------------------------------
+
+PROBE_CLASSES, PROBE_DIM = 8, 64
+# fixed evaluation thresholds for the one-vs-rest PR sweep (class 0)
+PR_THRESHOLDS = [x / 10 for x in range(-4, 5)]  # -0.4 .. 0.4
+
+
+def q_embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch INFERENCE: a K-class linear probe (frozen-embedding
+    classifier head) scores every vector map-side — weights ride inside
+    the plan as exact integer arithmetic, the score is an ordered fold
+    (the cosine_topk discipline), no Python in the hot path. Output is
+    each vector's argmax class, score, and correctness vs the stored
+    label."""
+    from ..operators.inference import linear_probe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return linear_probe(emb, n_classes=PROBE_CLASSES, dim=PROBE_DIM)
+
+
+_DUCK_PROBE_SCORE = f"""
+list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  list_transform(range(1, {PROBE_DIM + 1}),
+    i -> (CAST((((c * 1009 + i * 9176) % 1000) - 500) AS DOUBLE) / 1000.0)
+         * CAST(embedding[i] AS DOUBLE))),
+  (acc, x) -> acc + x)
+"""
+
+ORACLE_LINEAR_PROBE = f"""
+WITH s AS (
+  SELECT vec_id, label, c, {_DUCK_PROBE_SCORE} AS score
+  FROM embeddings, unnest(range(0, {PROBE_CLASSES})) AS u(c)
+),
+r AS (
+  SELECT vec_id, label, c, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c ASC) AS rn
+  FROM s
+)
+SELECT vec_id, label, CAST(c AS BIGINT) AS pred, score,
+       CAST(c = label AS BIGINT) AS is_correct
+FROM r WHERE rn = 1
+"""
+
+
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model EVALUATION at scale: precision/recall of the class-0
+    one-vs-rest probe score at 9 fixed thresholds — confusion counts are
+    exact integers from ONE pass over the scored vectors (a 9-row
+    broadcast threshold grid expands map-side; no per-threshold rescan
+    of the eval set), precision/recall a single exact division each. The shape
+    behind threshold tuning on a 100 TB eval set."""
+    from ..operators.inference import _SCORE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") == 0).cast("bigint").alias("pos"),
+        F.expr(_SCORE.format(dim=PROBE_DIM)
+               .replace("c *", "0 *")).alias("score"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in PR_THRESHOLDS], "threshold double"
+    )
+    joined = scored.crossJoin(F.broadcast(th))
+    return (
+        joined.groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("threshold"))
+                       & (F.col("pos") == 1), 1).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("threshold"))
+                       & (F.col("pos") == 0), 1).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("threshold"))
+                       & (F.col("pos") == 1), 1).otherwise(0)
+            ).alias("fn"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            (F.col("tp").cast("double")
+             / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+            (F.col("tp").cast("double")
+             / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+        )
+    )
+
+
+_DUCK_PROBE0 = _DUCK_PROBE_SCORE.replace("c * 1009", "0 * 1009")
+
+ORACLE_PR_CURVE = f"""
+WITH scored AS (
+  SELECT vec_id, CAST(label = 0 AS BIGINT) AS pos, {_DUCK_PROBE0} AS score
+  FROM embeddings
+),
+th AS (SELECT unnest([{", ".join(str(t) for t in PR_THRESHOLDS)}]) AS threshold)
+SELECT threshold,
+       CAST(sum(CASE WHEN score >= threshold AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN score >= threshold AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN score < threshold AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN score >= threshold AND pos = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS DOUBLE) AS precision,
+       CAST(sum(CASE WHEN score >= threshold AND pos = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+FROM scored, th
+GROUP BY threshold
+"""

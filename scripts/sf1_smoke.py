@@ -188,6 +188,8 @@ SMOKE_QUERIES = [
     "streaming_state_inspect",
     "text_bpe_train",
     "text_bpe_encode",
+    "embed_linear_probe",
+    "eval_pr_curve",
 ]
 
 

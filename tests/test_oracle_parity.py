@@ -230,6 +230,8 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_salted_hot_keys",  # salted two-phase agg == direct groupBy
     "text_bpe_train",  # 8 unrolled MATERIALIZED rounds, same greedy replace
     "text_bpe_encode",  # train chain + segmentation join (token budgeting)
+    "embed_linear_probe",  # map-side K-class head, ordered-fold scores
+    "eval_pr_curve",  # exact PR confusion counts, one-pass threshold grid
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
