@@ -337,6 +337,47 @@ SHOWCASE: list[tuple[str, str]] = [
         "with sign-safe truncating division, so the values are\n"
         "reproducible bit-for-bit in any engine.",
     ),
+    (
+        "dedup_jaccard_prefix",
+        "The EXACT similarity join that survives boilerplate floods: tokens\n"
+        "sort rarest-first by global document frequency, only the short\n"
+        "prefix each document must expose enters the self-join, and the size\n"
+        "filter rides IN the join condition. A hot footer shingle has the\n"
+        "highest df, sorts to the back of every document, and never joins —\n"
+        "so the sum(c^2) blowup the brute inverted-index tier hits (472s at\n"
+        "50k flooded docs vs 38s here) simply does not occur, with zero\n"
+        "recall loss. Verification is candidate-bounded array_intersect on\n"
+        "the already-carried sorted arrays.",
+    ),
+    (
+        "window_moving_median",
+        "Spark refuses median over a window FRAME, so the plan is\n"
+        "collect_list bounded BY THE FRAME (7 values per row, not the\n"
+        "partition) -> array_sort -> integer middle interpolation — one\n"
+        "window exchange on user_id, everything else map-side expressions\n"
+        "inside codegen. State scales with frame width; a year of history\n"
+        "per user costs the same per-row work as a week.",
+    ),
+    (
+        "agg_salted_hot_keys",
+        "Two exchanges where the direct groupBy has one — and that is the\n"
+        "point: the first aggregates (key, salt) so a hot key fans over 32\n"
+        "reduce tasks instead of serializing behind one straggler; the\n"
+        "second merges a partial table at most keys x 32 rows tall, which is\n"
+        "noise. AQE splits skewed JOIN partitions at runtime but not skewed\n"
+        "AGG keys; this plan is the manual lever, row-identical to the\n"
+        "direct form.",
+    ),
+    (
+        "embed_linear_probe",
+        "Batch inference with zero Python in the hot path: the K x dim head\n"
+        "is exact integer arithmetic INSIDE the plan, each vector scores as\n"
+        "a strict ordered fold in whole-stage codegen, and the class expand\n"
+        "is width-K map-side — the only exchange is the rn=1 window on\n"
+        "vec_id. On 100 TB of embeddings this is a single scan-shaped pass;\n"
+        "swapping the toy head for broadcast trained weights changes no plan\n"
+        "property.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
