@@ -655,6 +655,12 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "erasure_deletion_vectors": QueryDef(q_erasure_deletion_vectors,
+                                         ORACLE_ERASURE_DV,
+                                         "merge-on-read erasure via a "
+                                         "(file,row_index) deletion-vector "
+                                         "sidecar — zero rewrite, residual "
+                                         "pinned 0"),
     "compliance_erasure_audit": QueryDef(
         q_compliance_erasure_audit, ORACLE_ERASURE_AUDIT,
         "right-to-be-forgotten rewrite + read-back audit "
@@ -847,6 +853,7 @@ _DRIVER_EXCLUDE = (
     "text_bpe_encode",
     "embed_linear_probe",
     "eval_pr_curve",
+    "erasure_deletion_vectors",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

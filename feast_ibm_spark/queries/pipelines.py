@@ -1589,3 +1589,42 @@ SELECT event_type,
        MAX(event_id) AS last_id
 FROM gen GROUP BY event_type
 """
+
+
+def q_erasure_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read erasure: the right-to-be-forgotten set
+    (user_id % 37 == 0) is recorded as a DELETION VECTOR — a sidecar of
+    (file, row position) pairs from the `_metadata` hidden columns — and
+    the read path anti-joins the broadcast sidecar instead of rewriting
+    the lake (operators/deletion_vectors.py; the copy-on-write twin is
+    compliance_erasure_audit). The audit aggregates the POST-DV view and
+    counts residual erased-user rows, which the oracle pins to zero —
+    the gate hash fails if the vector ever misses a row position."""
+    from ..operators.deletion_vectors import (
+        build_deletion_vector,
+        read_with_deletion_vector,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dv = build_deletion_vector(ev, F.col("user_id") % 37 == 0)
+    visible = read_with_deletion_vector(ev, dv)
+    return visible.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        (F.sum(_cents("value")).cast("double") / 100.0).alias("spend_visible"),
+        F.sum(
+            F.when(F.col("user_id") % 37 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("residual_erased"),
+    )
+
+
+ORACLE_ERASURE_DV = """
+SELECT event_type,
+       COUNT(*) AS n_visible,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS spend_visible,
+       CAST(SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS residual_erased
+FROM events
+WHERE user_id % 37 != 0
+GROUP BY event_type
+"""

@@ -190,6 +190,7 @@ SMOKE_QUERIES = [
     "text_bpe_encode",
     "embed_linear_probe",
     "eval_pr_curve",
+    "erasure_deletion_vectors",
 ]
 
 

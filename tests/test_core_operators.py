@@ -981,3 +981,32 @@ if _HAS_HYPOTHESIS:
         dec = gif_decode(enc)
         assert dec.shape == frames.shape
         assert (dec == frames).all()
+
+
+def test_deletion_vector_lifecycle(spark, tmp_path):
+    """DV mechanics on a multi-file table: positions are per-file (two
+    files can both have row_index 0 — only the right one vanishes), the
+    read path drops exactly the addressed rows, and an empty vector is
+    the identity."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.deletion_vectors import (
+        build_deletion_vector,
+        read_with_deletion_vector,
+    )
+
+    d = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    b = spark.createDataFrame([(3, "c"), (4, "d")], "id bigint, v string")
+    a.coalesce(1).write.parquet(d + "/p1")
+    b.coalesce(1).write.parquet(d + "/p2")
+    df = spark.read.parquet(d + "/p1", d + "/p2")
+
+    dv = build_deletion_vector(df, F.col("id") == 3)
+    assert dv.count() == 1  # one addressed row, in one file
+    visible = {r.id for r in read_with_deletion_vector(df, dv).collect()}
+    assert visible == {1, 2, 4}  # id=1 (row 0 of the OTHER file) survives
+
+    empty = build_deletion_vector(df, F.lit(False))
+    assert {r.id for r in read_with_deletion_vector(df, empty).collect()} \
+        == {1, 2, 3, 4}

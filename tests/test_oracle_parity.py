@@ -232,6 +232,7 @@ _EXCLUDED_WITH_ORACLE = [
     "text_bpe_encode",  # train chain + segmentation join (token budgeting)
     "embed_linear_probe",  # map-side K-class head, ordered-fold scores
     "eval_pr_curve",  # exact PR confusion counts, one-pass threshold grid
+    "erasure_deletion_vectors",  # merge-on-read DV, residual pinned 0
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM

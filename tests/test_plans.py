@@ -728,3 +728,33 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_observation_metrics_ride_the_plan(spark, sf_dir):
+    """`df.observe(Observation, ...)` collects aggregates DURING the
+    action — the 100 TB pattern for data-quality counters (rows seen,
+    nulls, out-of-range) without a second scan. Pins that observed
+    metrics equal the directly-computed aggregates on the same data."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("quality")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+    # the action that drives the scan is an ordinary aggregate consumer
+    out = observed.groupBy("event_type").count().collect()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n
+    assert got["sum_cents"] == want.s
+    assert got["n_negative"] == want.neg == 0
+    assert len(out) > 0
