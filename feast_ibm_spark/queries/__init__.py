@@ -81,6 +81,11 @@ QUERIES: dict[str, QueryDef] = {
                                          ORACLE_SESSIONIZE,
                                          "built-in session_window aggregation "
                                          "— third formulation, same oracle"),
+    "sessionize_dynamic_gap": QueryDef(q_sessionize_dynamic_gap,
+                                       ORACLE_SESSIONIZE_DYNGAP,
+                                       "per-event DYNAMIC gap sessions "
+                                       "(interval column; running-max "
+                                       "break-rule oracle)"),
     "pivot_event_counts": QueryDef(q_pivot_event_counts, ORACLE_PIVOT,
                                    "PIVOT to one count column per event type"),
     "resample_locf": QueryDef(q_resample_locf, ORACLE_RESAMPLE,
@@ -854,6 +859,7 @@ _DRIVER_EXCLUDE = (
     "embed_linear_probe",
     "eval_pr_curve",
     "erasure_deletion_vectors",
+    "sessionize_dynamic_gap",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -574,3 +574,75 @@ SELECT user_id, view_value, purchase_value, last_error_ts,
        CAST(n_sources AS BIGINT) AS n_sources
 FROM surv WHERE rn = 1
 """
+
+
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization: the session timeout depends on the
+    EVENT — purchases hold a session open 4h, everything else 2h (the
+    engagement-model shape: heavyweight actions imply longer intent).
+    Spark's native ``session_window`` accepts a per-row interval COLUMN,
+    so the merging state machine handles variable gaps natively.
+
+    The oracle needs no state machine: an event starts a new session iff
+    its time exceeds the RUNNING MAX of (ts + gap) over ALL preceding
+    events of the key — a break dominates every earlier window end, so
+    the global running max equals the within-session one (the classic
+    interval-union argument, proven in the docstring of the ORACLE)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # session_window demands CalendarIntervalType — ANSI INTERVAL
+    # literals are DayTimeIntervalType, so build via make_interval
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,4,0,0) "
+        "ELSE make_interval(0,0,0,0,2,0,0) END"
+    )
+    grouped = (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return grouped.withColumn(
+        "session_id", F.row_number().over(w).cast("bigint")
+    ).select("user_id", "session_id", "session_start", "session_end", "n_events")
+
+
+# Correctness of the running-max break rule: if a break happened at event
+# k (ts_k exceeds every earlier ts_j + gap_j), then for any later i,
+# ts_i >= ts_k also exceeds those, so the global running max over ALL
+# preceding events equals the max over the CURRENT session's events —
+# no per-session reset needed, hence plain window SQL suffices.
+ORACLE_SESSIONIZE_DYNGAP = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN max(epoch_us(ts)
+                       + CASE WHEN event_type = 'purchase'
+                              THEN 14400000000 ELSE 7200000000 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR epoch_us(ts) > max(epoch_us(ts)
+                       + CASE WHEN event_type = 'purchase'
+                              THEN 14400000000 ELSE 7200000000 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""

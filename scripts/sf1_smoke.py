@@ -191,6 +191,7 @@ SMOKE_QUERIES = [
     "embed_linear_probe",
     "eval_pr_curve",
     "erasure_deletion_vectors",
+    "sessionize_dynamic_gap",
 ]
 
 

@@ -233,6 +233,7 @@ _EXCLUDED_WITH_ORACLE = [
     "embed_linear_probe",  # map-side K-class head, ordered-fold scores
     "eval_pr_curve",  # exact PR confusion counts, one-pass threshold grid
     "erasure_deletion_vectors",  # merge-on-read DV, residual pinned 0
+    "sessionize_dynamic_gap",  # interval-column session_window
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
