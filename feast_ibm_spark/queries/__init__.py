@@ -660,6 +660,11 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "features_target_encoding": QueryDef(q_features_target_encoding,
+                                         ORACLE_TARGET_ENCODING,
+                                         "leave-one-out + smoothed target "
+                                         "encoding (broadcast category "
+                                         "stats; map-side encode)"),
     "erasure_deletion_vectors": QueryDef(q_erasure_deletion_vectors,
                                          ORACLE_ERASURE_DV,
                                          "merge-on-read erasure via a "
@@ -860,6 +865,7 @@ _DRIVER_EXCLUDE = (
     "eval_pr_curve",
     "erasure_deletion_vectors",
     "sessionize_dynamic_gap",
+    "features_target_encoding",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -1628,3 +1628,79 @@ FROM events
 WHERE user_id % 37 != 0
 GROUP BY event_type
 """
+
+
+TE_SMOOTH_M = 10  # pseudo-observations toward the global mean
+
+
+def q_features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out TARGET ENCODING — the classic high-cardinality
+    categorical feature: each event's category (event_type) becomes the
+    mean target (cents) of all OTHER rows of that category, plus the
+    m=10 smoothed variant shrinking small categories toward the global
+    mean (the Micci-Barreca formulation). LOO excludes the own row so
+    the feature leaks no per-row target information into training.
+
+    Exact plan: one tiny per-category aggregate broadcast back to the
+    fact rows (5 categories here; at 10^6 categories this is still a
+    broadcast — category stats are small by construction), one 1-row
+    global-mean broadcast, arithmetic all integer sums with ONE double
+    division per output column in a pinned expression order — no window
+    over the fact table at all, so the encode is map-side after the two
+    joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("__c")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("__c").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    glob = ev.agg(
+        F.sum("__c").alias("__gs"), F.count(F.lit(1)).alias("__gn")
+    )
+    joined = (
+        ev.join(F.broadcast(per_type), "event_type")
+        .crossJoin(F.broadcast(glob))
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__s") - F.col("__c")).cast("double")
+        / (F.col("__n") - 1).cast("double"),
+    )
+    prior = F.col("__gs").cast("double") / F.col("__gn").cast("double")
+    smoothed = (
+        ((F.col("__s") - F.col("__c")).cast("double")
+         + F.lit(float(TE_SMOOTH_M)) * prior)
+        / (F.col("__n") - 1 + TE_SMOOTH_M).cast("double")
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        loo.alias("te_loo_cents"),
+        smoothed.alias("te_smooth_cents"),
+    )
+
+
+ORACLE_TARGET_ENCODING = f"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+per_type AS (
+  SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type
+),
+gstats AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+  FROM c
+)
+SELECT c.event_id, c.event_type,
+       CASE WHEN n > 1
+            THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       END AS te_loo_cents,
+       (CAST(s - cents AS DOUBLE)
+          + {float(TE_SMOOTH_M)} * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+         / CAST(n - 1 + {TE_SMOOTH_M} AS DOUBLE) AS te_smooth_cents
+FROM c JOIN per_type USING (event_type) CROSS JOIN gstats
+"""

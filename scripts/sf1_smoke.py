@@ -192,6 +192,7 @@ SMOKE_QUERIES = [
     "eval_pr_curve",
     "erasure_deletion_vectors",
     "sessionize_dynamic_gap",
+    "features_target_encoding",
 ]
 
 
