@@ -660,6 +660,10 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "trend_theil_sen": QueryDef(q_trend_theil_sen, ORACLE_THEIL_SEN,
+                                "Theil-Sen robust per-user trend "
+                                "(median of pairwise slopes; keyed "
+                                "self-join, documented O(k^2) bound)"),
     "features_target_encoding": QueryDef(q_features_target_encoding,
                                          ORACLE_TARGET_ENCODING,
                                          "leave-one-out + smoothed target "
@@ -866,6 +870,7 @@ _DRIVER_EXCLUDE = (
     "erasure_deletion_vectors",
     "sessionize_dynamic_gap",
     "features_target_encoding",
+    "trend_theil_sen",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -1207,3 +1207,72 @@ SELECT event_id, user_id,
          AS prev_cents
 FROM events
 """
+
+
+def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend per user: the median of all pairwise
+    spend slopes — up to ~29% corrupted observations cannot move it,
+    unlike the least-squares slope a single outlier owns. Slope units
+    are cents/day; each pairwise slope is ONE double division of exact
+    integers (cent delta x 86400e6 over the microsecond delta, pinned
+    multiply-before-divide order), and the median interpolates the two
+    middle values exactly like DuckDB's.
+
+    Scale note (documented bound): pairwise slopes are O(k^2) per key —
+    fine for per-user event counts (k ~ 10^2-10^3 => 10^4-10^6 pairs,
+    map-side after one keyed shuffle), and the standard subsample
+    escape (cap pairs per key) applies beyond that. The self-join keys
+    on user_id, so no cross-user pair ever materializes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_micros("ts").alias("__us"),
+        _cents("value").alias("__c"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.__us") != F.col("b.__us")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            ((F.col("b.__c") - F.col("a.__c")) * F.lit(86_400_000_000).cast("bigint"))
+            .cast("double")
+            / (F.col("b.__us") - F.col("a.__us")).cast("double")
+        ).alias("slope"),
+    )
+    # exact median: sort per user, interpolate the two middle elements
+    grouped = slopes.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("slope")).alias("arr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n = F.size("arr")
+    lo = F.element_at("arr", F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (F.floor(n / 2) + 1).cast("int"))
+    return grouped.select(
+        "user_id",
+        "n_pairs",
+        ((lo + hi) / F.lit(2.0)).alias("slope_cents_per_day"),
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+slopes AS (
+  SELECT a.user_id,
+         CAST((b.c - a.c) * CAST(86400000000 AS BIGINT) AS DOUBLE)
+           / CAST(b.us - a.us AS DOUBLE) AS slope
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id AND a.us != b.us
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(median(slope) AS DOUBLE) AS slope_cents_per_day
+FROM slopes GROUP BY user_id
+"""

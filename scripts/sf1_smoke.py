@@ -193,6 +193,7 @@ SMOKE_QUERIES = [
     "erasure_deletion_vectors",
     "sessionize_dynamic_gap",
     "features_target_encoding",
+    "trend_theil_sen",
 ]
 
 

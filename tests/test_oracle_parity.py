@@ -235,6 +235,7 @@ _EXCLUDED_WITH_ORACLE = [
     "erasure_deletion_vectors",  # merge-on-read DV, residual pinned 0
     "sessionize_dynamic_gap",  # interval-column session_window
     "features_target_encoding",  # LOO + smoothed encode, broadcast stats
+    "trend_theil_sen",  # median of pairwise slopes, exact interpolation
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
