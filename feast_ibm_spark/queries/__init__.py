@@ -660,6 +660,11 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "features_time_weighted_avg": QueryDef(q_features_time_weighted_avg,
+                                           ORACLE_TIME_WEIGHTED_AVG,
+                                           "time-weighted average spend "
+                                           "(SCD2 lead intervals; integer "
+                                           "cents x ms weights)"),
     "trend_theil_sen": QueryDef(q_trend_theil_sen, ORACLE_THEIL_SEN,
                                 "Theil-Sen robust per-user trend "
                                 "(median of pairwise slopes; keyed "
@@ -871,6 +876,7 @@ _DRIVER_EXCLUDE = (
     "sessionize_dynamic_gap",
     "features_target_encoding",
     "trend_theil_sen",
+    "features_time_weighted_avg",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

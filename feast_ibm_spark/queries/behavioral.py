@@ -1276,3 +1276,65 @@ SELECT user_id,
        CAST(median(slope) AS DOUBLE) AS slope_cents_per_day
 FROM slopes GROUP BY user_id
 """
+
+
+def q_features_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average spend per user — the billing/sensor feature
+    where each observation holds until the next one, so a value's weight
+    is how LONG it was current, not how often it was sampled (a plain
+    mean over-counts burst periods). Each row's validity runs to the
+    user's next event (the SCD2 lead interval); the last observation has
+    no successor and carries no weight.
+
+    Exactness: weights are whole MILLISECONDS (µs delta integer-divided
+    by 1000 — truncating identically in both engines), the weighted sum
+    is integer cents x ms (bounded ~1e15 per user here, int64-safe; the
+    overflow headroom is documented), and the average is ONE double
+    division. One keyed window + one aggregate — two shuffles on
+    user_id which AQE coalesces into the same exchange reuse."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    rows = ev.select(
+        "user_id",
+        "event_id",
+        _cents("value").alias("__c"),
+        F.unix_micros("ts").alias("__us"),
+    ).withColumn("__next_us", F.lead("__us", 1).over(w))
+    weighted = rows.filter(F.col("__next_us").isNotNull()).select(
+        "user_id",
+        "__c",
+        ((F.col("__next_us") - F.col("__us")) / F.lit(1000))
+        .cast("bigint")
+        .alias("__ms"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__ms").alias("observed_ms"),
+        (
+            F.sum(F.col("__c") * F.col("__ms")).cast("double")
+            / F.sum("__ms").cast("double")
+        ).alias("twa_cents"),
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH rows_next AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+weighted AS (
+  SELECT user_id, c, CAST((next_us - us) // 1000 AS BIGINT) AS ms
+  FROM rows_next WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(ms) AS BIGINT) AS observed_ms,
+       CAST(sum(c * ms) AS DOUBLE) / CAST(sum(ms) AS DOUBLE) AS twa_cents
+FROM weighted GROUP BY user_id
+"""

@@ -194,6 +194,7 @@ SMOKE_QUERIES = [
     "sessionize_dynamic_gap",
     "features_target_encoding",
     "trend_theil_sen",
+    "features_time_weighted_avg",
 ]
 
 

@@ -236,6 +236,7 @@ _EXCLUDED_WITH_ORACLE = [
     "sessionize_dynamic_gap",  # interval-column session_window
     "features_target_encoding",  # LOO + smoothed encode, broadcast stats
     "trend_theil_sen",  # median of pairwise slopes, exact interpolation
+    "features_time_weighted_avg",  # integer cents x ms weights
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
