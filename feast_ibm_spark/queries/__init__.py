@@ -660,6 +660,11 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "features_hashing_trick": QueryDef(q_features_hashing_trick,
+                                       ORACLE_HASHING_TRICK,
+                                       "hashing-trick categorical encoding "
+                                       "(portable polynomial hash; no "
+                                       "fitted vocabulary)"),
     "features_time_weighted_avg": QueryDef(q_features_time_weighted_avg,
                                            ORACLE_TIME_WEIGHTED_AVG,
                                            "time-weighted average spend "
@@ -877,6 +882,7 @@ _DRIVER_EXCLUDE = (
     "features_target_encoding",
     "trend_theil_sen",
     "features_time_weighted_avg",
+    "features_hashing_trick",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -1704,3 +1704,62 @@ SELECT c.event_id, c.event_type,
          / CAST(n - 1 + {TE_SMOOTH_M} AS DOUBLE) AS te_smooth_cents
 FROM c JOIN per_type USING (event_type) CROSS JOIN gstats
 """
+
+
+HASH_DIM = 32  # hashed feature-vector width
+
+
+def q_features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al.): high-cardinality
+    categoricals become a fixed k=32-dim feature vector with no fitted
+    vocabulary — index = hash(category) mod k, sign = the hash's next
+    bit, so collisions cancel in expectation and NEW categories never
+    break the pipeline (the counterpart to the fitted encoder in
+    features_target_encoding). Output is the sparse per-user vector:
+    signed event counts and signed cent sums per occupied index.
+
+    The hash is the engine-portable polynomial fingerprint
+    (functions/text.py, acc*31+cp mod 1e9+7) — NOT xxhash64, which
+    DuckDB cannot reproduce — so the oracle replays the identical
+    recurrence. All arithmetic integer until the final /100."""
+    from ..functions.text import fingerprint_col
+
+    ev = _t(spark, sf_dir, "events")
+    fp = fingerprint_col(F.col("event_type"))
+    hashed = ev.select(
+        "user_id",
+        (fp % HASH_DIM).cast("int").alias("feature_idx"),
+        F.when((fp / HASH_DIM).cast("bigint") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("__sign"),
+        _cents("value").alias("__c"),
+    )
+    return hashed.groupBy("user_id", "feature_idx").agg(
+        F.sum("__sign").cast("bigint").alias("weight_count"),
+        (F.sum(F.col("__sign") * F.col("__c")).cast("double") / 100.0)
+        .alias("weight_value"),
+    )
+
+
+ORACLE_HASHING_TRICK = f"""
+WITH hashed AS (
+  SELECT user_id,
+         CAST(fp % {HASH_DIM} AS INTEGER) AS feature_idx,
+         CASE WHEN (fp // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sign,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM (
+    SELECT user_id, value,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(event_type) + 1),
+                 i -> CAST(unicode(event_type[i:i]) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS fp
+    FROM events
+  )
+)
+SELECT user_id, feature_idx,
+       CAST(sum(sign) AS BIGINT) AS weight_count,
+       CAST(sum(sign * cents) AS DOUBLE) / 100.0 AS weight_value
+FROM hashed GROUP BY user_id, feature_idx
+"""

@@ -195,6 +195,7 @@ SMOKE_QUERIES = [
     "features_target_encoding",
     "trend_theil_sen",
     "features_time_weighted_avg",
+    "features_hashing_trick",
 ]
 
 

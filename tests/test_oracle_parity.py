@@ -237,6 +237,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_target_encoding",  # LOO + smoothed encode, broadcast stats
     "trend_theil_sen",  # median of pairwise slopes, exact interpolation
     "features_time_weighted_avg",  # integer cents x ms weights
+    "features_hashing_trick",  # portable-hash sparse encode
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
