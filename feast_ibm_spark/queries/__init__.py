@@ -314,6 +314,9 @@ QUERIES: dict[str, QueryDef] = {
                                    "batch inference: K-class linear probe "
                                    "head, map-side ordered-fold scoring, "
                                    "argmax + correctness"),
+    "eval_auc": QueryDef(q_eval_auc, ORACLE_AUC,
+                         "EXACT ROC-AUC (Mann-Whitney integer "
+                         "formulation; ties exact via odd numerator)"),
     "eval_pr_curve": QueryDef(q_eval_pr_curve, ORACLE_PR_CURVE,
                               "model eval: exact PR confusion counts at "
                               "9 thresholds in one pass"),
@@ -883,6 +886,7 @@ _DRIVER_EXCLUDE = (
     "trend_theil_sen",
     "features_time_weighted_avg",
     "features_hashing_trick",
+    "eval_auc",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

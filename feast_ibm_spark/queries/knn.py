@@ -690,3 +690,74 @@ SELECT threshold,
 FROM scored, th
 GROUP BY threshold
 """
+
+
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the class-0 probe score, no sampling and no
+    trapezoid approximation: AUC is the Mann-Whitney pair statistic, and
+    with scores grouped by distinct value it reduces to integer
+    arithmetic — numer2 = sum over scores of cnt_pos * (2*cum_neg_below
+    + cnt_neg_at), AUC = numer2 / (2*n_pos*n_neg), ONE double division
+    at the end (ties contribute exactly 1/2 via the odd numerator).
+
+    The cumulative window runs over DISTINCT scores (one row per value,
+    ~corpus-sized here) in a single partition; at 100 TB the standard
+    two-pass range-partitioned prefix sum replaces it — documented
+    honestly rather than hidden, the aggregation before it already
+    collapsed the data."""
+    from pyspark.sql import Window
+
+    from ..operators.inference import _SCORE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") == 0).cast("bigint").alias("pos"),
+        F.expr(_SCORE.format(dim=PROBE_DIM).replace("c *", "0 *")).alias("s"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.sum("pos").alias("cnt_pos"),
+        F.sum(1 - F.col("pos")).alias("cnt_neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = per_score.withColumn(
+        "cum_neg", F.coalesce(F.sum("cnt_neg").over(w), F.lit(0))
+    ).select(
+        (F.col("cnt_pos") * (2 * F.col("cum_neg") + F.col("cnt_neg")))
+        .alias("numer2"),
+        "cnt_pos",
+        "cnt_neg",
+    )
+    return terms.agg(
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+        F.sum("cnt_neg").cast("bigint").alias("n_neg"),
+        (
+            F.sum("numer2").cast("double")
+            / (2.0 * F.sum("cnt_pos") * F.sum("cnt_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+ORACLE_AUC = f"""
+WITH scored AS (
+  SELECT CAST(label = 0 AS BIGINT) AS pos, {_DUCK_PROBE0} AS s
+  FROM embeddings
+),
+per_score AS (
+  SELECT s, CAST(sum(pos) AS BIGINT) AS cnt_pos,
+         CAST(sum(1 - pos) AS BIGINT) AS cnt_neg
+  FROM scored GROUP BY s
+),
+terms AS (
+  SELECT cnt_pos, cnt_neg,
+         cnt_pos * (2 * COALESCE(sum(cnt_neg) OVER (
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + cnt_neg) AS numer2
+  FROM per_score
+)
+SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt_neg) AS BIGINT) AS n_neg,
+       CAST(sum(numer2) AS DOUBLE)
+         / (2.0 * CAST(sum(cnt_pos) AS DOUBLE) * CAST(sum(cnt_neg) AS DOUBLE))
+         AS auc
+FROM terms
+"""

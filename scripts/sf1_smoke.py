@@ -196,6 +196,7 @@ SMOKE_QUERIES = [
     "trend_theil_sen",
     "features_time_weighted_avg",
     "features_hashing_trick",
+    "eval_auc",
 ]
 
 

@@ -238,6 +238,7 @@ _EXCLUDED_WITH_ORACLE = [
     "trend_theil_sen",  # median of pairwise slopes, exact interpolation
     "features_time_weighted_avg",  # integer cents x ms weights
     "features_hashing_trick",  # portable-hash sparse encode
+    "eval_auc",  # exact Mann-Whitney AUC, integer numerator
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
