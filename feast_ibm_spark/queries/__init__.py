@@ -554,6 +554,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_STREAM_INTERVAL_JOIN,
                                         "drained stream-stream interval "
                                         "join vs batch oracle"),
+    "streaming_interval_join_outer": QueryDef(
+        q_streaming_interval_join_outer,
+        ORACLE_STREAM_INTERVAL_JOIN_OUTER,
+        "LEFT OUTER stream-stream interval join — unmatched rows emit "
+        "with nulls at watermark (sentinel-advanced bounded drain)"),
     "streaming_session_window": QueryDef(q_streaming_session_window,
                                          ORACLE_SESSIONIZE,
                                          "NATIVE streaming session_window "
@@ -887,6 +892,7 @@ _DRIVER_EXCLUDE = (
     "features_time_weighted_avg",
     "features_hashing_trick",
     "eval_auc",
+    "streaming_interval_join_outer",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -1763,3 +1763,87 @@ SELECT user_id, feature_idx,
        CAST(sum(sign * cents) AS DOUBLE) / 100.0 AS weight_value
 FROM hashed GROUP BY user_id, feature_idx
 """
+
+
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the second stream-join
+    semantics: every click pairs with the same user's purchases in the
+    following 30 minutes, and clicks with NO such purchase emit exactly
+    once WITH NULLS when the watermark proves no match can still arrive
+    (unmatched emission and state eviction are the same event — the
+    abandoned-browse shape).
+
+    Bounded-drain mechanics: unmatched rows only flush when the
+    watermark passes them, and a finished file stream's watermark stops
+    at max(ts) - delay — so the LAST window of clicks would never emit.
+    The query therefore materializes the events slice ONCE with a far-
+    future SENTINEL row in both roles (user_id = -1, filtered from the
+    result and absent from the oracle's view of the real table); its
+    only job is to push the final watermark past all real data. A live
+    deployment needs none of this — the next real event does it."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+    import uuid
+
+    configure_runtime(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"fis_events_sentinel_{tag}")
+    if not os.path.exists(os.path.join(src, "_done")):
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", _cents("value").alias("cents")
+        )
+        ev.write.mode("overwrite").parquet(src)
+        far = ev.agg(
+            F.max("ts").alias("m")
+        ).select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("m")) + 3 * 3600 * 1_000_000
+            ).alias("ts"),
+            F.explode(F.array(F.lit("click"), F.lit("purchase")))
+            .alias("event_type"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
+        far.coalesce(1).write.mode("append").parquet(src)
+        open(os.path.join(src, "_done"), "w").close()
+
+    schema = "user_id bigint, ts timestamp, event_type string, cents bigint"
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("cents").alias("__c"),
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+        how="left_outer",
+    )
+    sink = f"stream_ivjo_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        joined, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "click_ts", "purchase_ts",
+        (F.col("__c").cast("double") / 100.0).alias("purchase_value"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN_OUTER = """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       CAST(CAST(round(p.value * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS purchase_value
+FROM events c
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+"""

@@ -30,9 +30,19 @@ def streaming_interval_join(
     before_seconds: int,
     after_seconds: int,
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key_cols`` where ``left_ts`` falls in
+    """Join two streams on ``key_cols`` where ``left_ts`` falls in
     ``[right_ts - before_seconds, right_ts + after_seconds]``.
+
+    ``how="left_outer"`` adds the second stream-stream join semantics:
+    a left row with NO match emits once — with nulls on the right — when
+    the watermark proves no matching right row can still arrive (state
+    eviction and unmatched emission are the same event). On a BOUNDED
+    drain that proof needs the watermark to pass the final rows, so the
+    caller must push a sentinel through both streams (see
+    ``q_streaming_interval_join_outer``); a live deployment needs no
+    sentinel — the next real data advances the watermark.
 
     Both inputs must be streaming DataFrames; each gets its event-time
     watermark here (same delay — pass pre-watermarked frames to vary).
@@ -50,7 +60,7 @@ def streaming_interval_join(
             <= F.col(f"r.{right_ts}") + F.expr(f"INTERVAL {after_seconds} SECOND"),
         ]
     )
-    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    joined = lw.alias("l").join(rw.alias("r"), cond, how)
     # project key columns once (both sides carry them after the alias join)
     keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
     others = [

@@ -197,6 +197,7 @@ SMOKE_QUERIES = [
     "features_time_weighted_avg",
     "features_hashing_trick",
     "eval_auc",
+    "streaming_interval_join_outer",
 ]
 
 

@@ -239,6 +239,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_time_weighted_avg",  # integer cents x ms weights
     "features_hashing_trick",  # portable-hash sparse encode
     "eval_auc",  # exact Mann-Whitney AUC, integer numerator
+    "streaming_interval_join_outer",  # 14th class: outer + sentinel
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
