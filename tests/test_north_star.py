@@ -1820,3 +1820,42 @@ def test_bpe_train_matches_python_reference(spark):
            for r in bpe_train(df, n_merges=6).orderBy("rank").collect()]
     want = reference([t for _, t in docs], 6)
     assert got == want and len(got) == 6
+
+
+if _HAS_HYP_GRAPH:
+
+    @given(
+        vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=40),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_moving_median_property_matches_python(spark, vals):
+        """Frame-bounded collect+sort median vs statistics.median over the
+        same trailing-7 window, random integer series (negatives and
+        duplicates included — interpolation and sort stability must hold)."""
+        import statistics
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rows = [(1, i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k bigint, i bigint, v bigint")
+        w = Window.partitionBy("k").orderBy("i").rowsBetween(-6, 0)
+        arr = F.array_sort(F.collect_list("v").over(w))
+        n = F.size(arr)
+        lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+        got = {
+            r.i: r.med
+            for r in df.select(
+                "i", ((lo + hi).cast("double") / F.lit(2.0)).alias("med")
+            ).collect()
+        }
+        want = {
+            i: float(statistics.median(vals[max(0, i - 6): i + 1]))
+            for i in range(len(vals))
+        }
+        assert got == want
