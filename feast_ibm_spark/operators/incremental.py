@@ -126,6 +126,15 @@ def refresh_additive_agg(
     else:
         merged = parts
 
+    _commit_state(spark, base_path, refresh_id, merged, ids, next_seq)
+    return True
+
+
+def _commit_state(spark, base_path, refresh_id, merged, ids, next_seq):
+    """The shared commit tail of every refresher (see module docstring
+    for the crash analysis): write-to-temp, rename into place, THEN
+    append the ledger entry (the commit point), then opportunistically
+    clean superseded versions."""
     new_dir = os.path.join(base_path, _STATE_PREFIX + refresh_id)
     tmp = new_dir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -141,7 +150,6 @@ def refresh_additive_agg(
         stale = os.path.join(base_path, _STATE_PREFIX + rid)
         if os.path.exists(stale):
             shutil.rmtree(stale)
-    return True
 
 
 def read_agg(spark: SparkSession, base_path: str) -> DataFrame:
@@ -160,4 +168,91 @@ def read_agg(spark: SparkSession, base_path: str) -> DataFrame:
         (
             F.col("sum_cents").cast("double") / F.col("n") / 100.0
         ).alias("avg_value"),
+    )
+
+
+# -- algebraic (second-moment) IVM ----------------------------------------
+# Variance is not additive, but its SUFFICIENT STATISTICS are: (n, sum,
+# sum of squares) merge by plain addition, and mean/variance derive at
+# read time — the textbook algebraic-aggregate decomposition. Same
+# ledgered commit protocol as the additive family.
+
+
+def slice_moment_partials(
+    facts: DataFrame, key_cols: list[str], cents_col
+) -> DataFrame:
+    return facts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents_col).alias("sum_cents"),
+        F.sum(cents_col * cents_col).alias("sumsq_cents"),
+    )
+
+
+def refresh_moments_agg(
+    spark: SparkSession,
+    base_path: str,
+    facts_slice: DataFrame,
+    key_cols: list[str],
+    cents_col,
+    refresh_id: str,
+) -> bool:
+    """Second-moment twin of :func:`refresh_additive_agg`: state schema
+    key_cols + n/sum_cents/sumsq_cents, all exact integers. int64
+    headroom: the variance numerator n*sumsq - sum^2 stays in range up
+    to ~5x10^4 rows per key at 50,000-cent values (~1e19 bound) —
+    beyond that, promote the state to DECIMAL(38,0), same protocol."""
+    if _STATE_PREFIX in refresh_id or "/" in refresh_id:
+        raise ValueError(f"invalid refresh_id: {refresh_id!r}")
+    os.makedirs(base_path, exist_ok=True)
+    ledger = _ledger_rows(spark, base_path)
+    ids = [r["refresh_id"] for r in ledger]
+    if refresh_id in ids:
+        return False
+    next_seq = max((r["seq"] for r in ledger), default=-1) + 1
+
+    parts = slice_moment_partials(facts_slice, key_cols, cents_col)
+    cur = _current_state_dir(base_path, ids)
+    if cur is not None:
+        merged = (
+            spark.read.parquet(cur)
+            .unionByName(parts)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.sum("sumsq_cents").alias("sumsq_cents"),
+            )
+        )
+    else:
+        merged = parts
+    _commit_state(spark, base_path, refresh_id, merged, ids, next_seq)
+    return True
+
+
+def read_moments(spark: SparkSession, base_path: str) -> DataFrame:
+    """Mean and POPULATION variance derived from the maintained
+    sufficient statistics: var = (n*sumsq - sum^2) / n^2, computed as
+    one exact integer numerator and one double division (then /1e4 for
+    cents^2 -> value^2) — bit-identical to any engine evaluating the
+    same formula on the same integers."""
+    ids = _ledger_ids(spark, base_path)
+    cur = _current_state_dir(base_path, ids)
+    if cur is None:
+        raise FileNotFoundError(f"no committed state under {base_path}")
+    st = spark.read.parquet(cur)
+    keys = [c for c in st.columns
+            if c not in ("n", "sum_cents", "sumsq_cents")]
+    var_num = F.col("n") * F.col("sumsq_cents") - (
+        F.col("sum_cents") * F.col("sum_cents")
+    )
+    return st.select(
+        *keys,
+        F.col("n"),
+        (F.col("sum_cents").cast("double") / F.col("n") / 100.0)
+        .alias("avg_value"),
+        (
+            var_num.cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / 10000.0
+        ).alias("var_value"),
     )

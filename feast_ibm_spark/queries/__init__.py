@@ -668,6 +668,10 @@ QUERIES: dict[str, QueryDef] = {
         q_training_negative_pairs, ORACLE_NEGATIVE_PAIRS,
         "deterministic hash-drawn contrastive negatives, "
         "no cross join / no RNG, exact pairing value-hashed"),
+    "materialize_moments_incremental": QueryDef(
+        q_materialize_moments_incremental, ORACLE_MOMENTS_INCREMENTAL,
+        "algebraic IVM: mean+variance via mergeable sufficient stats "
+        "(ledgered exactly-once refreshes; retry no-op pinned)"),
     "features_hashing_trick": QueryDef(q_features_hashing_trick,
                                        ORACLE_HASHING_TRICK,
                                        "hashing-trick categorical encoding "
@@ -893,6 +897,7 @@ _DRIVER_EXCLUDE = (
     "features_hashing_trick",
     "eval_auc",
     "streaming_interval_join_outer",
+    "materialize_moments_incremental",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

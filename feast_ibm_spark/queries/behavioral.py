@@ -1338,3 +1338,46 @@ SELECT user_id,
        CAST(sum(c * ms) AS DOUBLE) / CAST(sum(ms) AS DOUBLE) AS twa_cents
 FROM weighted GROUP BY user_id
 """
+
+
+def q_materialize_moments_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALGEBRAIC-aggregate IVM at the gate: per-user mean AND population
+    variance maintained through two half-range refreshes of sufficient
+    statistics (n, sum, sum-of-squares — variance is not additive, its
+    moments are; operators/incremental.py refresh_moments_agg, same
+    ledgered exactly-once commit protocol as the additive family, retry
+    of the second slice re-applied as a committed no-op). The oracle is
+    the full-range recompute of the identical integer formula — equality
+    proves the moment merge is exact, not approximately associative."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import read_moments, refresh_moments_agg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/fis_momstate_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events")
+    mid = "2024-01-15 00:00:00"
+    cents = _cents("value")
+    first = ev.filter(F.col("ts") < F.lit(mid).cast("timestamp"))
+    second = ev.filter(F.col("ts") >= F.lit(mid).cast("timestamp"))
+    assert refresh_moments_agg(spark, base, first, ["user_id"], cents, "h1")
+    assert refresh_moments_agg(spark, base, second, ["user_id"], cents, "h2")
+    assert not refresh_moments_agg(spark, base, second, ["user_id"], cents, "h2")
+    return read_moments(spark, base)
+
+
+ORACLE_MOMENTS_INCREMENTAL = """
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS avg_value,
+       CAST(COUNT(*) * SUM(cents * cents) - SUM(cents) * SUM(cents) AS DOUBLE)
+         / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 10000.0 AS var_value
+FROM c GROUP BY user_id
+"""

@@ -198,6 +198,7 @@ SMOKE_QUERIES = [
     "features_hashing_trick",
     "eval_auc",
     "streaming_interval_join_outer",
+    "materialize_moments_incremental",
 ]
 
 

@@ -240,6 +240,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_hashing_trick",  # portable-hash sparse encode
     "eval_auc",  # exact Mann-Whitney AUC, integer numerator
     "streaming_interval_join_outer",  # 14th class: outer + sentinel
+    "materialize_moments_incremental",  # algebraic IVM (variance)
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
