@@ -314,6 +314,11 @@ QUERIES: dict[str, QueryDef] = {
                                    "batch inference: K-class linear probe "
                                    "head, map-side ordered-fold scoring, "
                                    "argmax + correctness"),
+    "eval_lang_confusion": QueryDef(q_eval_lang_confusion,
+                                    ORACLE_LANG_CONFUSION,
+                                    "language-ID confusion matrix vs the "
+                                    "labeled lang column (exact cells + "
+                                    "row shares)"),
     "eval_auc": QueryDef(q_eval_auc, ORACLE_AUC,
                          "EXACT ROC-AUC (Mann-Whitney integer "
                          "formulation; ties exact via odd numerator)"),
@@ -898,6 +903,7 @@ _DRIVER_EXCLUDE = (
     "eval_auc",
     "streaming_interval_join_outer",
     "materialize_moments_incremental",
+    "eval_lang_confusion",
 )
 _DRIVER_FIRST = (
     "pull_all_time_range",

@@ -421,3 +421,51 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_encode_counts(docs, n_merges=BPE_N_MERGES)
+
+
+def q_eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality CONFUSION MATRIX at corpus scale: the
+    stopword-profile language detector's predictions crossed against the
+    corpus's labeled ``lang`` column — per (actual, predicted) cell the
+    exact count plus the row share within the actual language (one exact
+    division). The eval shape that tells you WHICH languages the
+    detector confuses, not just how often it is right; one map-side
+    predict + one tiny group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        lang_id_col("text").alias("predicted"),
+    )
+    cell = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cell.groupBy("actual").agg(F.sum("n").alias("__t"))
+    return cell.join(row_tot, "actual").select(
+        "actual",
+        "predicted",
+        "n",
+        (F.col("n").cast("double") / F.col("__t").cast("double"))
+        .alias("row_share"),
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    pred_sql = ORACLE_LANG_ID.strip().rstrip()
+    return f"""
+WITH pred AS ({pred_sql}),
+cell AS (
+  SELECT d.lang AS actual, p.lang_pred AS predicted,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+),
+row_tot AS (
+  SELECT actual, CAST(sum(n) AS BIGINT) AS t FROM cell GROUP BY actual
+)
+SELECT actual, predicted, n,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS row_share
+FROM cell JOIN row_tot USING (actual)
+"""
+
+
+ORACLE_LANG_CONFUSION = _oracle_lang_confusion()

@@ -199,6 +199,7 @@ SMOKE_QUERIES = [
     "eval_auc",
     "streaming_interval_join_outer",
     "materialize_moments_incremental",
+    "eval_lang_confusion",
 ]
 
 

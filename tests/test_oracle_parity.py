@@ -241,6 +241,7 @@ _EXCLUDED_WITH_ORACLE = [
     "eval_auc",  # exact Mann-Whitney AUC, integer numerator
     "streaming_interval_join_outer",  # 14th class: outer + sentinel
     "materialize_moments_incremental",  # algebraic IVM (variance)
+    "eval_lang_confusion",  # detector confusion vs labeled lang
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
