@@ -13,12 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from feast_ibm_spark.queries import DRIVER_QUERIES
+from feast_ibm_spark.queries import DRIVER_QUERIES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the point-in-time join."""
-    return DRIVER_QUERIES["pit_join_ttl"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the point-in-time join.
+
+    Pulled from the full registry, not DRIVER_QUERIES — the round-7 gate
+    rotated every multiply-green entry (including the flagship) out in
+    favor of never-driver-hashed ones (VERDICT r6 item 1)."""
+    return QUERIES["pit_join_ttl"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -55,8 +55,27 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibrate(seconds: float = 1.0) -> int:
+    """Fixed-work single-thread spin: iterations of a pure-Python loop
+    completed in ``seconds`` of wall clock. Absolute BENCH numbers on
+    this host swing 14.8-33s same-binary with ambient load/cgroup state
+    (NOTES.md "idle-host bench bisect"); recording a calibration count
+    at bench time lets later rounds normalize round-over-round deltas
+    without a same-host A/B worktree run (VERDICT r6 item 7)."""
+    count = 0
+    x = 0
+    deadline = time.perf_counter() + seconds
+    while time.perf_counter() < deadline:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        count += 10_000
+    return count
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    loadavg_start = os.getloadavg()
+    calibration_start = _calibrate()
     from feast_ibm_spark.queries import QUERIES
     from feast_ibm_spark.session import get_spark
 
@@ -135,6 +154,19 @@ def main() -> None:
         "runs": n_runs,
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-state context (VERDICT r6 item 7): 1/5/15-min loadavg at
+        # start/end + single-thread fixed-work spin counts. Normalize
+        # cross-round comparisons by the calibration ratio before
+        # reading anything into a wall-clock delta.
+        "loadavg": {
+            "start": [round(v, 2) for v in loadavg_start],
+            "end": [round(v, 2) for v in os.getloadavg()],
+        },
+        "calibration": {
+            "unit": "loop iterations / sec (single thread)",
+            "start": calibration_start,
+            "end": _calibrate(),
+        },
     }
     print(json.dumps(out))
 

@@ -1281,3 +1281,135 @@ def ngram_containment_pairs(
         .alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Asymmetric containment pairs — EXACT, via prefix filtering, the
+    zero-loss bounded path for quote/subset detection at scale (the
+    pretraining-dedup case minhash-LSH cannot serve: LSH recalls by
+    Jaccard, and a short doc quoted whole inside a long one has
+    containment ~1 but Jaccard ~|A|/|B|).
+
+    Same output contract as :func:`ngram_containment_pairs`
+    (``(doc_id, container_id, containment)``, one ordered row per
+    passing direction, containment(a in b) = |A∩B|/|A| >= t), different
+    scale behavior. The inverted-index self-join's shuffle output is
+    sum over shingles of c^2 (c = per-shingle doc frequency) and its
+    only escape there (``max_shingle_freq``) is LOSSY — dropped
+    shingles lower computed containment. Prefix filtering is the exact
+    escape, adapted to the asymmetric predicate:
+
+    - order every document's distinct shingles by ascending global
+      document frequency (ties on shingle value — a total order both
+      sides compute identically);
+    - the CONTAINEE side keeps only its first ``|A| - ceil(t*|A|) + 1``
+      tokens (containment >= t forces ``|A∩B| >= ceil(t*|A|)``, so by
+      pigeonhole at least one shared token sits inside that prefix —
+      the smaller-side prefix of VERDICT r6 item 5);
+    - the CONTAINER side indexes its FULL distinct-token set: the
+      predicate puts no lower bound on the overlap relative to ``|B|``,
+      so no container token may be dropped without losing recall.
+
+    Candidate volume is sum over shingles of prefix_count(s) *
+    full_count(s). Hot boilerplate shingles have the highest df, sort
+    to the back of every prefix, and get prefix_count ~ 0 — the c^2
+    hot-bucket blowup never happens, with zero recall loss. The size
+    filter ``1000*|B| >= t_mil*|A|`` (overlap <= min(|A|,|B|) must
+    reach ceil(t*|A|)) rides in the join condition. Verification is
+    candidate-bounded: join back the full sorted arrays, one
+    ``array_intersect``, the same integer threshold test as the brute
+    twin, emitting each passing direction.
+
+    Shares the DuckDB brute-force oracle with ``dedup_containment``
+    (queries/corpus.ORACLE_DEDUP_CONTAINMENT). ``hash_shingles``
+    carries the 2^-64 collision caveat of :func:`ngram_jaccard_pairs`.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    thr_mil = int(round(threshold * 1000))
+
+    docs_arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks")
+        )
+        .select(
+            F.col(id_col),
+            F.col("toks.shingle").alias("sh_arr"),
+            F.size("toks").alias("n_sh"),
+        )
+        # containee prefix: |A| - ceil(t*|A|) + 1, ceil in exact
+        # integer arithmetic
+        .withColumn(
+            "p",
+            F.col("n_sh")
+            - F.floor((F.col("n_sh") * thr_mil + 999) / 1000).cast("int")
+            + 1,
+        )
+    )
+
+    pref = docs_arr.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.expr("slice(sh_arr, 1, p)")).alias("shingle"),
+    )
+    full = docs_arr.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
+    )
+
+    a, b = pref.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            # overlap <= min(|A|,|B|) must reach ceil(t*|A|); the |A|
+            # bound is vacuous, leaving 1000*|B| >= t_mil*|A|
+            & (F.col("b.n_sh") * 1000 >= F.col("a.n_sh") * thr_mil),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("containee"),
+            F.col(f"b.{id_col}").alias("container"),
+        )
+        .distinct()
+    )
+
+    fa = docs_arr.select(
+        F.col(id_col).alias("containee"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("size_a"),
+    )
+    fb = docs_arr.select(
+        F.col(id_col).alias("container"),
+        F.col("sh_arr").alias("arr_b"),
+    )
+    return (
+        cand.join(fa, "containee")
+        .join(fb, "container")
+        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(F.col("common") * 1000 >= F.lit(thr_mil) * F.col("size_a"))
+        .select(
+            F.col("containee").alias(id_col),
+            F.col("container").alias("container_id"),
+            (
+                F.col("common").cast("double")
+                / F.col("size_a").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from ._shared import *  # noqa: F401,F403
 
 # Round 4: behavioral analytics + feature-engineering shapes. All money/
@@ -1209,7 +1211,9 @@ FROM events
 """
 
 
-def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_trend_theil_sen(
+    spark: SparkSession, sf_dir: str, max_pairs_per_key: int | None = None
+) -> DataFrame:
     """Theil-Sen ROBUST trend per user: the median of all pairwise
     spend slopes — up to ~29% corrupted observations cannot move it,
     unlike the least-squares slope a single outlier owns. Slope units
@@ -1218,17 +1222,48 @@ def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-before-divide order), and the median interpolates the two
     middle values exactly like DuckDB's.
 
-    Scale note (documented bound): pairwise slopes are O(k^2) per key —
-    fine for per-user event counts (k ~ 10^2-10^3 => 10^4-10^6 pairs,
-    map-side after one keyed shuffle), and the standard subsample
-    escape (cap pairs per key) applies beyond that. The self-join keys
-    on user_id, so no cross-user pair ever materializes."""
+    Scale design (both legs bounded, no giant buffers):
+
+    - The median is a windowed rank + two-middle-element interpolation,
+      NOT an ``array_sort(collect_list(...))`` single-row array: the
+      per-key slope sort runs in WindowExec's spill-able row container,
+      so a hot key degrades to disk instead of blowing one aggregation
+      buffer (k = 10^4 events => ~5x10^7 slopes => ~400 MB would sit in
+      ONE array under the old shape).
+    - ``max_pairs_per_key`` is a HARD cap on pairs per key: events are
+      subsampled per key by a deterministic hash draw
+      (xxhash64(user_id, event_id) rank — the ``training_negative_pairs``
+      recipe) down to the largest m with C(m,2) <= max_pairs_per_key,
+      BEFORE the self-join, so the O(k^2) pair set is never generated,
+      not merely filtered. Subsampled Theil-Sen over a point subsample
+      is the standard estimator escape. When a key has k <= m events the
+      draw keeps everything, so capped == uncapped below the cap — the
+      registry/gate config stays uncapped (exact oracle), production
+      sets the cap.
+
+    The self-join keys on user_id, so no cross-user pair ever
+    materializes."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.col("event_id"),
         F.unix_micros("ts").alias("__us"),
         _cents("value").alias("__c"),
     )
+    if max_pairs_per_key is not None:
+        if max_pairs_per_key < 1:
+            raise ValueError("max_pairs_per_key must be >= 1")
+        # largest m with m*(m-1)/2 <= max_pairs_per_key
+        m = int((1 + math.isqrt(1 + 8 * max_pairs_per_key)) // 2)
+        w_draw = Window.partitionBy("user_id").orderBy(
+            F.xxhash64("user_id", "event_id"), "event_id"
+        )
+        ev = (
+            ev.withColumn("__draw", F.row_number().over(w_draw))
+            .filter(F.col("__draw") <= F.lit(m))
+            .drop("__draw")
+        )
     a, b = ev.alias("a"), ev.alias("b")
     slopes = a.join(
         b,
@@ -1243,19 +1278,26 @@ def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.__us") - F.col("a.__us")).cast("double")
         ).alias("slope"),
     )
-    # exact median: sort per user, interpolate the two middle elements
-    grouped = slopes.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("slope")).alias("arr"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    n = F.size("arr")
-    lo = F.element_at("arr", F.floor((n + 1) / 2).cast("int"))
-    hi = F.element_at("arr", (F.floor(n / 2) + 1).cast("int"))
-    return grouped.select(
+    # exact median, no giant array: rank each key's slopes by value
+    # (the VALUE at rank r is deterministic even with ties), keep only
+    # the two middle ranks, interpolate. min==max on odd n.
+    w_rank = Window.partitionBy("user_id").orderBy("slope")
+    w_all = Window.partitionBy("user_id")
+    ranked = slopes.select(
         "user_id",
-        "n_pairs",
-        ((lo + hi) / F.lit(2.0)).alias("slope_cents_per_day"),
+        "slope",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
     )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        | (F.col("__rn") == F.floor(F.col("n_pairs") / 2) + 1)
+    )
+    return mid.groupBy("user_id", "n_pairs").agg(
+        ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias(
+            "slope_cents_per_day"
+        )
+    ).select("user_id", "n_pairs", "slope_cents_per_day")
 
 
 ORACLE_THEIL_SEN = """

@@ -1037,6 +1037,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME containment pairs via prefix filtering — the exact
+    bounded-at-scale tier (operators/dedup.containment_prefix_pairs):
+    rarest-first token order, containee prefix |A|-ceil(t*|A|)+1 vs
+    the container's full set, so hot boilerplate shingles never drive
+    a c^2 bucket blowup and recall is provably lossless. Shares
+    ORACLE_DEDUP_CONTAINMENT with the inverted-index brute twin — one
+    driver hash pins both execution strategies."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_prefix_pairs(
+        docs, n=NGRAM_N, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 ORACLE_DEDUP_CONTAINMENT = f"""
 WITH sh AS (
   SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents

@@ -1859,3 +1859,133 @@ if _HAS_HYP_GRAPH:
             for i in range(len(vals))
         }
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# trend_theil_sen scale hardening (VERDICT r6 item 2): deterministic pair
+# cap + windowed median (no giant per-key array)
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_capped_equals_uncapped_below_cap(spark, sf_dir):
+    """With the cap above every user's C(k,2), the hash draw keeps all
+    events, so the capped plan must be ROW-IDENTICAL to the uncapped
+    (gate/oracle) config — same n_pairs, same interpolated median."""
+    from feast_ibm_spark.queries.behavioral import q_trend_theil_sen
+
+    base = {
+        (r.user_id, r.n_pairs): r.slope_cents_per_day
+        for r in q_trend_theil_sen(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.user_id, r.n_pairs): r.slope_cents_per_day
+        for r in q_trend_theil_sen(
+            spark, sf_dir, max_pairs_per_key=10_000_000
+        ).collect()
+    }
+    assert capped == base and len(base) > 0
+
+
+def test_theil_sen_cap_is_hard_on_hot_key(spark, tmp_path):
+    """A hot user with k=2000 events (~2x10^6 pairs uncapped) under
+    max_pairs_per_key=10_000 must materialize at most 10_000 pairs —
+    the cap is enforced by pre-join event subsampling (largest m with
+    C(m,2) <= cap), a hard bound, not an expectation. A cold user
+    (k=5) in the same frame must be bit-identical to its uncapped
+    result (the draw keeps everything below the cap)."""
+    import pandas as pd
+
+    from feast_ibm_spark.queries.behavioral import q_trend_theil_sen
+
+    hot = pd.DataFrame(
+        {
+            "event_id": range(2000),
+            "user_id": 1,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(2000), unit="h"),
+            # noisy LINEAR trend: +0.5/hour => +12.00/day => 1200
+            # cents/day robust slope; the bounded periodic perturbation
+            # cannot move the pairwise-slope median far
+            "value": [i * 0.5 + ((i * 37) % 100) / 10.0 for i in range(2000)],
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "event_id": range(2000, 2005),
+            "user_id": 2,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(5), unit="h"),
+            "value": [1.0, 5.0, 2.0, 9.0, 4.0],
+        }
+    )
+    pdf = pd.concat([hot, cold], ignore_index=True)
+    # the query loader reads <sf_dir>/events.parquet
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "sf" / "events.parquet")
+    )
+    sfd = str(tmp_path / "sf")
+
+    uncapped = {
+        r.user_id: (r.n_pairs, r.slope_cents_per_day)
+        for r in q_trend_theil_sen(spark, sfd).collect()
+    }
+    capped = {
+        r.user_id: (r.n_pairs, r.slope_cents_per_day)
+        for r in q_trend_theil_sen(spark, sfd, max_pairs_per_key=10_000).collect()
+    }
+    assert uncapped[1][0] == 2000 * 1999 // 2
+    assert capped[1][0] <= 10_000
+    # cold key below the cap: identical to uncapped, bit-for-bit
+    assert capped[2] == uncapped[2]
+    # the capped estimate still tracks the robust trend (within 10% of
+    # the full-pair median of a noisy linear series)
+    assert abs(uncapped[1][1] - 1200.0) < 120.0
+    assert abs(capped[1][1] - uncapped[1][1]) <= 0.1 * abs(uncapped[1][1])
+
+
+# ---------------------------------------------------------------------------
+# containment prefix filtering (VERDICT r6 item 5): exact asymmetric tier
+# ---------------------------------------------------------------------------
+
+
+def test_containment_prefix_equals_brute(spark):
+    """Containment prefix filtering is EXACT: ordered-pair-for-pair,
+    value-for-value equal to the inverted-index brute tier at every
+    threshold — including on a boilerplate-flooded corpus where every
+    document shares a hot footer, AND for the asymmetric shape Jaccard
+    misses (a short doc quoted whole inside a long one). The containee
+    prefix is |A|-ceil(t*|A|)+1 rarest-first tokens; the container side
+    indexes its FULL set (no lower bound on overlap vs |B|, so any
+    container-side prefix would lose recall — the quoted-short-doc pairs
+    below would vanish under a symmetric prefix)."""
+    import random
+
+    from feast_ibm_spark.operators.dedup import (
+        containment_prefix_pairs,
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    footer = "common footer shared by every single document here"
+    rows = []
+    for i in range(50):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 30)))
+        rows.append((i, f"{body} {footer}"))
+    # asymmetric shape: short docs quoted whole inside much longer hosts
+    for i in range(50, 60):
+        quote = rows[i - 50][1]
+        pad = " ".join(rng.choice(vocab) for _ in range(80))
+        rows.append((i, f"{pad} {quote} {pad}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for thr in (0.5, 0.7, 0.9):
+        brute = {(r.doc_id, r.container_id): r.containment
+                 for r in ngram_containment_pairs(docs, threshold=thr).collect()}
+        pref = {(r.doc_id, r.container_id): r.containment
+                for r in containment_prefix_pairs(docs, threshold=thr).collect()}
+        assert brute, f"degenerate fixture at threshold {thr}"
+        # quoted-short-doc pairs must be present (the asymmetric case)
+        if thr <= 0.9:
+            assert any(a < 50 <= b for (a, b) in brute)
+        assert pref == brute  # identical ordered pairs AND float values
