@@ -127,6 +127,18 @@ def _out_name(view: FeatureViewSpec, feat: str, full_feature_names: bool) -> str
     return f"{view.name}__{feat}" if full_feature_names else feat
 
 
+def _spine_hot_key_max(spine: DataFrame, keys: list[str]) -> int:
+    """Max spine rows on any single key combination — one tiny two-stage
+    aggregate (per-key counts combine map-side; the reduce is a single
+    max over one row per distinct key). ``auto`` uses this histogram to
+    decide plain-melt vs salted-melt per view; it is only run when the
+    spine's TOTAL row count (already known, free, from the range
+    aggregate) exceeds the partition budget — a spine smaller than the
+    budget cannot contain a key above it."""
+    row = spine.groupBy(*keys).count().agg(F.max("count").alias("m")).first()
+    return int(row["m"] or 0)
+
+
 def point_in_time_join(
     spine: DataFrame,
     feature_views: list[FeatureViewSpec],
@@ -136,6 +148,7 @@ def point_in_time_join(
     persist_spine: bool = False,
     time_range: tuple | None = None,
     auto_broadcast_rows: int = 5_000_000,
+    salt_partition_budget_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Join every FeatureView onto the spine as-of the spine timestamp.
 
@@ -150,7 +163,14 @@ def point_in_time_join(
     ``auto_broadcast_rows`` broadcast-semi-joins its key set onto the
     feature side first, keeping the window shuffle to the requested keys'
     history instead of the whole corpus — the part that matters at 100 TB
-    where the melt's unpruned shuffle is the scan. All spine columns
+    where the melt's unpruned shuffle is the scan. Round 7: ``auto`` also
+    probes the spine's per-key histogram (only when total rows exceed
+    ``salt_partition_budget_rows``, so the probe is free for every spine
+    that cannot contain a hot key) and escalates to the salted melt when
+    one key's spine rows exceed the budget — the whale-key partition
+    bound, measurement-backed (NOTES.md round 7 "hot-SPINE salted-melt
+    crossover"). ``salt_partition_budget_rows=None`` disables the probe.
+    All spine columns
     (including label/pass-through columns, reference
     ``tests/test_integration.py:160``) survive to the output.
 
@@ -203,6 +223,30 @@ def point_in_time_join(
             strategy = "broadcast"
         else:
             strategy = "union_window"
+            # Hot-spine escalation (round 7, VERDICT r6 item 3): a key
+            # holding more spine rows than the partition budget would put
+            # them ALL in one plain-melt window partition — the straggler/
+            # OOM shape. Probe the spine's per-key histogram (one tiny
+            # two-stage aggregate per distinct key set, skipped entirely
+            # while total rows <= budget since no key can exceed the
+            # total) and escalate THAT view to the salted melt. Budget
+            # default is measurement-backed (NOTES.md round 7 "hot-SPINE
+            # salted-melt crossover"): plain melt still wins at a 500k-row
+            # hot key (~1.3x faster than salted); the salted melt's bound
+            # matters when one key's partition outgrows executor memory,
+            # so the default stays above every measured wall-clock
+            # crossover and below the multi-GiB sort-spill zone.
+            if salt_partition_budget_rows and n_rows > salt_partition_budget_rows:
+                hot_cache: dict[tuple, int] = {}
+                for v in feature_views:
+                    kt = tuple(v.join_keys)
+                    if kt not in hot_cache:
+                        hot_cache[kt] = _spine_hot_key_max(spine, list(kt))
+                if any(
+                    hot_cache[tuple(v.join_keys)] > salt_partition_budget_rows
+                    for v in feature_views
+                ):
+                    strategy = "union_window_salted"
     out = spine
     for view in feature_views:
         if strategy == "union_window":
@@ -477,8 +521,13 @@ def _join_one_view_union_window_salted(
 
     key_ts = [*view.join_keys, spine_ts]
     spine_keys = spine.select(*key_ts).distinct()
+    # NTZ-safe epoch bucketing: TIMESTAMP casts straight to double (epoch
+    # seconds) but TIMESTAMP_NTZ does not — route through TIMESTAMP first
+    # (found by the round-7 hot-spine bench, whose make_interval spine is
+    # NTZ). Bucket boundaries only need to be CONSISTENT across both
+    # sides of the melt, which the shared session zone guarantees.
     bucket_of = lambda c: F.floor(  # noqa: E731
-        c.cast("double") / salt_bucket_seconds
+        c.cast("timestamp").cast("double") / salt_bucket_seconds
     ).cast("bigint")
 
     feat_tagged = feat.select(

@@ -258,6 +258,7 @@ def test_exclusions_partition_correctly():
     )
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", _EXCLUDED_WITH_ORACLE)
 def test_excluded_query_matches_oracle(spark, duck, name):
     qd = QUERIES[name]
@@ -266,6 +267,7 @@ def test_excluded_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", _EXCLUDED_RTOL)
 def test_rtol_query_matches_oracle(spark, duck, name):
     """These use ln(), which differs by ~1 ulp between DuckDB (libm) and
@@ -276,6 +278,7 @@ def test_rtol_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", _EXCLUDED_ROWS_ONLY)
 def test_excluded_rows_only_query_runs(spark, name):
     # approximate-by-design: accuracy vs the exact twins is asserted in

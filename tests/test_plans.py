@@ -758,3 +758,49 @@ def test_observation_metrics_ride_the_plan(spark, sf_dir):
     assert got["sum_cents"] == want.s
     assert got["n_negative"] == want.neg == 0
     assert len(out) > 0
+
+
+def test_pit_auto_escalates_to_salted_on_hot_spine(spark):
+    """Round-7 auto hot-SPINE escalation (VERDICT r6 item 3): when one key
+    holds more SPINE rows than ``salt_partition_budget_rows``, ``auto``
+    must switch from the plain melt (whole key in one window partition)
+    to the salted melt (partitions bounded by (key, time-bucket)) — and
+    the escalated plan must return results identical to the plain melt.
+    Below the budget the probe must not even run: a spine smaller than
+    the budget cannot contain a key above it, so the row count already
+    known from the range aggregate short-circuits the histogram job."""
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    # hot spine: every event row becomes a spine row for user_id=0
+    spine = ev.select(
+        F.lit(0).alias("user_id"), F.col("ts").alias("event_timestamp")
+    )
+    view = FeatureViewSpec(
+        "v", ev, ["user_id"], ["value"], "ts", ttl_seconds=30 * 86400
+    )
+    escalated = point_in_time_join(
+        spine, [view], strategy="auto", salt_partition_budget_rows=1_000
+    )
+    plan = escalated._jdf.queryExecution().executedPlan().toString()
+    assert "__carry_in" in plan  # the salted melt's phase-2 column
+    plain = point_in_time_join(spine, [view], strategy="union_window")
+    assert sorted(map(tuple, escalated.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # below-budget spine: probe short-circuited (monkey-proof: histogram
+    # helper raises if called), plan stays the plain melt
+    from feast_ibm_spark.operators import pit_join as pj
+
+    small = spine.limit(100)
+    orig = pj._spine_hot_key_max
+    pj._spine_hot_key_max = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("histogram probe must not run below the budget")
+    )
+    try:
+        out = point_in_time_join(
+            small, [view], strategy="auto", salt_partition_budget_rows=1_000_000
+        )
+        plan_small = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        pj._spine_hot_key_max = orig
+    assert "__carry_in" not in plan_small
