@@ -215,6 +215,46 @@ def test_pit_join_randomized_against_brute_force(spark, strategy, ttl):
     assert got == expected
 
 
+@pytest.mark.parametrize(
+    "strategy", ["broadcast", "shuffle", "union_window", "union_window_salted"]
+)
+def test_pit_join_strategies_on_ntz_timestamps(spark, strategy):
+    """Every strategy must accept TIMESTAMP_NTZ sources (round-7
+    regression: the salted melt's time-bucket expression used
+    cast(ts as double), which is illegal on NTZ — found by the hot-spine
+    bench, fixed by routing through TIMESTAMP first). Same randomized
+    brute-force oracle as the TZ test."""
+    import random
+
+    rng = random.Random(7)
+    base = TS(2024, 1, 1)
+    instants = [base + timedelta(minutes=30 * i) for i in range(20)]
+    feat_rows = [
+        (rng.randint(1, 5), rng.choice(instants),
+         rng.choice(instants) + timedelta(seconds=i), float(i))
+        for i in range(120)
+    ]
+    spine_rows = [(rng.randint(1, 6), rng.choice(instants)) for _ in range(40)]
+    spine_rows = list(dict.fromkeys(spine_rows))
+
+    feat = spark.createDataFrame(
+        feat_rows,
+        "k bigint, event_timestamp timestamp_ntz, created timestamp_ntz, v double",
+    )
+    spine = spark.createDataFrame(
+        spine_rows, "k bigint, event_timestamp timestamp_ntz"
+    )
+    view = FeatureViewSpec("fv", feat, ["k"], ["v"], "event_timestamp",
+                           created_timestamp_column="created",
+                           ttl_seconds=3600)
+    got = {
+        (r.k, r.event_timestamp): r.v
+        for r in point_in_time_join(spine, [view], strategy=strategy).collect()
+    }
+    expected = _brute_force_pit(spine_rows, feat_rows, 3600)
+    assert got == expected
+
+
 def test_sessionize_gap_semantics(spark):
     from datetime import datetime as TS
 

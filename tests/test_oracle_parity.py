@@ -34,17 +34,21 @@ def test_driver_export_is_exactly_50():
         assert QUERIES[name] is qd
 
 
-def test_driver_export_ordering():
-    names = list(DRIVER_QUERIES)
-    # the query that lost its gate row in rounds 1-2 leads the export
-    assert names.index("multimodal_byte_features") < 5
-    # approximate entries sit last (cheapest to lose if the gate's cap is
-    # time-based rather than count-based); knn_ivf gained a full oracle in
-    # round 4 (deterministic seed cells) but keeps its slot position
-    assert names[-2:] == ["knn_ivf", "embedding_near_dup_lsh"]
-    # round 5: embedding_near_dup_lsh gained a full oracle (seeded
-    # hyperplanes as SQL literals), so EVERY exported query now carries
-    # one — the first fully-oracled 50/50 export
+def test_driver_export_r7_rotation_invariants():
+    """The round-7 export is the VERDICT-r6-item-1 backlog burn-down:
+    every slot must be a query that has NEVER received a driver
+    CORRECTNESS hash (rounds 1-6 recorded none of them), and every slot
+    must carry a full value-hash oracle — 50 first-time rows."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hashed_before = set()
+    for r in range(1, 7):
+        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            hashed_before |= set(json.load(open(p)))
+    already = sorted(set(DRIVER_QUERIES) & hashed_before)
+    assert already == [], f"r7 gate slots wasted on already-hashed: {already}"
     no_oracle = [n for n, qd in DRIVER_QUERIES.items() if qd.oracle is None]
     assert no_oracle == []
 
@@ -97,7 +101,6 @@ _EXCLUDED_WITH_ORACLE = [
     "join_returned_customers",
     "agg_global_avg_filter",
     "dedup_clusters",
-    "dedup_clusters_star",
     "split_train_val_test",
     "pack_sequences",
     "sample_stratified",
@@ -108,7 +111,6 @@ _EXCLUDED_WITH_ORACLE = [
     "asof_join_nearest",
     "agg_value_histogram",
     "filter_value_outliers",
-    "corpus_curation_auto",
     "cluster_representatives",
     "text_vocab_coverage",
     "join_nation_profit",
@@ -179,69 +181,74 @@ _EXCLUDED_WITH_ORACLE = [
     "range_join_ship_windows",
     "dedup_clusters_lsh",
     # round-6 additions past the 50-slot cap (local gate)
-    "text_pii_scan",
-    "training_shuffle",
     "dedup_containment",
     "scan_binary_files",
     "multimodal_resize_stats",
     "event_interarrival",
-    "market_basket_rules",
-    "streaming_cdc_merge",
-    "golden_record",
-    "scan_merge_schema",
-    "feature_engineering_e2e",
-    "scan_json_quarantine",
-    "layout_compaction_roundtrip",
-    "table_checksum",
     "graph_pagerank",
-    "graph_triangles",
-    "graph_pagerank_incremental",
-    "streaming_topk",
     "scan_text_logs",
     "corpus_boilerplate_removal",
-    "graph_kcore",
     "resample_interpolate",
     "drift_ks",
-    "training_negative_pairs",
-    "compliance_erasure_audit",
-    "multimodal_image_dedup",
-    "features_last_k_events",
-    "graph_ppr_recommend",
-    "mix_temperature_weights",
-    "agg_equidepth_bins",
-    "write_audit_publish",
-    "streaming_router",
-    "scan_python_source",
-    "streaming_python_source",
-    "sink_python_roundtrip",
-    "graph_pagerank_weighted",
-    "multimodal_audio_silence",
     "multimodal_frame_sample",
-    "scan_csv_quarantine",
-    "cluster_representatives_lsh",
     "knn_lsh",    # full seeded-plane oracle since round 6
-    "knn_ivfpq",  # full residual-composition oracle since round 6
-    "dedup_jaccard_prefix",  # shares the brute pair oracle (third session)
-    "chunk_documents_udtf",  # shares ORACLE_CHUNKS with the Catalyst twin
     "window_moving_median",
-    "streaming_session_window",  # 13th streaming class, ORACLE_SESSIONIZE
     "scan_xml_source",  # sixth source format (Spark 4 built-in xml)
-    "streaming_state_inspect",  # statestore reader vs ORACLE_SESSIONIZE
     "agg_salted_hot_keys",  # salted two-phase agg == direct groupBy
-    "text_bpe_train",  # 8 unrolled MATERIALIZED rounds, same greedy replace
-    "text_bpe_encode",  # train chain + segmentation join (token budgeting)
-    "embed_linear_probe",  # map-side K-class head, ordered-fold scores
-    "eval_pr_curve",  # exact PR confusion counts, one-pass threshold grid
-    "erasure_deletion_vectors",  # merge-on-read DV, residual pinned 0
     "sessionize_dynamic_gap",  # interval-column session_window
-    "features_target_encoding",  # LOO + smoothed encode, broadcast stats
-    "trend_theil_sen",  # median of pairwise slopes, exact interpolation
-    "features_time_weighted_avg",  # integer cents x ms weights
-    "features_hashing_trick",  # portable-hash sparse encode
-    "eval_auc",  # exact Mann-Whitney AUC, integer numerator
-    "streaming_interval_join_outer",  # 14th class: outer + sentinel
     "materialize_moments_incremental",  # algebraic IVM (variance)
-    "eval_lang_confusion",  # detector confusion vs labeled lang
+    # parked round 7 (rotation: all 50 driver slots filled from the
+    # never-hashed pool; every multiply-green r1-r6 query parks here)
+    "agg_daily_gapfill",
+    "agg_value_mad",
+    "attribution_last_touch",
+    "chunk_and_pack",
+    "copurchase_pairs",
+    "corpus_curation_incremental",
+    "corpus_curation_lsh",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embedding_clusters",
+    "embedding_clusters_lsh",
+    "embedding_near_dup_lsh",
+    "event_paths",
+    "event_transitions",
+    "features_time_decay",
+    "fuzzy_part_names_bucketed",
+    "join_lateral_topn",
+    "knn_ivf",
+    "knn_pq",
+    "materialize_incremental",
+    "multimodal_audio_stats",
+    "multimodal_byte_features",
+    "multimodal_decode_stats",
+    "peak_open_orders",
+    "pit_join_multiview",
+    "pit_join_partitioned",
+    "pit_join_ttl",
+    "pull_all_query_source",
+    "pull_all_time_range",
+    "pull_latest_per_key",
+    "rfm_segments",
+    "sample_weighted",
+    "scd2_intervals",
+    "sessionize_bounce_rate",
+    "snapshot_diff",
+    "streaming_dedup",
+    "streaming_first_seen",
+    "streaming_interval_join",
+    "streaming_latest",
+    "streaming_pit_join",
+    "streaming_sessionize",
+    "streaming_window_counts",
+    "text_keywords",
+    "text_quality",
+    "text_similarity_topk",
+    "training_pipeline_e2e",
+    "unpivot_part_attrs",
+    "window_rank_suite",
+    "window_sliding_distinct",
 ]
 _EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
                   "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
