@@ -44,6 +44,7 @@ def main() -> None:
     ap.add_argument("--hot-frac", type=float, default=0.5)
     ap.add_argument("--repl-feat", type=int, default=50)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--auto-budget", type=int, default=400_000)
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -139,12 +140,12 @@ def main() -> None:
     t0 = time.time()
     out = point_in_time_join(
         spine, [view], strategy="auto",
-        salt_partition_budget_rows=400_000,
+        salt_partition_budget_rows=args.auto_budget,
     )
     n = out.count()
     print(
         json.dumps(
-            {"strategy": "auto(budget=400k)", "rows": n,
+            {"strategy": f"auto(budget={args.auto_budget})", "rows": n,
              "runs": [round(time.time() - t0, 3)]}
         ),
         flush=True,
