@@ -194,6 +194,7 @@ def point_in_time_join(
     # e.g. the store facade, which also exposes it as job metadata — pass
     # it in so the tiny range aggregate runs once, not twice.
     n_rows = None
+    salted_views: set[str] = set()
     if time_range is not None:
         lo, hi = time_range[0], time_range[1]
         n_rows = time_range[2] if len(time_range) > 2 else None
@@ -242,19 +243,22 @@ def point_in_time_join(
                     kt = tuple(v.join_keys)
                     if kt not in hot_cache:
                         hot_cache[kt] = _spine_hot_key_max(spine, list(kt))
-                if any(
-                    hot_cache[tuple(v.join_keys)] > salt_partition_budget_rows
+                salted_views = {
+                    v.name
                     for v in feature_views
-                ):
-                    strategy = "union_window_salted"
+                    if hot_cache[tuple(v.join_keys)] > salt_partition_budget_rows
+                }
     out = spine
     for view in feature_views:
-        if strategy == "union_window":
+        view_strategy = strategy
+        if strategy == "union_window" and view.name in salted_views:
+            view_strategy = "union_window_salted"
+        if view_strategy == "union_window":
             out = _join_one_view_union_window(
                 out, view, spine_timestamp_field, full_feature_names, lo, hi,
                 prune_keys=(n_rows is not None and n_rows <= auto_broadcast_rows),
             )
-        elif strategy == "union_window_salted":
+        elif view_strategy == "union_window_salted":
             out = _join_one_view_union_window_salted(
                 out, view, spine_timestamp_field, full_feature_names, lo, hi,
                 prune_keys=(n_rows is not None and n_rows <= auto_broadcast_rows),
@@ -262,7 +266,7 @@ def point_in_time_join(
         else:
             out = _join_one_view(
                 out, view, spine_timestamp_field, full_feature_names, lo, hi,
-                broadcast_spine=(strategy == "broadcast"),
+                broadcast_spine=(view_strategy == "broadcast"),
             )
     return out
 

@@ -804,3 +804,44 @@ def test_pit_auto_escalates_to_salted_on_hot_spine(spark):
     finally:
         pj._spine_hot_key_max = orig
     assert "__carry_in" not in plan_small
+
+
+def test_pit_auto_salts_only_the_hot_view(spark):
+    """Per-view escalation: in a multi-view auto join where only one
+    view's key set is hot on the spine, only THAT view melts salted —
+    the cold view keeps the plain melt (salting costs two extra
+    shuffles, measured 2-3x slower per view). A cold-view-only join
+    under the same budget must not escalate at all."""
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    # hot on user_id (all rows key 0), unique per event_id
+    spine = ev.select(
+        F.lit(0).alias("user_id"),
+        "event_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    hot_view = FeatureViewSpec(
+        "hot", ev, ["user_id"], ["value"], "ts", ttl_seconds=30 * 86400
+    )
+    cold_view = FeatureViewSpec(
+        "cold", ev.select("event_id", "ts", F.col("value").alias("v2")),
+        ["event_id"], ["v2"], "ts", ttl_seconds=30 * 86400,
+    )
+
+    both = point_in_time_join(
+        spine, [hot_view, cold_view], strategy="auto",
+        salt_partition_budget_rows=1_000,
+    )
+    assert "__carry_in" in both._jdf.queryExecution().executedPlan().toString()
+
+    cold_only = point_in_time_join(
+        spine, [cold_view], strategy="auto", salt_partition_budget_rows=1_000
+    )
+    plan_cold = cold_only._jdf.queryExecution().executedPlan().toString()
+    assert "__carry_in" not in plan_cold  # cold key set never escalates
+
+    plain = point_in_time_join(
+        spine, [hot_view, cold_view], strategy="union_window"
+    )
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
