@@ -359,6 +359,71 @@ def ngram_jaccard_pairs(
     return joined
 
 
+def _prefix_sorted_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    thr_mil: int,
+    hash_shingles: bool,
+    persist: bool = False,
+) -> DataFrame:
+    """Shared stages 1-3 of the prefix-filtered similarity joins
+    (:func:`prefix_jaccard_pairs`, :func:`containment_prefix_pairs`):
+    explode distinct shingles (xxhash64'd by default), count global
+    document frequency, sort each document's shingles rarest-first by
+    the (df, shingle) total order, and compute the integer prefix
+    length ``p = |d| - ceil(t*|d|) + 1`` (ceil in exact integer
+    arithmetic). Returns (id, sh_arr, n_sh BIGINT, p INT).
+
+    ``n_sh`` is widened to BIGINT here so every downstream product
+    (``n_sh * 1000``, ``n_sh * thr_mil``) is 64-bit — ``F.size`` returns
+    int32 and a >2.1M-distinct-shingle document would otherwise overflow
+    the threshold comparisons (ANSI failure on Spark 4, silent wrap with
+    ANSI off). ``p`` stays int (it is <= the array length, and arrays
+    are < 2^31 elements by construction — ``slice`` wants an int).
+
+    ``persist``: the frame feeds 3-4 plan branches in each consumer
+    (prefix explode, full explode, verify sides) and column pruning
+    gives each a different physical subtree, so without caching the
+    explode + df-count + per-doc sort recompute per branch. Off by
+    default for the lazy-operator contract (nothing to unpersist it
+    later); scale callers that materialize once should pass True — the
+    same knob and rationale as ``_shingle_common_counts``.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs_arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks")
+        )
+        .select(
+            F.col(id_col),
+            F.col("toks.shingle").alias("sh_arr"),
+            F.size("toks").cast("bigint").alias("n_sh"),
+        )
+        .withColumn(
+            "p",
+            (
+                F.col("n_sh")
+                - F.floor((F.col("n_sh") * thr_mil + 999) / 1000)
+                + 1
+            ).cast("int"),
+        )
+    )
+    if persist:
+        docs_arr = docs_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    return docs_arr
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -366,6 +431,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     hash_shingles: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold — EXACT, via
     prefix filtering (AllPairs / PPJoin family) instead of the full
@@ -409,36 +475,9 @@ def prefix_jaccard_pairs(
     (SURVEY.md north-star extensions); shares the DuckDB brute-force
     pair oracle with ``dedup_ngram_jaccard``.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
-    if hash_shingles:
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     thr_mil = int(round(threshold * 1000))
-
-    # Per-doc shingles sorted rarest-first; prefix length in exact
-    # integer math. The struct sort orders by (df, shingle) — a global
-    # total order, so every document ranks shared tokens identically.
-    docs_arr = (
-        sh.join(dfreq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
-            ).alias("toks")
-        )
-        .select(
-            F.col(id_col),
-            F.col("toks.shingle").alias("sh_arr"),
-            F.size("toks").alias("n_sh"),
-        )
-        .withColumn(
-            "p",
-            F.col("n_sh")
-            - F.floor((F.col("n_sh") * thr_mil + 999) / 1000).cast("int")
-            + 1,
-        )
+    docs_arr = _prefix_sorted_docs(
+        df, text_col, id_col, n, thr_mil, hash_shingles, persist
     )
 
     pref = docs_arr.select(
@@ -478,7 +517,10 @@ def prefix_jaccard_pairs(
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+        )
         .withColumn(
             "union_size", F.col("size_a") + F.col("size_b") - F.col("common")
         )
@@ -1290,6 +1332,7 @@ def containment_prefix_pairs(
     n: int = 3,
     threshold: float = 0.8,
     hash_shingles: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Asymmetric containment pairs — EXACT, via prefix filtering, the
     zero-loss bounded path for quote/subset detection at scale (the
@@ -1331,35 +1374,9 @@ def containment_prefix_pairs(
     (queries/corpus.ORACLE_DEDUP_CONTAINMENT). ``hash_shingles``
     carries the 2^-64 collision caveat of :func:`ngram_jaccard_pairs`.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
-    if hash_shingles:
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     thr_mil = int(round(threshold * 1000))
-
-    docs_arr = (
-        sh.join(dfreq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
-            ).alias("toks")
-        )
-        .select(
-            F.col(id_col),
-            F.col("toks.shingle").alias("sh_arr"),
-            F.size("toks").alias("n_sh"),
-        )
-        # containee prefix: |A| - ceil(t*|A|) + 1, ceil in exact
-        # integer arithmetic
-        .withColumn(
-            "p",
-            F.col("n_sh")
-            - F.floor((F.col("n_sh") * thr_mil + 999) / 1000).cast("int")
-            + 1,
-        )
+    docs_arr = _prefix_sorted_docs(
+        df, text_col, id_col, n, thr_mil, hash_shingles, persist
     )
 
     pref = docs_arr.select(
@@ -1402,7 +1419,10 @@ def containment_prefix_pairs(
     return (
         cand.join(fa, "containee")
         .join(fb, "container")
-        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+        )
         .filter(F.col("common") * 1000 >= F.lit(thr_mil) * F.col("size_a"))
         .select(
             F.col("containee").alias(id_col),

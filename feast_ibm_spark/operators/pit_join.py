@@ -525,14 +525,28 @@ def _join_one_view_union_window_salted(
 
     key_ts = [*view.join_keys, spine_ts]
     spine_keys = spine.select(*key_ts).distinct()
-    # NTZ-safe epoch bucketing: TIMESTAMP casts straight to double (epoch
-    # seconds) but TIMESTAMP_NTZ does not — route through TIMESTAMP first
-    # (found by the round-7 hot-spine bench, whose make_interval spine is
-    # NTZ). Bucket boundaries only need to be CONSISTENT across both
-    # sides of the melt, which the shared session zone guarantees.
-    bucket_of = lambda c: F.floor(  # noqa: E731
-        c.cast("timestamp").cast("double") / salt_bucket_seconds
-    ).cast("bigint")
+    # NTZ-safe bucketing (round 7, hardened after review): TIMESTAMP
+    # casts straight to double (epoch seconds, monotone). TIMESTAMP_NTZ
+    # must NOT route through a session-zone cast — a DST spring-forward
+    # gap makes that mapping NON-monotone (measured: NTZ 02:30 in the
+    # America/New_York gap lands AFTER 03:05), which would file a
+    # feature row in a LATER bucket than a later spine row and hide it
+    # from both the within-bucket window and the carry pass. Instead
+    # decompose the NTZ wall clock zone-free (days*86400 + h*3600 +
+    # m*60 + s) — strictly monotone in the NTZ value by construction.
+    from pyspark.sql.types import TimestampNTZType
+
+    def bucket_of(c, is_ntz: bool):
+        if is_ntz:
+            secs = (
+                F.unix_date(F.to_date(c)).cast("bigint") * 86400
+                + F.hour(c) * 3600
+                + F.minute(c) * 60
+                + F.second(c)
+            )
+        else:
+            secs = c.cast("double")
+        return F.floor(secs / salt_bucket_seconds).cast("bigint")
 
     feat_tagged = feat.select(
         *[F.col(k) for k in view.join_keys],
@@ -549,8 +563,14 @@ def _join_one_view_union_window_salted(
         F.lit(1).alias("__tag"),
         F.lit(None).cast(feat_tagged.schema["__payload"].dataType).alias("__payload"),
     )
-    melted = feat_tagged.unionByName(spine_tagged).withColumn(
-        "__bucket", bucket_of(F.col("__ts"))
+    melted = feat_tagged.unionByName(spine_tagged)
+    # one bucket expression over the POST-union dtype: if the two sides'
+    # timestamp types differ the union coerces them first, so bucketing
+    # melted (and deriving bucket_last from melted below) guarantees
+    # both passes see identical bucket boundaries
+    ts_is_ntz = isinstance(melted.schema["__ts"].dataType, TimestampNTZType)
+    melted = melted.withColumn(
+        "__bucket", bucket_of(F.col("__ts"), ts_is_ntz)
     )
 
     # phase 1: within-bucket carry — partitions bounded by (key, bucket)
@@ -566,7 +586,7 @@ def _join_one_view_union_window_salted(
     # phase 2: one summary row per (key, bucket) = the bucket's last
     # feature payload; carry-in = last summary over EARLIER buckets
     bucket_last = (
-        feat_tagged.withColumn("__bucket", bucket_of(F.col("__ts")))
+        melted.filter(F.col("__tag") == 0)
         .groupBy(*view.join_keys, "__bucket")
         .agg(F.max_by("__payload", "__ts").alias("__bucket_payload"))
     )

@@ -1280,18 +1280,30 @@ def q_trend_theil_sen(
     )
     # exact median, no giant array: rank each key's slopes by value
     # (the VALUE at rank r is deterministic even with ties), keep only
-    # the two middle ranks, interpolate. min==max on odd n.
-    w_rank = Window.partitionBy("user_id").orderBy("slope")
+    # the two middle ranks, interpolate. min==max on odd n. NULL slopes
+    # (a NULL value on either endpoint) are EXCLUDED from the median —
+    # SQL median()/the old collect_list both skip NULLs — but still
+    # count toward n_pairs (the oracle's count(*)): NULLs rank FIRST
+    # under asc_nulls_first, so the valid slopes occupy ranks
+    # (n_null+1 .. n_pairs) and the two middle VALID ranks are offset
+    # by n_null = n_pairs - n_valid. An all-NULL key keeps its rn=1 row
+    # so it still emits (user, n_pairs, NULL) like the oracle.
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("slope").asc_nulls_first()
+    )
     w_all = Window.partitionBy("user_id")
     ranked = slopes.select(
         "user_id",
         "slope",
         F.row_number().over(w_rank).alias("__rn"),
         F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+        F.count("slope").over(w_all).alias("__n_valid"),
     )
+    n_null = F.col("n_pairs") - F.col("__n_valid")
     mid = ranked.filter(
-        (F.col("__rn") == F.floor((F.col("n_pairs") + 1) / 2))
-        | (F.col("__rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        ((F.col("__n_valid") == 0) & (F.col("__rn") == 1))
+        | (F.col("__rn") == n_null + F.floor((F.col("__n_valid") + 1) / 2))
+        | (F.col("__rn") == n_null + F.floor(F.col("__n_valid") / 2) + 1)
     )
     return mid.groupBy("user_id", "n_pairs").agg(
         ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias(

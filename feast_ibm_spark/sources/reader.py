@@ -137,11 +137,30 @@ def filter_ts_range(df: DataFrame, ts_col: str, lo, hi) -> DataFrame:
         out = _convert_nanos(filtered, nanos)
         out._fis_nanos_raw = (filtered, nanos)  # type: ignore[attr-defined]
         return out
+    # TIMESTAMP_NTZ columns must compare against NTZ literals built
+    # zone-free from the wall-clock string (round-7 review fix):
+    # F.lit(naive_datetime) binds the DRIVER zone and the NTZ column
+    # would coerce through the SESSION zone — under any non-UTC session
+    # both mappings disagree (and the session one is non-monotone
+    # across DST gaps), silently emptying the TTL prefilter.
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        import pandas as pd
+
+        def bound(x):
+            return F.to_timestamp_ntz(
+                F.lit(pd.Timestamp(x).strftime("%Y-%m-%d %H:%M:%S.%f"))
+            )
+    else:
+        def bound(x):
+            return F.lit(x).cast("timestamp")
+
     cond = None
     if lo is not None:
-        cond = F.col(ts_col) >= F.lit(lo).cast("timestamp")
+        cond = F.col(ts_col) >= bound(lo)
     if hi is not None:
-        c2 = F.col(ts_col) <= F.lit(hi).cast("timestamp")
+        c2 = F.col(ts_col) <= bound(hi)
         cond = c2 if cond is None else (cond & c2)
     return df.filter(cond) if cond is not None else df
 

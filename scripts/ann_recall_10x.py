@@ -104,7 +104,7 @@ def main() -> None:
         exact = pair_set(near_dup_pairs(corpus, threshold=thr))
         t_exact = round(time.time() - t0, 1)
         t0 = time.time()
-        approx = pair_set(near_dup_pairs_lsh(corpus, threshold=thr))
+        approx = pair_set(near_dup_pairs_lsh(corpus, threshold=thr, dim=dim))
         t_lsh = round(time.time() - t0, 1)
         recall = len(approx & exact) / max(1, len(exact))
         print(

@@ -49,11 +49,12 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument(
-        "--flood-frac", type=float, default=1.0,
-        help="fraction of docs that receive the boilerplate block. At 1.0 "
-        "the exact tier's shuffle (sum_s c_s^2 ~ 28 * (n*frac)^2 rows) "
-        "exceeds this host's 79GB free disk at 50k docs and dies with "
-        "ENOSPC — measured; use ~0.08 for a completing brute cell.",
+        "--flood-frac", type=float, default=0.08,
+        help="fraction of docs that receive the boilerplate block. The "
+        "default 0.08 lets the exact tier complete for the identical-"
+        "pairs check; at 1.0 its shuffle (sum_s c_s^2 ~ 28 * (n*frac)^2 "
+        "rows) exceeds this host's 79GB free disk at 50k docs and dies "
+        "with ENOSPC — measured; pair 1.0 with --skip-exact.",
     )
     ap.add_argument("--skip-exact", action="store_true")
     args = ap.parse_args()

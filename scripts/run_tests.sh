@@ -27,8 +27,12 @@ TMPDIR=/tmp/feast_ibm_spark_tests_c python -m pytest \
     tests/test_north_star.py tests/test_streaming.py -q -m "not sweep" "$@" &
 C=$!
 
+# pytest exit 5 = "no tests ran": a shard fully deselected by extra -k/-m
+# args passed through "$@" is not a failure
 rc=0
-wait "$A" || rc=1
-wait "$B" || rc=1
-wait "$C" || rc=1
+for pid in "$A" "$B" "$C"; do
+    wait "$pid"
+    s=$?
+    [ "$s" -ne 0 ] && [ "$s" -ne 5 ] && rc=1
+done
 exit "$rc"

@@ -1050,3 +1050,49 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     empty = build_deletion_vector(df, F.lit(False))
     assert {r.id for r in read_with_deletion_vector(df, empty).collect()} \
         == {1, 2, 3, 4}
+
+
+def test_pit_salted_melt_ntz_is_monotone_across_dst_gap(spark):
+    """Round-7 review fix: with NTZ timestamps and a DST session zone,
+    a session-zone cast files the nonexistent wall time 02:30 (inside
+    the America/New_York 2024-03-10 spring-forward gap) AFTER 03:05 in
+    epoch order, putting the feature row in a LATER bucket than the
+    spine row — invisible to both the within-bucket window and the
+    carry pass. The zone-free wall-clock decomposition keeps bucketing
+    monotone: the salted melt must match the plain melt exactly."""
+    from feast_ibm_spark.operators.pit_join import (
+        _join_one_view_union_window_salted,
+        _spine_time_range,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        feat = spark.createDataFrame(
+            [(1, "2024-03-10 02:30:00", 42.0),
+             (1, "2024-03-09 23:00:00", 1.0),
+             (2, "2024-03-10 01:00:00", 7.0)],
+            "k bigint, s string, v double",
+        ).select("k", F.to_timestamp_ntz("s").alias("event_timestamp"), "v")
+        spine = spark.createDataFrame(
+            [(1, "2024-03-10 03:05:00"), (2, "2024-03-10 03:05:00")],
+            "k bigint, s string",
+        ).select("k", F.to_timestamp_ntz("s").alias("event_timestamp"))
+        view = FeatureViewSpec("fv", feat, ["k"], ["v"], "event_timestamp")
+
+        lo, hi, _ = _spine_time_range(spine, "event_timestamp")
+        salted = _join_one_view_union_window_salted(
+            spine, view, "event_timestamp", False, lo, hi,
+            salt_bucket_seconds=900,  # buckets small enough to split the gap
+        )
+        got = {(r.k, r.v) for r in salted.collect()}
+        # the 02:30 feature (42.0) precedes the 03:05 spine row in NTZ
+        # order and MUST be the as-of match for k=1
+        assert got == {(1, 42.0), (2, 7.0)}
+
+        plain = point_in_time_join(spine, [view], strategy="union_window")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -1989,3 +1989,54 @@ def test_containment_prefix_equals_brute(spark):
         if thr <= 0.9:
             assert any(a < 50 <= b for (a, b) in brute)
         assert pref == brute  # identical ordered pairs AND float values
+
+
+def test_theil_sen_null_values_match_oracle(spark, tmp_path):
+    """Round-7 review fix: NULL event values produce NULL pairwise
+    slopes; SQL median() skips NULLs but count(*) does not. The
+    windowed-median rewrite must rank only non-NULL slopes (offset by
+    the per-key NULL count — NULLs sort first) while n_pairs keeps
+    counting every pair, and an all-NULL key must still emit its row
+    with a NULL slope. Compared against the registered DuckDB oracle
+    on the same parquet — the gate's own semantics."""
+    import duckdb
+    import pandas as pd
+
+    from feast_ibm_spark.queries.behavioral import (
+        ORACLE_THEIL_SEN,
+        q_trend_theil_sen,
+    )
+
+    events = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 10, 11],
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                 "2024-01-05 00:00", "2024-01-05 01:00"]
+            ),
+            "value": [1.0, None, 2.0, None, None],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    events.to_parquet(d / "events.parquet", index=False)
+
+    got = {
+        (r.user_id, r.n_pairs): r.slope_cents_per_day
+        for r in q_trend_theil_sen(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d / 'events.parquet'}'"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(ORACLE_THEIL_SEN).fetchall()
+    }
+    con.close()
+    assert got == want
+    # hand-check: user 1 = 3 pairs, one valid slope (+50 cents/hour =
+    # 1200 cents/day); user 2 = 1 pair, all NULL
+    assert got[(1, 3)] == 1200.0
+    assert got[(2, 1)] is None
