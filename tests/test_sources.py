@@ -345,3 +345,79 @@ def test_compact_small_files(spark, tmp_path_factory):
     n_files = compact(spark, d, target_rows_per_file=10_000, sort_within=["id"])
     assert n_files == 1
     assert spark.read.parquet(d).count() == 6000
+
+
+def test_filter_ts_range_nanos_boundaries_randomized(spark, tmp_path):
+    """Semantic pin of the raw-nanos predicate rewrite: for a
+    TIMESTAMP(NANOS) parquet source, filter_ts_range(lo, hi) must equal
+    the brute per-row filter lo <= trunc_us(ts) <= hi INCLUSIVE at both
+    ends — the `raw <= hi_us*1000 + 999` trick means a row whose nanos
+    tail extends past hi's microsecond must still match. Random
+    timestamps with deliberate sub-microsecond tails and bounds placed
+    exactly ON row values."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feast_ibm_spark.sources.reader import filter_ts_range, read_parquet
+
+    rng = random.Random(11)
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 UTC
+    ns_vals = sorted(
+        base_ns + rng.randrange(0, 86_400_000_000_000) for _ in range(200)
+    )
+    # force nanos tails on some rows (sub-microsecond precision)
+    ns_vals = [v + rng.choice([0, 1, 499, 999]) for v in ns_vals]
+    tbl = pa.table(
+        {"i": list(range(len(ns_vals))),
+         "ts": pa.array(ns_vals, type=pa.timestamp("ns"))}
+    )
+    p = str(tmp_path / "nanos.parquet")
+    pq.write_table(tbl, p, version="2.6", coerce_timestamps=None)
+
+    df = read_parquet(spark, p)
+    import pandas as pd
+
+    for _ in range(10):
+        a, b = sorted(rng.sample(ns_vals, 2))
+        # bounds at exact row microseconds (worst case for inclusivity)
+        lo = pd.Timestamp(a // 1000 * 1000)
+        hi = pd.Timestamp(b // 1000 * 1000)
+        got = sorted(
+            r.i for r in filter_ts_range(df, "ts", lo, hi).collect()
+        )
+        want = [
+            i for i, v in enumerate(ns_vals)
+            if lo.value <= (v // 1000) * 1000 <= hi.value
+        ]
+        assert got == want
+
+
+def test_filter_ts_range_ntz_fallback_is_zone_free(spark):
+    """The NTZ fallback branch must compare wall clocks zone-free: the
+    same frame filtered under UTC and under a DST zone (with bounds
+    inside the spring-forward gap) must return identical rows."""
+    from feast_ibm_spark.sources.reader import filter_ts_range
+
+    df = spark.createDataFrame(
+        [(i, f"2024-03-10 0{h}:{m:02d}:00")
+         for i, (h, m) in enumerate(
+             [(1, 30), (1, 59), (2, 15), (2, 45), (3, 5), (3, 40)]
+         )],
+        "i bigint, s string",
+    ).select("i", F.to_timestamp_ntz("s").alias("ts"))
+    lo, hi = "2024-03-10 02:00:00", "2024-03-10 03:10:00"
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("Etc/UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            results[tz] = sorted(
+                r.i for r in filter_ts_range(df, "ts", lo, hi).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # wall clocks 02:15, 02:45, 03:05 fall inside [02:00, 03:10]
+    assert results["Etc/UTC"] == results["America/New_York"] == [2, 3, 4]
