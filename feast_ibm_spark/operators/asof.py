@@ -34,9 +34,12 @@ one candidate per (key, ts) group per task crosses the wire. Strategy
 ``shuffle`` drops the hint and lets AQE choose from runtime sizes when the
 left side outgrows a broadcast.
 
-Timestamp arithmetic is done in exact integer microseconds
-(``unix_micros``) — never float seconds — so the nearest-distance
-comparison cannot tie-flip from floating-point rounding.
+Timestamp arithmetic is done in exact INTERVAL subtraction (day-time
+intervals carry integer microseconds) — never float seconds — so the
+nearest-distance comparison cannot tie-flip from floating-point
+rounding, and TIMESTAMP_NTZ inputs stay zone-free (``unix_micros``
+would cast them through the session zone, which is non-monotone
+across DST gaps).
 """
 
 from __future__ import annotations
@@ -121,7 +124,10 @@ def asof_join(
         order = [rts.asc()]
     else:  # nearest
         cond = (rts >= lts - F.lit(tol)) & (rts <= lts + F.lit(tol))
-        dist = F.abs(F.unix_micros(rts) - F.unix_micros(lts))
+        # interval abs, not unix_micros: exact micros for TIMESTAMP and
+        # zone-free for TIMESTAMP_NTZ (round-7 review — unix_micros
+        # casts NTZ through the session zone)
+        dist = F.abs(rts - lts)
         order = [dist.asc(), rts.asc()]
     if tiebreak:
         order.append(F.col(f"r.{tiebreak}").desc())

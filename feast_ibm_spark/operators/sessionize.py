@@ -46,14 +46,21 @@ def sessionize(
     extends the session). ``tiebreak_cols`` pin the window order for
     events with identical timestamps so results are deterministic.
     """
-    gap_us = gap_seconds * 1_000_000
     order = [F.col(ts_col).asc()] + [
         F.col(c).asc() for c in (tiebreak_cols or [])
     ]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # Gap math as INTERVAL subtraction, not unix_micros: identical
+    # (exact microseconds) for TIMESTAMP inputs, and zone-free for
+    # TIMESTAMP_NTZ — unix_micros would route NTZ through the session
+    # zone, which is non-monotone across DST gaps (round-7 review).
+    prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        prev_ts.isNull()
+        | (
+            F.col(ts_col) - prev_ts
+            > F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     sid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))

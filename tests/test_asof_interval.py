@@ -167,3 +167,53 @@ def test_range_join_plans_hash_join_not_bnlj(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+
+
+def test_asof_and_sessionize_ntz_zone_free(spark):
+    """Round-7 review hardening: asof nearest-distance and sessionize
+    gap math use INTERVAL subtraction, so NTZ inputs behave identically
+    under UTC and a DST session zone (unix_micros would route NTZ
+    through the session zone — off by the DST shift around
+    2024-03-10 02:00 America/New_York)."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.asof import asof_join
+    from feast_ibm_spark.operators.sessionize import sessionize
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-10 02:40:00")], "k bigint, s string"
+    ).select("k", F.to_timestamp_ntz("s").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10 01:50:00", "before"),
+         (1, "2024-03-10 03:20:00", "after")],
+        "k bigint, s string, tag string",
+    ).select("k", F.to_timestamp_ntz("s").alias("rts"), "tag")
+    ev = spark.createDataFrame(
+        [(1, i, f"2024-03-10 0{h}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(1, 30), (2, 10), (2, 50), (3, 25)]  # consecutive gaps 40/40/35min
+        )],
+        "k bigint, eid bigint, s string",
+    ).select("k", "eid", F.to_timestamp_ntz("s").alias("ts"))
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    try:
+        for tz in ("Etc/UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            a = asof_join(left, right, on=["k"], left_ts="lts",
+                          right_ts="rts", right_columns=["tag"],
+                          direction="nearest",
+                          tolerance_seconds=6 * 3600).collect()
+            s = sessionize(ev, ["k"], "ts", gap_seconds=2700,
+                           tiebreak_cols=["eid"]).collect()
+            got[tz] = (
+                [(r.k, r.tag) for r in a],
+                sorted((r.session_id, r.n_events) for r in s),
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # wall-clock distances: before = 50min, after = 40min -> "after";
+    # all wall gaps <= 45min -> ONE session of 4 events
+    assert got["Etc/UTC"] == got["America/New_York"]
+    assert got["Etc/UTC"][0] == [(1, "after")]
+    assert got["Etc/UTC"][1] == [(1, 4)]
