@@ -533,7 +533,10 @@ def _join_one_view_union_window_salted(
     # feature row in a LATER bucket than a later spine row and hide it
     # from both the within-bucket window and the carry pass. Instead
     # decompose the NTZ wall clock zone-free (days*86400 + h*3600 +
-    # m*60 + s) — strictly monotone in the NTZ value by construction.
+    # m*60 + s) — non-decreasing in the NTZ value by construction
+    # (sub-second values share a bucket second, which is fine: bucket
+    # assignment only needs weak monotonicity; within-bucket ordering
+    # uses the full-precision __ts).
     from pyspark.sql.types import TimestampNTZType
 
     def bucket_of(c, is_ntz: bool):

@@ -54,12 +54,13 @@ def sessionize(
     # (exact microseconds) for TIMESTAMP inputs, and zone-free for
     # TIMESTAMP_NTZ — unix_micros would route NTZ through the session
     # zone, which is non-monotone across DST gaps (round-7 review).
+    gap_us = int(round(gap_seconds * 1_000_000))
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev_ts.isNull()
         | (
             F.col(ts_col) - prev_ts
-            > F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+            > F.expr(f"INTERVAL {gap_us} MICROSECOND")
         ),
         F.lit(1),
     ).otherwise(F.lit(0))

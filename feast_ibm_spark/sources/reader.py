@@ -146,11 +146,18 @@ def filter_ts_range(df: DataFrame, ts_col: str, lo, hi) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        import pandas as pd
-
+        # Timezone-AWARE bounds are normalized to their UTC wall clock
+        # before formatting (NTZ column values are UTC wall clocks by
+        # this engine's convention) — strftime on an aware Timestamp
+        # would silently emit the zone-LOCAL wall clock and shift the
+        # whole window by the bound's offset. Naive bounds pass through
+        # unchanged. (pandas imported at the top of this function.)
         def bound(x):
+            t = pd.Timestamp(x)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
             return F.to_timestamp_ntz(
-                F.lit(pd.Timestamp(x).strftime("%Y-%m-%d %H:%M:%S.%f"))
+                F.lit(t.strftime("%Y-%m-%d %H:%M:%S.%f"))
             )
     else:
         def bound(x):

@@ -1096,3 +1096,23 @@ def test_pit_salted_melt_ntz_is_monotone_across_dst_gap(spark):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_sessionize_fractional_gap_is_exact_to_microseconds(spark):
+    """gap_seconds may be fractional (review regression: an int() cast
+    truncated 0.5 to INTERVAL 0 SECOND and split everything): events
+    0.4s apart under gap=0.5 share a session; 0.6s apart do not."""
+    from feast_ibm_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 0, "2024-01-01 00:00:00"),
+         (1, 1, "2024-01-01 00:00:00.4"),
+         (1, 2, "2024-01-01 00:00:01")],
+        "k bigint, eid bigint, s string",
+    ).select("k", "eid", F.to_timestamp("s").alias("ts"))
+    out = sorted(
+        (r.session_id, r.n_events)
+        for r in sessionize(df, ["k"], "ts", gap_seconds=0.5,
+                            tiebreak_cols=["eid"]).collect()
+    )
+    assert out == [(1, 2), (2, 1)]

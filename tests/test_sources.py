@@ -421,3 +421,23 @@ def test_filter_ts_range_ntz_fallback_is_zone_free(spark):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     # wall clocks 02:15, 02:45, 03:05 fall inside [02:00, 03:10]
     assert results["Etc/UTC"] == results["America/New_York"] == [2, 3, 4]
+
+
+def test_filter_ts_range_ntz_accepts_aware_bounds_as_utc(spark):
+    """Timezone-AWARE lo/hi on an NTZ column must bind at their UTC
+    wall clock (the engine's NTZ convention), not the zone-local wall
+    clock — a New_York-aware noon is 17:00 UTC."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from feast_ibm_spark.sources.reader import filter_ts_range
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 11:30:00"), (1, "2024-01-01 16:30:00"),
+         (2, "2024-01-01 17:30:00"), (3, "2024-01-01 18:30:00")],
+        "i bigint, s string",
+    ).select("i", F.to_timestamp_ntz("s").alias("ts"))
+    lo = datetime(2024, 1, 1, 12, 0, tzinfo=ZoneInfo("America/New_York"))
+    hi = datetime(2024, 1, 1, 13, 0, tzinfo=ZoneInfo("America/New_York"))
+    got = sorted(r.i for r in filter_ts_range(df, "ts", lo, hi).collect())
+    assert got == [2]  # [17:00, 18:00] UTC wall clocks
