@@ -1,0 +1,193 @@
+"""ExactSubstr — substring-level exact deduplication (Lee et al. 2021).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.
+2021, see PAPERS.md) deduplicates at SUBSTRING granularity: any character
+run of length >= L that occurs in more than one document is duplicated
+text, even when the two documents agree on nothing else. Document-level
+tiers (Jaccard, containment — ``operators/dedup.py``) structurally miss
+this: a 50-char license line shared by two otherwise-disjoint documents
+moves their Jaccard by ~0, but it is exactly the kind of memorization
+fuel ExactSubstr exists to find.
+
+The paper's single-node algorithm is a suffix array over the concatenated
+corpus — inherently sequential and RAM-bound. The Spark-first
+re-formulation keys everything by the length-L character gram (the
+"anchor"):
+
+- a substring of length >= L is shared between two documents
+  **iff** at least one of its length-L grams is shared, so the L-gram
+  inverted index is a lossless reduction (no recall argument needed —
+  it is an equivalence, not an approximation);
+- :func:`exact_substr_pairs` — the document-pair view: explode each
+  document's DISTINCT L-grams, hash them to 8-byte keys map-side,
+  self-join on the gram key. Output (doc_a, doc_b, n_shared) counts the
+  distinct shared grams — the evidence mass of duplicated text between
+  the pair. Same inverted-index shape as ``ngram_jaccard_pairs``; the
+  shuffle key is the gram, so pairs only ever meet on real shared text.
+- :func:`duplicated_spans` — the paper's actual deliverable: the maximal
+  per-document character intervals covered by text that also occurs in
+  another document (the spans you cut before training). This is the
+  100 TB tier: it needs NO self-join at all — a gram is "duplicated"
+  iff it occurs in >= 2 distinct documents, which one groupBy
+  (min(doc) != max(doc)) answers in time LINEAR in corpus size. Hot
+  boilerplate grams that would fan a pair-join out c-squared cost the
+  span path exactly c rows. Interval merging is a per-document
+  gaps-and-islands window over gram offsets.
+
+Scale ledger: the pair view is the oracle-checked twin (its self-join is
+sum(c^2) over per-gram doc frequencies — fine at corpus scale when grams
+are near-unique, quadratic under boilerplate floods; ``max_gram_freq``
+caps the fan-out at the cost of exactness, mirroring
+``ngram_jaccard_pairs``). The span view is the default at 100 TB: one
+shuffle keyed by gram hash, one shuffle keyed by doc — no term is
+quadratic. Measured flood datapoint: NOTES.md "ExactSubstr flood 10x".
+
+Reference parity note: the reference engine (ibm_data_engine/, 802 LoC of
+SQL-text generation) has no dedup surface at all; this module is part of
+the LLM-pipeline mandate, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_array(text_col: str, min_len: int):
+    """Array of ALL length-``min_len`` character grams of ``text_col``
+    (one per start offset, 1-based). Caller must pre-filter
+    ``length(text) >= min_len``: Spark's ``sequence(1, n)`` generates a
+    DESCENDING range when n < 1 instead of an empty one, which would
+    fabricate short trailing grams."""
+    return F.expr(
+        f"transform(sequence(1, length({text_col}) - {min_len - 1}),"
+        f" i -> substring({text_col}, i, {min_len}))"
+    )
+
+
+def exact_substr_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    hash_grams: bool = True,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= 1 exact common substring of length
+    ``min_len`` — (doc_a, doc_b, n_shared) with doc_a < doc_b, where
+    ``n_shared`` is the number of DISTINCT length-``min_len`` grams the
+    two documents have in common (a pair shares a substring of length
+    >= min_len iff n_shared >= 1; longer shared runs contribute
+    proportionally more grams, so n_shared is also a usable severity
+    rank).
+
+    ``hash_grams`` (default) replaces each L-char gram with its
+    ``xxhash64`` before the shuffle — 8-byte join keys instead of
+    L-char strings; distinctness is preserved up to 64-bit collisions
+    (same bound and precedent as ``ngram_jaccard_pairs``: ~m^2/2^64,
+    zero observed on the test corpora).
+
+    ``max_gram_freq`` drops grams occurring in more than that many
+    documents from the join (the boilerplate-flood lever — the join
+    cost is sum(c^2) over per-gram doc counts). With a cap, a pair
+    whose only shared text is ubiquitous boilerplate is not reported;
+    n_shared for surviving pairs counts capped grams out. None
+    (default) is exact. For flood-heavy corpora prefer
+    :func:`duplicated_spans`, which is flood-linear with no cap.
+    """
+    grams = (
+        df.filter(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_gram_array(text_col, min_len))).alias(
+                "gram"
+            ),
+        )
+    )
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    if max_gram_freq is not None:
+        freq = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        grams = grams.join(
+            freq.filter(F.col("__df") <= max_gram_freq).select("gram"), "gram"
+        )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Maximal per-document character spans of duplicated text — the
+    ExactSubstr deliverable: (id, span_start, span_len), 1-based, where
+    every position in the span lies inside some length-``min_len``
+    substring that also occurs in ANOTHER document. Cutting these spans
+    from every document removes all cross-document duplication of
+    length >= min_len (each duplicated run of length m >= min_len is
+    covered end-to-end by its m - min_len + 1 grams, all of which are
+    shared, so the merged span contains it).
+
+    Scale shape (the reason this is the 100 TB tier): "gram occurs in
+    >= 2 distinct documents" is a per-gram aggregate —
+    min(doc) != max(doc) — so there is NO pair join anywhere; a
+    boilerplate gram in 10^6 documents costs 10^6 aggregation rows, not
+    10^12 join rows. Two shuffles total: by gram hash (the duplicate
+    test), by document (interval merge).
+    """
+    offs = (
+        df.filter(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.posexplode(_gram_array(text_col, min_len)).alias("pos0", "gram"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("off"),
+            (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gram"),
+        )
+    )
+    # grams present in >= 2 distinct documents (per-gram agg, no join fan-out)
+    dup_grams = (
+        offs.groupBy("gram")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gram")
+    )
+    covered = offs.join(dup_grams, "gram").select(id_col, "off")
+    # gaps-and-islands merge of [off, off + min_len - 1] intervals:
+    # a new island starts where this gram's span no longer touches the
+    # running max end of all previous spans (adjacency merges — coverage
+    # is contiguous when end + 1 == next off).
+    w = Window.partitionBy(id_col).orderBy("off")
+    run_end = F.max(F.col("off") + (min_len - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = covered.withColumn(
+        "__new",
+        F.when(run_end.isNull() | (F.col("off") > run_end + 1), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + (min_len - 1) - F.min("off") + 1).alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )

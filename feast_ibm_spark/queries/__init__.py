@@ -564,6 +564,11 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_STREAM_INTERVAL_JOIN_OUTER,
         "LEFT OUTER stream-stream interval join — unmatched rows emit "
         "with nulls at watermark (sentinel-advanced bounded drain)"),
+    "streaming_interval_join_semi": QueryDef(
+        q_streaming_interval_join_semi,
+        ORACLE_STREAM_INTERVAL_JOIN_SEMI,
+        "LEFT SEMI stream-stream interval join — EXISTS semantics, each "
+        "matched left row emits exactly once (15th drained class)"),
     "streaming_session_window": QueryDef(q_streaming_session_window,
                                          ORACLE_SESSIONIZE,
                                          "NATIVE streaming session_window "
@@ -590,6 +595,11 @@ QUERIES: dict[str, QueryDef] = {
                                  ORACLE_TRAINING_SHUFFLE,
                                  "epoch-deterministic global training "
                                  "shuffle (per-epoch permutations)"),
+    "dedup_exact_substr": QueryDef(q_dedup_exact_substr,
+                                   ORACLE_EXACT_SUBSTR,
+                                   "ExactSubstr (Lee et al. 2021) pair "
+                                   "view — 40-char-gram inverted index; "
+                                   "span tier pinned in pytest"),
     "dedup_containment": QueryDef(q_dedup_containment,
                                   ORACLE_DEDUP_CONTAINMENT,
                                   "asymmetric n-gram containment pairs "
@@ -780,97 +790,123 @@ QUERIES: dict[str, QueryDef] = {
 # QUERIES, pinned by the local replica of the same DuckDB compare
 # (tests/test_oracle_parity.py, scripts/check_oracle.py). Membership
 # ROTATES each round so every query accumulates driver hashes over time.
-# Round 7 is the VERDICT-r6-item-1 backlog burn-down: ALL fifty round-6
-# gate entries are parked (each holds 1-6 green driver rows and a
-# local-replica pin) and the gate is filled entirely from the
-# never-driver-hashed pool — 50 first-time candidates, prioritizing
-# shared-oracle representatives (dedup_jaccard_prefix pins
-# _ORACLE_JACCARD_PAIRS for the brute twin, graph_pagerank_incremental
-# pins ORACLE_PAGERANK for both strategies, chunk_documents_udtf pins
-# ORACLE_CHUNKS, dedup_clusters_star the clusters oracle, ...).
-# Registry growth is FROZEN this round (one judge-mandated exception:
-# dedup_containment_prefix, VERDICT r6 item 5) until the never-hashed
-# fraction is under a third. Full round-by-round rotation history:
-# NOTES.md "Gate rotation ledger"; the per-round gate map is the
-# generated index in COVERAGE.md.
+# Round 8 closes the never-driver-hashed backlog (VERDICT r7 item 1):
+# the 50 slots take the 43 never-hashed queries with their own value-hash
+# oracle, the 4 rtol-compared ln() queries and the HLL sketch as
+# first-ever ROWS-ONLY driver rows (their oracle is withheld from the
+# ``__spark_entry__.oracle_sql()`` export — the driver's exact value-hash
+# would false-fail on ~1-ulp libm-vs-JVM ln() drift; the exact-rtol pin
+# stays local in tests/test_oracle_parity.py), and the round's two new
+# registrations (dedup_exact_substr, streaming_interval_join_semi —
+# VERDICT r7 items 2 and 5, gated the same round they were added).
+# The 10 never-hashed queries left over all share their ORACLE string
+# with an already-driver-hashed sibling, so every oracle family in the
+# registry carries at least one driver hash after this round:
+#   chunk_documents (chunk_documents_udtf r7), cluster_representatives
+#   (cluster_representatives_lsh r7), dedup_clusters
+#   (dedup_clusters_star r7 + dedup_clusters_lsh r4), dedup_containment
+#   (dedup_containment_prefix r7), graph_pagerank
+#   (graph_pagerank_incremental r7), layout_zorder_roundtrip
+#   (layout_compaction_roundtrip + write_audit_publish r7),
+#   materialize_partitioned (materialize_incremental r≤6),
+#   scan_orc_source / scan_xml_source (scan_csv_source r≤6),
+#   sessionize_native_window (sessionize_events r≤5 + three streaming
+#   sessionize drains r6-r7).
+# Full round-by-round rotation history: NOTES.md "Gate rotation ledger";
+# the per-round gate map is the generated index in COVERAGE.md.
 #
-# Standing non-rotating exclusions (can never take a value-hash row):
-#   rows-only sketches: agg_approx_event_stats, window_sliding_distinct_hll
-#   rtol-compared (ln differs ~1 ulp libm vs JVM): text_bm25,
-#     text_unigram_logprob, text_bigram_logprob, drift_psi
+# Standing non-rotating exclusions:
+#   rows-only sketch, parked with a prior rows-only row:
+#     agg_approx_event_stats
 #   oracle pinned transitively by a gated sibling's SQL: dedup_simhash,
 #     text_token_count
 # --------------------------------------------------------------------------
 
-_DRIVER_GATE_R7 = (
-    # scan / table-maintenance surfaces (r6 additions, local-green)
-    "scan_merge_schema",
-    "scan_json_quarantine",
-    "scan_csv_quarantine",
-    "table_checksum",
-    "layout_compaction_roundtrip",
-    "write_audit_publish",
-    "erasure_deletion_vectors",
-    "compliance_erasure_audit",
-    # python datasource API (Spark-4 surface, end-to-end)
-    "scan_python_source",
-    "streaming_python_source",
-    "sink_python_roundtrip",
-    # streaming classes not yet driver-hashed
-    "streaming_cdc_merge",
-    "streaming_topk",
-    "streaming_router",
-    "streaming_session_window",
-    "streaming_state_inspect",
-    "streaming_interval_join_outer",
-    # dedup / curation shared-oracle representatives
-    "dedup_jaccard_prefix",
-    "dedup_containment_prefix",  # shares the brute twin's oracle — pins both
-    "dedup_clusters_star",
-    "corpus_curation_auto",
-    "golden_record",
-    # graph suite (exact integer arithmetic)
-    "graph_pagerank_incremental",
-    "graph_pagerank_weighted",
-    "graph_triangles",
-    "graph_kcore",
-    "graph_ppr_recommend",
-    # ANN / embedding
-    "knn_ivfpq",
-    "cluster_representatives_lsh",
-    "embed_linear_probe",
-    # text / tokenization
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_pii_scan",
+# In the gate for a ROWS-ONLY row: exported by ``queries()`` but withheld
+# from ``oracle_sql()`` — 4 rtol ln() queries (exact-compare would false-
+# fail on libm-vs-JVM ulp drift; rtol pin stays local) + the HLL sketch
+# (approximate by design, accuracy pinned vs its exact twin in pytest).
+GATE_ROWS_ONLY = frozenset({
+    "text_bm25",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "drift_psi",
+    "window_sliding_distinct_hll",
+})
+
+_DRIVER_GATE_R8 = (
+    # TPC-H-shape scan/agg/join analytics
+    "agg_activity_profile",
+    "agg_global_avg_filter",
+    "agg_grouping_sets_custom",
+    "agg_important_parts",
+    "agg_promo_share",
+    "agg_salted_hot_keys",
+    "agg_supplier_variety",
+    "agg_value_histogram",
+    "filter_value_outliers",
+    "join_large_orders",
+    "join_min_cost_supplier",
+    "join_nation_profit",
+    "join_returned_customers",
+    "join_top_supplier",
+    "join_waiting_suppliers",
+    "profile_columns",
+    # window / temporal
+    "asof_join_nearest",
+    "event_interarrival",
+    "resample_interpolate",
+    "retention_cohorts",
+    "sessionize_dynamic_gap",
+    "window_moving_median",
+    "window_rolling_24h",
+    "window_sliding_distinct_hll",  # rows-only (approximate sketch)
+    # materialization
+    "materialize_moments_incremental",
+    # sources
+    "scan_binary_files",
+    "scan_text_logs",
+    "scan_variant_props",
+    # streaming
+    "streaming_enrich",
+    "streaming_interval_join_semi",  # NEW r8 — 15th drained class
+    # dedup / corpus curation
+    "corpus_boilerplate_removal",
+    "decontaminate_overlap",
+    "dedup_exact_substr",  # NEW r8 — ExactSubstr (Lee et al. 2021)
+    # embeddings / arrays
+    "array_norm_stats",
+    "normalize_zscore",
+    # text analysis (incl. the 4 rtol ln() queries as rows-only)
+    "text_bm25",
+    "text_bigram_logprob",
+    "text_repetition",
+    "text_top_tokens_by_lang",
+    "text_unigram_logprob",
+    "text_vocab_coverage",
+    # drift / statistics
+    "drift_ks",
+    "drift_psi",
     # training-data pipeline shapes
-    "chunk_documents_udtf",
-    "training_negative_pairs",
-    "training_shuffle",
-    "mix_temperature_weights",
-    "feature_engineering_e2e",
-    # feature-engineering shapes
-    "features_target_encoding",
-    "features_hashing_trick",
-    "features_time_weighted_avg",
-    "features_last_k_events",
-    "trend_theil_sen",
-    # evaluation / statistics
-    "eval_auc",
-    "eval_pr_curve",
-    "eval_lang_confusion",
-    "agg_equidepth_bins",
-    "market_basket_rules",
+    "features_multi_horizon",
+    "mix_domains",
+    "pack_sequences",
+    "sample_stratified",
+    "split_train_val_test",
     # multimodal
-    "multimodal_image_dedup",
-    "multimodal_audio_silence",
+    "multimodal_frame_sample",
+    "multimodal_resize_stats",
 )
 
 DRIVER_QUERIES: dict[str, QueryDef] = {
-    _name: QUERIES[_name] for _name in _DRIVER_GATE_R7
+    _name: QUERIES[_name] for _name in _DRIVER_GATE_R8
 }
 
 assert len(DRIVER_QUERIES) == 50, (
     f"driver gate records at most 50 rows; got {len(DRIVER_QUERIES)} — "
-    "rebalance _DRIVER_GATE_R7 when rotating"
+    "rebalance _DRIVER_GATE_R8 when rotating"
+)
+assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R8), (
+    "GATE_ROWS_ONLY entries must be gate members — they exist to shape "
+    "the oracle_sql() export of the CURRENT gate"
 )

@@ -1081,6 +1081,46 @@ FROM j WHERE common * 1000 >= {int(CONTAINMENT_THRESHOLD * 1000)} * size_b
 """
 
 
+# North-star: ExactSubstr substring-level dedup (Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+EXACT_SUBSTR_LEN = 40  # chars — the paper's 50-token threshold at char scale
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr (Lee et al. 2021) pair view: document pairs sharing
+    >= 1 exact common substring of 40 characters, with the count of
+    distinct shared 40-grams as evidence mass — the substring-granular
+    complement to dedup_containment (document pairs agreeing on almost
+    nothing still surface here if they share one verbatim line). The
+    L-gram inverted index is a lossless reduction: a common substring of
+    length >= L exists iff a common L-gram does. Self-join keyed by the
+    gram's xxhash64 (8-byte shuffle keys); the span tier
+    (operators/exact_substr.duplicated_spans — no self-join, flood-
+    linear) is the 100 TB default and is pinned by its own DuckDB
+    oracle in tests/test_exact_substr.py."""
+    from ..operators.exact_substr import exact_substr_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_pairs(docs, min_len=EXACT_SUBSTR_LEN)
+
+
+ORACLE_EXACT_SUBSTR = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         substr(text, CAST(i AS INTEGER), {EXACT_SUBSTR_LEN}) AS gram
+  FROM documents,
+       UNNEST(range(1, CAST(length(text) AS BIGINT) - {EXACT_SUBSTR_LEN - 2}))
+         t(i)
+  WHERE length(text) >= {EXACT_SUBSTR_LEN}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 # North-star: cross-document boilerplate removal
 # --------------------------------------------------------------------------
 

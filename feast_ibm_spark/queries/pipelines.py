@@ -1765,31 +1765,16 @@ FROM hashed GROUP BY user_id, feature_idx
 """
 
 
-def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join — the second stream-join
-    semantics: every click pairs with the same user's purchases in the
-    following 30 minutes, and clicks with NO such purchase emit exactly
-    once WITH NULLS when the watermark proves no match can still arrive
-    (unmatched emission and state eviction are the same event — the
-    abandoned-browse shape).
-
-    Bounded-drain mechanics: unmatched rows only flush when the
-    watermark passes them, and a finished file stream's watermark stops
-    at max(ts) - delay — so the LAST window of clicks would never emit.
-    The query therefore materializes the events slice ONCE with a far-
-    future SENTINEL row in both roles (user_id = -1, filtered from the
-    result and absent from the oracle's view of the real table); its
-    only job is to push the final watermark past all real data. A live
-    deployment needs none of this — the next real event does it."""
+def _events_sentinel_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized events slice + far-future watermark SENTINEL rows
+    (user_id = -1 in both the click and purchase role, 3 h past
+    max(ts)) — the shared bounded-drain fixture for the stream-stream
+    interval join queries (outer + semi). Written once per sf_dir,
+    cached by an on-disk ``_done`` marker."""
     import hashlib
     import os
     import tempfile
 
-    from ..streaming.interval_join import streaming_interval_join
-    from ..streaming.run import drain_available_now
-    import uuid
-
-    configure_runtime(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     src = os.path.join(tempfile.gettempdir(), f"fis_events_sentinel_{tag}")
     if not os.path.exists(os.path.join(src, "_done")):
@@ -1810,7 +1795,33 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         )
         far.coalesce(1).write.mode("append").parquet(src)
         open(os.path.join(src, "_done"), "w").close()
+    return src
 
+
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the second stream-join
+    semantics: every click pairs with the same user's purchases in the
+    following 30 minutes, and clicks with NO such purchase emit exactly
+    once WITH NULLS when the watermark proves no match can still arrive
+    (unmatched emission and state eviction are the same event — the
+    abandoned-browse shape).
+
+    Bounded-drain mechanics: unmatched rows only flush when the
+    watermark passes them, and a finished file stream's watermark stops
+    at max(ts) - delay — so the LAST window of clicks would never emit.
+    The query therefore materializes the events slice ONCE with a far-
+    future SENTINEL row in both roles (user_id = -1, filtered from the
+    result and absent from the oracle's view of the real table); its
+    only job is to push the final watermark past all real data. A live
+    deployment needs none of this — the next real event does it."""
+    import tempfile
+    import uuid
+
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    src = _events_sentinel_path(spark, sf_dir)
     schema = "user_id bigint, ts timestamp, event_type string, cents bigint"
     stream = spark.readStream.schema(schema).parquet(src)
     clicks = stream.filter(F.col("event_type") == "click").select(
@@ -1846,4 +1857,62 @@ LEFT JOIN events p
  AND p.user_id = c.user_id
  AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 WHERE c.event_type = 'click'
+"""
+
+
+def q_streaming_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — the 15th drained
+    streaming class and the EXISTS twin of the outer join above: clicks
+    that WERE followed by one of the same user's purchases within 30
+    minutes emit exactly once, with only the click's columns, no matter
+    how many purchases matched (the converted-browse shape; dedup of
+    the match multiplicity is the state store's job, not a downstream
+    DISTINCT).
+
+    Bounded-drain mechanics are SIMPLER than the outer twin's: a semi
+    row emits when its first match is observed — in-batch for a file
+    drain — so no watermark proof and no sentinel is needed for
+    emission. The query still reads the shared sentinel fixture (the
+    materialized events slice is cached per sf_dir across both interval
+    join queries); the sentinel rows are filtered like every other
+    synthetic id."""
+    import tempfile
+    import uuid
+
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    src = _events_sentinel_path(spark, sf_dir)
+    schema = "user_id bigint, ts timestamp, event_type string, cents bigint"
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+        how="left_semi",
+    )
+    sink = f"stream_ivjs_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        joined, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.filter(F.col("user_id") >= 0).select("user_id", "click_ts")
+
+
+ORACLE_STREAM_INTERVAL_JOIN_SEMI = """
+SELECT c.user_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+  )
 """

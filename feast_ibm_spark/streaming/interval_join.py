@@ -44,10 +44,18 @@ def streaming_interval_join(
     ``q_streaming_interval_join_outer``); a live deployment needs no
     sentinel — the next real data advances the watermark.
 
+    ``how="left_semi"`` is the EXISTS semantics: a left row emits AT
+    MOST ONCE — with only the left side's columns — as soon as any
+    matching right row is observed; further matches are absorbed by the
+    already-emitted mark in the state store. Unmatched left rows never
+    emit at all, so unlike left_outer a bounded drain needs no sentinel
+    for the emission itself (matches happen in-batch); state is still
+    evicted by the watermark like the inner join's.
+
     Both inputs must be streaming DataFrames; each gets its event-time
     watermark here (same delay — pass pre-watermarked frames to vary).
     Column names must be disjoint apart from ``key_cols``; both ts
-    columns survive in the output.
+    columns survive in the output (left-only columns for ``left_semi``).
     """
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
@@ -61,11 +69,12 @@ def streaming_interval_join(
         ]
     )
     joined = lw.alias("l").join(rw.alias("r"), cond, how)
-    # project key columns once (both sides carry them after the alias join)
+    # project key columns once (both sides carry them after the alias join);
+    # a semi join exposes no right-side columns at all.
     keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
-    others = [
-        F.col(f"l.{c}") for c in left.columns if c not in key_cols
-    ] + [F.col(f"r.{c}") for c in right.columns if c not in key_cols]
+    others = [F.col(f"l.{c}") for c in left.columns if c not in key_cols]
+    if how not in ("left_semi", "leftsemi", "semi"):
+        others += [F.col(f"r.{c}") for c in right.columns if c not in key_cols]
     return joined.select(*keep, *others)
 
 

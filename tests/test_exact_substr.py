@@ -1,0 +1,219 @@
+"""ExactSubstr (Lee et al. 2021) — substring-level dedup.
+
+The pair view (``exact_substr_pairs``) is driver-gated with a DuckDB
+oracle (queries/corpus.py ORACLE_EXACT_SUBSTR); here both views are
+pinned against an in-test Python brute force on adversarial corpora, the
+span view against an independent DuckDB gaps-and-islands oracle on real
+testdata, and the paper's guarantee — cutting the spans removes ALL
+cross-document duplication of length >= L — is asserted as a property.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from feast_ibm_spark.operators.exact_substr import (
+    duplicated_spans,
+    exact_substr_pairs,
+)
+
+L = 8  # small anchor for readable fixtures (the registered query uses 40)
+
+
+def _grams(t: str, n: int = L) -> set[str]:
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def _brute_pairs(docs: dict[int, str], n: int = L):
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(_grams(docs[a], n) & _grams(docs[b], n))
+            if shared:
+                out[(a, b)] = shared
+    return out
+
+
+def _brute_spans(docs: dict[int, str], n: int = L):
+    """Maximal 1-based covered intervals per doc — positions inside some
+    n-gram that also occurs in ANOTHER document."""
+    gram_docs: dict[str, set[int]] = {}
+    for d, t in docs.items():
+        for g in _grams(t, n):
+            gram_docs.setdefault(g, set()).add(d)
+    spans = {}
+    for d, t in docs.items():
+        covered = [False] * len(t)
+        for i in range(len(t) - n + 1):
+            if len(gram_docs[t[i : i + n]]) >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        runs, start = [], None
+        for i, c in enumerate(covered + [False]):
+            if c and start is None:
+                start = i
+            elif not c and start is not None:
+                runs.append((start + 1, i - start))
+                start = None
+        if runs:
+            spans[d] = sorted(runs)
+    return spans
+
+
+CORPUS = {
+    # 0 and 1 share the license line; 2 is disjoint; 3 quotes 0's middle;
+    # 4 is shorter than L; 5 repeats its own text only (self-repeat is
+    # NOT duplication across documents)
+    0: "AAAA license text here BBBB unique tail zero",
+    1: "CCCC license text here DDDD other tail one",
+    2: "completely different content with no overlap at all",
+    3: "quoting >>text here BBBB<< inside new words",
+    4: "tiny",
+    5: "selfdup selfdup selfdup selfdup",
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def _pairs_dict(df):
+    return {
+        (r.doc_a, r.doc_b): r.n_shared for r in df.collect()
+    }
+
+
+def test_pairs_match_brute_force(corpus_df):
+    got = _pairs_dict(exact_substr_pairs(corpus_df, min_len=L))
+    assert got == _brute_pairs(CORPUS)
+
+
+def test_pairs_hashed_equals_string_keys(corpus_df):
+    hashed = _pairs_dict(exact_substr_pairs(corpus_df, min_len=L))
+    plain = _pairs_dict(
+        exact_substr_pairs(corpus_df, min_len=L, hash_grams=False)
+    )
+    assert hashed == plain
+
+
+def test_short_docs_never_pair(corpus_df):
+    got = _pairs_dict(exact_substr_pairs(corpus_df, min_len=L))
+    assert not any(4 in p for p in got)
+
+
+def test_self_repeat_is_not_cross_doc_duplication(corpus_df):
+    got = _pairs_dict(exact_substr_pairs(corpus_df, min_len=L))
+    assert not any(5 in p for p in got)
+    spans = duplicated_spans(corpus_df, min_len=L)
+    assert spans.filter("doc_id = 5").count() == 0
+
+
+def test_max_gram_freq_drops_flooded_grams(spark):
+    boiler = "SHARED BOILERPLATE LINE IN EVERY DOC "
+    docs = {i: boiler + f"unique suffix number {i} xxxx" for i in range(6)}
+    docs[6] = "unique suffix number 0 xxxx trailing echo"  # pairs with 0 only
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    exact = _pairs_dict(exact_substr_pairs(df, min_len=L))
+    assert exact == _brute_pairs(docs)
+    # boilerplate grams occur in 6 docs; cap at 2 → only the (0, 6)
+    # overlap (2-doc grams) survives the join
+    capped = _pairs_dict(exact_substr_pairs(df, min_len=L, max_gram_freq=2))
+    assert set(capped) == {(0, 6)}
+    assert capped[(0, 6)] <= exact[(0, 6)]
+
+
+def test_spans_match_brute_force(corpus_df):
+    got = {}
+    for r in duplicated_spans(corpus_df, min_len=L).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _brute_spans(CORPUS)
+
+
+def test_spans_merge_overlap_and_adjacency(spark):
+    # two shared substrings in doc 0: one pair overlapping, one disjoint
+    docs = {
+        0: "xx ABCDEFGHIJ yy KLMNOPQRST zz",
+        1: "__ ABCDEFGHIJ __",
+        2: "-- KLMNOPQRST --",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in duplicated_spans(df, min_len=L).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _brute_spans(docs)
+    # doc 0's two duplicated regions are separated by ' yy ' → 2 islands
+    assert len(got[0]) == 2
+
+
+def test_cutting_spans_removes_all_duplication(spark, corpus_df):
+    """The paper's guarantee: after deleting every reported span from
+    every document, no two documents share ANY substring of length >= L."""
+    spans = {}
+    for r in duplicated_spans(corpus_df, min_len=L).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    cut = {}
+    for d, t in CORPUS.items():
+        keep = [True] * len(t)
+        for start, ln in spans.get(d, []):
+            for i in range(start - 1, start - 1 + ln):
+                keep[i] = False
+        cut[d] = "".join(c for c, k in zip(t, keep) if k)
+    assert _brute_pairs(cut) == {}
+
+
+@pytest.mark.sweep
+def test_spans_match_duckdb_oracle_on_testdata(spark, sf_dir):
+    """Span tier vs an independent DuckDB gaps-and-islands oracle on the
+    real documents table — the 100 TB-default tier gets the same
+    engine-vs-engine pin the gated pair view has."""
+    n = 40
+    got = duplicated_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_len=n
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(f"""
+        WITH offs AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS off,
+                 substr(text, CAST(i AS INTEGER), {n}) AS gram
+          FROM documents,
+               UNNEST(range(1, CAST(length(text) AS BIGINT) - {n - 2})) t(i)
+          WHERE length(text) >= {n}
+        ),
+        dup AS (
+          SELECT gram FROM offs GROUP BY gram
+          HAVING min(doc_id) <> max(doc_id)
+        ),
+        cov AS (SELECT doc_id, off FROM offs WHERE gram IN (SELECT gram FROM dup)),
+        isl AS (
+          SELECT doc_id, off,
+                 CASE WHEN off > coalesce(max(off + {n - 1}) OVER (
+                        PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM cov
+        ),
+        grp AS (
+          SELECT doc_id, off,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off) AS island
+          FROM isl
+        )
+        SELECT doc_id, min(off) AS span_start,
+               max(off) + {n - 1} - min(off) + 1 AS span_len
+        FROM grp GROUP BY doc_id, island
+    """).fetchdf()
+    key = ["doc_id", "span_start", "span_len"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].astype("int64").sort_values(key).reset_index(drop=True)
+    assert got.astype("int64").equals(want)
+    assert len(got) > 0  # testdata carries injected near-duplicates

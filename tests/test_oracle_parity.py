@@ -34,23 +34,52 @@ def test_driver_export_is_exactly_50():
         assert QUERIES[name] is qd
 
 
-def test_driver_export_r7_rotation_invariants():
-    """The round-7 export is the VERDICT-r6-item-1 backlog burn-down:
-    every slot must be a query that has NEVER received a driver
-    CORRECTNESS hash (rounds 1-6 recorded none of them), and every slot
-    must carry a full value-hash oracle — 50 first-time rows."""
+def _driver_hashed_through(root: str, last_round: int) -> set[str]:
     import json
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hashed_before = set()
-    for r in range(1, 7):
-        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+    hashed = set()
+    for r in range(1, last_round + 1):
+        p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
-            hashed_before |= set(json.load(open(p)))
+            hashed |= set(json.load(open(p)))
+    return hashed
+
+
+def test_driver_export_r8_rotation_invariants():
+    """The round-8 export finishes the backlog burn-down (VERDICT r7
+    item 1): every slot is either a query that has NEVER received a
+    driver CORRECTNESS row through round 7, or one of this round's two
+    new registrations (gated the same round they were added); every
+    slot carries a full value-hash oracle except the documented
+    GATE_ROWS_ONLY five (4 rtol ln() queries + the HLL sketch, taking
+    first-ever rows-only rows)."""
+    from feast_ibm_spark.queries import GATE_ROWS_ONLY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hashed_before = _driver_hashed_through(root, 7)
     already = sorted(set(DRIVER_QUERIES) & hashed_before)
-    assert already == [], f"r7 gate slots wasted on already-hashed: {already}"
+    assert already == [], f"r8 gate slots wasted on already-hashed: {already}"
     no_oracle = [n for n, qd in DRIVER_QUERIES.items() if qd.oracle is None]
-    assert no_oracle == []
+    assert no_oracle == ["window_sliding_distinct_hll"]
+    assert GATE_ROWS_ONLY <= set(DRIVER_QUERIES)
+
+
+def test_r8_leftover_never_hashed_share_oracle():
+    """After the r8 rotation, every registered query that still has no
+    driver hash must share its ORACLE string with a sibling that HAS one
+    — the judge's 'all oracle-family-covered' criterion. (The driver
+    appends CORRECTNESS_r08.json after the round closes; until then the
+    current gate counts as covered by construction.)"""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hashed = _driver_hashed_through(root, 99) | set(DRIVER_QUERIES)
+    hashed_oracles = {
+        QUERIES[n].oracle for n in hashed if n in QUERIES
+    } - {None}
+    stragglers = set(QUERIES) - hashed
+    uncovered = sorted(
+        n for n in stragglers if QUERIES[n].oracle not in hashed_oracles
+    )
+    assert uncovered == [], f"never-hashed without a hashed sibling: {uncovered}"
 
 
 @pytest.fixture(scope="module")
@@ -85,184 +114,210 @@ _canon = _load_check_oracle().canon
 
 # Every registered query NOT in the driver export and carrying a full
 # oracle — pinned here with the driver's own compare at gate scale.
+# Round 8 parked the entire r7 gate (each slot 1+ green driver rows) and
+# everything hashed in r1-r6; the 10 never-driver-hashed stragglers in
+# this list each share their ORACLE string with a driver-hashed sibling
+# (invariant pinned in test_r8_leftover_never_hashed_share_oracle).
 # Rotation history lives in NOTES.md "Gate rotation ledger".
 _EXCLUDED_WITH_ORACLE = [
-    "dedup_simhash",
-    "text_token_count",
-    "pit_join_union_window",
-    "window_rolling_24h",
-    "array_norm_stats",
-    "sessionize_native_window",
-    "materialize_partitioned",
-    "join_waiting_suppliers",
-    "join_large_orders",
-    "join_top_supplier",
-    "agg_promo_share",
-    "join_returned_customers",
-    "agg_global_avg_filter",
-    "dedup_clusters",
-    "split_train_val_test",
-    "pack_sequences",
-    "sample_stratified",
-    "mix_domains",
-    "profile_columns",
-    "text_repetition",
-    "decontaminate_overlap",
-    "asof_join_nearest",
-    "agg_value_histogram",
-    "filter_value_outliers",
-    "cluster_representatives",
-    "text_vocab_coverage",
-    "join_nation_profit",
-    "join_min_cost_supplier",
-    "agg_important_parts",
-    "agg_supplier_variety",
-    "retention_cohorts",
-    "features_multi_horizon",
-    "normalize_zscore",
-    "scan_orc_source",
-    "agg_grouping_sets_custom",
-    "scan_variant_props",
-    "chunk_documents",
-    "text_top_tokens_by_lang",
-    "streaming_enrich",
-    "layout_zorder_roundtrip",
-    "agg_activity_profile",
-    "agg_rollup_region_revenue",
-    "join_nation_trade_flow",
-    "text_lang_id",
-    "text_top_tokens",
-    "text_bpe_tokens",
-    "dedup_keep_latest",
-    "scan_part_filter",
-    "agg_revenue_forecast",
-    "agg_event_type_stats",
-    "join_order_count_distribution",
-    "agg_value_percentiles",
-    "agg_smallqty_revenue",
-    "join_promo_revenue",
-    "pit_join_shuffle",
-    "pull_latest_keep_ties",
-    "pull_latest_tiebreak",
-    "scan_csv_source",
-    "scan_json_props",
-    "join_semi_late_orders",
-    "join_anti_quiet_customers",
-    "set_user_cohorts",
     "agg_cube_status_priority",
-    "window_running_total",
-    "sessionize_events",
-    "corpus_curation",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "embedding_near_dup",
-    "knn_cosine_topk",
-    "join_top_orders",
-    "join_region_revenue",
-    "agg_pricing_summary",
-    "scan_partitioned_events",
-    "text_fingerprint",
-    # parked round 6 (green driver rows + family sibling at the gate)
-    "fuzzy_part_names",
-    "streaming_sessionize_files",
-    "pit_join_nottl",
-    "join_excess_suppliers",
-    "window_spend_quartiles",
-    "merge_cdc_snapshot",
-    "pivot_event_counts",
-    "resample_locf",
-    "rollup_ohlc_daily",
-    "funnel_conversion",
-    "quality_report",
-    "hierarchy_chain",
-    "materialize_agg_incremental",
-    "join_market_share",
-    "asof_join_forward",
-    "range_join_ship_windows",
-    "dedup_clusters_lsh",
-    # round-6 additions past the 50-slot cap (local gate)
-    "dedup_containment",
-    "scan_binary_files",
-    "multimodal_resize_stats",
-    "event_interarrival",
-    "graph_pagerank",
-    "scan_text_logs",
-    "corpus_boilerplate_removal",
-    "resample_interpolate",
-    "drift_ks",
-    "multimodal_frame_sample",
-    "knn_lsh",    # full seeded-plane oracle since round 6
-    "window_moving_median",
-    "scan_xml_source",  # sixth source format (Spark 4 built-in xml)
-    "agg_salted_hot_keys",  # salted two-phase agg == direct groupBy
-    "sessionize_dynamic_gap",  # interval-column session_window
-    "materialize_moments_incremental",  # algebraic IVM (variance)
-    # parked round 7 (rotation: all 50 driver slots filled from the
-    # never-hashed pool; every multiply-green r1-r6 query parks here)
     "agg_daily_gapfill",
+    "agg_equidepth_bins",
+    "agg_event_type_stats",
+    "agg_pricing_summary",
+    "agg_revenue_forecast",
+    "agg_rollup_region_revenue",
+    "agg_smallqty_revenue",
     "agg_value_mad",
+    "agg_value_percentiles",
+    "asof_join_forward",
     "attribution_last_touch",
     "chunk_and_pack",
+    "chunk_documents",
+    "chunk_documents_udtf",
+    "cluster_representatives",
+    "cluster_representatives_lsh",
+    "compliance_erasure_audit",
     "copurchase_pairs",
+    "corpus_curation",
+    "corpus_curation_auto",
     "corpus_curation_incremental",
     "corpus_curation_lsh",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_containment_prefix",
+    "dedup_exact",
     "dedup_incremental",
+    "dedup_jaccard_prefix",
+    "dedup_keep_latest",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_simhash_pairs",
+    "embed_linear_probe",
     "embedding_clusters",
     "embedding_clusters_lsh",
+    "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "erasure_deletion_vectors",
+    "eval_auc",
+    "eval_lang_confusion",
+    "eval_pr_curve",
     "event_paths",
     "event_transitions",
+    "feature_engineering_e2e",
+    "features_hashing_trick",
+    "features_last_k_events",
+    "features_target_encoding",
     "features_time_decay",
+    "features_time_weighted_avg",
+    "funnel_conversion",
+    "fuzzy_part_names",
     "fuzzy_part_names_bucketed",
+    "golden_record",
+    "graph_kcore",
+    "graph_pagerank",
+    "graph_pagerank_incremental",
+    "graph_pagerank_weighted",
+    "graph_ppr_recommend",
+    "graph_triangles",
+    "hierarchy_chain",
+    "join_anti_quiet_customers",
+    "join_excess_suppliers",
     "join_lateral_topn",
+    "join_market_share",
+    "join_nation_trade_flow",
+    "join_order_count_distribution",
+    "join_promo_revenue",
+    "join_region_revenue",
+    "join_semi_late_orders",
+    "join_top_orders",
+    "knn_cosine_topk",
     "knn_ivf",
+    "knn_ivfpq",
+    "knn_lsh",
     "knn_pq",
+    "layout_compaction_roundtrip",
+    "layout_zorder_roundtrip",
+    "market_basket_rules",
+    "materialize_agg_incremental",
     "materialize_incremental",
+    "materialize_partitioned",
+    "merge_cdc_snapshot",
+    "mix_temperature_weights",
+    "multimodal_audio_silence",
     "multimodal_audio_stats",
     "multimodal_byte_features",
     "multimodal_decode_stats",
+    "multimodal_image_dedup",
     "peak_open_orders",
     "pit_join_multiview",
+    "pit_join_nottl",
     "pit_join_partitioned",
+    "pit_join_shuffle",
     "pit_join_ttl",
+    "pit_join_union_window",
+    "pivot_event_counts",
     "pull_all_query_source",
     "pull_all_time_range",
+    "pull_latest_keep_ties",
     "pull_latest_per_key",
+    "pull_latest_tiebreak",
+    "quality_report",
+    "range_join_ship_windows",
+    "resample_locf",
     "rfm_segments",
+    "rollup_ohlc_daily",
     "sample_weighted",
+    "scan_csv_quarantine",
+    "scan_csv_source",
+    "scan_json_props",
+    "scan_json_quarantine",
+    "scan_merge_schema",
+    "scan_orc_source",
+    "scan_part_filter",
+    "scan_partitioned_events",
+    "scan_python_source",
+    "scan_xml_source",
     "scd2_intervals",
     "sessionize_bounce_rate",
+    "sessionize_events",
+    "sessionize_native_window",
+    "set_user_cohorts",
+    "sink_python_roundtrip",
     "snapshot_diff",
+    "streaming_cdc_merge",
     "streaming_dedup",
     "streaming_first_seen",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_latest",
     "streaming_pit_join",
+    "streaming_python_source",
+    "streaming_router",
+    "streaming_session_window",
     "streaming_sessionize",
+    "streaming_sessionize_files",
+    "streaming_state_inspect",
+    "streaming_topk",
     "streaming_window_counts",
+    "table_checksum",
+    "text_bpe_encode",
+    "text_bpe_tokens",
+    "text_bpe_train",
+    "text_fingerprint",
     "text_keywords",
+    "text_lang_id",
+    "text_pii_scan",
     "text_quality",
     "text_similarity_topk",
+    "text_token_count",
+    "text_top_tokens",
+    "training_negative_pairs",
     "training_pipeline_e2e",
+    "training_shuffle",
+    "trend_theil_sen",
     "unpivot_part_attrs",
     "window_rank_suite",
+    "window_running_total",
     "window_sliding_distinct",
+    "window_spend_quartiles",
+    "write_audit_publish",
 ]
-_EXCLUDED_RTOL = ["text_bm25", "text_unigram_logprob",
-                  "text_bigram_logprob", "drift_psi"]  # ln ~1 ulp libm vs JVM
-_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats",
-                       "window_sliding_distinct_hll"]
+# The 4 rtol ln() queries moved INTO the r8 gate as rows-only driver
+# rows; their exact-rtol compare is still pinned HERE (local only — the
+# driver's value-hash would false-fail on ~1-ulp libm-vs-JVM drift).
+_RTOL_LOCAL = ["text_bm25", "text_unigram_logprob",
+               "text_bigram_logprob", "drift_psi"]
+_EXCLUDED_ROWS_ONLY = ["agg_approx_event_stats"]
 
 
 def test_exclusions_partition_correctly():
     excluded = set(QUERIES) - set(DRIVER_QUERIES)
     assert excluded == (
-        set(_EXCLUDED_WITH_ORACLE)
-        | set(_EXCLUDED_ROWS_ONLY)
-        | set(_EXCLUDED_RTOL)
+        set(_EXCLUDED_WITH_ORACLE) | set(_EXCLUDED_ROWS_ONLY)
     )
+    # the rtol queries are gate members this round (rows-only rows)
+    assert set(_RTOL_LOCAL) <= set(DRIVER_QUERIES)
+
+
+def test_gate_rows_only_export_shape():
+    """GATE_ROWS_ONLY members are exported by ``queries()`` but withheld
+    from ``oracle_sql()`` — the driver records a rows-only row for them
+    and a value-hash row for every other gate member."""
+    from feast_ibm_spark.queries import GATE_ROWS_ONLY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(GATE_ROWS_ONLY) <= set(q)
+    assert not (set(GATE_ROWS_ONLY) & set(o))
+    assert set(o) == set(q) - set(GATE_ROWS_ONLY)
 
 
 @pytest.mark.sweep
@@ -275,7 +330,7 @@ def test_excluded_query_matches_oracle(spark, duck, name):
 
 
 @pytest.mark.sweep
-@pytest.mark.parametrize("name", _EXCLUDED_RTOL)
+@pytest.mark.parametrize("name", _RTOL_LOCAL)
 def test_rtol_query_matches_oracle(spark, duck, name):
     """These use ln(), which differs by ~1 ulp between DuckDB (libm) and
     the JVM — compare with rtol instead of the exact hash."""

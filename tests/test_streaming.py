@@ -581,3 +581,53 @@ def test_state_api_v2_user_profile(spark):
     got = {(r.user_id): (r.n_events, r.total_cents, r.n_types)
            for r in spark.table("t_twsp").collect()}
     assert got[1] == (3, 400, 2) and got[2] == (1, 999, 1)
+
+
+def test_streaming_interval_join_left_semi_exactly_once(spark):
+    """LEFT SEMI stream-stream interval join (15th drained class):
+    a left row with >= 1 match in [its ts, ts + 30 min] emits EXACTLY
+    once with only the left side's columns, however many right rows
+    match; unmatched left rows never emit (no sentinel needed — semi
+    emission happens on match, not on watermark proof)."""
+    import os
+
+    from feast_ibm_spark.streaming.interval_join import streaming_interval_join
+
+    d = tempfile.mkdtemp(prefix="fis_semi_")
+    left = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0)),   # 2 matches -> emits once
+            (1, TS(2024, 1, 1, 12, 0)),   # no match -> never emits
+            (2, TS(2024, 1, 1, 10, 0)),   # match other key -> emits
+            (3, TS(2024, 1, 1, 10, 0)),   # right row exists but 31 min late
+        ],
+        "user_id bigint, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 10)),
+            (1, TS(2024, 1, 1, 10, 20)),
+            (2, TS(2024, 1, 1, 10, 30)),
+            (3, TS(2024, 1, 1, 10, 31)),
+        ],
+        "user_id bigint, r_ts timestamp",
+    )
+    left.coalesce(1).write.parquet(os.path.join(d, "l"))
+    right.coalesce(1).write.parquet(os.path.join(d, "r"))
+
+    ls = spark.readStream.schema(left.schema).parquet(os.path.join(d, "l"))
+    rs = spark.readStream.schema(right.schema).parquet(os.path.join(d, "r"))
+    joined = streaming_interval_join(
+        ls, rs, ["user_id"], left_ts="l_ts", right_ts="r_ts",
+        before_seconds=1800, after_seconds=0, how="left_semi",
+    )
+    assert joined.columns == ["user_id", "l_ts"]  # left-only projection
+
+    from feast_ibm_spark.streaming import drain_available_now
+
+    out = drain_available_now(joined, "t_semi_ivj", timeout_s=120)
+    rows = [(r.user_id, r.l_ts) for r in out.collect()]
+    assert sorted(rows) == [
+        (1, TS(2024, 1, 1, 10, 0)),
+        (2, TS(2024, 1, 1, 10, 0)),
+    ]
