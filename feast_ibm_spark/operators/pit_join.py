@@ -175,18 +175,25 @@ def point_in_time_join(
     ``tests/test_integration.py:160``) survive to the output.
 
     ``persist_spine`` materializes the spine once: it is consumed by the
-    min/max range aggregate, each view's key-dedup, and the final left
-    join, so a spine that is EXPENSIVE to derive (a heavy query, a big
-    transformed frame) is otherwise recomputed 2 + n_views times — turn
-    this on for those. Off by default: for the common cheap spine (a small
-    uploaded entity frame or a light aggregate) the one-time cache write
-    costs more than the recomputes it saves (measured ~25% of query time
-    at bench scale).
+    min/max range aggregate, each view's key-dedup, the final left
+    join, AND (under ``auto``, only when total rows exceed the salt
+    budget) one eager hot-key histogram probe per DISTINCT join-key
+    tuple — so a spine that is EXPENSIVE to derive (a heavy query, a big
+    transformed frame) is otherwise recomputed 2 + n_views (+ n_probes)
+    times — turn this on for those. Off by default: for the common cheap
+    spine (a small uploaded entity frame or a light aggregate) the
+    one-time cache write costs more than the recomputes it saves
+    (measured ~25% of query time at bench scale).
     """
     if strategy not in (
         "broadcast", "shuffle", "union_window", "union_window_salted", "auto"
     ):
         raise ValueError(f"unknown strategy: {strategy}")
+    if salt_partition_budget_rows is not None and salt_partition_budget_rows <= 0:
+        raise ValueError(
+            "salt_partition_budget_rows must be positive (or None to "
+            f"disable the hot-spine probe); got {salt_partition_budget_rows}"
+        )
 
     if persist_spine:
         spine = spine.persist(StorageLevel.MEMORY_AND_DISK)
@@ -237,7 +244,10 @@ def point_in_time_join(
             # matters when one key's partition outgrows executor memory,
             # so the default stays above every measured wall-clock
             # crossover and below the multi-GiB sort-spill zone.
-            if salt_partition_budget_rows and n_rows > salt_partition_budget_rows:
+            if (
+                salt_partition_budget_rows is not None
+                and n_rows > salt_partition_budget_rows
+            ):
                 hot_cache: dict[tuple, int] = {}
                 for v in feature_views:
                     kt = tuple(v.join_keys)

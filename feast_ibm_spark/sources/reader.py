@@ -23,6 +23,7 @@ at 100 TB.
 from __future__ import annotations
 
 import os
+from datetime import timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -152,13 +153,33 @@ def filter_ts_range(df: DataFrame, ts_col: str, lo, hi) -> DataFrame:
         # would silently emit the zone-LOCAL wall clock and shift the
         # whole window by the bound's offset. Naive bounds pass through
         # unchanged. (pandas imported at the top of this function.)
+        #
+        # pd.Timestamp only spans years 1677-2262 (int64 nanos); bounds
+        # outside that — far-past/far-future sentinels callers use as
+        # "no bound" — are formatted without pandas: datetime.isoformat
+        # covers years 1-9999 at µs precision, and an out-of-range ISO
+        # string is passed through verbatim (to_timestamp_ntz parses it
+        # directly). Only the range error is caught; a malformed bound
+        # still raises here, not as a silent NULL literal downstream.
         def bound(x):
-            t = pd.Timestamp(x)
-            if t.tzinfo is not None:
-                t = t.tz_convert("UTC").tz_localize(None)
-            return F.to_timestamp_ntz(
-                F.lit(t.strftime("%Y-%m-%d %H:%M:%S.%f"))
-            )
+            try:
+                t = pd.Timestamp(x)
+                if t.tzinfo is not None:
+                    t = t.tz_convert("UTC").tz_localize(None)
+                # isoformat, NOT strftime: pandas 2 stores far-out bounds
+                # at µs resolution instead of raising, and strftime("%Y")
+                # drops the zero-padding on years < 1000 ("1-01-01"),
+                # which Spark's NTZ cast rejects as malformed.
+                s = t.isoformat(sep=" ", timespec="microseconds")
+            except (pd.errors.OutOfBoundsDatetime, OverflowError):
+                if isinstance(x, str):
+                    s = x
+                else:
+                    t = x
+                    if t.tzinfo is not None:
+                        t = t.astimezone(timezone.utc).replace(tzinfo=None)
+                    s = t.isoformat(sep=" ", timespec="microseconds")
+            return F.to_timestamp_ntz(F.lit(s))
     else:
         def bound(x):
             return F.lit(x).cast("timestamp")

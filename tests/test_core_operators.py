@@ -222,8 +222,11 @@ def test_pit_join_strategies_on_ntz_timestamps(spark, strategy):
     """Every strategy must accept TIMESTAMP_NTZ sources (round-7
     regression: the salted melt's time-bucket expression used
     cast(ts as double), which is illegal on NTZ — found by the hot-spine
-    bench, fixed by routing through TIMESTAMP first). Same randomized
-    brute-force oracle as the TZ test."""
+    bench, fixed by the zone-free wall-clock decomposition
+    unix_date(to_date(c))*86400 + hour/minute/second in
+    _join_one_view_union_window_salted; a session-zone TIMESTAMP cast
+    would be non-monotone across DST gaps, see the DST-gap test below).
+    Same randomized brute-force oracle as the TZ test."""
     import random
 
     rng = random.Random(7)
@@ -558,6 +561,34 @@ def test_pit_join_auto_strategy_picks_by_spine_size(spark):
     assert "BroadcastNestedLoopJoin" not in text
     assert "Window" in text  # the melt path
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_pit_join_salt_budget_zero_rejected(spark):
+    """ADVICE r7: ``salt_partition_budget_rows=0`` looked like 'always
+    salt' to a caller but silently disabled the probe (falsy check).
+    Now: None disables, 0/negative raises, positive probes."""
+    import pytest as _pytest
+
+    spine, view = _driver_stats(spark)
+    with _pytest.raises(ValueError, match="salt_partition_budget_rows"):
+        point_in_time_join(
+            spine, [view], strategy="auto", salt_partition_budget_rows=0
+        )
+    # None still means "probe disabled", not an error
+    out = point_in_time_join(
+        spine, [view], strategy="auto", salt_partition_budget_rows=None
+    )
+    assert out.count() == spine.count()
+    # a tiny positive budget forces the probe AND the escalation: every
+    # key's spine count (1-2 rows) exceeds budget=1 only for dup keys,
+    # and results must be identical to the unprobed plan
+    probed = point_in_time_join(
+        spine, [view], strategy="auto", auto_broadcast_rows=1,
+        salt_partition_budget_rows=1,
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, out.collect())
+    )
 
 
 @pytest.mark.parametrize("ttl", [0, 3600, 7200])

@@ -441,3 +441,35 @@ def test_filter_ts_range_ntz_accepts_aware_bounds_as_utc(spark):
     hi = datetime(2024, 1, 1, 13, 0, tzinfo=ZoneInfo("America/New_York"))
     got = sorted(r.i for r in filter_ts_range(df, "ts", lo, hi).collect())
     assert got == [2]  # [17:00, 18:00] UTC wall clocks
+
+
+def test_filter_ts_range_ntz_sentinel_bounds_outside_pandas_range(spark):
+    """Far-past/far-future sentinel bounds (outside pandas' 1677-2262 ns
+    range) on an NTZ column must behave as no-op bounds, not raise
+    OutOfBoundsDatetime (ADVICE r7: the zone-free NTZ path routed every
+    bound through pd.Timestamp). Covers datetime, aware-datetime and ISO
+    string sentinels."""
+    from datetime import datetime, timezone
+
+    from feast_ibm_spark.sources.reader import filter_ts_range
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 10:00:00"), (1, "2024-06-01 10:00:00")],
+        "i bigint, s string",
+    ).select("i", F.to_timestamp_ntz("s").alias("ts"))
+
+    wide = filter_ts_range(
+        df, "ts", datetime(1, 1, 1), datetime(9999, 12, 31, 23, 59, 59)
+    )
+    assert sorted(r.i for r in wide.collect()) == [0, 1]
+    # aware sentinel normalizes via stdlib astimezone, not pandas
+    aware = filter_ts_range(
+        df, "ts", datetime(1, 1, 2, tzinfo=timezone.utc), None
+    )
+    assert sorted(r.i for r in aware.collect()) == [0, 1]
+    # ISO-string sentinels pass through verbatim
+    s = filter_ts_range(df, "ts", "0001-01-01 00:00:00", "9999-12-31 00:00:00")
+    assert sorted(r.i for r in s.collect()) == [0, 1]
+    # ...and a mixed window (one sentinel, one in-range bound) still filters
+    half = filter_ts_range(df, "ts", datetime(1, 1, 1), "2024-03-01 00:00:00")
+    assert sorted(r.i for r in half.collect()) == [0]
