@@ -25,6 +25,40 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _is_ntz(df: DataFrame, ts_col: str) -> bool:
+    return isinstance(df.schema[ts_col].dataType, TimestampNTZType)
+
+
+def _bound(x, ntz: bool):
+    """String grid bound → literal of the ts column's OWN type. An NTZ
+    grid must be built from NTZ literals: ``lit(s).cast('timestamp')``
+    binds the SESSION zone, and unioning a TIMESTAMP grid under an NTZ
+    observation column coerces the observations through the session zone
+    — non-monotone across DST gaps (the round-7 bug class; a New_York
+    session silently collapsed the 02:00-03:00 grid hour and misfiled
+    the carried values)."""
+    if isinstance(x, str):
+        return F.to_timestamp_ntz(F.lit(x)) if ntz else F.lit(x).cast("timestamp")
+    return x
+
+
+def _us_expr(col_name: str, ntz: bool) -> str:
+    """SQL fragment: exact integer microseconds for interpolation
+    weights. TIMESTAMP → instant micros (``unix_micros``). NTZ → the
+    zone-free wall-clock linearization (days*86400 + h*3600 + m*60 in
+    seconds, plus the DECIMAL(8,6) fractional second scaled exactly) —
+    ``unix_micros`` on NTZ routes through the session zone and is
+    non-monotone across DST gaps."""
+    if not ntz:
+        return f"unix_micros({col_name})"
+    return (
+        f"((cast(unix_date(to_date({col_name})) AS bigint) * 86400"
+        f" + hour({col_name}) * 3600 + minute({col_name}) * 60) * 1000000"
+        f" + cast(date_part('SECOND', {col_name}) * 1000000 AS bigint))"
+    )
 
 
 def resample_locf(
@@ -46,9 +80,15 @@ def resample_locf(
     full grid; instants before a key's first observation carry NULLs.
     Observations sharing one timestamp are deduplicated first (latest by
     ``tiebreak_cols`` wins) so the carried value is deterministic.
+
+    TIMESTAMP_NTZ ``ts_col`` is fully supported zone-free: string bounds
+    become NTZ literals and the grid is NTZ, so the melt never coerces
+    wall clocks through the session zone (see ``_bound``). Column bounds
+    must match the ts column's type.
     """
-    start_c = F.lit(start).cast("timestamp") if isinstance(start, str) else start
-    end_c = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+    ntz = _is_ntz(df, ts_col)
+    start_c = _bound(start, ntz)
+    end_c = _bound(end, ntz)
 
     obs = df.select(*key_cols, ts_col, *value_cols)
     if tiebreak_cols:
@@ -82,7 +122,7 @@ def resample_locf(
         *key_cols,
         F.col(ts_col).alias("__t"),
         F.lit(0).alias("__is_grid"),
-        F.lit(None).cast("timestamp").alias(grid_col),
+        F.lit(None).cast(df.schema[ts_col].dataType).alias(grid_col),
         *value_cols,
     )
     grid_tagged = grid.select(
@@ -138,9 +178,14 @@ def resample_interpolate(
     previous observation's (ts, value) forward, one descending window
     carries the next observation's backward — still ONE shuffle on the
     key partitioning (the two window sorts share it), no range join.
+
+    TIMESTAMP_NTZ ``ts_col`` interpolates over the zone-free wall-clock
+    linearization (``_us_expr``) — ``unix_micros`` on NTZ would bind the
+    session zone and distort every weight spanning a DST transition.
     """
-    start_c = F.lit(start).cast("timestamp") if isinstance(start, str) else start
-    end_c = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+    ntz = _is_ntz(df, ts_col)
+    start_c = _bound(start, ntz)
+    end_c = _bound(end, ntz)
 
     obs = df.select(*key_cols, ts_col, value_col)
     if tiebreak_cols:
@@ -170,7 +215,7 @@ def resample_interpolate(
         *key_cols,
         F.col(ts_col).alias("__t"),
         F.lit(0).alias("__is_grid"),
-        F.lit(None).cast("timestamp").alias(grid_col),
+        F.lit(None).cast(df.schema[ts_col].dataType).alias(grid_col),
         F.col(value_col).alias("__v"),
     )
     grid_tagged = grid.select(
@@ -205,7 +250,10 @@ def resample_interpolate(
         F.last(obs_v, ignorenulls=True).over(w_next).alias("__nv"),
         F.last(obs_t, ignorenulls=True).over(w_next).alias("__nt"),
     )
-    d_us = F.unix_micros("__nt") - F.unix_micros("__pt")
+    g_us, p_us, n_us = (
+        _us_expr(grid_col, ntz), _us_expr("__pt", ntz), _us_expr("__nt", ntz)
+    )
+    d_us = F.expr(f"{n_us} - {p_us}")
     dv = F.col("__nv") - F.col("__pv")
     # sign-safe truncating division: the numerator is always
     # non-negative, so `div` (truncation) and `//` (floor) agree and the
@@ -214,11 +262,11 @@ def resample_interpolate(
         F.when(F.col("__pv").isNull() | F.col("__nv").isNull(), F.lit(None))
         .when(d_us == 0, F.col("__pv"))
         .when(dv >= 0, F.col("__pv") + F.expr(
-            f"((__nv - __pv) * (unix_micros({grid_col}) - unix_micros(__pt)))"
-            f" div (unix_micros(__nt) - unix_micros(__pt))"))
+            f"((__nv - __pv) * ({g_us} - {p_us}))"
+            f" div ({n_us} - {p_us})"))
         .otherwise(F.col("__pv") - F.expr(
-            f"((__pv - __nv) * (unix_micros({grid_col}) - unix_micros(__pt)))"
-            f" div (unix_micros(__nt) - unix_micros(__pt))"))
+            f"((__pv - __nv) * ({g_us} - {p_us}))"
+            f" div ({n_us} - {p_us})"))
     )
     return (
         surrounded.filter(F.col("__is_grid") == 1)

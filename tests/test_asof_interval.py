@@ -217,3 +217,104 @@ def test_asof_and_sessionize_ntz_zone_free(spark):
     assert got["Etc/UTC"] == got["America/New_York"]
     assert got["Etc/UTC"][0] == [(1, "after")]
     assert got["Etc/UTC"][1] == [(1, 4)]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_backward_forward_ntz_zone_free(spark, direction):
+    """VERDICT r7 item 8: extend the DST-gap session-zone net to the
+    remaining asof directions (the round-7 test covered nearest only).
+    backward/forward on NTZ are pure wall-clock <=/>= comparisons plus
+    interval tolerance — results must be identical under UTC and a DST
+    zone with data straddling the 2024-03-10 spring-forward gap."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-10 01:55:00"), (1, "2024-03-10 02:40:00"),
+         (1, "2024-03-10 03:10:00")],
+        "k bigint, s string",
+    ).select("k", F.to_timestamp_ntz("s").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10 01:50:00", "a"), (1, "2024-03-10 02:30:00", "b"),
+         (1, "2024-03-10 03:05:00", "c"), (1, "2024-03-10 03:30:00", "d")],
+        "k bigint, s string, tag string",
+    ).select("k", F.to_timestamp_ntz("s").alias("rts"), "tag")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    try:
+        for tz in ("Etc/UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got[tz] = sorted(
+                (str(r.lts), r.tag)
+                for r in asof_join(
+                    left, right, on=["k"], left_ts="lts", right_ts="rts",
+                    right_columns=["tag"], direction=direction,
+                    tolerance_seconds=3600,
+                ).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got["Etc/UTC"] == got["America/New_York"]
+    want = {
+        # wall-clock asof: 01:55->01:50(a), 02:40->02:30(b), 03:10->03:05(c)
+        "backward": [("2024-03-10 01:55:00", "a"),
+                     ("2024-03-10 02:40:00", "b"),
+                     ("2024-03-10 03:10:00", "c")],
+        # forward: 01:55->02:30(b), 02:40->03:05(c), 03:10->03:30(d)
+        "forward": [("2024-03-10 01:55:00", "b"),
+                    ("2024-03-10 02:40:00", "c"),
+                    ("2024-03-10 03:10:00", "d")],
+    }[direction]
+    assert got["Etc/UTC"] == want
+
+
+def test_resample_ntz_zone_free_across_dst_gap(spark):
+    """VERDICT r7 item 8 + the bug it caught: NTZ resampling under a DST
+    session zone used to collapse the 02:00-03:00 grid hour (string
+    bounds cast through the session zone, the NTZ observations coerced
+    by the union) and misfile carried/interpolated values. Both
+    resamplers must now produce the identical zone-free wall-clock grid
+    under UTC and America/New_York, interpolation weights included."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.resample import (
+        resample_interpolate,
+        resample_locf,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-03-10 01:30:00", 100), (1, "2024-03-10 02:30:00", 200),
+         (1, "2024-03-10 03:30:00", 300)],
+        "k bigint, s string, v bigint",
+    ).select("k", F.to_timestamp_ntz("s").alias("ts"), "v")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    try:
+        for tz in ("Etc/UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            locf = sorted(
+                (str(r.grid_ts), r.v)
+                for r in resample_locf(
+                    ev, ["k"], "ts", ["v"], "2024-03-10 01:00:00",
+                    "2024-03-10 04:00:00", 1800,
+                ).collect()
+            )
+            interp = sorted(
+                (str(r.grid_ts), r.v)
+                for r in resample_interpolate(
+                    ev, ["k"], "ts", "v", "2024-03-10 01:00:00",
+                    "2024-03-10 04:00:00", 1800,
+                ).collect()
+            )
+            got[tz] = (locf, interp)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got["Etc/UTC"] == got["America/New_York"]
+    locf, interp = got["Etc/UTC"]
+    assert len(locf) == 7  # full 7-point grid — no hour swallowed
+    assert ("2024-03-10 02:00:00", 100) in locf
+    assert ("2024-03-10 02:00:00", 150) in interp  # exact midpoint weight
+    assert ("2024-03-10 03:00:00", 250) in interp
