@@ -137,6 +137,19 @@ SHOWCASE: list[tuple[str, str]] = [
         "the corpus.",
     ),
     (
+        "dedup_exact_substr",
+        "ExactSubstr (Lee et al. 2021) pair view: character 40-grams are\n"
+        "generated and xxhash64'd MAP-SIDE (whole-stage codegen, no UDF), so\n"
+        "the self-join shuffles 8-byte longs keyed by the gram — pairs only\n"
+        "meet on genuinely shared text. The join output is sum(c^2) over\n"
+        "per-gram doc counts: fine while grams are near-unique (max df 13 on\n"
+        "the tagged 10x corpus), quadratic under boilerplate floods — which\n"
+        "is why the SPAN tier (operators/exact_substr.duplicated_spans, the\n"
+        "production cut list) replaces the self-join with a per-gram\n"
+        "min!=max aggregate and stays LINEAR in the flood (measured:\n"
+        "scripts/exact_substr_flood_10x.py, NOTES 'ExactSubstr flood 10x').",
+    ),
+    (
         "knn_cosine_topk",
         "Exact ANN baseline: the query set is broadcast\n"
         "(`BroadcastNestedLoopJoin` over the inequality predicate), the\n"

@@ -203,6 +203,18 @@ SMOKE_QUERIES = [
 ]
 
 
+
+def _copy_tagger(k: int):
+    """Single-parameter element lambda for F.transform. A two-parameter
+    ``lambda t, _k=k`` looks like the classic late-binding guard but
+    pyspark treats ANY arity-2 lambda as (element, index) and binds the
+    INDEX column to the second parameter — the tag silently became the
+    constant ``str(Column)`` for every copy, collapsing the bijective
+    per-copy tagging (found round 8; same bug fixed in all three flood/
+    smoke fixtures)."""
+    tag = "c%dx" % k
+    return lambda t: F.concat(F.lit(tag), t)
+
 def build_scaled(spark, src: str, dest: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
@@ -240,7 +252,7 @@ def build_scaled(spark, src: str, dest: str, copies: int) -> None:
                     " ",
                     F.transform(
                         F.split(F.trim("text"), r"\s+"),
-                        lambda t, _k=k: F.concat(F.lit(f"c{_k}x"), t),
+                        _copy_tagger(k),
                     ),
                 ).alias("text"),
                 "lang",

@@ -845,3 +845,28 @@ def test_pit_auto_salts_only_the_hot_view(spark):
     assert sorted(map(tuple, both.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_exact_substr_pairs_joins_hashed_grams(spark, sf_dir):
+    """ExactSubstr pair view, the 100 TB shape assertions: the self-join
+    is a HASH join keyed by the gram (never nested-loop/cartesian), and
+    with hash_grams on the shuffled join key is the 8-byte xxhash64 —
+    the 40-char gram strings must not survive into the exchange."""
+    from feast_ibm_spark.operators.exact_substr import (
+        duplicated_spans,
+        exact_substr_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_substr_pairs(docs)
+    text = explain_str(out)
+    assert "NestedLoop" not in text and "Cartesian" not in text
+    assert "HashJoin" in text
+    assert "xxhash64" in text  # longs, not L-char strings, hit the shuffle
+
+    # span tier: NO join between document rows at all — the duplicate
+    # test is a per-gram aggregate, so the only join is covered-offsets
+    # back to the (tiny) duplicated-gram set
+    spans = duplicated_spans(docs)
+    stext = explain_str(spans)
+    assert "NestedLoop" not in stext and "Cartesian" not in stext
