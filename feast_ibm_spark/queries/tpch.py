@@ -1199,20 +1199,33 @@ GROUP BY s_name
 """
 
 
+LAPSED_CUTOFF = "1999-01-01"  # testdata orders span 1995-01-01..2001-08-01
+
+
 def q_agg_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-global-average balance and NO
-    orders, counted per market segment. The scalar avg subquery becomes a
-    1-row broadcast cross join; the NOT EXISTS a left-anti join."""
+    """TPC-H Q22 shape: LAPSED rich customers — above-global-average
+    balance and no orders since LAPSED_CUTOFF — counted per market
+    segment. The scalar avg subquery becomes a 1-row broadcast cross
+    join; the NOT EXISTS a left-anti join over the date-filtered orders
+    (the filter reaches the orders scan, so the anti-join's build side
+    shrinks before the shuffle). Round 8: the original 'no orders EVER'
+    predicate returned 0 rows at every test SF (each customer has
+    orders) — an empty result is the weakest possible driver-hash
+    signal (r6 ledger precedent: join_excess_suppliers), so the
+    anti-join side was narrowed to recent orders, updating query and
+    oracle identically; 5/5/5 segment rows at sf0.001/0.01/0.1."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     bal = _cents("c_acctbal")
     # exact global average in cents: (sum_cents, count) then one division
     g = cust.agg(F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(LAPSED_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
     rich = (
         cust.join(F.broadcast(g))
         .filter(bal * F.col("n") > F.col("s"))
-        .join(orders.select("o_custkey"),
-              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return rich.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1233,7 +1246,9 @@ SELECT c_mktsegment,
 FROM customer, g
 WHERE {_C_CENTS} * g.n > g.s
   AND NOT EXISTS (
-    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{LAPSED_CUTOFF} 00:00:00'
   )
 GROUP BY c_mktsegment
 """
