@@ -191,3 +191,60 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_len")
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    hash_grams: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply the ExactSubstr cut: every document with its duplicated
+    spans (:func:`duplicated_spans`) deleted from the text — the
+    operation Lee et al. 2021 actually run before training. Documents
+    with no duplicated span pass through unchanged; all other columns
+    are preserved; ``out_col`` (default: overwrite ``text_col``) holds
+    the rebuilt text.
+
+    The rebuild is a single Catalyst ``aggregate`` over the doc's sorted
+    span array — each step appends the kept segment before the span and
+    advances the cursor past it; the finisher appends the tail. No UDF,
+    no Python in the hot path; one extra shuffle (spans groupBy id) and
+    one LEFT join back to the documents. By the cut-removes-all-
+    duplication property (test-pinned), running the span pass again on
+    the output finds nothing."""
+    out_col = out_col or text_col
+    spans = (
+        duplicated_spans(df, text_col, id_col, min_len, hash_grams)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_len"))
+            ).alias("__spans")
+        )
+    )
+    cut = F.expr(
+        f"""
+        aggregate(
+          __spans,
+          struct(CAST(1 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
+          (a, s) -> struct(
+            CAST(s.span_start + s.span_len AS BIGINT) AS pos,
+            concat(a.acc,
+                   substring({text_col}, CAST(a.pos AS INT),
+                             CAST(s.span_start - a.pos AS INT))) AS acc),
+          a -> concat(a.acc, substring({text_col}, CAST(a.pos AS INT),
+                                       length({text_col})))
+        )
+        """
+    )
+    joined = df.join(spans, id_col, "left")
+    keep = [c for c in df.columns if c != text_col or out_col != text_col]
+    return joined.select(
+        *keep,
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(cut)
+        .alias(out_col),
+    )

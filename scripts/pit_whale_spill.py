@@ -45,6 +45,44 @@ from feast_ibm_spark.operators.pit_join import (
 )
 
 
+def max_task_profile(spark, since_stage: int) -> dict[str, float]:
+    """Worst single TASK over stages >= since_stage — the cluster-relevant
+    bound: a plain-melt whale key concentrates its entire sort in one
+    task (one straggler/OOM candidate on a real executor), while the
+    salted melt's per-task state is bucket-sized. Aggregate spill alone
+    hides this (the salted path moves MORE total bytes over its two
+    window passes); the per-task maximum is the claim under test."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=30))
+    worst = {"task_max_spill_gb": 0.0, "task_max_runtime_s": 0.0}
+    for s in stages:
+        if s["stageId"] < since_stage:
+            continue
+        try:
+            q = json.load(urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages/{s['stageId']}"
+                f"/{s['attemptId']}/taskSummary?quantiles=1.0", timeout=30))
+        except Exception:
+            continue
+        spill = (q.get("memoryBytesSpilled") or [0])[-1]
+        rt = (q.get("executorRunTime") or [0])[-1]
+        worst["task_max_spill_gb"] = max(worst["task_max_spill_gb"],
+                                         round(spill / 2**30, 2))
+        worst["task_max_runtime_s"] = max(worst["task_max_runtime_s"],
+                                          round(rt / 1000, 1))
+    return worst
+
+
+def next_stage_id(spark) -> int:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages", timeout=30))
+    return max((s["stageId"] for s in stages), default=-1) + 1
+
+
 def spill_totals(spark) -> dict[str, int]:
     """Sum spill + shuffle counters over all completed stages via the UI
     REST API (cheap, no listener plumbing)."""
@@ -53,11 +91,13 @@ def spill_totals(spark) -> dict[str, int]:
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
     stages = json.load(urllib.request.urlopen(url, timeout=30))
     out = {"memoryBytesSpilled": 0, "diskBytesSpilled": 0,
-           "shuffleWriteBytes": 0}
+           "shuffleWriteBytes": 0, "peakExecutionMemory": 0}
     for s in stages:
         out["memoryBytesSpilled"] += s.get("memoryBytesSpilled", 0)
         out["diskBytesSpilled"] += s.get("diskBytesSpilled", 0)
         out["shuffleWriteBytes"] += s.get("shuffleWriteBytes", 0)
+        out["peakExecutionMemory"] = max(
+            out["peakExecutionMemory"], s.get("peakExecutionMemory", 0))
     return out
 
 
@@ -70,6 +110,11 @@ def main() -> None:
     ap.add_argument("--repl-feat", type=int, default=50)
     ap.add_argument("--whale-feat-rows", type=int, default=4_000_000)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--driver-mem", default="4g",
+                    help="heap SMALL ON PURPOSE: the spill contrast only "
+                    "appears when the plain melt's single whale partition "
+                    "outgrows its execution-memory share; at 24g this host "
+                    "absorbs a 9M-row partition without spilling (measured)")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -77,7 +122,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pit-whale-spill")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.ui.enabled", "true")
         .getOrCreate()
     )
@@ -95,11 +140,22 @@ def main() -> None:
         .drop("__r")
         .select("user_id", "ts", "value")
     )
+    # row-UNIQUE timestamps spread over the full span: seconds from a
+    # modular walk plus a distinct microsecond remainder — collisions
+    # would let the melt's distinct() shrink the whale (first version of
+    # this bench lost 80% of the hot key that way), and the salt needs
+    # the hot rows spread over many time buckets to have anything to cut.
+    def spread_ts(id_col):
+        return F.timestamp_micros(
+            F.lit(int(lo.timestamp() * 1_000_000))
+            + (id_col % span) * 1_000_000 + (id_col / span).cast("bigint")
+        )
+
     whale_feat = (
         spark.range(args.whale_feat_rows)
         .select(
             F.lit(0).cast("bigint").alias("user_id"),
-            (F.lit(lo) + F.make_interval(secs=(F.col("id") * 13) % span)).alias("ts"),
+            spread_ts(F.col("id") * 13).alias("ts"),
             (F.col("id") % 1000).cast("double").alias("value"),
         )
     )
@@ -115,10 +171,7 @@ def main() -> None:
                 (F.col("id") * 2654435761) % n_keys
             ),
         )
-        .withColumn(
-            "event_timestamp",
-            F.lit(lo) + F.make_interval(secs=(F.col("id") * 37) % span),
-        )
+        .withColumn("event_timestamp", spread_ts(F.col("id") * 37))
         .drop("id")
         .persist()
     )
@@ -136,6 +189,7 @@ def main() -> None:
     for strat in ("union_window", "union_window_salted"):
         for i in range(args.runs):
             before = spill_totals(spark)
+            first_stage = next_stage_id(spark)
             t0 = time.time()
             out = point_in_time_join(
                 spine, [view], strategy=strat,
@@ -152,6 +206,9 @@ def main() -> None:
                     (after["diskBytesSpilled"] - before["diskBytesSpilled"]) / 2**30, 2),
                 "shuffle_write_gb": round(
                     (after["shuffleWriteBytes"] - before["shuffleWriteBytes"]) / 2**30, 2),
+                "peak_stage_exec_mem_gb": round(
+                    after["peakExecutionMemory"] / 2**30, 2),
+                **max_task_profile(spark, first_stage),
             }), flush=True)
     spark.stop()
 

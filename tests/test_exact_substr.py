@@ -217,3 +217,30 @@ def test_spans_match_duckdb_oracle_on_testdata(spark, sf_dir):
     want = want[key].astype("int64").sort_values(key).reset_index(drop=True)
     assert got.astype("int64").equals(want)
     assert len(got) > 0  # testdata carries injected near-duplicates
+
+def test_cut_operator_matches_python_cut(spark, corpus_df):
+    """cut_duplicated_spans (the Catalyst aggregate rebuild) must equal
+    the straight Python cut of the reported spans, preserve other
+    columns / untouched docs, and leave an output on which the span
+    pass finds NOTHING (idempotence of the ExactSubstr cut)."""
+    from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
+
+    spans = {}
+    for r in duplicated_spans(corpus_df, min_len=L).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    want = {}
+    for d, t in CORPUS.items():
+        keep = [True] * len(t)
+        for start, ln in spans.get(d, []):
+            for i in range(start - 1, start - 1 + ln):
+                keep[i] = False
+        want[d] = "".join(c for c, k in zip(t, keep) if k)
+
+    out = cut_duplicated_spans(corpus_df, min_len=L)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == want
+    assert duplicated_spans(out, min_len=L).count() == 0
+    # out_col variant keeps the original text column intact
+    both = cut_duplicated_spans(corpus_df, min_len=L, out_col="clean")
+    r0 = both.filter("doc_id = 0").first()
+    assert r0.text == CORPUS[0] and r0.clean == want[0]
