@@ -600,6 +600,18 @@ QUERIES: dict[str, QueryDef] = {
                                    "ExactSubstr (Lee et al. 2021) pair "
                                    "view — 40-char-gram inverted index; "
                                    "span tier pinned in pytest"),
+    "dedup_exact_substr_spans": QueryDef(q_dedup_exact_substr_spans,
+                                         ORACLE_EXACT_SUBSTR_SPANS,
+                                         "ExactSubstr span view — merged "
+                                         "duplicated-text intervals; no "
+                                         "self-join, flood-linear (the "
+                                         "100 TB tier)"),
+    "dedup_exact_substr_cut": QueryDef(q_dedup_exact_substr_cut,
+                                       ORACLE_EXACT_SUBSTR_CUT,
+                                       "the ExactSubstr CUT: documents "
+                                       "with duplicated spans deleted "
+                                       "(Catalyst aggregate rebuild, "
+                                       "no UDF)"),
     "dedup_containment": QueryDef(q_dedup_containment,
                                   ORACLE_DEDUP_CONTAINMENT,
                                   "asymmetric n-gram containment pairs "

@@ -1121,6 +1121,117 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span view — the 100 TB-default tier: maximal per-
+    document character intervals covered by 40-char substrings that also
+    occur in another document. NO self-join anywhere ("duplicated" is a
+    per-gram min(doc) != max(doc) aggregate), so a boilerplate gram in
+    10^6 documents costs 10^6 aggregation rows where the pair view pays
+    10^12 join rows — flood-linear by construction (measured: NOTES.md
+    "ExactSubstr flood 10x", 100 % flood FASTER than clean). Registered
+    round 8, queued for the round-9 driver gate; the identical DuckDB
+    gaps-and-islands oracle has pinned it in pytest since it shipped."""
+    from ..operators.exact_substr import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, min_len=EXACT_SUBSTR_LEN)
+
+
+# Shared gaps-and-islands CTE chain: offsets of ALL length-L grams →
+# grams in >= 2 distinct docs → covered offsets → island starts where a
+# gram's span no longer touches (or abuts) the running max end → merged
+# [min(off), max(off)+L-1] intervals per (doc, island).
+_EXACT_SUBSTR_SPAN_CTES = f"""
+offs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS off,
+         substr(text, CAST(i AS INTEGER), {EXACT_SUBSTR_LEN}) AS gram
+  FROM documents,
+       UNNEST(range(1, CAST(length(text) AS BIGINT) - {EXACT_SUBSTR_LEN - 2}))
+         t(i)
+  WHERE length(text) >= {EXACT_SUBSTR_LEN}
+),
+dup AS (
+  SELECT gram FROM offs GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+),
+cov AS (
+  SELECT doc_id, off FROM offs WHERE gram IN (SELECT gram FROM dup)
+),
+isl AS (
+  SELECT doc_id, off,
+         CASE WHEN off > coalesce(max(off + {EXACT_SUBSTR_LEN - 1}) OVER (
+                PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM cov
+),
+grp AS (
+  SELECT doc_id, off,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(off) AS span_start,
+         max(off) + {EXACT_SUBSTR_LEN - 1} - min(off) + 1 AS span_len
+  FROM grp GROUP BY doc_id, island
+)
+"""
+
+ORACLE_EXACT_SUBSTR_SPANS = f"""
+WITH {_EXACT_SUBSTR_SPAN_CTES}
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_len AS BIGINT) AS span_len
+FROM spans
+"""
+
+
+def q_dedup_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT — the operation Lee et al. 2021 actually run
+    before training: every document with its duplicated spans deleted
+    from the text, all other columns preserved. The rebuild is one
+    Catalyst ``aggregate`` over the doc's sorted span array (no UDF);
+    by the cut-removes-all-duplication property (test-pinned), a second
+    span pass over this output finds nothing. Registered round 8,
+    queued for the round-9 driver gate. Oracle rebuilds the text in SQL:
+    the inter-span keep-segments (previous span end .. next span start)
+    plus the tail, reassembled with ordered string_agg."""
+    from ..operators.exact_substr import cut_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return cut_duplicated_spans(docs, min_len=EXACT_SUBSTR_LEN)
+
+
+ORACLE_EXACT_SUBSTR_CUT = f"""
+WITH {_EXACT_SUBSTR_SPAN_CTES},
+o AS (
+  SELECT doc_id, span_start, span_len,
+         coalesce(max(span_start + span_len) OVER (
+             PARTITION BY doc_id ORDER BY span_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           1) AS prev_end
+  FROM spans
+),
+pieces AS (
+  SELECT o.doc_id, o.span_start AS ord,
+         substr(d.text, CAST(o.prev_end AS INTEGER),
+                CAST(o.span_start - o.prev_end AS INTEGER)) AS piece
+  FROM o JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT s.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+         substr(d.text, CAST(s.last_end AS INTEGER)) AS piece
+  FROM (SELECT doc_id, max(span_start + span_len) AS last_end
+        FROM spans GROUP BY doc_id) s
+  JOIN documents d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, d.text) AS text, d.lang, d.source,
+       d.n_chars
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # North-star: cross-document boilerplate removal
 # --------------------------------------------------------------------------
 
