@@ -110,6 +110,10 @@ def main() -> None:
     ap.add_argument("--repl-feat", type=int, default=50)
     ap.add_argument("--whale-feat-rows", type=int, default=4_000_000)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--strategies", default="union_window,union_window_salted",
+                    help="comma list; one strategy per process isolates the "
+                    "measurement when the other strategy OOMs the shared JVM "
+                    "(the plain melt does at the 40M-row whale cell)")
     ap.add_argument("--driver-mem", default="4g",
                     help="heap SMALL ON PURPOSE: the spill contrast only "
                     "appears when the plain melt's single whale partition "
@@ -186,7 +190,7 @@ def main() -> None:
         timestamp_field="ts", ttl_seconds=30 * 86400,
     )
 
-    for strat in ("union_window", "union_window_salted"):
+    for strat in args.strategies.split(","):
         for i in range(args.runs):
             before = spill_totals(spark)
             first_stage = next_stage_id(spark)
