@@ -140,9 +140,11 @@ def duplicated_spans(
     every position in the span lies inside some length-``min_len``
     substring that also occurs in ANOTHER document. Cutting these spans
     from every document removes all cross-document duplication of
-    length >= min_len (each duplicated run of length m >= min_len is
-    covered end-to-end by its m - min_len + 1 grams, all of which are
-    shared, so the merged span contains it).
+    length >= min_len PRESENT IN THE INPUT (each duplicated run of
+    length m >= min_len is covered end-to-end by its m - min_len + 1
+    grams, all of which are shared, so the merged span contains it);
+    the splice at a cut point can mint NEW junction grams — see
+    :func:`cut_duplicated_spans` for the precise statement.
 
     Scale shape (the reason this is the 100 TB tier): "gram occurs in
     >= 2 distinct documents" is a per-gram aggregate —
@@ -200,6 +202,7 @@ def cut_duplicated_spans(
     min_len: int = 40,
     hash_grams: bool = True,
     out_col: str | None = None,
+    passes: int = 1,
 ) -> DataFrame:
     """Apply the ExactSubstr cut: every document with its duplicated
     spans (:func:`duplicated_spans`) deleted from the text — the
@@ -212,39 +215,56 @@ def cut_duplicated_spans(
     span array — each step appends the kept segment before the span and
     advances the cursor past it; the finisher appends the tail. No UDF,
     no Python in the hot path; one extra shuffle (spans groupBy id) and
-    one LEFT join back to the documents. By the cut-removes-all-
-    duplication property (test-pinned), running the span pass again on
-    the output finds nothing."""
+    one LEFT join back to the documents.
+
+    Exact guarantee (one pass): every substring of length >= ``min_len``
+    that occurred in more than one INPUT document is deleted from every
+    document. This is the paper's property and it is test-pinned. It
+    does NOT imply a second span pass finds nothing: deleting a span
+    splices the flanking characters together, and a spliced junction can
+    mint a fresh length-``min_len`` gram that coincides with another
+    document's content (measured: 80 junction-artifact spans across a
+    50k-doc flood corpus with 122k input spans — NOTES.md "ExactSubstr
+    flood 10x", round-8 cut cell; the toy-corpus idempotence is a
+    property of that corpus, not of the operator). ``passes > 1``
+    re-runs span+cut on the output to also take those junction grams
+    out; each pass is a full span computation, and pass k+1's input
+    duplication is pass k's artifact count, so 2 passes is the practical
+    ceiling. Lee et al. run one pass."""
     out_col = out_col or text_col
-    spans = (
-        duplicated_spans(df, text_col, id_col, min_len, hash_grams)
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("span_start", "span_len"))
-            ).alias("__spans")
+    cur, cur_col = df, text_col
+    for _ in range(passes):
+        spans = (
+            duplicated_spans(cur, cur_col, id_col, min_len, hash_grams)
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("span_start", "span_len"))
+                ).alias("__spans")
+            )
         )
-    )
-    cut = F.expr(
-        f"""
-        aggregate(
-          __spans,
-          struct(CAST(1 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
-          (a, s) -> struct(
-            CAST(s.span_start + s.span_len AS BIGINT) AS pos,
-            concat(a.acc,
-                   substring({text_col}, CAST(a.pos AS INT),
-                             CAST(s.span_start - a.pos AS INT))) AS acc),
-          a -> concat(a.acc, substring({text_col}, CAST(a.pos AS INT),
-                                       length({text_col})))
+        cut = F.expr(
+            f"""
+            aggregate(
+              __spans,
+              struct(CAST(1 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
+              (a, s) -> struct(
+                CAST(s.span_start + s.span_len AS BIGINT) AS pos,
+                concat(a.acc,
+                       substring({cur_col}, CAST(a.pos AS INT),
+                                 CAST(s.span_start - a.pos AS INT))) AS acc),
+              a -> concat(a.acc, substring({cur_col}, CAST(a.pos AS INT),
+                                           length({cur_col})))
+            )
+            """
         )
-        """
-    )
-    joined = df.join(spans, id_col, "left")
-    keep = [c for c in df.columns if c != text_col or out_col != text_col]
-    return joined.select(
-        *keep,
-        F.when(F.col("__spans").isNull(), F.col(text_col))
-        .otherwise(cut)
-        .alias(out_col),
-    )
+        joined = cur.join(spans, id_col, "left")
+        keep = [c for c in cur.columns if c != cur_col or out_col != cur_col]
+        cur = joined.select(
+            *keep,
+            F.when(F.col("__spans").isNull(), F.col(cur_col))
+            .otherwise(cut)
+            .alias(out_col),
+        )
+        cur_col = out_col
+    return cur

@@ -1189,8 +1189,10 @@ def q_dedup_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training: every document with its duplicated spans deleted
     from the text, all other columns preserved. The rebuild is one
     Catalyst ``aggregate`` over the doc's sorted span array (no UDF);
-    by the cut-removes-all-duplication property (test-pinned), a second
-    span pass over this output finds nothing. Registered round 8,
+    every duplicated substring present in the INPUT is removed (the
+    test-pinned one-pass guarantee; splices can mint rare new junction
+    grams — operators/exact_substr.cut_duplicated_spans documents the
+    precise statement and the ``passes`` option). Registered round 8,
     queued for the round-9 driver gate. Oracle rebuilds the text in SQL:
     the inter-span keep-segments (previous span end .. next span start)
     plus the tail, reassembled with ordered string_agg."""

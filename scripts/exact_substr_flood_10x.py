@@ -59,11 +59,13 @@ L = 40
 def _copy_tagger(k: int):
     """Single-parameter element lambda for F.transform. A two-parameter
     ``lambda t, _k=k`` looks like the classic late-binding guard but
-    pyspark treats ANY arity-2 lambda as (element, index) and binds the
-    INDEX column to the second parameter — the tag silently became the
-    constant ``str(Column)`` for every copy, collapsing the bijective
-    per-copy tagging (found round 8; same bug fixed in all three flood/
-    smoke fixtures)."""
+    pyspark treats ANY two-parameter lambda as (element, index) and binds
+    the INDEX column to the second parameter — the tag rendered as
+    ``str(Column)`` instead of the integer k. (Each transform call
+    allocates a fresh lambda variable, so the broken tags were still
+    DISTINCT per copy and the old corpora stayed bijectively tagged by
+    accident — see the NOTES.md round-8 correction; fixed for clarity in
+    all three flood/smoke fixtures.)"""
     tag = "c%dx" % k
     return lambda t: F.concat(F.lit(tag), t)
 
@@ -182,6 +184,35 @@ def main() -> None:
         "every_doc_has_span": docs_with_span == n_full,
     }), flush=True)
     assert docs_with_span == n_full
+
+    # cell 4: the CUT at 100% flood — the production deliverable end to
+    # end (spans -> Catalyst aggregate rebuild). The paper's guarantee
+    # is input-relative: every duplicated substring PRESENT IN THE INPUT
+    # is removed, but splices can mint new junction grams (measured: 80
+    # here, from 122k input spans over 50k docs — the finding that
+    # corrected the operator's docstring). Report the pass-1 residual
+    # and show passes=2 drives it down; assert it never grows.
+    from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
+
+    t0 = time.time()
+    cut = cut_duplicated_spans(full, min_len=L).persist()
+    n_cut = cut.count()
+    w_cut = round(time.time() - t0, 1)
+    t0 = time.time()
+    residual1 = duplicated_spans(cut, min_len=L).count()
+    w_verify = round(time.time() - t0, 1)
+    t0 = time.time()
+    cut2 = cut_duplicated_spans(full, min_len=L, passes=2).persist()
+    cut2.count()
+    w_cut2 = round(time.time() - t0, 1)
+    residual2 = duplicated_spans(cut2, min_len=L).count()
+    print(json.dumps({
+        "cell": "flood100pct_cut", "rows": n_cut, "wall_cut_s": w_cut,
+        "residual_spans_pass1": residual1, "wall_verify_s": w_verify,
+        "wall_cut_passes2_s": w_cut2, "residual_spans_pass2": residual2,
+    }), flush=True)
+    assert n_cut == n_full and residual2 <= residual1
+    cut.unpersist(); cut2.unpersist()
     spark.stop()
 
 

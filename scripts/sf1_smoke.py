@@ -198,6 +198,12 @@ SMOKE_QUERIES = [
     "features_hashing_trick",
     "eval_auc",
     "streaming_interval_join_outer",
+    # round-8: the ExactSubstr family (the pair view rides the flood
+    # bench's capped path; spans/cut are the flood-linear production
+    # tiers) and the 15th streaming class
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_cut",
+    "streaming_interval_join_semi",
     "materialize_moments_incremental",
     "eval_lang_confusion",
 ]
@@ -207,11 +213,13 @@ SMOKE_QUERIES = [
 def _copy_tagger(k: int):
     """Single-parameter element lambda for F.transform. A two-parameter
     ``lambda t, _k=k`` looks like the classic late-binding guard but
-    pyspark treats ANY arity-2 lambda as (element, index) and binds the
-    INDEX column to the second parameter — the tag silently became the
-    constant ``str(Column)`` for every copy, collapsing the bijective
-    per-copy tagging (found round 8; same bug fixed in all three flood/
-    smoke fixtures)."""
+    pyspark treats ANY two-parameter lambda as (element, index) and binds
+    the INDEX column to the second parameter — the tag rendered as
+    ``str(Column)`` instead of the integer k. (Each transform call
+    allocates a fresh lambda variable, so the broken tags were still
+    DISTINCT per copy and the old corpora stayed bijectively tagged by
+    accident — see the NOTES.md round-8 correction; fixed for clarity in
+    all three flood/smoke fixtures.)"""
     tag = "c%dx" % k
     return lambda t: F.concat(F.lit(tag), t)
 

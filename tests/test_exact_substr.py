@@ -5,7 +5,9 @@ oracle (queries/corpus.py ORACLE_EXACT_SUBSTR); here both views are
 pinned against an in-test Python brute force on adversarial corpora, the
 span view against an independent DuckDB gaps-and-islands oracle on real
 testdata, and the paper's guarantee — cutting the spans removes ALL
-cross-document duplication of length >= L — is asserted as a property.
+cross-document duplication of length >= L present in the INPUT — is
+asserted as a property (with the junction-artifact caveat pinned by
+test_junction_artifacts_and_passes).
 """
 
 from __future__ import annotations
@@ -168,6 +170,52 @@ def test_cutting_spans_removes_all_duplication(spark, corpus_df):
     assert _brute_pairs(cut) == {}
 
 
+def test_junction_artifacts_and_passes(spark):
+    """Pins the PRECISE one-pass semantics of the ExactSubstr cut:
+
+    1. every substring of length >= L duplicated in the INPUT is removed
+       (the paper's guarantee);
+    2. the splice at a cut point can mint a NEW duplicated L-gram — the
+       junction-artifact class measured at 80/50k docs in the round-8
+       flood bench — so a second span pass is NOT guaranteed empty;
+    3. ``passes=2`` takes the constructed artifact out.
+
+    Corpus construction: A = P+X+S and C share the long run X, so one
+    pass cuts X from both and A splices to exactly P+S — which B already
+    contained as original (pre-cut UNduplicated) content."""
+    from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
+
+    P, S, X = "pqrs", "wxyz", "01234567890123"
+    docs = {0: P + X + S, 1: "uu" + P + S + "vv", 2: "mm" + X + "nn"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+
+    pass1 = {r.doc_id: r.text for r in
+             cut_duplicated_spans(df, min_len=L).collect()}
+    assert pass1 == {0: P + S, 1: "uu" + P + S + "vv", 2: "mmnn"}
+    # (1) every input-duplicated gram is gone from every output
+    input_dup = {g for g in _grams(docs[0]) if g in _grams(docs[2])}
+    assert input_dup and all(
+        g not in t for g in input_dup for t in pass1.values()
+    )
+    # (2) the junction artifact: P+S is now duplicated between A and B
+    df1 = spark.createDataFrame(
+        [(k, v) for k, v in pass1.items()], "doc_id long, text string"
+    )
+    residual = {(r.doc_id, r.span_start, r.span_len)
+                for r in duplicated_spans(df1, min_len=L).collect()}
+    assert residual == {(0, 1, 8), (1, 3, 8)}
+    # (3) a second pass removes it; nothing is left after
+    pass2 = {r.doc_id: r.text for r in
+             cut_duplicated_spans(df, min_len=L, passes=2).collect()}
+    assert pass2 == {0: "", 1: "uuvv", 2: "mmnn"}
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in pass2.items()], "doc_id long, text string"
+    )
+    assert duplicated_spans(df2, min_len=L).count() == 0
+
+
 @pytest.mark.sweep
 def test_spans_match_duckdb_oracle_on_testdata(spark, sf_dir):
     """Span tier vs an independent DuckDB gaps-and-islands oracle on the
@@ -221,8 +269,10 @@ def test_spans_match_duckdb_oracle_on_testdata(spark, sf_dir):
 def test_cut_operator_matches_python_cut(spark, corpus_df):
     """cut_duplicated_spans (the Catalyst aggregate rebuild) must equal
     the straight Python cut of the reported spans, preserve other
-    columns / untouched docs, and leave an output on which the span
-    pass finds NOTHING (idempotence of the ExactSubstr cut)."""
+    columns / untouched docs, and — on THIS corpus, which has no
+    junction coincidences — leave an output on which the span pass
+    finds nothing. (That last property is corpus-specific, not an
+    operator guarantee: see test_junction_artifacts_and_passes.)"""
     from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
 
     spans = {}
