@@ -150,6 +150,17 @@ SHOWCASE: list[tuple[str, str]] = [
         "scripts/exact_substr_flood_10x.py, NOTES 'ExactSubstr flood 10x').",
     ),
     (
+        "dedup_exact_substr_cut",
+        "The ExactSubstr production deliverable end to end: the span tier's\n"
+        "per-gram min!=max aggregate (no self-join anywhere — two shuffles:\n"
+        "by gram hash, by doc), a per-doc gaps-and-islands window to merge\n"
+        "covered offsets, one groupBy collecting each doc's sorted span\n"
+        "array, and a LEFT join back to the documents where a Catalyst\n"
+        "`aggregate` rebuilds the text (no UDF, whole-stage codegen). Every\n"
+        "stage is linear in corpus size; the span array per doc is bounded\n"
+        "by its duplicated-region count, not its length.",
+    ),
+    (
         "knn_cosine_topk",
         "Exact ANN baseline: the query set is broadcast\n"
         "(`BroadcastNestedLoopJoin` over the inequality predicate), the\n"
