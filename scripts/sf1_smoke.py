@@ -220,6 +220,8 @@ def _copy_tagger(k: int):
     DISTINCT per copy and the old corpora stayed bijectively tagged by
     accident — see the NOTES.md round-8 correction; fixed for clarity in
     all three flood/smoke fixtures.)"""
+    from pyspark.sql import functions as F
+
     tag = "c%dx" % k
     return lambda t: F.concat(F.lit(tag), t)
 
