@@ -216,6 +216,68 @@ def test_junction_artifacts_and_passes(spark):
     assert duplicated_spans(df2, min_len=L).count() == 0
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab", min_size=0, max_size=24),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_exact_substr_property_matches_brute_force(spark, texts):
+        """Random two-letter corpora (dense gram collisions, heavy span
+        overlap/adjacency) vs the in-test brute force, n=4: the pair
+        view's (doc_a, doc_b, n_shared), the span view's merged
+        intervals, and the cut's input-relative guarantee (every gram
+        duplicated in the INPUT is absent from every output — junction
+        grams may appear, so only the input-relative property is
+        asserted; its exact statement is pinned separately)."""
+        from feast_ibm_spark.operators.exact_substr import (
+            cut_duplicated_spans,
+        )
+
+        n = 4
+        docs = dict(enumerate(texts))
+        df = spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id long, text string"
+        )
+
+        got_pairs = _pairs_dict(exact_substr_pairs(df, min_len=n))
+        assert got_pairs == _brute_pairs(docs, n)
+
+        got_spans = {}
+        for r in duplicated_spans(df, min_len=n).collect():
+            got_spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_len)
+            )
+        got_spans = {k: sorted(v) for k, v in got_spans.items()}
+        assert got_spans == _brute_spans(docs, n)
+
+        cut = {r.doc_id: r.text
+               for r in cut_duplicated_spans(df, min_len=n).collect()}
+        gram_docs = {}
+        for d, t in docs.items():
+            for g in _grams(t, n):
+                gram_docs.setdefault(g, set()).add(d)
+        input_dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        assert all(g not in t for g in input_dup for t in cut.values())
+
+
 @pytest.mark.sweep
 def test_spans_match_duckdb_oracle_on_testdata(spark, sf_dir):
     """Span tier vs an independent DuckDB gaps-and-islands oracle on the
