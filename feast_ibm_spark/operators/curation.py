@@ -1,4 +1,5 @@
-"""Corpus curation pipeline: exact dedup → quality floor → near-dup prune.
+"""Corpus curation pipeline: exact dedup → [ExactSubstr cut] → quality
+floor → near-dup prune.
 
 One operator for the composed training-data pipeline (the per-stage
 operators live in ``dedup.py`` / ``functions/text.py`` and are each
@@ -167,10 +168,25 @@ def curate_corpus(
     lsh_min_bytes: int = DEFAULT_LSH_MIN_BYTES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact_substr_min_len: int | None = None,
 ) -> DataFrame:
     """Returns surviving ``(id, n_tokens, quality_score)`` rows after
     exact dedup, the quality floor, and near-dup pruning (the LOWER id of
-    each near-dup pair survives)."""
+    each near-dup pair survives).
+
+    ``exact_substr_min_len`` inserts the ExactSubstr CUT
+    (operators/exact_substr.cut_duplicated_spans, Lee et al. 2021)
+    between exact dedup and the quality floor — the RefinedWeb-style
+    composition where cross-document duplicated runs are deleted before
+    any text-derived statistic is computed, so quality scores, token
+    counts and near-dup shingles all see the CUT text. Stage order is
+    load-bearing: the cut must run AFTER exact dedup (on a corpus with
+    exact twins every 40-gram of a twinned doc is "duplicated" and the
+    cut would erase both copies to empty) and BEFORE quality/near-dup
+    (post-cut text is what survives to training). Documents whose text
+    is entirely duplicated elsewhere (e.g. a short doc fully quoted in
+    a longer one — the containment shape) cut to empty and are DROPPED:
+    they carry zero novel text. None (default) skips the stage."""
     if tier not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown tier: {tier}")
     if tier == "auto":
@@ -178,10 +194,18 @@ def curate_corpus(
         # unknown size (derived frame): assume big — LSH is the safe tier
         tier = "exact" if size is not None and size < lsh_min_bytes else "lsh"
 
+    deduped = exact_dedup(docs).select(id_col, text_col)
+    if exact_substr_min_len is not None:
+        from .exact_substr import cut_duplicated_spans
+
+        deduped = cut_duplicated_spans(
+            deduped, text_col=text_col, id_col=id_col,
+            min_len=exact_substr_min_len,
+        ).filter(F.length(F.trim(F.col(text_col))) > 0)
+
     s = quality_score_col(text_col)
     survivors = (
-        exact_dedup(docs)
-        .select(id_col, text_col)
+        deduped
         .withColumn("quality_score", s.quality_score)
         .filter(F.col("quality_score") >= quality_floor)
     )

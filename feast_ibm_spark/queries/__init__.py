@@ -612,6 +612,12 @@ QUERIES: dict[str, QueryDef] = {
                                        "with duplicated spans deleted "
                                        "(Catalyst aggregate rebuild, "
                                        "no UDF)"),
+    "corpus_curation_exact_substr": QueryDef(
+        q_corpus_curation_exact_substr,
+        ORACLE_CURATION_EXACT_SUBSTR,
+        "RefinedWeb-style composition: exact dedup -> ExactSubstr cut "
+        "(fully-duplicated docs dropped) -> quality floor -> near-dup "
+        "prune, statistics on the CUT text"),
     "dedup_containment": QueryDef(q_dedup_containment,
                                   ORACLE_DEDUP_CONTAINMENT,
                                   "asymmetric n-gram containment pairs "

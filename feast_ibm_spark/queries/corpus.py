@@ -1140,7 +1140,13 @@ def q_dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared gaps-and-islands CTE chain: offsets of ALL length-L grams →
 # grams in >= 2 distinct docs → covered offsets → island starts where a
 # gram's span no longer touches (or abuts) the running max end → merged
-# [min(off), max(off)+L-1] intervals per (doc, island).
+# [min(off), max(off)+L-1] intervals per (doc, island). ``src`` is the
+# table/CTE the corpus is read from (the curation composition runs the
+# chain over its exact-dedup CTE instead of raw documents).
+def _exact_substr_span_ctes(src: str = "documents") -> str:
+    return _EXACT_SUBSTR_SPAN_CTES.replace("FROM documents,", f"FROM {src},")
+
+
 _EXACT_SUBSTR_SPAN_CTES = f"""
 offs AS (
   SELECT doc_id, CAST(i AS BIGINT) AS off,
@@ -1231,6 +1237,102 @@ rebuilt AS (
 SELECT d.doc_id, coalesce(r.text, d.text) AS text, d.lang, d.source,
        d.n_chars
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_corpus_curation_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb-style curation composition with the ExactSubstr
+    cut as a pipeline stage: exact dedup → CUT (duplicated spans deleted,
+    fully-duplicated docs dropped) → quality floor → near-dup prune, all
+    statistics computed on the CUT text (operators/curation.curate_corpus
+    with exact_substr_min_len). Stage order is load-bearing — the cut
+    must follow exact dedup (twins would erase each other) and precede
+    quality/near-dup (post-cut text is what trains); pinned in
+    tests/test_north_star.py::test_curation_exact_substr_stage.
+    Registered round 8, queued for the round-9 driver gate."""
+    from ..operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        quality_floor=CURATION_QUALITY_FLOOR,
+        ngram_n=NGRAM_N,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        tier="exact",
+        exact_substr_min_len=EXACT_SUBSTR_LEN,
+    )
+
+
+_DUCK_CURATION_QSCORE = f"""
+(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+   / length(text)) * 0.5
++ (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE)
+   / len({_DUCK_TOKENS})) * 0.3
++ ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+   / len({_DUCK_TOKENS})) / 10.0) * 0.2
+""".strip()
+
+ORACLE_CURATION_EXACT_SUBSTR = f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+{_exact_substr_span_ctes("dedup")},
+o AS (
+  SELECT doc_id, span_start, span_len,
+         coalesce(max(span_start + span_len) OVER (
+             PARTITION BY doc_id ORDER BY span_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           1) AS prev_end
+  FROM spans
+),
+pieces AS (
+  SELECT o.doc_id, o.span_start AS ord,
+         substr(d.text, CAST(o.prev_end AS INTEGER),
+                CAST(o.span_start - o.prev_end AS INTEGER)) AS piece
+  FROM o JOIN dedup d USING (doc_id)
+  UNION ALL
+  SELECT s.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+         substr(d.text, CAST(s.last_end AS INTEGER)) AS piece
+  FROM (SELECT doc_id, max(span_start + span_len) AS last_end
+        FROM spans GROUP BY doc_id) s
+  JOIN dedup d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text
+  FROM pieces GROUP BY doc_id
+),
+cutdocs AS (
+  SELECT d.doc_id, coalesce(r.text, d.text) AS text
+  FROM dedup d LEFT JOIN rebuilt r USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, text FROM cutdocs WHERE length(trim(text)) > 0
+),
+survivors AS (
+  SELECT doc_id, text, {_DUCK_CURATION_QSCORE} AS quality_score
+  FROM kept
+  WHERE {_DUCK_CURATION_QSCORE} >= {CURATION_QUALITY_FLOOR}
+),
+sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM survivors
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1000 >= {int(JACCARD_THRESHOLD * 1000)} * (sa.n_sh + sb.n_sh - common)
+)
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+       quality_score
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_b FROM neardup)
 """
 
 

@@ -204,6 +204,7 @@ SMOKE_QUERIES = [
     "dedup_exact_substr_spans",
     "dedup_exact_substr_cut",
     "streaming_interval_join_semi",
+    "corpus_curation_exact_substr",
     "materialize_moments_incremental",
     "eval_lang_confusion",
 ]

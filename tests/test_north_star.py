@@ -600,6 +600,54 @@ def test_curation_auto_tier_picks_by_input_bytes(spark, sf_dir):
     assert as_exact == as_lsh
 
 
+def test_curation_exact_substr_stage(spark):
+    """The ExactSubstr cut as a curation stage (exact dedup → cut →
+    quality → near-dup): stage order is load-bearing and pinned here.
+
+    - exact twins must be deduped BEFORE the cut (cut-first would see
+      every gram of a twinned doc as duplicated and erase both to
+      empty) — the surviving twin keeps its FULL text;
+    - a short doc fully quoted inside a longer one cuts to empty and is
+      DROPPED (zero novel text — the containment shape);
+    - the long doc survives with statistics computed on its CUT text."""
+    from feast_ibm_spark.operators.curation import curate_corpus
+    from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
+
+    twin = "the quick brown fox jumps over the lazy dog"
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quoted = "gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(0, twin), (1, twin), (2, long_doc), (3, quoted)],
+        "doc_id long, text string",
+    )
+
+    def ids(**kw):
+        return {
+            r["doc_id"]: r["n_tokens"]
+            for r in curate_corpus(
+                df, quality_floor=0.0, ngram_n=3,
+                jaccard_threshold=0.99, tier="exact", **kw,
+            ).collect()
+        }
+
+    base = ids()
+    assert set(base) == {0, 2, 3}  # no cut stage: everything survives
+
+    got = ids(exact_substr_min_len=8)
+    assert set(got) == {0, 2}
+    # the surviving twin kept its FULL text (dedup ran before the cut)
+    assert got[0] == len(twin.split())
+    # doc 2's token count reflects the CUT text, reproduced independently
+    deduped = df.filter("doc_id != 1")
+    cut2 = {
+        r.doc_id: r.text
+        for r in cut_duplicated_spans(deduped, min_len=8).collect()
+    }
+    assert cut2[3].strip() == ""  # fully covered → dropped by the stage
+    assert got[2] == len(cut2[2].split())
+    assert 0 < got[2] < len(long_doc.split())
+
+
 def test_curation_auto_threshold_is_measurement_backed():
     """DEFAULT_LSH_MIN_BYTES is not a free constant: it must sit strictly
     between the two MEASURED operating points (exact tier wins at ~5 MB

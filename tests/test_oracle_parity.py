@@ -72,6 +72,7 @@ def test_driver_export_r8_rotation_invariants():
 _QUEUED_FOR_R9_GATE = frozenset({
     "dedup_exact_substr_spans",
     "dedup_exact_substr_cut",
+    "corpus_curation_exact_substr",
 })
 
 
@@ -157,6 +158,7 @@ _EXCLUDED_WITH_ORACLE = [
     "copurchase_pairs",
     "corpus_curation",
     "corpus_curation_auto",
+    "corpus_curation_exact_substr",
     "corpus_curation_incremental",
     "corpus_curation_lsh",
     "dedup_clusters",
