@@ -648,6 +648,30 @@ def test_curation_exact_substr_stage(spark):
     assert 0 < got[2] < len(long_doc.split())
 
 
+def test_curation_exact_substr_stage_noop_below_min_len(spark):
+    """When no document reaches min_len the cut stage must be a pure
+    pass-through: same survivors, same token counts as without it (the
+    sequence(1, n<1) descending-range hazard and the empty-span left
+    join both sit on this path)."""
+    from feast_ibm_spark.operators.curation import curate_corpus
+
+    df = spark.createDataFrame(
+        [(0, "short one"), (1, "short two"), (2, "short one")],
+        "doc_id long, text string",
+    )
+
+    def run(**kw):
+        return sorted(
+            (r["doc_id"], r["n_tokens"])
+            for r in curate_corpus(
+                df, quality_floor=0.0, ngram_n=3,
+                jaccard_threshold=0.99, tier="exact", **kw,
+            ).collect()
+        )
+
+    assert run(exact_substr_min_len=40) == run()
+
+
 def test_curation_auto_threshold_is_measurement_backed():
     """DEFAULT_LSH_MIN_BYTES is not a free constant: it must sit strictly
     between the two MEASURED operating points (exact tier wins at ~5 MB
