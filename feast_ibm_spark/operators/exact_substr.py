@@ -107,12 +107,20 @@ def exact_substr_pairs(
     if hash_grams:
         grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     if max_gram_freq is not None:
-        freq = grams.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("__df")
+        # anti-join against the OVER-cap grams, not inner-join against
+        # the under-cap keep set: the keep set is ~every distinct gram
+        # (never broadcastable — the old shape always paid a full
+        # shuffle join over the gram table), while the hot set is at
+        # most total_occurrences/cap and in practice the boilerplate
+        # tail, so AQE converts this to a broadcast anti-join at
+        # runtime and the gram table never reshuffles for the cap.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_freq)
+            .select("gram")
         )
-        grams = grams.join(
-            freq.filter(F.col("__df") <= max_gram_freq).select("gram"), "gram"
-        )
+        grams = grams.join(hot, "gram", "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
     return (
         a.join(
@@ -219,14 +227,18 @@ def cut_duplicated_spans(
 
     Exact guarantee (one pass): every substring of length >= ``min_len``
     that occurred in more than one INPUT document is deleted from every
-    document. This is the paper's property and it is test-pinned. It
+    document. This is the paper's property and it is test-pinned. The
+    guarantee is about input OCCURRENCES, not string absence, and it
     does NOT imply a second span pass finds nothing: deleting a span
     splices the flanking characters together, and a spliced junction can
     mint a fresh length-``min_len`` gram that coincides with another
-    document's content (measured: 80 junction-artifact spans across a
-    50k-doc flood corpus with 122k input spans — NOTES.md "ExactSubstr
-    flood 10x", round-8 cut cell; the toy-corpus idempotence is a
-    property of that corpus, not of the operator). ``passes > 1``
+    document's content — or even re-form the very string that was cut
+    (hypothesis counterexample: cutting the shared 'bbaa' out of
+    'bbbaabaa' splices 'b'+'baa' back into 'bbaa'). Measured: 80
+    junction-artifact spans across a 50k-doc flood corpus with 122k
+    input spans — NOTES.md "ExactSubstr flood 10x", round-8 cut cell;
+    the toy-corpus idempotence is a property of that corpus, not of the
+    operator. ``passes > 1``
     re-runs span+cut on the output to also take those junction grams
     out; each pass is a full span computation, and pass k+1's input
     duplication is pass k's artifact count, so 2 passes is the practical
