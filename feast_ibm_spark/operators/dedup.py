@@ -201,13 +201,16 @@ def jaccard_dedup_against(
     sh_in = _index(incoming, "__in")
     sh_ex = _index(corpus, "__ex")
     if max_shingle_freq is not None:
-        keep = (
+        # anti-join the OVER-cap shingles (tiny boilerplate tail; AQE
+        # broadcast-converts at runtime) instead of inner-joining the
+        # under-cap keep set (~all shingles, never broadcastable)
+        hot = (
             sh_ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") <= max_shingle_freq)
+            .filter(F.col("__freq") > max_shingle_freq)
             .select("shingle")
         )
-        sh_ex = sh_ex.join(keep, "shingle")
+        sh_ex = sh_ex.join(hot, "shingle", "left_anti")
 
     common = (
         sh_in.join(sh_ex, "shingle")
@@ -271,13 +274,17 @@ def _shingle_common_counts(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     if max_shingle_freq is not None:
-        keep = (
+        # same hot-set anti-join shape as the decontamination cap: the
+        # over-cap set is bounded by total_occurrences/cap (boilerplate
+        # tail in practice) where the keep set is ~every distinct
+        # shingle, so this side broadcasts and ``sh`` never reshuffles
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") <= max_shingle_freq)
+            .filter(F.col("__freq") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
 
     a = sh.alias("a")
     b = sh.alias("b")
