@@ -80,13 +80,17 @@ def fuzzy_string_pairs(
     )
 
     if max_gram_freq is not None:
-        keep = (
+        # anti-join the OVER-cap grams (tiny; AQE broadcast-converts)
+        # instead of inner-joining the ~all-grams keep set — same
+        # inversion as the dedup/exact_substr cap sites (NOTES.md
+        # "Frequency-cap joins inverted to hot-set anti-joins")
+        hot = (
             grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") <= max_gram_freq)
+            .filter(F.col("__freq") > max_gram_freq)
             .select("gram")
         )
-        grams = grams.join(keep, "gram")
+        grams = grams.join(hot, "gram", "left_anti")
 
     if length_bucketing:
         # Bucket width > 2*max_dist: any partner length within ±max_dist
