@@ -318,3 +318,103 @@ def test_resample_ntz_zone_free_across_dst_gap(spark):
     assert ("2024-03-10 02:00:00", 100) in locf
     assert ("2024-03-10 02:00:00", 150) in interp  # exact midpoint weight
     assert ("2024-03-10 03:00:00", 250) in interp
+
+
+# --- hypothesis property net for the resamplers (the round-7/8 NTZ bug
+# class lived here; random observation sets vs a Python reference of the
+# documented semantics) ------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    _GRID_HOURS = 11  # "2024-01-01 00:00" .. "10:00" hourly inclusive
+
+    def _brute_resample(obs):
+        """Reference LOCF + interpolation of the documented semantics.
+        obs: {(key, minute_offset): value} with unique (key, ts)."""
+        grid = [T0 + dt.timedelta(hours=h) for h in range(_GRID_HOURS)]
+        keys = sorted({k for k, _ in obs})
+        by_key = {
+            k: sorted(
+                (T0 + dt.timedelta(minutes=m), v)
+                for (kk, m), v in obs.items() if kk == k
+            )
+            for k in keys
+        }
+        locf, interp = {}, {}
+        for k in keys:
+            rows = by_key[k]
+            for g in grid:
+                before = [(t, v) for t, v in rows if t <= g]
+                after = [(t, v) for t, v in rows if t >= g]
+                locf[(k, g)] = before[-1][1] if before else None
+                if not before or not after:
+                    interp[(k, g)] = None
+                    continue
+                t0, v0 = before[-1]
+                t1, v1 = after[0]
+                if t0 == t1:
+                    interp[(k, g)] = v0
+                    continue
+                num_t = int((g - t0).total_seconds() * 1_000_000)
+                den = int((t1 - t0).total_seconds() * 1_000_000)
+                if v1 >= v0:
+                    interp[(k, g)] = v0 + ((v1 - v0) * num_t) // den
+                else:
+                    interp[(k, g)] = v0 - ((v0 - v1) * num_t) // den
+        return locf, interp
+
+    @given(
+        entries=st.dictionaries(
+            keys=st.tuples(st.integers(1, 2), st.integers(0, 600)),
+            values=st.integers(-1000, 1000),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_resample_property_matches_brute_force(spark, entries):
+        """Random (key, minute, value) observation sets vs the Python
+        reference: LOCF carry (inclusive-at-instant, NULL before first
+        obs, full grid per key) and exact-integer truncating-division
+        interpolation (NULL outside [first, last], observation-at-grid
+        returns the observation)."""
+        from feast_ibm_spark.operators.resample import (
+            resample_interpolate,
+            resample_locf,
+        )
+
+        df = spark.createDataFrame(
+            [(k, T0 + dt.timedelta(minutes=m), v)
+             for (k, m), v in entries.items()],
+            "k bigint, ts timestamp, v bigint",
+        )
+        start, end = "2024-01-01 00:00:00", "2024-01-01 10:00:00"
+
+        want_locf, want_interp = _brute_resample(entries)
+        got_locf = {
+            (r["k"], r["grid_ts"]): r["v"]
+            for r in resample_locf(
+                df, ["k"], "ts", ["v"], start, end, 3600
+            ).collect()
+        }
+        assert got_locf == want_locf
+        got_interp = {
+            (r["k"], r["grid_ts"]): r["v"]
+            for r in resample_interpolate(
+                df, ["k"], "ts", "v", start, end, 3600
+            ).collect()
+        }
+        assert got_interp == want_interp
