@@ -870,3 +870,21 @@ def test_exact_substr_pairs_joins_hashed_grams(spark, sf_dir):
     spans = duplicated_spans(docs)
     stext = explain_str(spans)
     assert "NestedLoop" not in stext and "Cartesian" not in stext
+
+
+def test_frequency_cap_anti_join_broadcasts_at_runtime(spark, sf_dir):
+    """The max_gram_freq cap must reach the gram table as a LEFT ANTI
+    join against the (tiny) over-cap hot set that AQE converts to a
+    broadcast at runtime — the round-8 inversion of the old
+    keep-set inner join, which always reshuffled the gram table.
+    Checked on the EXECUTED adaptive plan (static explain can't see the
+    runtime conversion)."""
+    from feast_ibm_spark.operators.exact_substr import exact_substr_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_substr_pairs(docs, min_len=40, max_gram_freq=100)
+    out.count()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines, "cap no longer plans an anti-join"
+    assert all("BroadcastHashJoin" in l for l in anti_lines), anti_lines
