@@ -2112,3 +2112,75 @@ def test_theil_sen_null_values_match_oracle(spark, tmp_path):
     # 1200 cents/day); user 2 = 1 pair, all NULL
     assert got[(1, 3)] == 1200.0
     assert got[(2, 1)] is None
+
+
+# --- hypothesis property net for the Jaccard dedup tiers ------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st_hyp
+
+    _HAS_HYP_DEDUP = True
+except Exception:  # pragma: no cover
+    _HAS_HYP_DEDUP = False
+
+
+if _HAS_HYP_DEDUP:
+
+    _VOCAB = ["aa", "bb", "cc", "dd"]
+
+    def _brute_jaccard_pairs(texts, n, threshold):
+        """Python reference of the documented semantics: DISTINCT word
+        n-gram shingles, integer threshold test common*1000 >=
+        round(t*1000)*union, pairs only meet on >=1 shared shingle."""
+        sh = {
+            d: {tuple(t.split()[i:i + n])
+                for i in range(len(t.split()) - n + 1)}
+            for d, t in texts.items()
+        }
+        thr = int(round(threshold * 1000))
+        out = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                common = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - common
+                if common >= 1 and common * 1000 >= thr * union:
+                    out[(a, b)] = common / union
+        return out
+
+    @given(
+        token_lists=st_hyp.lists(
+            st_hyp.lists(st_hyp.sampled_from(_VOCAB), min_size=1, max_size=10),
+            min_size=2,
+            max_size=5,
+        ),
+        threshold=st_hyp.sampled_from([0.2, 0.5, 0.8]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_jaccard_tiers_property_match_brute_force(
+        spark, token_lists, threshold
+    ):
+        """Random tiny-vocab corpora (dense shingle collisions): the
+        exact inverted-index tier AND the PPJoin prefix tier must both
+        reproduce the Python reference — pair sets and IEEE-exact
+        jaccard values — at every sampled threshold."""
+        texts = {i: " ".join(toks) for i, toks in enumerate(token_lists)}
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], "doc_id long, text string"
+        )
+        want = _brute_jaccard_pairs(texts, 2, threshold)
+        got_exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+        }
+        assert got_exact == want
+        got_prefix = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_jaccard_pairs(df, n=2, threshold=threshold).collect()
+        }
+        assert got_prefix == want
