@@ -2184,3 +2184,70 @@ if _HAS_HYP_DEDUP:
             for r in prefix_jaccard_pairs(df, n=2, threshold=threshold).collect()
         }
         assert got_prefix == want
+
+
+if _HAS_HYP_DEDUP:
+
+    def _brute_containment_pairs(texts, n, threshold):
+        """Ordered (doc_id, container_id, containment) pairs with
+        |A∩B|*1000 >= round(t*1000)*|A|, common >= 1."""
+        sh = {
+            d: {tuple(t.split()[i:i + n])
+                for i in range(len(t.split()) - n + 1)}
+            for d, t in texts.items()
+        }
+        thr = int(round(threshold * 1000))
+        out = {}
+        for a in texts:
+            for b in texts:
+                if a == b or not sh[a]:
+                    continue
+                common = len(sh[a] & sh[b])
+                if common >= 1 and common * 1000 >= thr * len(sh[a]):
+                    out[(a, b)] = common / len(sh[a])
+        return out
+
+    @given(
+        token_lists=st_hyp.lists(
+            st_hyp.lists(st_hyp.sampled_from(_VOCAB), min_size=1, max_size=10),
+            min_size=2,
+            max_size=5,
+        ),
+        threshold=st_hyp.sampled_from([0.4, 0.6, 0.9]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_containment_tiers_property_match_brute_force(
+        spark, token_lists, threshold
+    ):
+        """Random tiny-vocab corpora: the brute containment tier AND the
+        prefix tier (round-7 PPJoin addition, previously only
+        fixed-corpus-pinned) must both reproduce the Python reference —
+        ordered pair sets and IEEE-exact containment values."""
+        from feast_ibm_spark.operators.dedup import (
+            containment_prefix_pairs,
+            ngram_containment_pairs,
+        )
+
+        texts = {i: " ".join(toks) for i, toks in enumerate(token_lists)}
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], "doc_id long, text string"
+        )
+        want = _brute_containment_pairs(texts, 2, threshold)
+        got_brute = {
+            (r.doc_id, r.container_id): r.containment
+            for r in ngram_containment_pairs(
+                df, n=2, threshold=threshold
+            ).collect()
+        }
+        assert got_brute == want
+        got_prefix = {
+            (r.doc_id, r.container_id): r.containment
+            for r in containment_prefix_pairs(
+                df, n=2, threshold=threshold
+            ).collect()
+        }
+        assert got_prefix == want
