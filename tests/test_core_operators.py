@@ -1147,3 +1147,62 @@ def test_sessionize_fractional_gap_is_exact_to_microseconds(spark):
                             tiebreak_cols=["eid"]).collect()
     )
     assert out == [(1, 2), (2, 1)]
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(0, 48)),
+            min_size=1,
+            max_size=20,
+        ),
+        keep_ties=st.booleans(),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_latest_per_key_property_matches_brute_force(
+        spark, rows, keep_ties
+    ):
+        """Random event sets (duplicate (key, ts) pairs allowed — that is
+        the tie case) vs a Python reference of the documented semantics:
+        inclusive [start, end] bounds; default mode picks the single max
+        (ts, created) row; keep_ties reproduces the reference's
+        multiple-rows-on-ties behavior (every row tied on max ts)."""
+        from feast_ibm_spark.operators.pull_latest import latest_per_key
+
+        base = TS(2024, 1, 1)
+        data = [
+            (k, base + timedelta(hours=h), base + timedelta(seconds=i),
+             float(i))
+            for i, (k, h) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "k bigint, ts timestamp, created timestamp, v double"
+        )
+        lo, hi = base + timedelta(hours=6), base + timedelta(hours=42)
+
+        eligible = [r for r in data if lo <= r[1] <= hi]
+        want = set()
+        for k in {r[0] for r in eligible}:
+            mine = [r for r in eligible if r[0] == k]
+            max_ts = max(r[1] for r in mine)
+            tied = [r for r in mine if r[1] == max_ts]
+            if keep_ties:
+                want |= set(tied)
+            else:
+                want.add(max(tied, key=lambda r: r[2]))
+
+        got = {
+            (r["k"], r["ts"], r["created"], r["v"])
+            for r in latest_per_key(
+                df, ["k"], ["v"], "ts",
+                created_timestamp_column="created",
+                start_date=lo, end_date=hi,
+                keep_ties=keep_ties,
+            ).collect()
+        }
+        assert got == want
