@@ -203,7 +203,13 @@ def jaccard_dedup_against(
     if max_shingle_freq is not None:
         # anti-join the OVER-cap shingles (tiny boilerplate tail; AQE
         # broadcast-converts at runtime) instead of inner-joining the
-        # under-cap keep set (~all shingles, never broadcastable)
+        # under-cap keep set (~all shingles, never broadcastable).
+        # NULL-key note (ADVICE r8): the inner-join form dropped NULL
+        # shingles, the anti-join form keeps them — equivalent ONLY
+        # because shingles are never NULL (substring/concat_ws over the
+        # non-null text column; xxhash64 of a non-null input is
+        # non-null). Pinned by the non-null assert in the Jaccard
+        # hypothesis net (tests/test_north_star.py).
         hot = (
             sh_ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__freq"))

@@ -243,9 +243,18 @@ def cut_duplicated_spans(
     out; each pass is a full span computation, and pass k+1's input
     duplication is pass k's artifact count, so 2 passes is the practical
     ceiling. Lee et al. run one pass."""
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
     out_col = out_col or text_col
     cur, cur_col = df, text_col
-    for _ in range(passes):
+    for _i in range(passes):
+        if _i > 0:
+            # pass k's plan is referenced TWICE below (under
+            # duplicated_spans and as the join's left side); without a
+            # lineage cut the source scan + pass-1 cut re-execute
+            # ~2^passes times. localCheckpoint materializes the pass
+            # output once (executor memory+disk) and truncates lineage.
+            cur = cur.localCheckpoint(eager=True)
         spans = (
             duplicated_spans(cur, cur_col, id_col, min_len, hash_grams)
             .groupBy(id_col)

@@ -1263,14 +1263,9 @@ def q_corpus_curation_exact_substr(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_DUCK_CURATION_QSCORE = f"""
-(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-   / length(text)) * 0.5
-+ (CAST(len(list_filter({_DUCK_TOKENS}, t -> lower(t) IN ({_DUCK_EN_STOPS}))) AS DOUBLE)
-   / len({_DUCK_TOKENS})) * 0.3
-+ ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-   / len({_DUCK_TOKENS})) / 10.0) * 0.2
-""".strip()
+# Same quality-score SQL as every other curation oracle — reuse the
+# helper so the two can never silently desync (ADVICE r8).
+_DUCK_CURATION_QSCORE = _duck_qscore().strip()
 
 ORACLE_CURATION_EXACT_SUBSTR = f"""
 WITH dedup AS (

@@ -2173,6 +2173,19 @@ if _HAS_HYP_DEDUP:
         df = spark.createDataFrame(
             [(k, v) for k, v in texts.items()], "doc_id long, text string"
         )
+        # Invariant the frequency-cap anti-join inversion rests on
+        # (operators/dedup.py cap sites, ADVICE r8): shingle keys are
+        # never NULL for non-null text, so inner-join -> left_anti
+        # flips nothing. A key-construction change that mints NULLs
+        # must fail here before it can silently diverge capped runs.
+        from feast_ibm_spark.operators.dedup import shingles_col
+
+        n_null = (
+            df.select(F.explode(shingles_col("text", 2)).alias("s"))
+            .filter(F.col("s").isNull())
+            .count()
+        )
+        assert n_null == 0
         want = _brute_jaccard_pairs(texts, 2, threshold)
         got_exact = {
             (r.doc_a, r.doc_b): r.jaccard
@@ -2251,3 +2264,116 @@ if _HAS_HYP_DEDUP:
             ).collect()
         }
         assert got_prefix == want
+
+
+if _HAS_HYP_DEDUP:
+
+    def _py_levenshtein(a: str, b: str) -> int:
+        """Textbook DP edit distance (unit ins/del/sub) — the same
+        semantics as Spark's ``levenshtein`` expression."""
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    def _brute_fuzzy_pairs(values, max_dist):
+        """Python reference of fuzzy_string_pairs' documented contract:
+        all distinct-value pairs (a < b) with 1 <= levenshtein <= d."""
+        vals = sorted(set(values))
+        out = {}
+        for i, a in enumerate(vals):
+            for b in vals[i + 1:]:
+                if abs(len(a) - len(b)) > max_dist:
+                    continue
+                d = _py_levenshtein(a, b)
+                if 1 <= d <= max_dist:
+                    out[(a, b)] = d
+        return out
+
+    @given(
+        values=st_hyp.lists(
+            st_hyp.text(alphabet="ab", min_size=1, max_size=12),
+            min_size=2,
+            max_size=12,
+        ),
+        max_dist=st_hyp.sampled_from([1, 2]),
+        bucketing=st_hyp.booleans(),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzzy_pairs_property_match_brute_force(
+        spark, values, max_dist, bucketing
+    ):
+        """Random short-alphabet corpora (dense gram collisions, strings
+        straddling the short-string brute bucket and the q-gram path):
+        fuzzy_string_pairs must reproduce a Python levenshtein brute
+        force — pair sets AND distances — under both lever settings
+        (length_bucketing on/off; the levers are documented lossless)."""
+        from feast_ibm_spark.operators.fuzzy import fuzzy_string_pairs
+
+        df = spark.createDataFrame([(v,) for v in values], "name string")
+        want = _brute_fuzzy_pairs(values, max_dist)
+        got = {
+            (r.name_a, r.name_b): r.dist
+            for r in fuzzy_string_pairs(
+                df, "name", max_dist=max_dist, length_bucketing=bucketing
+            ).collect()
+        }
+        assert got == want
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 7), st_hyp.integers(0, 7)),
+            min_size=1,
+            max_size=24,
+        ),
+        iterations=st_hyp.sampled_from([1, 3]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_pagerank_property_matches_python_reference(
+        spark, edges, iterations
+    ):
+        """pagerank_fixed_point is ENGINE-EXACT integer arithmetic, so a
+        pure-Python power iteration with the same recurrence must match
+        to the last unit — on random multigraphs with self-loops and
+        duplicate edges (duplicates count toward out-degree and
+        contribute once per edge, by contract)."""
+        from feast_ibm_spark.operators.graph import (
+            PR_D_DEN,
+            PR_D_NUM,
+            PR_SCALE,
+            pagerank_fixed_point,
+        )
+
+        nodes = sorted({n for e in edges for n in e})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        score = {n: PR_SCALE for n in nodes}
+        base = (15 * PR_SCALE) // 100
+        for _ in range(iterations):
+            mass = {n: 0 for n in nodes}
+            for s, d in edges:
+                mass[d] += (PR_D_NUM * score[s]) // (PR_D_DEN * deg[s])
+            score = {n: base + mass[n] for n in nodes}
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        got = {r.node: r.score_scaled
+               for r in pagerank_fixed_point(df, iterations).collect()}
+        assert got == score

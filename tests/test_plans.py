@@ -878,13 +878,30 @@ def test_frequency_cap_anti_join_broadcasts_at_runtime(spark, sf_dir):
     broadcast at runtime — the round-8 inversion of the old
     keep-set inner join, which always reshuffled the gram table.
     Checked on the EXECUTED adaptive plan (static explain can't see the
-    runtime conversion)."""
+    runtime conversion). The AQE/broadcast configs the conversion
+    depends on are pinned for the duration of the test (ADVICE r8) so a
+    session-config drift can't fail this without a code regression."""
     from feast_ibm_spark.operators.exact_substr import exact_substr_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    out = exact_substr_pairs(docs, min_len=40, max_gram_freq=100)
-    out.count()  # finalize AQE
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
-    assert anti_lines, "cap no longer plans an anti-join"
-    assert all("BroadcastHashJoin" in l for l in anti_lines), anti_lines
+    pinned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        out = exact_substr_pairs(docs, min_len=40, max_gram_freq=100)
+        out.count()  # finalize AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti_lines, "cap no longer plans an anti-join"
+        assert all("BroadcastHashJoin" in l for l in anti_lines), anti_lines
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
