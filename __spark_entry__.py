@@ -37,11 +37,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # GATE_ROWS_ONLY members take a rows-only driver row on purpose:
-    # the 4 ln()-based queries differ from DuckDB by ~1 ulp (libm vs
-    # JVM — the exact value-hash would false-fail; their rtol-exact pin
-    # lives in tests/test_oracle_parity.py) and the HLL sketch is
-    # approximate by design (accuracy pinned vs its exact twin locally).
+    # Every gate member exports its oracle since round 9: the round-8
+    # rows-only experiment showed the driver records err:"no_oracle"
+    # (no verification) for oracle-withheld slots, so unhashable
+    # queries stay out of the gate entirely — the rtol ln() queries are
+    # represented by hash-stable integer-ingredient *_counts twins and
+    # keep their local rtol pins; sketches keep local exact-twin pins.
+    # GATE_ROWS_ONLY is retained (empty) for the export-shape contract.
     return {
         name: qd.oracle
         for name, qd in DRIVER_QUERIES.items()

@@ -297,6 +297,9 @@ QUERIES: dict[str, QueryDef] = {
                                 "min/max per column)"),
     "text_bm25": QueryDef(q_text_bm25, ORACLE_BM25,
                           "BM25 relevance scores (rtol parity; ln ulp)"),
+    "text_bm25_counts": QueryDef(q_text_bm25_counts, ORACLE_BM25_COUNTS,
+                                 "hash-stable BM25 integer ingredients "
+                                 "(tf/df/dl/N/sum_dl — VERDICT r8 item 1)"),
     "text_repetition": QueryDef(q_text_repetition, ORACLE_REPETITION,
                                 "Gopher-style duplicate/top n-gram fractions"),
     "decontaminate_overlap": QueryDef(q_decontaminate_overlap,
@@ -418,6 +421,14 @@ QUERIES: dict[str, QueryDef] = {
                                     ORACLE_BIGRAM_LOGPROB,
                                     "conditional bigram-LM mean log-prob "
                                     "per doc (rtol parity; ln ulp)"),
+    "text_unigram_logprob_counts": QueryDef(
+        q_text_unigram_logprob_counts, ORACLE_UNIGRAM_LOGPROB_COUNTS,
+        "hash-stable unigram-LM integer ingredients (per-doc corpus-"
+        "frequency histogram — VERDICT r8 item 1)"),
+    "text_bigram_logprob_counts": QueryDef(
+        q_text_bigram_logprob_counts, ORACLE_BIGRAM_LOGPROB_COUNTS,
+        "hash-stable bigram-LM integer ingredients (per-doc (pair,ctx)-"
+        "frequency histogram — VERDICT r8 item 1)"),
     "join_market_share": QueryDef(q_join_market_share, ORACLE_MARKET_SHARE,
                                   "Q8 shape: conditional share over a "
                                   "7-way star (exact cents division)"),
@@ -551,6 +562,10 @@ QUERIES: dict[str, QueryDef] = {
     "drift_psi": QueryDef(q_drift_psi, ORACLE_PSI,
                           "two-period PSI drift per event_type "
                           "(rtol parity; ln ulp)"),
+    "drift_psi_counts": QueryDef(q_drift_psi_counts, ORACLE_PSI_COUNTS,
+                                 "hash-stable PSI integer ingredients "
+                                 "(per-bin before/after counts + totals "
+                                 "— VERDICT r8 item 1)"),
     "streaming_window_counts": QueryDef(q_streaming_window_counts,
                                         ORACLE_STREAM_WINDOW_COUNTS,
                                         "drained streaming tumbling-window "
@@ -808,123 +823,112 @@ QUERIES: dict[str, QueryDef] = {
 # QUERIES, pinned by the local replica of the same DuckDB compare
 # (tests/test_oracle_parity.py, scripts/check_oracle.py). Membership
 # ROTATES each round so every query accumulates driver hashes over time.
-# Round 8 closes the never-driver-hashed backlog (VERDICT r7 item 1):
-# the 50 slots take the 43 never-hashed queries with their own value-hash
-# oracle, the 4 rtol-compared ln() queries and the HLL sketch as
-# first-ever ROWS-ONLY driver rows (their oracle is withheld from the
-# ``__spark_entry__.oracle_sql()`` export — the driver's exact value-hash
-# would false-fail on ~1-ulp libm-vs-JVM ln() drift; the exact-rtol pin
-# stays local in tests/test_oracle_parity.py), and the round's two new
-# registrations (dedup_exact_substr, streaming_interval_join_semi —
-# VERDICT r7 items 2 and 5, gated the same round they were added).
-# The 10 never-hashed queries left over all share their ORACLE string
-# with an already-driver-hashed sibling, so every oracle family in the
-# registry carries at least one driver hash after this round:
-#   chunk_documents (chunk_documents_udtf r7), cluster_representatives
-#   (cluster_representatives_lsh r7), dedup_clusters
-#   (dedup_clusters_star r7 + dedup_clusters_lsh r4), dedup_containment
-#   (dedup_containment_prefix r7), graph_pagerank
-#   (graph_pagerank_incremental r7), layout_zorder_roundtrip
-#   (layout_compaction_roundtrip + write_audit_publish r7),
-#   materialize_partitioned (materialize_incremental r≤6),
-#   scan_orc_source / scan_xml_source (scan_csv_source r≤6),
-#   sessionize_native_window (sessionize_events r≤5 + three streaming
-#   sessionize drains r6-r7).
+# Round 9 makes the gate 100% value-hashable (VERDICT r8 item 1 — the
+# r8 rows-only gamble bought nothing: the driver recorded
+# err:"no_oracle" for every oracle-withheld slot, i.e. no verification
+# at all). The 50 slots:
+#   (a) the 3 queued late-r8 registrations (_QUEUED_FOR_R9_GATE:
+#       dedup_exact_substr_spans/_cut, corpus_curation_exact_substr);
+#   (b) the 11 never-value-hashed queries carrying a full oracle — the
+#       10 oracle-family-covered r8 leftovers plus knn_lsh (its only
+#       driver rows were r1-r2 "no_oracle", before its oracle existed);
+#   (c) 4 NEW hash-stable integer-ingredient twins of the rtol ln()
+#       queries (text_bm25_counts, text_uni/bigram_logprob_counts,
+#       drift_psi_counts) — every column BIGINT, so the driver
+#       value-hashes the exact sufficient statistics the float scores
+#       derive from; the float twins keep their local rtol pins and
+#       never re-enter the gate (reconstruction identities pinned in
+#       tests/test_analytics_shapes.py);
+#   (d) 32 refresh slots: the stalest parked queries (last driver hash
+#       r2-r4).
 # Full round-by-round rotation history: NOTES.md "Gate rotation ledger";
 # the per-round gate map is the generated index in COVERAGE.md.
 #
 # Standing non-rotating exclusions:
-#   rows-only sketch, parked with a prior rows-only row:
-#     agg_approx_event_stats
+#   rows-only sketches, parked with exact-twin pytest pins:
+#     agg_approx_event_stats, window_sliding_distinct_hll
+#   rtol ln() float queries (local rtol pin; hashable *_counts twins
+#     take the gate rows): text_bm25, text_unigram_logprob,
+#     text_bigram_logprob, drift_psi
 #   oracle pinned transitively by a gated sibling's SQL: dedup_simhash,
 #     text_token_count
 # --------------------------------------------------------------------------
 
 # In the gate for a ROWS-ONLY row: exported by ``queries()`` but withheld
-# from ``oracle_sql()`` — 4 rtol ln() queries (exact-compare would false-
-# fail on libm-vs-JVM ulp drift; rtol pin stays local) + the HLL sketch
-# (approximate by design, accuracy pinned vs its exact twin in pytest).
-GATE_ROWS_ONLY = frozenset({
-    "text_bm25",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "drift_psi",
-    "window_sliding_distinct_hll",
-})
+# from ``oracle_sql()``. EMPTY since round 9: round 8 proved the driver
+# does NOT perform rows-only checks (oracle withheld => err:"no_oracle",
+# no verification at all), so unhashable queries never take gate slots
+# again. The 4 rtol ln() queries stay local (rtol pin in
+# tests/test_oracle_parity.py) with hash-stable *_counts twins at the
+# gate instead; approximate sketches stay local with exact-twin pins.
+GATE_ROWS_ONLY: frozenset[str] = frozenset()
 
-_DRIVER_GATE_R8 = (
-    # TPC-H-shape scan/agg/join analytics
-    "agg_activity_profile",
-    "agg_global_avg_filter",
-    "agg_grouping_sets_custom",
-    "agg_important_parts",
-    "agg_promo_share",
-    "agg_salted_hot_keys",
-    "agg_supplier_variety",
-    "agg_value_histogram",
-    "filter_value_outliers",
-    "join_large_orders",
-    "join_min_cost_supplier",
-    "join_nation_profit",
-    "join_returned_customers",
-    "join_top_supplier",
-    "join_waiting_suppliers",
-    "profile_columns",
-    # window / temporal
-    "asof_join_nearest",
-    "event_interarrival",
-    "resample_interpolate",
-    "retention_cohorts",
-    "sessionize_dynamic_gap",
-    "window_moving_median",
-    "window_rolling_24h",
-    "window_sliding_distinct_hll",  # rows-only (approximate sketch)
-    # materialization
-    "materialize_moments_incremental",
-    # sources
-    "scan_binary_files",
-    "scan_text_logs",
-    "scan_variant_props",
-    # streaming
-    "streaming_enrich",
-    "streaming_interval_join_semi",  # NEW r8 — 15th drained class
-    # dedup / corpus curation
-    "corpus_boilerplate_removal",
-    "decontaminate_overlap",
-    "dedup_exact_substr",  # NEW r8 — ExactSubstr (Lee et al. 2021)
-    # embeddings / arrays
-    "array_norm_stats",
-    "normalize_zscore",
-    # text analysis (incl. the 4 rtol ln() queries as rows-only)
-    "text_bm25",
-    "text_bigram_logprob",
-    "text_repetition",
-    "text_top_tokens_by_lang",
-    "text_unigram_logprob",
-    "text_vocab_coverage",
-    # drift / statistics
-    "drift_ks",
-    "drift_psi",
-    # training-data pipeline shapes
-    "features_multi_horizon",
-    "mix_domains",
-    "pack_sequences",
-    "sample_stratified",
-    "split_train_val_test",
-    # multimodal
-    "multimodal_frame_sample",
-    "multimodal_resize_stats",
+_DRIVER_GATE_R9 = (
+    # (a) queued late-r8 registrations (first in line by contract)
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_cut",
+    "corpus_curation_exact_substr",
+    # (b) never-value-hashed with full oracle (10 r8 leftovers + knn_lsh)
+    "chunk_documents",
+    "cluster_representatives",
+    "dedup_clusters",
+    "dedup_containment",
+    "graph_pagerank",
+    "knn_lsh",
+    "layout_zorder_roundtrip",
+    "materialize_partitioned",
+    "scan_orc_source",
+    "scan_xml_source",
+    "sessionize_native_window",
+    # (c) hash-stable integer-ingredient twins of the rtol ln() queries
+    "text_bm25_counts",
+    "text_unigram_logprob_counts",
+    "text_bigram_logprob_counts",
+    "drift_psi_counts",
+    # (d) stalest refresh rows (last driver hash r2-r4)
+    "pit_join_union_window",
+    "pit_join_shuffle",
+    "pull_latest_tiebreak",
+    "pull_latest_keep_ties",
+    "scan_json_props",
+    "scan_part_filter",
+    "scan_csv_source",
+    "scan_partitioned_events",
+    "agg_revenue_forecast",
+    "agg_event_type_stats",
+    "agg_rollup_region_revenue",
+    "agg_value_percentiles",
+    "agg_smallqty_revenue",
+    "agg_cube_status_priority",
+    "agg_pricing_summary",
+    "join_semi_late_orders",
+    "join_anti_quiet_customers",
+    "join_order_count_distribution",
+    "join_promo_revenue",
+    "join_nation_trade_flow",
+    "join_top_orders",
+    "join_region_revenue",
+    "set_user_cohorts",
+    "window_running_total",
+    "dedup_keep_latest",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "corpus_curation",
+    "sessionize_events",
+    "text_top_tokens",
+    "text_bpe_tokens",
+    "text_lang_id",
 )
 
 DRIVER_QUERIES: dict[str, QueryDef] = {
-    _name: QUERIES[_name] for _name in _DRIVER_GATE_R8
+    _name: QUERIES[_name] for _name in _DRIVER_GATE_R9
 }
 
 assert len(DRIVER_QUERIES) == 50, (
     f"driver gate records at most 50 rows; got {len(DRIVER_QUERIES)} — "
-    "rebalance _DRIVER_GATE_R8 when rotating"
+    "rebalance _DRIVER_GATE_R9 when rotating"
 )
-assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R8), (
+assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R9), (
     "GATE_ROWS_ONLY entries must be gate members — they exist to shape "
     "the oracle_sql() export of the CURRENT gate"
 )

@@ -931,6 +931,168 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Hash-stable integer-ingredient variants of the ln() queries (VERDICT r8
+# item 1): the float scores above can never take a driver value-hash row
+# (~1-ulp libm-vs-JVM ln drift), so these emit the EXACT integer
+# sufficient statistics the scores are pure functions of — every column
+# BIGINT, bit-identical in any engine, fully hashable. The float twins
+# keep their local rtol=1e-12 pins in tests/test_oracle_parity.py; the
+# reconstruction identities are pinned by
+# tests/test_analytics_shapes.py::test_*_counts_reconstruct_*.
+# --------------------------------------------------------------------------
+
+
+def q_text_bm25_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, query-term) BM25 ingredients, all integers: tf, df,
+    doc length, corpus doc count and total token count. The BM25 score
+    is ``sum_t ln(1+(n_docs-df+.5)/(df+.5)) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl*n_docs/sum_dl))`` — a pure function of these
+    columns, so a value-hash on THIS result pins everything the float
+    query computes except the final libm-vs-JVM ulp."""
+    from ..functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "df", "dl", "n_docs", "sum_dl")
+    )
+
+
+ORACLE_BM25_COUNTS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE term IN ({_BM25_INLIST}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl, stats.n_docs, stats.sum_dl
+FROM tf
+JOIN dfreq USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+"""
+
+
+def q_text_unigram_logprob_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, corpus-token-frequency) occurrence counts — the exact
+    integer sufficient statistic of the unigram-LM score:
+    ``avg_logprob = (sum_f n_occurrences*ln(f)) / n_tokens - ln(total)``
+    where n_tokens = sum of n_occurrences per doc. Same tokenize + tiny
+    broadcast-frequency join as the float twin; the final group folds
+    the per-token stream to one row per distinct corpus frequency per
+    doc (bounded by the doc's distinct-token count)."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("token_freq"))
+    freq = freq.withColumn(
+        "total_tokens", F.sum("token_freq").over(W.partitionBy())
+    )
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id", "token_freq", "total_tokens")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("doc_id", "token_freq", "n_occurrences", "total_tokens")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB_COUNTS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS token_freq,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS total_tokens
+  FROM tok GROUP BY 1
+)
+SELECT t.doc_id, f.token_freq,
+       CAST(count(*) AS BIGINT) AS n_occurrences, f.total_tokens
+FROM tok t JOIN freq f USING (token)
+GROUP BY 1, 2, 4
+"""
+
+
+def q_text_bigram_logprob_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, bigram-frequency, context-frequency) occurrence counts
+    — the integer sufficient statistic of the conditional bigram-LM
+    score: ``avg_logprob = (sum n_occurrences*(ln(pair_freq) -
+    ln(ctx_freq))) / n_bigrams``. Same single tokenize + vocab-window
+    context denominator as the float twin."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_big = F.size(toks) - 1
+    grams = F.when(n_big < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_big),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    big = docs.repartition(par, "doc_id").select(
+        "doc_id", F.explode(grams).alias("bigram")
+    )
+    freq = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_freq"))
+        .withColumn("prev", F.substring_index("bigram", " ", 1))
+        .withColumn("ctx_freq", F.sum("pair_freq").over(W.partitionBy("prev")))
+        .select("bigram", "pair_freq", "ctx_freq")
+    )
+    return (
+        big.join(freq, "bigram")
+        .groupBy("doc_id", "pair_freq", "ctx_freq")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("doc_id", "pair_freq", "ctx_freq", "n_occurrences")
+    )
+
+
+ORACLE_BIGRAM_LOGPROB_COUNTS = f"""
+WITH big AS (
+  SELECT doc_id, unnest({_duck_grams(2)}) AS bigram FROM documents
+),
+freq AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS pair_freq,
+         CAST(sum(count(*)) OVER (PARTITION BY split_part(bigram, ' ', 1))
+              AS BIGINT) AS ctx_freq
+  FROM big GROUP BY 1
+)
+SELECT b.doc_id, f.pair_freq, f.ctx_freq,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM big b JOIN freq f USING (bigram)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 def q_corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -714,6 +714,66 @@ FROM counts c JOIN tot t USING (event_type)
 """
 
 
+def q_drift_psi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable integer-ingredient variant of :func:`q_drift_psi`
+    (VERDICT r8 item 1): per (event_type, bin) before/after counts plus
+    the per-type totals — all BIGINT, bit-identical in any engine. The
+    PSI term is a pure function of these four integers
+    (``pa=(n_a+1)/(tot_a+n_bins)`` etc.), so a driver value-hash on this
+    result pins everything the float query computes except the final
+    libm-vs-JVM ln ulp; the float twin keeps its local rtol pin."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bin_col = F.least(
+        F.lit(PSI_N_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / (500.0 / PSI_N_BINS))),
+    ).cast("bigint")
+    binned = ev.select(
+        "event_type",
+        bin_col.alias("bin"),
+        (F.col("ts") < split).cast("int").alias("is_a"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("tot_a").cast("bigint").alias("tot_a"),
+        F.col("tot_b").cast("bigint").alias("tot_b"),
+    )
+
+
+ORACLE_PSI_COUNTS = f"""
+WITH binned AS (
+  SELECT event_type,
+         least({PSI_N_BINS - 1},
+               greatest(0, CAST(floor(value / {500.0 / PSI_N_BINS}) AS BIGINT)))
+           AS bin,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, sum(is_a) AS n_a, sum(1 - is_a) AS n_b
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.bin,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+       CAST(t.tot_a AS BIGINT) AS tot_a, CAST(t.tot_b AS BIGINT) AS tot_b
+FROM counts c JOIN tot t USING (event_type)
+"""
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window aggregation driven to
     completion: 1-hour event counts + cent sums per event_type over a

@@ -211,3 +211,92 @@ def test_salted_agg_equals_direct_groupby(spark):
 
     with _pytest.raises(ValueError, match="unsupported"):
         salted_agg(df, ["k"], {"a": ("avg", "v")}, salt_col="id")
+
+
+# --------------------------------------------------------------------------
+# Hash-stable integer-ingredient variants of the ln() queries (VERDICT r8
+# item 1): each *_counts query must carry EXACTLY the sufficient
+# statistics of its float twin — pinned by reconstructing the twin's
+# score from the integers in pure Python and comparing rtol-tight.
+# --------------------------------------------------------------------------
+
+
+def test_bm25_counts_reconstruct_score(spark, sf_dir):
+    import math
+
+    from feast_ibm_spark.queries.corpus import BM25_B, BM25_K1
+
+    want = {
+        r.doc_id: r.score
+        for r in QUERIES["text_bm25"].fn(spark, sf_dir).collect()
+    }
+    got = {}
+    for r in QUERIES["text_bm25_counts"].fn(spark, sf_dir).collect():
+        idf = math.log(1 + (r.n_docs - r.df + 0.5) / (r.df + 0.5))
+        avgdl = r.sum_dl / r.n_docs
+        term = idf * (r.tf * (BM25_K1 + 1)) / (
+            r.tf + BM25_K1 * (1 - BM25_B + BM25_B * r.dl / avgdl)
+        )
+        got[r.doc_id] = got.get(r.doc_id, 0.0) + term
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_unigram_counts_reconstruct_logprob(spark, sf_dir):
+    import math
+
+    want = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in QUERIES["text_unigram_logprob"].fn(spark, sf_dir).collect()
+    }
+    acc = {}
+    for r in QUERIES["text_unigram_logprob_counts"].fn(spark, sf_dir).collect():
+        n, s = acc.get(r.doc_id, (0, 0.0))
+        acc[r.doc_id] = (
+            n + r.n_occurrences,
+            s + r.n_occurrences * math.log(r.token_freq / r.total_tokens),
+        )
+    assert set(acc) == set(want)
+    for d, (n_tok, lp) in want.items():
+        assert acc[d][0] == n_tok
+        assert acc[d][1] / acc[d][0] == pytest.approx(lp, rel=1e-9)
+
+
+def test_bigram_counts_reconstruct_logprob(spark, sf_dir):
+    import math
+
+    want = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in QUERIES["text_bigram_logprob"].fn(spark, sf_dir).collect()
+    }
+    acc = {}
+    for r in QUERIES["text_bigram_logprob_counts"].fn(spark, sf_dir).collect():
+        n, s = acc.get(r.doc_id, (0, 0.0))
+        acc[r.doc_id] = (
+            n + r.n_occurrences,
+            s + r.n_occurrences * math.log(r.pair_freq / r.ctx_freq),
+        )
+    assert set(acc) == set(want)
+    for d, (n_big, lp) in want.items():
+        assert acc[d][0] == n_big
+        assert acc[d][1] / acc[d][0] == pytest.approx(lp, rel=1e-9)
+
+
+def test_psi_counts_reconstruct_term(spark, sf_dir):
+    import math
+
+    from feast_ibm_spark.queries.pipelines import PSI_N_BINS
+
+    want = {
+        (r.event_type, r.bin): (r.n_a, r.n_b, r.psi_term)
+        for r in QUERIES["drift_psi"].fn(spark, sf_dir).collect()
+    }
+    rows = QUERIES["drift_psi_counts"].fn(spark, sf_dir).collect()
+    assert {(r.event_type, r.bin) for r in rows} == set(want)
+    for r in rows:
+        n_a, n_b, psi = want[(r.event_type, r.bin)]
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        pa = (r.n_a + 1) / (r.tot_a + PSI_N_BINS)
+        pb = (r.n_b + 1) / (r.tot_b + PSI_N_BINS)
+        assert (pa - pb) * math.log(pa / pb) == pytest.approx(psi, rel=1e-9)
