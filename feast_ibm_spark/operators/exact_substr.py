@@ -53,15 +53,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _gram_array(text_col: str, min_len: int):
-    """Array of ALL length-``min_len`` character grams of ``text_col``
-    (one per start offset, 1-based). Caller must pre-filter
-    ``length(text) >= min_len``: Spark's ``sequence(1, n)`` generates a
-    DESCENDING range when n < 1 instead of an empty one, which would
-    fabricate short trailing grams."""
+def _gram_array(chars_col: str, min_len: int, hashed: bool):
+    """Array of ALL length-``min_len`` character grams of a
+    pre-split char-array column (one per start offset, 1-based); with
+    ``hashed`` each gram is its 64-bit hash (of the char slice — equal
+    40-codepoint sequences hash equal, same 2^-64 collision bound as
+    hashing the joined string).
+
+    Grams are O(min_len) ARRAY SLICES of the char array, NOT
+    ``substring(text, i, L)`` calls: Spark's UTF8String substring walks
+    codepoint boundaries from the start of the string, making the
+    substring formulation O(len^2) per document — measured 168.7s for
+    ONE 1 MB document pair at 16 KB chunks vs 11.2s with char slices
+    (NOTES.md "ExactSubstr whale document"). ``split(text, '')`` is
+    codepoint-aware (Java regex), so slice indices agree with
+    ``substring``/``length`` semantics exactly.
+
+    Caller must pre-filter ``length >= min_len``: Spark's
+    ``sequence(1, n)`` generates a DESCENDING range when n < 1 instead
+    of an empty one, which would fabricate short trailing grams."""
+    gram = (
+        f"xxhash64(slice({chars_col}, i, {min_len}))"
+        if hashed
+        else f"array_join(slice({chars_col}, i, {min_len}), '')"
+    )
     return F.expr(
-        f"transform(sequence(1, length({text_col}) - {min_len - 1}),"
-        f" i -> substring({text_col}, i, {min_len}))"
+        f"transform(sequence(1, size({chars_col}) - {min_len - 1}),"
+        f" i -> {gram})"
     )
 
 
@@ -97,15 +115,14 @@ def exact_substr_pairs(
     """
     grams = (
         df.filter(F.length(text_col) >= min_len)
+        .select(F.col(id_col), F.split(F.col(text_col), "").alias("__chars"))
         .select(
             F.col(id_col),
-            F.explode(F.array_distinct(_gram_array(text_col, min_len))).alias(
-                "gram"
-            ),
+            F.explode(
+                F.array_distinct(_gram_array("__chars", min_len, hash_grams))
+            ).alias("gram"),
         )
     )
-    if hash_grams:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     if max_gram_freq is not None:
         # anti-join against the OVER-cap grams, not inner-join against
         # the under-cap keep set: the keep set is ~every distinct gram
@@ -142,6 +159,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     min_len: int = 40,
     hash_grams: bool = True,
+    chunk_chars: int = 262_144,
 ) -> DataFrame:
     """Maximal per-document character spans of duplicated text — the
     ExactSubstr deliverable: (id, span_start, span_len), 1-based, where
@@ -160,17 +178,61 @@ def duplicated_spans(
     boilerplate gram in 10^6 documents costs 10^6 aggregation rows, not
     10^12 join rows. Two shuffles total: by gram hash (the duplicate
     test), by document (interval merge).
+
+    Whale-document note (round 9): gram generation is CHUNKED — the
+    text is sliced into overlapping segments of ``chunk_chars`` gram
+    starts (overlap ``min_len - 1``, offsets rebased, so the gram
+    stream is bit-identical to the unchunked form: pinned by
+    test_chunked_gram_stream_is_bit_identical) before the per-segment
+    char array materializes. Without this, one 32 MB document
+    materializes a single ~32M-element array in one task (multi-GB row
+    — an OOM ceiling unrelated to the window sort). With chunking plus
+    char-slice grams (see :func:`_gram_array`) the whale cost is the
+    interval-merge window's per-doc sort, which is sort-bound and
+    spill-safe like sessionize — measured: a fully-duplicated 32 MB
+    document pair completes exactly on an 8 GB heap (549s, worst task
+    spills 5.75 GB); the 3 GB/32-thread edge is ~8 MB (93 MB/task fair
+    share). Full table: NOTES.md "ExactSubstr whale document",
+    scripts/exact_substr_whale.py.
     """
-    offs = (
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    # chunk k (0-based) covers gram starts [k*step + 1, (k+1)*step],
+    # clamped to n_starts = length - min_len + 1; the segment carries
+    # min_len - 1 chars of lookahead so every start's full gram is local
+    step = chunk_chars
+    seg_len = step + min_len - 1
+    segs = (
         df.filter(F.length(text_col) >= min_len)
         .select(
             F.col(id_col),
-            F.posexplode(_gram_array(text_col, min_len)).alias("pos0", "gram"),
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f"  sequence(0, CAST(floor((length({text_col}) - {min_len})"
+                    f"                   / {step}) AS INT)),"
+                    f"  k -> struct("
+                    f"    CAST(k AS BIGINT) * {step} AS bias,"
+                    f"    substring({text_col}, k * {step} + 1, {seg_len})"
+                    f"      AS seg))"
+                )
+            ).alias("__c"),
+        )
+        .select(id_col, F.col("__c.bias").alias("__bias"),
+                F.split(F.col("__c.seg"), "").alias("__chars"))
+    )
+    offs = (
+        segs.select(
+            F.col(id_col),
+            F.col("__bias"),
+            F.posexplode(
+                _gram_array("__chars", min_len, hash_grams)
+            ).alias("pos0", "gram"),
         )
         .select(
             id_col,
-            (F.col("pos0") + 1).alias("off"),
-            (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gram"),
+            (F.col("__bias") + F.col("pos0") + 1).alias("off"),
+            F.col("gram"),
         )
     )
     # grams present in >= 2 distinct documents (per-gram agg, no join fan-out)
@@ -180,7 +242,21 @@ def duplicated_spans(
         .filter(F.col("__lo") != F.col("__hi"))
         .select("gram")
     )
-    covered = offs.join(dup_grams, "gram").select(id_col, "off")
+    # sort-merge, NOT broadcast and NOT shuffled-hash: dup_grams is
+    # data-dependent — boilerplate-tail-sized on organic corpora but
+    # CORPUS-sized under floods/whales. Catalyst's post-filter estimate
+    # can still pick broadcast (measured: driver OOM on a 3 GB heap at
+    # an 8 MB fully-duplicated whale pair), and a shuffled-hash build
+    # side cannot spill (measured: cannotAcquireMemoryToBuildLongHashedRelation
+    # at 16 MB on the same heap). SMJ spills BOTH sides; on the organic
+    # sf0.1 corpus it is also FASTER than the unhinted broadcast plan
+    # (6.3-10.0s vs 10.9-19.9s interleaved same-session) because the
+    # dup-set broadcast build was never free. Measurements: NOTES.md
+    # "ExactSubstr whale document".
+    covered = (
+        offs.join(dup_grams.hint("merge"), "gram")
+        .select(id_col, "off")
+    )
     # gaps-and-islands merge of [off, off + min_len - 1] intervals:
     # a new island starts where this gram's span no longer touches the
     # running max end of all previous spans (adjacency merges — coverage

@@ -363,3 +363,27 @@ def test_cut_operator_matches_python_cut(spark, corpus_df):
     both = cut_duplicated_spans(corpus_df, min_len=L, out_col="clean")
     r0 = both.filter("doc_id = 0").first()
     assert r0.text == CORPUS[0] and r0.clean == want[0]
+
+
+def test_chunked_gram_stream_is_bit_identical(spark, corpus_df):
+    """The round-9 chunked gram generation (whale-document memory
+    bound) must be invisible: spans with a chunk width straddling every
+    boundary case — smaller than min_len, equal, off-by-one around doc
+    lengths — equal the effectively-unchunked form on the same corpus."""
+    baseline = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_spans(
+            corpus_df, min_len=L, chunk_chars=1_000_000
+        ).collect()
+    }
+    assert baseline  # corpus carries duplicated spans
+    for chunk in (1, 2, L - 1, L, L + 1, 7, 64):
+        got = {
+            (r.doc_id, r.span_start, r.span_len)
+            for r in duplicated_spans(
+                corpus_df, min_len=L, chunk_chars=chunk
+            ).collect()
+        }
+        assert got == baseline, f"chunk_chars={chunk} diverged"
+    with pytest.raises(ValueError):
+        duplicated_spans(corpus_df, min_len=L, chunk_chars=0)
