@@ -584,6 +584,11 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_STREAM_INTERVAL_JOIN_SEMI,
         "LEFT SEMI stream-stream interval join — EXISTS semantics, each "
         "matched left row emits exactly once (15th drained class)"),
+    "streaming_interval_join_anti": QueryDef(
+        q_streaming_interval_join_anti,
+        ORACLE_STREAM_INTERVAL_JOIN_ANTI,
+        "LEFT ANTI stream-stream interval join via outer + null-filter "
+        "(orphan/timeout detection — 16th drained class)"),
     "streaming_session_window": QueryDef(q_streaming_session_window,
                                          ORACLE_SESSIONIZE,
                                          "NATIVE streaming session_window "

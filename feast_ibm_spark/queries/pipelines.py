@@ -1976,3 +1976,66 @@ WHERE c.event_type = 'click'
       AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
   )
 """
+
+
+def q_streaming_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI stream-stream interval join — the 16th drained
+    streaming class and the NOT-EXISTS twin of the semi join above:
+    clicks followed by NONE of the same user's purchases within 30
+    minutes emit exactly once (the abandoned-browse / orphan-timeout
+    shape — payments without confirmation, requests without response).
+
+    Structured Streaming has no native stream-stream anti join (the
+    supported set is inner / left-right-full outer / left semi), but
+    the outer join's unmatched-row semantics ARE the anti join: a LEFT
+    OUTER interval join emits an unmatched left row with NULL right
+    columns exactly once, when the watermark proves no match can still
+    arrive — so ANTI = outer + in-stream ``right_ts IS NULL`` filter
+    (stateless, pre-sink; only orphans ever reach the sink). Emission
+    and state eviction are the same watermark event, hence the same
+    bounded-drain sentinel mechanics as the outer twin (far-future
+    sentinel rows push the final watermark past all real data; they are
+    filtered from the result and absent from the oracle's view)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    src = _events_sentinel_path(spark, sf_dir)
+    schema = "user_id bigint, ts timestamp, event_type string, cents bigint"
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+        how="left_outer",
+    )
+    orphans = joined.filter(F.col("purchase_ts").isNull()).select(
+        "user_id", "click_ts"
+    )
+    sink = f"stream_ivja_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        orphans, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.filter(F.col("user_id") >= 0).select("user_id", "click_ts")
+
+
+ORACLE_STREAM_INTERVAL_JOIN_ANTI = """
+SELECT c.user_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+  )
+"""

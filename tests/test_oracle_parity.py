@@ -79,10 +79,14 @@ def test_driver_export_r9_rotation_invariants():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assert _QUEUED_FOR_R9_GATE <= set(DRIVER_QUERIES)
     value_hashed = _driver_value_hashed_through(root, 8)
-    never = {
-        n for n in QUERIES
-        if n not in value_hashed and QUERIES[n].oracle is not None
-    } - set(_RTOL_LOCAL)  # float twins stay local by design
+    never = (
+        {
+            n for n in QUERIES
+            if n not in value_hashed and QUERIES[n].oracle is not None
+        }
+        - set(_RTOL_LOCAL)      # float twins stay local by design
+        - _QUEUED_FOR_R10_GATE  # registered after this gate froze
+    )
     missing = sorted(never - set(DRIVER_QUERIES))
     assert missing == [], f"never-value-hashed left out of the r9 gate: {missing}"
     # refresh slots: stale, not recently hashed
@@ -100,7 +104,11 @@ _QUEUED_FOR_R9_GATE = frozenset({
     "dedup_exact_substr_cut",
     "corpus_curation_exact_substr",
 })
-_QUEUED_FOR_R10_GATE: frozenset[str] = frozenset()
+_QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
+    "streaming_interval_join_anti",  # 16th drained class, registered
+                                     # after the r9 gate froze; full
+                                     # 3-scale oracle pin from day one
+})
 
 
 def test_r9_never_hashed_are_documented_local_only():
@@ -288,6 +296,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_enrich",
     "streaming_first_seen",
     "streaming_interval_join",
+    "streaming_interval_join_anti",
     "streaming_interval_join_outer",
     "streaming_interval_join_semi",
     "streaming_latest",
