@@ -207,6 +207,13 @@ SMOKE_QUERIES = [
     "corpus_curation_exact_substr",
     "materialize_moments_incremental",
     "eval_lang_confusion",
+    # round-9: the hash-stable ln-ingredient twins, the 16th streaming
+    # class, and the ln float twins' scale sanity
+    "text_bm25_counts",
+    "text_unigram_logprob_counts",
+    "text_bigram_logprob_counts",
+    "drift_psi_counts",
+    "streaming_interval_join_anti",
 ]
 
 

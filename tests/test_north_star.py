@@ -2317,7 +2317,7 @@ if _HAS_HYP_DEDUP:
         spark, values, max_dist, bucketing
     ):
         """Random short-alphabet corpora (dense gram collisions, strings
-        straddling the short-string brute bucket and the q-gram path):
+        straddling the FastSS deletion path and the q-gram tiers):
         fuzzy_string_pairs must reproduce a Python levenshtein brute
         force — pair sets AND distances — under both lever settings
         (length_bucketing on/off; the levers are documented lossless)."""
