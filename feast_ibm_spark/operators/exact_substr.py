@@ -287,6 +287,8 @@ def cut_duplicated_spans(
     hash_grams: bool = True,
     out_col: str | None = None,
     passes: int = 1,
+    inrow_max_chars: int = 65_536,
+    chunk_chars: int = 262_144,
 ) -> DataFrame:
     """Apply the ExactSubstr cut: every document with its duplicated
     spans (:func:`duplicated_spans`) deleted from the text — the
@@ -295,11 +297,26 @@ def cut_duplicated_spans(
     are preserved; ``out_col`` (default: overwrite ``text_col``) holds
     the rebuilt text.
 
-    The rebuild is a single Catalyst ``aggregate`` over the doc's sorted
-    span array — each step appends the kept segment before the span and
-    advances the cursor past it; the finisher appends the tail. No UDF,
-    no Python in the hot path; one extra shuffle (spans groupBy id) and
-    one LEFT join back to the documents.
+    The rebuild is TIERED by document length (no UDF, no Python in
+    either tier):
+
+    - docs up to ``inrow_max_chars``: a single Catalyst ``aggregate``
+      over the doc's sorted span array — each step appends the kept
+      segment before the span and advances the cursor past it; the
+      finisher appends the tail. One extra shuffle (spans groupBy id)
+      and one LEFT join back to the documents.
+    - longer docs: the in-row aggregate is QUADRATIC in doc length
+      (each ``substring(text, pos, ...)`` walks codepoints from the
+      string start — measured 4.0/7.5/21.6s at 0.25/0.5/1 MB on a
+      many-span whale doc, ~2.9x per doubling: NOTES.md "ExactSubstr
+      whale document", cut cell), so the kept intervals are exploded to
+      rows, equi-joined to ``chunk_chars``-sized document segments by
+      (doc, chunk id), extracted with chunk-LOCAL substrings (walk
+      bounded by the chunk), and reassembled with one ordered
+      array_join per doc. Linear in doc length and distributed across
+      chunks; costs two extra shuffles, paid only by the long-doc
+      slice. Branch equivalence is pinned by
+      test_cut_tiers_are_equivalent.
 
     Exact guarantee (one pass): every substring of length >= ``min_len``
     that occurred in more than one INPUT document is deleted from every
@@ -357,11 +374,101 @@ def cut_duplicated_spans(
         )
         joined = cur.join(spans, id_col, "left")
         keep = [c for c in cur.columns if c != cur_col or out_col != cur_col]
-        cur = joined.select(
+
+        is_long = F.col("__spans").isNotNull() & (
+            F.length(cur_col) > inrow_max_chars
+        )
+        short_out = joined.filter(~is_long).select(
             *keep,
             F.when(F.col("__spans").isNull(), F.col(cur_col))
             .otherwise(cut)
             .alias(out_col),
         )
+
+        # long tier: explode KEEP intervals (the complement of the
+        # merged spans — starts are 1 and each span's end+1, exclusive
+        # ends are each span's start and len+1), route each interval to
+        # the chunks it overlaps, extract with chunk-local substrings,
+        # reassemble in global-position order
+        long_docs = joined.filter(is_long)
+        step = chunk_chars
+        keeps = F.expr(
+            f"""
+            filter(
+              zip_with(
+                concat(array(CAST(1 AS BIGINT)),
+                       transform(__spans,
+                                 s -> CAST(s.span_start + s.span_len AS BIGINT))),
+                concat(transform(__spans, s -> CAST(s.span_start AS BIGINT)),
+                       array(CAST(length({cur_col}) + 1 AS BIGINT))),
+                (st, en) -> struct(st AS kstart, en - st AS klen)),
+              k -> k.klen > 0)
+            """
+        )
+        kp = (
+            long_docs.select(F.col(id_col), F.explode(keeps).alias("__k"))
+            .select(
+                id_col,
+                F.col("__k.kstart").alias("__kstart"),
+                F.col("__k.klen").alias("__klen"),
+            )
+            .select(
+                id_col,
+                "__kstart",
+                "__klen",
+                F.explode(
+                    F.expr(
+                        f"sequence((__kstart - 1) div {step},"
+                        f" (__kstart + __klen - 2) div {step})"
+                    )
+                ).alias("__sid"),
+            )
+        )
+        segs = (
+            long_docs.select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, (length({cur_col}) - 1)"
+                        f" div {step}),"
+                        f" k -> struct(CAST(k AS BIGINT) AS sid,"
+                        f" CAST(k AS BIGINT) * {step} AS bias,"
+                        f" substring({cur_col}, k * {step} + 1, {step})"
+                        f" AS seg))"
+                    )
+                ).alias("__c"),
+            )
+            .select(
+                id_col,
+                F.col("__c.sid").alias("__sid"),
+                F.col("__c.bias").alias("__bias"),
+                F.col("__c.seg").alias("__seg"),
+            )
+        )
+        part_start = F.greatest(F.col("__kstart"), F.col("__bias") + 1)
+        parts = kp.join(segs, [id_col, "__sid"]).select(
+            F.col(id_col),
+            part_start.alias("__pstart"),
+            F.expr(
+                f"substring(__seg,"
+                f" CAST(greatest(__kstart, __bias + 1) - __bias AS INT),"
+                f" CAST(least(__kstart + __klen - 1,"
+                f"            __bias + length(__seg))"
+                f"      - greatest(__kstart, __bias + 1) + 1 AS INT))"
+            ).alias("__part"),
+        )
+        rebuilt = parts.groupBy(id_col).agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(__pstart, __part))), x -> x.__part), '')"
+            ).alias("__rebuilt")
+        )
+        long_out = long_docs.join(rebuilt, id_col, "left").select(
+            *keep,
+            # a fully-covered doc has no keep intervals at all -> ''
+            F.coalesce(F.col("__rebuilt"), F.lit("")).alias(out_col),
+        )
+
+        cur = short_out.unionByName(long_out)
         cur_col = out_col
     return cur

@@ -387,3 +387,39 @@ def test_chunked_gram_stream_is_bit_identical(spark, corpus_df):
         assert got == baseline, f"chunk_chars={chunk} diverged"
     with pytest.raises(ValueError):
         duplicated_spans(corpus_df, min_len=L, chunk_chars=0)
+
+
+def test_cut_tiers_are_equivalent(spark, corpus_df):
+    """The long-doc distributed rebuild (round 9) must be invisible:
+    forcing EVERY doc through it (inrow_max_chars=0) with chunk widths
+    straddling the boundary cases equals the in-row aggregate tier on
+    the same corpus, including preserved non-text columns and the
+    multi-pass path."""
+    from feast_ibm_spark.operators.exact_substr import cut_duplicated_spans
+
+    want = {
+        r.doc_id: r.text
+        for r in cut_duplicated_spans(corpus_df, min_len=L).collect()
+    }
+    for chunk in (1, L - 1, L, 7, 64, 100_000):
+        got = {
+            r.doc_id: r.text
+            for r in cut_duplicated_spans(
+                corpus_df, min_len=L,
+                inrow_max_chars=0, chunk_chars=chunk,
+            ).collect()
+        }
+        assert got == want, f"chunk_chars={chunk} diverged"
+    # multi-pass through the long tier
+    want2 = {
+        r.doc_id: r.text
+        for r in cut_duplicated_spans(corpus_df, min_len=L, passes=2).collect()
+    }
+    got2 = {
+        r.doc_id: r.text
+        for r in cut_duplicated_spans(
+            corpus_df, min_len=L, passes=2,
+            inrow_max_chars=0, chunk_chars=13,
+        ).collect()
+    }
+    assert got2 == want2
