@@ -2377,3 +2377,115 @@ if _HAS_HYP_DEDUP:
         got = {r.node: r.score_scaled
                for r in pagerank_fixed_point(df, iterations).collect()}
         assert got == score
+
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        snap=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 3), st_hyp.integers(0, 5),
+                          st_hyp.integers(-5, 5)),
+            min_size=0, max_size=12,
+        ),
+        changes=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 3), st_hyp.integers(0, 5),
+                          st_hyp.integers(-5, 5), st_hyp.booleans()),
+            min_size=0, max_size=12,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_changes_property_matches_replay(spark, snap, changes):
+        """merge_changes (union + one keyed window, no join) must equal
+        a Python replay of its documented contract: winner per key =
+        max (ts, source-priority, tiebreak), change rows beating
+        snapshot rows on timestamp ties, delete winners vanishing —
+        on random batches with duplicate keys/timestamps on both
+        sides and multi-row snapshots."""
+        from feast_ibm_spark.operators.merge import merge_changes
+
+        if not snap and not changes:
+            return
+        # unique per-row id doubles as the deterministic tiebreak
+        snap_rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(snap)]
+        chg_rows = [
+            (k, ts, v, 1000 + i, "delete" if d else "upsert")
+            for i, (k, ts, v, d) in enumerate(changes)
+        ]
+        cand = {}
+        for k, ts, v, rid in snap_rows:
+            cand.setdefault(k, []).append(((ts, 0, rid), v, "upsert"))
+        for k, ts, v, rid, op in chg_rows:
+            cand.setdefault(k, []).append(((ts, 1, rid), v, op))
+        want = {}
+        for k, rows in cand.items():
+            order, v, op = max(rows)
+            if op != "delete":
+                want[k] = (order[0], v, order[2])
+
+        sdf = spark.createDataFrame(
+            snap_rows or [(None, None, None, None)],
+            "user_id long, ts long, value long, rid long",
+        )
+        if not snap_rows:
+            sdf = sdf.filter("user_id IS NOT NULL")
+        cdf = spark.createDataFrame(
+            chg_rows or [(None, None, None, None, None)],
+            "user_id long, ts long, value long, rid long, op string",
+        )
+        if not chg_rows:
+            cdf = cdf.filter("user_id IS NOT NULL")
+        got = {
+            r.user_id: (r.ts, r.value, r.rid)
+            for r in merge_changes(
+                sdf, cdf, ["user_id"], "ts", tiebreak_cols=["rid"]
+            ).collect()
+        }
+        assert got == want
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 2),                          # key
+                st_hyp.integers(0, 9),                          # order
+                st_hyp.one_of(st_hyp.none(), st_hyp.integers(0, 5)),   # attr a
+                st_hyp.one_of(st_hyp.none(), st_hyp.integers(0, 5)),   # attr b
+            ),
+            min_size=1, max_size=14,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_survivorship_property_matches_replay(spark, rows):
+        """survivorship_merge (column-level golden record) must equal a
+        Python replay: per key, each attribute independently takes its
+        last NON-NULL value in order, n_sources counts contributing
+        rows — on random multisets with null gaps."""
+        from feast_ibm_spark.operators.merge import survivorship_merge
+
+        rows = [(k, o, i, a, b) for i, (k, o, a, b) in enumerate(rows)]
+        want = {}
+        for k in {r[0] for r in rows}:
+            krows = sorted(r for r in rows if r[0] == k)  # (k, order, rid)
+            surv = {}
+            for col, idx in (("a", 3), ("b", 4)):
+                nn = [r[idx] for r in krows if r[idx] is not None]
+                surv[col] = nn[-1] if nn else None
+            want[k] = (surv["a"], surv["b"], len(krows))
+
+        df = spark.createDataFrame(
+            rows, "k long, ord long, rid long, a long, b long"
+        )
+        got = {
+            r.k: (r.a, r.b, r.n_sources)
+            for r in survivorship_merge(
+                df, ["k"], ["ord", "rid"], ["a", "b"]
+            ).collect()
+        }
+        assert got == want
