@@ -2489,3 +2489,78 @@ if _HAS_HYP_DEDUP:
             ).collect()
         }
         assert got == want
+
+
+if _HAS_HYP_DEDUP:
+
+    def _py_bpe_train(texts, n_merges):
+        """Python reference of the documented trainer contract: pair
+        counts sum word frequencies over ALL adjacent symbol pairs;
+        winner = max freq, ties to the smallest (left, right); merges
+        apply left-to-right non-overlapping."""
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.strip().split():
+                if w:
+                    words[w] += 1
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for w, f in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (l, r), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, l + r, freq))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    @given(
+        token_lists=st_hyp.lists(
+            st_hyp.lists(st_hyp.text(alphabet="ab", min_size=1, max_size=6),
+                         min_size=1, max_size=6),
+            min_size=1,
+            max_size=4,
+        ),
+        n_merges=st_hyp.sampled_from([1, 3]),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_bpe_train_property_matches_reference(
+        spark, token_lists, n_merges
+    ):
+        """bpe_train (per-round distributed pair count + driver argmax)
+        must reproduce a Python reference BPE trainer exactly — merge
+        order, symbols, and pair frequencies — on random tiny-alphabet
+        corpora dense in overlapping pairs ('aaa' counting both ('a','a')
+        positions but merging left-to-right non-overlapping is exactly
+        where implementations diverge)."""
+        from feast_ibm_spark.operators.bpe import bpe_train
+
+        texts = [" ".join(toks) for toks in token_lists]
+        want = _py_bpe_train(texts, n_merges)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r.rank, r.left, r.right, r.merged, r.pair_freq)
+            for r in bpe_train(df, n_merges=n_merges)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want
