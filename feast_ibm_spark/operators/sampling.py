@@ -363,3 +363,101 @@ def negative_sample_pairs(
         .join(neg_side, F.col(f"neg_{id_col}") == F.col("__neg_join"))
         .drop("__neg_join")
     )
+
+
+# gear weights for the content-defined-chunking rolling hash (8 odd
+# primes; window L=8 chars). Integer-exact: code < 0x110000 and
+# sum(code * W) < 2^56, so the hash never overflows or rounds — the
+# same engine-exactness recipe as fingerprint_col / pagerank.
+CDC_WEIGHTS = (3, 31, 331, 3331, 33331, 333331, 3333331, 33333331)
+CDC_WINDOW = len(CDC_WEIGHTS)
+
+
+def cdc_chunks(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 128,
+):
+    """Content-defined chunking (basic CDC, gear-style): split each
+    document at positions where a rolling hash of the trailing
+    ``CDC_WINDOW`` characters is divisible by ``divisor`` — so chunk
+    boundaries are a function of LOCAL content, not absolute offsets.
+    Inserting or deleting text re-chunks only the neighborhood of the
+    edit (every boundary further than the hash window from the edit is
+    byte-identical), which is what makes CDC the standard primitive for
+    incremental storage dedup and for caching per-chunk artifacts
+    (embeddings, fingerprints) across document revisions; fixed-size
+    chunking invalidates every chunk after an insert. Basic CDC: no
+    min/max clamps (those make the scan stateful); expected chunk
+    length is ``divisor`` chars, and a doc whose hash never fires is
+    one whole-doc chunk.
+
+    Output: (id, chunk_idx, chunk_start, chunk_len, chunk_hash) —
+    chunk_idx 0-based in document order, chunk_start 1-based,
+    chunk_hash the same base-31 polynomial as ``fingerprint_col`` over
+    the chunk's characters (integer-exact, engine-reproducible — no
+    xxhash, which DuckDB cannot replicate). Empty documents emit no
+    chunks.
+
+    Plan shape: posexplode chars -> one per-doc window (lag x8 for the
+    gear hash + a running boundary count) -> per-chunk aggregate. The
+    window sorts each doc's characters in one task: a whale document is
+    the sessionize/spans class (sort-bound, spill-safe, O(1) running
+    state) — see NOTES.md "Whale/flood taxonomy index".
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import FP_BASE, FP_MOD
+
+    codes = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.split(text_col, ""), F.ascii)).alias(
+            "__pos0", "__code"
+        ),
+    ).select(id_col, (F.col("__pos0") + 1).cast("bigint").alias("__pos"),
+             F.col("__code").cast("bigint").alias("__code"))
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    gear = None
+    for k, wt in enumerate(CDC_WEIGHTS):
+        term = F.lag("__code", k).over(w) * F.lit(wt)
+        gear = term if gear is None else gear + term
+    flagged = codes.withColumn(
+        "__cut",
+        (
+            (F.col("__pos") >= CDC_WINDOW) & (gear % divisor == 0)
+        ).cast("int"),
+    ).withColumn(
+        "__chunk",
+        F.coalesce(
+            F.sum("__cut").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        flagged.groupBy(id_col, F.col("__chunk").alias("chunk_idx"))
+        .agg(
+            F.min("__pos").alias("chunk_start"),
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__code"))
+                    ),
+                    lambda s: s["__code"],
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+            ).alias("chunk_hash"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk_start",
+            "chunk_len",
+            "chunk_hash",
+        )
+    )

@@ -489,6 +489,11 @@ QUERIES: dict[str, QueryDef] = {
                                      "same chunking through the Spark 4 "
                                      "Python UDTF API (LATERAL, Arrow) — "
                                      "two strategies, one oracle"),
+    "chunk_documents_cdc": QueryDef(q_chunk_documents_cdc, ORACLE_CHUNKS_CDC,
+                                    "content-defined chunking (gear "
+                                    "rolling hash): edit-stable chunk "
+                                    "boundaries + integer-exact chunk "
+                                    "fingerprints"),
     "text_top_tokens_by_lang": QueryDef(q_text_top_tokens_by_lang,
                                         ORACLE_TOP_TOKENS_BY_LANG,
                                         "grouped top-k tokens per lang"),

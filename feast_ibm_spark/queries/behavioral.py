@@ -601,6 +601,79 @@ FROM starts, unnest(idxs) AS u(i)
 """
 
 
+CDC_DIVISOR = 128
+
+
+def q_chunk_documents_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (basic CDC, gear rolling hash over an
+    8-char window): boundaries are a function of LOCAL text, so an edit
+    re-chunks only its neighborhood — the primitive for incremental
+    storage dedup and per-chunk artifact caching across document
+    revisions, where the fixed-window chunkers above invalidate every
+    chunk after an insert. Integer-exact hashes (no xxhash — DuckDB
+    cannot replicate it), so the oracle reproduces boundaries AND chunk
+    fingerprints bit-for-bit. Edit-stability and the Python-reference
+    equivalence are property-pinned in tests/test_north_star.py."""
+    from ..operators.sampling import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs, divisor=CDC_DIVISOR)
+
+
+def _cdc_gear_sql() -> str:
+    from ..operators.sampling import CDC_WEIGHTS
+
+    terms = ["{} * code".format(CDC_WEIGHTS[0])] + [
+        f"{w} * lag(code, {k}) OVER w" for k, w in enumerate(CDC_WEIGHTS)
+        if k > 0
+    ]
+    return " + ".join(terms)
+
+
+def _oracle_cdc() -> str:
+    from ..functions.text import FP_BASE, FP_MOD
+    from ..operators.sampling import CDC_WINDOW
+
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+  FROM documents WHERE length(text) > 0
+),
+codes AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST(unicode(text[pos:pos]) AS BIGINT) AS code
+  FROM pos
+),
+gear AS (
+  SELECT doc_id, pos, code,
+         CASE WHEN pos >= {CDC_WINDOW}
+              THEN ({_cdc_gear_sql()}) % {CDC_DIVISOR} = 0
+              ELSE FALSE END AS cut
+  FROM codes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+assigned AS (
+  SELECT doc_id, pos, code,
+         coalesce(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM gear
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       min(pos) AS chunk_start,
+       CAST(count(*) AS BIGINT) AS chunk_len,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list(code ORDER BY pos)),
+         (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS chunk_hash
+FROM assigned
+GROUP BY doc_id, chunk_idx
+"""
+
+
+ORACLE_CHUNKS_CDC = _oracle_cdc()
+
+
 def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME chunking semantics executed through the Spark 4 Python
     UDTF API (LATERAL table function, Arrow-batched) instead of Catalyst

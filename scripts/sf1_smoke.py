@@ -214,6 +214,7 @@ SMOKE_QUERIES = [
     "text_bigram_logprob_counts",
     "drift_psi_counts",
     "streaming_interval_join_anti",
+    "chunk_documents_cdc",
 ]
 
 

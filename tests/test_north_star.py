@@ -2564,3 +2564,93 @@ if _HAS_HYP_DEDUP:
             .collect()
         ]
         assert got == want
+
+
+if _HAS_HYP_DEDUP:
+
+    def _py_cdc_chunks(text, divisor):
+        """Python reference of cdc_chunks' documented contract."""
+        from feast_ibm_spark.operators.sampling import (
+            CDC_WEIGHTS,
+            CDC_WINDOW,
+        )
+
+        FP_BASE, FP_MOD = 31, 1_000_000_007
+        codes = [ord(c) for c in text]
+        n = len(codes)
+        cuts = [
+            pos for pos in range(CDC_WINDOW, n + 1)
+            if sum(CDC_WEIGHTS[k] * codes[pos - 1 - k]
+                   for k in range(CDC_WINDOW)) % divisor == 0
+        ]
+        out, start, idx = [], 1, 0
+        for b in cuts:
+            out.append((idx, start, b - start + 1))
+            idx += 1
+            start = b + 1
+        if start <= n:
+            out.append((idx, start, n - start + 1))
+        res = []
+        for idx, st, ln in out:
+            h = 0
+            for c in codes[st - 1: st - 1 + ln]:
+                h = (h * FP_BASE + c) % FP_MOD
+            res.append((idx, st, ln, h))
+        return res
+
+    @given(
+        texts=st_hyp.lists(
+            st_hyp.text(alphabet="abcdefgh ", min_size=0, max_size=120),
+            min_size=1,
+            max_size=6,
+        ),
+        divisor=st_hyp.sampled_from([8, 32]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cdc_chunks_property_matches_reference(spark, texts, divisor):
+        """cdc_chunks (posexplode + one doc window + per-chunk fold)
+        must reproduce the Python reference chunker exactly — indices,
+        offsets, lengths, and integer fingerprints — including docs
+        shorter than the hash window, empty docs (no chunks), and
+        boundary-at-last-char cases."""
+        from feast_ibm_spark.operators.sampling import cdc_chunks
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {}
+        for r in cdc_chunks(df, divisor=divisor).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_hash)
+            )
+        for d in got:
+            got[d].sort()
+        want = {
+            d: _py_cdc_chunks(t, divisor)
+            for d, t in enumerate(texts) if t
+        }
+        assert got == want
+
+    def test_cdc_chunks_edit_stability(spark):
+        """The CDC property itself: a one-character insert mid-document
+        leaves every chunk outside the edit neighborhood byte-identical
+        (fingerprints survive), which fixed-size chunking cannot do."""
+        import random
+
+        from feast_ibm_spark.operators.sampling import cdc_chunks
+
+        rng = random.Random(7)
+        base = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+        edited = base[:1000] + "Z" + base[1000:]
+        df = spark.createDataFrame(
+            [(0, base), (1, edited)], "doc_id long, text string"
+        )
+        rows = cdc_chunks(df, divisor=64).collect()
+        h0 = {r.chunk_hash for r in rows if r.doc_id == 0}
+        h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+        assert len(h0 & h1) >= len(h0) - 3  # only the edited neighborhood re-chunks
+        assert h0 != h1  # and the edit IS visible

@@ -108,6 +108,9 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "streaming_interval_join_anti",  # 16th drained class, registered
                                      # after the r9 gate froze; full
                                      # 3-scale oracle pin from day one
+    "chunk_documents_cdc",           # content-defined chunking (gear
+                                     # rolling hash); 3-scale pins +
+                                     # property nets from day one
 })
 
 
@@ -181,6 +184,7 @@ _EXCLUDED_WITH_ORACLE = [
     "attribution_last_touch",
     "chunk_and_pack",
     "chunk_documents_udtf",
+    "chunk_documents_cdc",
     "cluster_representatives_lsh",
     "compliance_erasure_audit",
     "copurchase_pairs",
