@@ -467,6 +467,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_ZORDER_ROUNDTRIP,
                                         "Z-order clustered write, "
                                         "content-preserving round-trip"),
+    "layout_hilbert_roundtrip": QueryDef(q_layout_hilbert_roundtrip,
+                                         ORACLE_HILBERT_ROUNDTRIP,
+                                         "Hilbert-clustered write (continuous "
+                                         "curve, tighter file envelopes), "
+                                         "content-preserving round-trip"),
     "streaming_latest": QueryDef(q_streaming_latest, ORACLE_STREAM_LATEST,
                                  "drained streaming latest-per-key "
                                  "(max_by state) vs batch oracle"),

@@ -164,6 +164,45 @@ FROM events GROUP BY event_type
 """
 
 
+def q_layout_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered sibling of the Z-order round-trip: the same
+    events copy clustered by the CONTINUOUS space-filling curve (tighter
+    per-file envelopes than Morton — measured 5-vs-8 overlapping files
+    on the 2-d box, tests/test_plans.py::test_hilbert_layout_prunes_
+    tighter_than_morton), written once to tmp, read back, aggregated —
+    pinning that the curve rewrite is content-preserving."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.layout import quantize_col, write_hilbert_clustered
+    from ..sources.reader import read_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_hilbert_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", _cents("value").alias("cents")
+        )
+        write_hilbert_clustered(
+            ev, dest,
+            "user_id", quantize_col(F.col("cents"), 0, 50000, 8),
+            bits=8, n_files=8,
+        )
+    back = read_parquet(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+# content-preservation oracle: identical to the Z-order one by design —
+# both layouts must return exactly the source table's aggregate profile
+ORACLE_HILBERT_ROUNDTRIP = ORACLE_ZORDER_ROUNDTRIP
+
+
 def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data shape: documents chunked into 64-token
     windows (8 overlap), then the chunks packed into 512-token training

@@ -111,6 +111,9 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "chunk_documents_cdc",           # content-defined chunking (gear
                                      # rolling hash); 3-scale pins +
                                      # property nets from day one
+    "layout_hilbert_roundtrip",      # Hilbert-clustered write layout;
+                                     # 3-scale pins + bit-exactness and
+                                     # pruning plan tests from day one
 })
 
 
@@ -247,6 +250,7 @@ _EXCLUDED_WITH_ORACLE = [
     "knn_ivfpq",
     "knn_pq",
     "layout_compaction_roundtrip",
+    "layout_hilbert_roundtrip",
     "market_basket_rules",
     "materialize_agg_incremental",
     "materialize_incremental",
