@@ -1,0 +1,122 @@
+"""Privacy-risk audit over quasi-identifiers: k-anonymity and
+l-diversity censuses, plus small-class suppression (north-star
+extension; no reference counterpart — the privacy review step a
+training-data pipeline runs before releasing or training on
+user-derived tables).
+
+Concepts (public literature): a QUASI-IDENTIFIER (QI) is a column set
+that does not name a person outright but whose value combination can —
+(zip, birthdate, sex) famously re-identifies most of a census. A table
+is k-ANONYMOUS when every QI equivalence class holds at least k rows
+(Sweeney 2002), and l-DIVERSE when every class also spans at least l
+distinct values of a sensitive attribute (Machanavajjhala et al. 2006)
+— k-anonymity alone fails when a class is large but every row shares
+the same sensitive value.
+
+Everything here is two-level hash aggregation — the canonical Spark
+shape that scales flat: groupBy(QI) runs with map-side partial
+aggregation (class counts combine before the shuffle), and the census
+re-aggregation is over at most #classes rows. No windows, no joins in
+the censuses; NULL QI values form their own class, exactly like SQL
+``GROUP BY`` — which is what makes the DuckDB oracle parity exact.
+
+Suppression (the enforcement op) is groupBy + join-back rather than a
+``count() OVER (PARTITION BY qi)`` window: the window formulation
+sorts and materializes every QI partition (a whale class becomes a
+whale sort task — the hazard class NOTES' taxonomy table documents for
+full windows), while the agg side of the join is #classes rows and the
+probe side streams, with AQE free to pick broadcast or skew-split at
+runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _qi(qi_cols: list[str | Column]) -> list[Column]:
+    if not qi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+
+
+def k_anonymity_census(
+    df: DataFrame, qi_cols: list[str | Column]
+) -> DataFrame:
+    """Equivalence-class size census over the QI columns.
+
+    Output: ``class_size, n_classes, n_records`` — one row per distinct
+    class size. ``min(class_size)`` is the table's k; the n_records
+    column says how many actual rows sit in classes of each size (the
+    re-identification exposure is the records in SMALL classes, not the
+    class count).
+    """
+    classes = df.groupBy(*_qi(qi_cols)).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        (F.count(F.lit(1)) * F.col("class_size")).alias("n_records"),
+    )
+
+
+def l_diversity_census(
+    df: DataFrame, qi_cols: list[str | Column], sensitive: str | Column
+) -> DataFrame:
+    """Distinct-sensitive-value census per QI class.
+
+    Output: ``l, n_classes`` — one row per distinct diversity level;
+    ``min(l)`` is the table's l. A single exact ``count_distinct``
+    keeps the plan a plain two-phase partial aggregate (no Expand —
+    that only appears with MULTIPLE distinct aggregates, see
+    profile_columns' scale note).
+    """
+    s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    classes = df.groupBy(*_qi(qi_cols)).agg(
+        F.count_distinct(s).alias("l")
+    )
+    return classes.groupBy("l").agg(F.count(F.lit(1)).alias("n_classes"))
+
+
+def suppress_small_classes(
+    df: DataFrame, qi_cols: list[str | Column], k: int
+) -> DataFrame:
+    """Drop every row whose QI equivalence class holds fewer than ``k``
+    rows — the suppression step that makes the remainder k-anonymous by
+    construction. Returns ``df``'s rows (original schema) restricted to
+    classes of size >= k.
+
+    Join-back, not a window: see the module docstring. The kept-class
+    set is aggregated (one row per surviving class), so the join's
+    build side is bounded by the number of DISTINCT surviving QI
+    combinations regardless of row count; AQE converts to broadcast
+    when that set is small and skew-splits a whale class when it is
+    not. NULL-valued QI rows group into their own class (SQL GROUP BY
+    semantics) but are then dropped by the null-safe-less join ONLY if
+    the join keys mismatch — we join with null-safe equality (``<=>``)
+    so a NULL class of size >= k survives like any other.
+    """
+    if k < 1:
+        raise ValueError(f"k={k}: need k >= 1")
+    # materialize expression QIs once so the census and the join-back
+    # key on the identical value (string names pass through untouched)
+    tagged, names = df, []
+    for i, c in enumerate(qi_cols):
+        if isinstance(c, str):
+            names.append(c)
+        else:
+            tmp = f"__qi_{i}"
+            tagged = tagged.withColumn(tmp, c)
+            names.append(tmp)
+    kept = (
+        tagged.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select(*[F.col(n).alias(f"__kept_{i}") for i, n in enumerate(names)])
+    )
+    cond = None
+    for i, n in enumerate(names):
+        c = tagged[n].eqNullSafe(kept[f"__kept_{i}"])
+        cond = c if cond is None else cond & c
+    return tagged.join(kept, cond, "left_semi").select(*df.columns)

@@ -472,6 +472,18 @@ QUERIES: dict[str, QueryDef] = {
                                          "Hilbert-clustered write (continuous "
                                          "curve, tighter file envelopes), "
                                          "content-preserving round-trip"),
+    "privacy_k_anonymity": QueryDef(q_privacy_k_anonymity,
+                                    ORACLE_PRIVACY_K_ANONYMITY,
+                                    "k-anonymity equivalence-class census "
+                                    "over a quasi-identifier set"),
+    "privacy_l_diversity": QueryDef(q_privacy_l_diversity,
+                                    ORACLE_PRIVACY_L_DIVERSITY,
+                                    "l-diversity census (distinct sensitive "
+                                    "values per QI class)"),
+    "privacy_suppression": QueryDef(q_privacy_suppression,
+                                    ORACLE_PRIVACY_SUPPRESSION,
+                                    "small-class suppression (semi-join "
+                                    "enforcement) vs window/QUALIFY oracle"),
     "streaming_latest": QueryDef(q_streaming_latest, ORACLE_STREAM_LATEST,
                                  "drained streaming latest-per-key "
                                  "(max_by state) vs batch oracle"),

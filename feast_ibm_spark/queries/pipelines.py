@@ -203,6 +203,102 @@ def q_layout_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HILBERT_ROUNDTRIP = ORACLE_ZORDER_ROUNDTRIP
 
 
+# quasi-identifier set shared by the three privacy queries: nation x
+# market segment x $1000 balance band (floor over the same IEEE double
+# both engines read from parquet, so the band edges agree bit-exactly)
+_PRIVACY_QI_SQL = ("c_nationkey, c_mktsegment, "
+                   "CAST(floor(c_acctbal / 1000.0) AS BIGINT)")
+
+
+def _privacy_qi():
+    return [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+    ]
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census of customer under the (nation, segment,
+    balance-band) quasi-identifier: how many equivalence classes exist
+    at each size, and how many records sit in them. min(class_size) is
+    the table's k; the exposure is the records in the small classes.
+    Two-level hash aggregate — map-side combine, no joins, no windows."""
+    from ..operators.privacy import k_anonymity_census
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_census(cust, _privacy_qi())
+
+
+ORACLE_PRIVACY_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT COUNT(*) AS class_size
+  FROM customer
+  GROUP BY {_PRIVACY_QI_SQL}
+)
+SELECT class_size, COUNT(*) AS n_classes,
+       class_size * COUNT(*) AS n_records
+FROM classes GROUP BY class_size
+"""
+
+
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census of events under the (event_type, hour-of-day)
+    quasi-identifier with user_id as the sensitive attribute: per QI
+    class, how many DISTINCT users could the row belong to — the
+    k-anonymity blind spot (a big class with one user is still a
+    re-identification). Single exact count_distinct per class keeps the
+    plan a two-phase partial aggregate (no Expand)."""
+    from ..operators.privacy import l_diversity_census
+
+    ev = _t(spark, sf_dir, "events")
+    return l_diversity_census(
+        ev, [F.col("event_type"), F.hour("ts")], "user_id"
+    )
+
+
+ORACLE_PRIVACY_L_DIVERSITY = """
+WITH classes AS (
+  SELECT COUNT(DISTINCT user_id) AS l
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT l, COUNT(*) AS n_classes FROM classes GROUP BY l
+"""
+
+
+def q_privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression enforcement: drop customer rows whose QI class holds
+    fewer than 2 records (the remainder is 2-anonymous by construction
+    — k=2 keeps the pin non-vacuous even at sf0.001's 150 customers),
+    then summarize the survivors per segment. The Spark side is the
+    groupBy + semi-join-back shape (whale-class-safe — see the privacy
+    module docstring); the oracle is the window/QUALIFY formulation —
+    two independent formulations of the same semantics."""
+    from ..operators.privacy import suppress_small_classes
+
+    cust = _t(spark, sf_dir, "customer")
+    kept = suppress_small_classes(cust, _privacy_qi(), k=2)
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(_cents("c_acctbal")).alias("sum_bal_cents"),
+        F.min("c_custkey").alias("min_cust"),
+        F.max("c_custkey").alias("max_cust"),
+    )
+
+
+ORACLE_PRIVACY_SUPPRESSION = f"""
+WITH kept AS (
+  SELECT * FROM customer
+  QUALIFY COUNT(*) OVER (PARTITION BY {_PRIVACY_QI_SQL}) >= 2
+)
+SELECT c_mktsegment, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_bal_cents,
+       MIN(c_custkey) AS min_cust, MAX(c_custkey) AS max_cust
+FROM kept GROUP BY c_mktsegment
+"""
+
+
 def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data shape: documents chunked into 64-token
     windows (8 overlap), then the chunks packed into 512-token training

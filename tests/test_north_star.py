@@ -2654,3 +2654,139 @@ if _HAS_HYP_DEDUP:
         h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
         assert len(h0 & h1) >= len(h0) - 3  # only the edited neighborhood re-chunks
         assert h0 != h1  # and the edit IS visible
+
+
+# ---------------------------------------------------------------------------
+# privacy-audit family: k-anonymity / l-diversity censuses + suppression
+# ---------------------------------------------------------------------------
+
+
+def test_privacy_crafted_semantics(spark):
+    """Deterministic pin of the privacy operators' edge semantics:
+    NULL QI values form their own equivalence class (SQL GROUP BY
+    semantics — what makes the DuckDB oracle parity exact), suppression
+    keeps a NULL class that reaches k (null-safe join keys), expression
+    QIs work, the output schema is the input's, and k is guarded."""
+    import pytest
+
+    from feast_ibm_spark.operators.privacy import (
+        k_anonymity_census,
+        l_diversity_census,
+        suppress_small_classes,
+    )
+
+    rows = [
+        # (zip, age, disease) — zip=None twice: the NULL class has size 2
+        ("10001", 30, "flu"),
+        ("10001", 30, "flu"),
+        ("10001", 30, "cold"),
+        ("10002", 40, "flu"),
+        (None, 50, "cold"),
+        (None, 50, "cold"),
+    ]
+    df = spark.createDataFrame(rows, "zip string, age int, disease string")
+
+    cen = {r.class_size: (r.n_classes, r.n_records)
+           for r in k_anonymity_census(df, ["zip", "age"]).collect()}
+    # classes: (10001,30)x3, (10002,40)x1, (NULL,50)x2
+    assert cen == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+
+    ldiv = {r.l: r.n_classes
+            for r in l_diversity_census(df, ["zip", "age"], "disease").collect()}
+    # (10001,30) spans {flu,cold} -> l=2; the other two classes l=1
+    assert ldiv == {2: (1), 1: 2}
+
+    kept = suppress_small_classes(df, ["zip", "age"], k=2)
+    assert kept.columns == df.columns
+    got = sorted(((r.zip, r.age) for r in kept.collect()),
+                 key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+    # the singleton (10002,40) is suppressed; the NULL class SURVIVES
+    assert got == [(None, 50), (None, 50),
+                   ("10001", 30), ("10001", 30), ("10001", 30)]
+
+    # expression QI: band ages into decades -> all six rows form 3 classes
+    from pyspark.sql import functions as F
+
+    cen2 = {r.class_size: r.n_classes
+            for r in k_anonymity_census(
+                df, [F.floor(F.col("age") / 10)]).collect()}
+    assert cen2 == {3: 1, 1: 1, 2: 1}
+
+    with pytest.raises(ValueError):
+        suppress_small_classes(df, ["zip"], k=0)
+    with pytest.raises(ValueError):
+        k_anonymity_census(df, [])
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st_priv
+
+    _HAS_HYP_PRIV = True
+except Exception:  # pragma: no cover
+    _HAS_HYP_PRIV = False
+
+
+if _HAS_HYP_PRIV:
+
+    @given(
+        rows=st_priv.lists(
+            st_priv.tuples(
+                st_priv.one_of(st_priv.none(), st_priv.integers(0, 3)),
+                st_priv.integers(0, 2),
+                st_priv.integers(0, 4),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        k=st_priv.integers(1, 4),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_privacy_property_matches_python(spark, rows, k):
+        """All three privacy operators vs a collections.Counter replay
+        on random tiny tables (None QI values included on purpose: the
+        Python reference groups None like any key, matching SQL GROUP
+        BY and the null-safe suppression join)."""
+        from collections import Counter
+
+        from feast_ibm_spark.operators.privacy import (
+            k_anonymity_census,
+            l_diversity_census,
+            suppress_small_classes,
+        )
+
+        df = spark.createDataFrame(rows, "a int, b int, s int")
+
+        sizes = Counter((a, b) for a, b, _ in rows)
+        want_census = Counter(sizes.values())
+        got_census = {r.class_size: r.n_classes
+                      for r in k_anonymity_census(df, ["a", "b"]).collect()}
+        assert got_census == dict(want_census)
+        got_records = {r.class_size: r.n_records
+                       for r in k_anonymity_census(df, ["a", "b"]).collect()}
+        assert got_records == {
+            cs: cs * n for cs, n in want_census.items()
+        }
+
+        ls = Counter()
+        by_class = {}
+        for a, b, s in rows:
+            by_class.setdefault((a, b), set()).add(s)
+        for vals in by_class.values():
+            ls[len(vals)] += 1
+        got_l = {r.l: r.n_classes
+                 for r in l_diversity_census(df, ["a", "b"], "s").collect()}
+        assert got_l == dict(ls)
+
+        want_kept = sorted(
+            [(a, b, s) for a, b, s in rows if sizes[(a, b)] >= k],
+            key=lambda t: (t[0] is not None, t))
+        got_kept = sorted(
+            ((r.a, r.b, r.s) for r in
+             suppress_small_classes(df, ["a", "b"], k).collect()),
+            key=lambda t: (t[0] is not None, t))
+        assert got_kept == want_kept

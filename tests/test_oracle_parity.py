@@ -114,6 +114,10 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "layout_hilbert_roundtrip",      # Hilbert-clustered write layout;
                                      # 3-scale pins + bit-exactness and
                                      # pruning plan tests from day one
+    "privacy_k_anonymity",           # privacy-audit family (k-anon /
+    "privacy_l_diversity",           # l-diversity censuses + small-
+    "privacy_suppression",           # class suppression); 3-scale pins
+                                     # + north-star unit tests day one
 })
 
 
@@ -273,6 +277,9 @@ _EXCLUDED_WITH_ORACLE = [
     "pit_join_partitioned",
     "pit_join_ttl",
     "pivot_event_counts",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_suppression",
     "profile_columns",
     "pull_all_query_source",
     "pull_all_time_range",
