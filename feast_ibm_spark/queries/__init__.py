@@ -484,6 +484,13 @@ QUERIES: dict[str, QueryDef] = {
                                     ORACLE_PRIVACY_SUPPRESSION,
                                     "small-class suppression (semi-join "
                                     "enforcement) vs window/QUALIFY oracle"),
+    "skyline_pareto": QueryDef(q_skyline_pareto, ORACLE_SKYLINE_PARETO,
+                               "Pareto frontier via monotone running-max "
+                               "decomposition vs NOT EXISTS oracle"),
+    "skyline_pareto_bucketed": QueryDef(q_skyline_pareto_bucketed,
+                                        ORACLE_SKYLINE_PARETO,
+                                        "Pareto frontier, two-level bucketed "
+                                        "tier (no unpartitioned window)"),
     "streaming_latest": QueryDef(q_streaming_latest, ORACLE_STREAM_LATEST,
                                  "drained streaming latest-per-key "
                                  "(max_by state) vs batch oracle"),

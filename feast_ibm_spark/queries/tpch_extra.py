@@ -923,3 +923,48 @@ s0 AS MATERIALIZED (
 {_wpr_round('s2', 's3')}
 SELECT node AS part, score AS score_scaled FROM s3
 """
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): best price-for-size trade-offs in part.
+# Spark side is the monotone linear decomposition (operators/skyline.py);
+# the oracle keeps the textbook quadratic NOT EXISTS as the independent
+# formulation. Two strategies, one oracle.
+# --------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (minimize retail price, maximize size) frontier —
+    global_window tier: groupBy collapses to distinct prices, one
+    running-max window, broadcast chain join-back. Exact ties all
+    survive (duplicate prices exist from sf0.01 up)."""
+    from ..operators.skyline import pareto_frontier_2d
+
+    part = _t(spark, sf_dir, "part")
+    out = pareto_frontier_2d(part, "p_retailprice", "p_size",
+                             strategy="global_window")
+    return out.select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+def q_skyline_pareto_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same frontier via the bucketed tier (no unpartitioned window
+    anywhere: per-bucket maxima -> driver prefix array -> per-bucket
+    windows) — the 100 TB shape, pinned to the identical oracle."""
+    from ..operators.skyline import pareto_frontier_2d
+
+    part = _t(spark, sf_dir, "part")
+    out = pareto_frontier_2d(part, "p_retailprice", "p_size",
+                             strategy="bucketed", n_buckets=64)
+    return out.select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+ORACLE_SKYLINE_PARETO = """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part p
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+"""

@@ -2790,3 +2790,47 @@ if _HAS_HYP_PRIV:
              suppress_small_classes(df, ["a", "b"], k).collect()),
             key=lambda t: (t[0] is not None, t))
         assert got_kept == want_kept
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): both tiers vs quadratic brute force
+# ---------------------------------------------------------------------------
+
+
+if _HAS_HYP_PRIV:
+
+    @given(
+        rows=st_priv.lists(
+            st_priv.tuples(
+                st_priv.integers(0, 9),   # minimize (small domain: ties!)
+                st_priv.integers(0, 6),   # maximize
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_pareto_frontier_property_matches_brute_force(spark, rows):
+        """Both skyline tiers vs the O(n^2) dominance definition on
+        random small tables — tiny domains on purpose so duplicate
+        minimize values and exact (p, s) ties are exercised (exact
+        ties never dominate each other: all must survive)."""
+        from feast_ibm_spark.operators.skyline import pareto_frontier_2d
+
+        data = [(i, float(p), s) for i, (p, s) in enumerate(rows)]
+        brute = {
+            i for i, p, s in data
+            if not any(
+                q <= p and t >= s and (q < p or t > s) for _, q, t in data
+            )
+        }
+        df = spark.createDataFrame(data, "id long, p double, s int")
+        for strat in ("global_window", "bucketed"):
+            got = {r.id for r in
+                   pareto_frontier_2d(df, "p", "s", strat,
+                                      n_buckets=4).collect()}
+            assert got == brute, (strat, sorted(got), sorted(brute))

@@ -118,6 +118,9 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "privacy_l_diversity",           # l-diversity censuses + small-
     "privacy_suppression",           # class suppression); 3-scale pins
                                      # + north-star unit tests day one
+    "skyline_pareto",                # Pareto frontier, window tier +
+    "skyline_pareto_bucketed",       # bucketed tier vs one NOT EXISTS
+                                     # oracle; property net day one
 })
 
 
@@ -304,6 +307,8 @@ _EXCLUDED_WITH_ORACLE = [
     "sessionize_bounce_rate",
     "sessionize_dynamic_gap",
     "sink_python_roundtrip",
+    "skyline_pareto",
+    "skyline_pareto_bucketed",
     "snapshot_diff",
     "split_train_val_test",
     "streaming_cdc_merge",

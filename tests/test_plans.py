@@ -1019,3 +1019,30 @@ def test_frequency_cap_anti_join_broadcasts_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skyline_bucketed_avoids_single_partition_window(spark, sf_dir):
+    """The skyline tiers' scale contract: the global_window tier pays
+    exactly one Exchange SinglePartition (the running-max window over
+    the distinct-price frame — the documented sessionize-class sort),
+    and the bucketed tier pays NONE (per-bucket maxima + driver prefix
+    array + bucket-partitioned windows), while both return the same
+    frontier (pinned by the shared oracle and the property net)."""
+    from feast_ibm_spark.operators.skyline import pareto_frontier_2d
+    from feast_ibm_spark.sources.reader import load_table
+
+    part = load_table(spark, sf_dir, "part")
+
+    def n_single(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange SinglePartition")
+
+    gw = pareto_frontier_2d(part, "p_retailprice", "p_size",
+                            strategy="global_window")
+    bu = pareto_frontier_2d(part, "p_retailprice", "p_size",
+                            strategy="bucketed", n_buckets=64)
+    assert n_single(gw) == 1, gw._jdf.queryExecution().executedPlan().toString()
+    assert n_single(bu) == 0, bu._jdf.queryExecution().executedPlan().toString()
+    # and the two tiers agree on the actual data
+    assert sorted(r.p_partkey for r in gw.collect()) == \
+        sorted(r.p_partkey for r in bu.collect())
