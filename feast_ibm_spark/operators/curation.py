@@ -169,6 +169,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_substr_min_len: int | None = None,
+    persist_survivors: bool = False,
 ) -> DataFrame:
     """Returns surviving ``(id, n_tokens, quality_score)`` rows after
     exact dedup, the quality floor, and near-dup pruning (the LOWER id of
@@ -186,7 +187,19 @@ def curate_corpus(
     (post-cut text is what survives to training). Documents whose text
     is entirely duplicated elsewhere (e.g. a short doc fully quoted in
     a longer one — the containment shape) cut to empty and are DROPPED:
-    they carry zero novel text. None (default) skips the stage."""
+    they carry zero novel text. None (default) skips the stage.
+
+    ``persist_survivors`` caches the post-dedup post-floor frame before
+    the near-dup stage. The survivors subplan (scan + exact-dedup
+    shuffle + quality scoring) is referenced FOUR times in the final
+    plan (anti-join left side, signature pass, and both verify text
+    fetches) and Spark 4.1 reuses none of them (r9 audit: zero Reused*
+    nodes in the executed plan), so without the cache it executes 4x.
+    Measured at sf0.1 the recompute is cheap enough that caching is
+    parity (interleaved A/B medians 2.30s vs 2.23s, NOTES.md), so the
+    default stays False — flip it when the input corpus is large enough
+    that scanning + dedup-shuffling it four times dominates (the cache
+    is MEMORY_AND_DISK and lives until the session drops it)."""
     if tier not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown tier: {tier}")
     if tier == "auto":
@@ -209,6 +222,10 @@ def curate_corpus(
         .withColumn("quality_score", s.quality_score)
         .filter(F.col("quality_score") >= quality_floor)
     )
+    if persist_survivors:
+        from pyspark.storagelevel import StorageLevel
+
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     if tier == "exact":
         pairs = ngram_jaccard_pairs(
             survivors, n=ngram_n, threshold=jaccard_threshold

@@ -586,14 +586,20 @@ def minhash_lsh_pairs(
     The candidate-generation hash (crc32) need not match any oracle — only
     verified Jaccard values are emitted.
 
-    ``persist`` (default OFF since round 4 — measured): the bucket
-    self-join's two branches are canonically identical, so AQE's exchange
-    reuse runs the signature UDF pass ONCE per query (verified: the final
-    adaptive plan carries a ReusedExchange/QueryStage). Persisting
-    instead costs an eager count barrier + cache write and leaks the
-    cached index past the call (cold first run 9.5s->1.1s at sf0.1 with
-    persist off, NOTES.md). ``persist=True`` remains for
-    nondeterministic upstreams where recompute would change signatures.
+    ``persist`` (default OFF since round 4 — measured then, re-audited
+    round 9): on the DEFAULT guarded path (``max_bucket_size`` set) the
+    signature UDF feeds ONE groupBy — no self-join, nothing to reuse,
+    one signature pass by construction, so persisting buys nothing and
+    costs an eager count barrier + cache write that leaks past the call
+    (r4 datapoint: cold first run 9.5s->1.1s at sf0.1 with persist
+    off). CAVEAT found in the r9 re-audit: the r4 claim that AQE
+    exchange reuse deduplicates the UNGUARDED self-join's two signature
+    branches no longer holds on Spark 4.1 (final plan carries zero
+    Reused* nodes; the band UDF node appears twice) — with
+    ``max_bucket_size=None`` the signature pass genuinely runs twice,
+    so flip ``persist=True`` if you disable the guard on an expensive
+    upstream. ``persist=True`` also remains for nondeterministic
+    upstreams where recompute would change signatures.
 
     At 100 TB: the bucket-join key (band, signature) is high-cardinality
     and uniform for organic text, so the shuffle is balanced — but a
