@@ -402,6 +402,28 @@ SHOWCASE: list[tuple[str, str]] = [
         "swapping the toy head for broadcast trained weights changes no plan\n"
         "property.",
     ),
+    (
+        "skyline_pareto_bucketed",
+        "The dominance self-join is O(n^2); this plan has NO join on the\n"
+        "data path at all. groupBy(minimize) collapses the input with\n"
+        "map-side combine, per-bucket maxima feed a bounded driver collect\n"
+        "(<= n_buckets rows — the ANN-seed pattern), the prefix maxima ride\n"
+        "back as an array literal, and the running max is a window\n"
+        "PARTITIONED by bucket: zero `Exchange SinglePartition` anywhere\n"
+        "(plan-pinned; the global_window twin pays exactly one). The\n"
+        "surviving chain is monotone — tiny by nature — so the join back to\n"
+        "full rows is an explicit broadcast.",
+    ),
+    (
+        "privacy_suppression",
+        "Suppression as aggregate + null-safe LEFT SEMI join-back, not\n"
+        "`count() OVER (PARTITION BY qi)`: the window form sorts and\n"
+        "materializes every QI partition (a whale class = a whale sort\n"
+        "task), while here the build side is one row per SURVIVING class\n"
+        "and AQE picks broadcast or skew-split at runtime. The censuses\n"
+        "behind the k threshold are pure two-level hash aggregates —\n"
+        "map-side partial combine, nothing wide anywhere.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
