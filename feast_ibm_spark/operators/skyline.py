@@ -28,7 +28,15 @@ over all strictly cheaper prices`` (the running max).
   precomputed driver-side into an array literal, and the within-bucket
   running max a window PARTITIONED by bucket. No unpartitioned window
   anywhere; parallelism B-way. Identical output (pinned by the shared
-  oracle and a property net).
+  oracle and a property net). The trade, measured
+  (scripts/skyline_whale.py, all-distinct minimize values, 3g heap):
+  bucketed pays two extra full-input passes (bounds + bucket maxima),
+  so BELOW the whale threshold global_window wins (1M rows: 5.6s vs
+  17.4s); at 20M rows the unpartitioned sort is the straggler (worst
+  task 18-26s ~= 80% of wall, 0.94 GB single-task spill) and bucketed
+  wins 17s vs 23-33s with a flat 3.5s/0.05 GB worst task. Pick
+  global_window for post-aggregate frames, bucketed when |distinct
+  minimize| is itself whale-scale.
 
 Either way the surviving frontier is a monotone chain — small by
 nature — so the join back to the full-width input rows is an explicit
