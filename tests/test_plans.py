@@ -1046,3 +1046,59 @@ def test_skyline_bucketed_avoids_single_partition_window(spark, sf_dir):
     # and the two tiers agree on the actual data
     assert sorted(r.p_partkey for r in gw.collect()) == \
         sorted(r.p_partkey for r in bu.collect())
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB lever for
+    selective shuffle joins (the filtered dim's keys ride to the fact
+    scan as a bloom `might_contain`, killing non-matching rows BEFORE
+    the shuffle). Spark gates injection on a 10 GB application-side
+    scan (correctly invisible at test scale — pinned), so this test
+    lowers the thresholds to pin the MECHANISM: the optimized plan
+    carries bloom_filter_agg + might_contain, and results are
+    bit-identical with the filter on and off."""
+    from feast_ibm_spark.sources.reader import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+
+    def agg():
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        return j.groupBy().agg(F.sum("l_quantity").alias("q"))
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        # force a shuffle join (broadcast joins don't need the bloom)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        baseline = agg()
+        base_plan = baseline._jdf.queryExecution().optimizedPlan().toString()
+        # at test scale the 10 GB application-side gate keeps it OFF
+        assert "might_contain" not in base_plan
+        base_rows = baseline.collect()
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB")
+        filtered = agg()
+        plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert filtered.collect() == base_rows
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
