@@ -618,6 +618,11 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_STREAM_INTERVAL_JOIN_ANTI,
         "LEFT ANTI stream-stream interval join via outer + null-filter "
         "(orphan/timeout detection — 16th drained class)"),
+    "streaming_join_then_window": QueryDef(
+        q_streaming_join_then_window,
+        ORACLE_STREAM_JOIN_THEN_WINDOW,
+        "CHAINED stateful ops: stream-stream interval join feeding a "
+        "windowed aggregation in one query (17th drained class)"),
     "streaming_session_window": QueryDef(q_streaming_session_window,
                                          ORACLE_SESSIONIZE,
                                          "NATIVE streaming session_window "

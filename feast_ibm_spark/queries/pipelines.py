@@ -2055,6 +2055,79 @@ WHERE c.event_type = 'click'
 """
 
 
+def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — the Spark
+    3.5+/4.x capability the other 16 drained classes don't exercise: a
+    stream-stream interval join (clicks within 30 min before each
+    purchase) feeding a tumbling-window aggregation (hourly pair counts
+    + cent sums per user) in the SAME query, two state stores deep.
+    Complete mode is unsupported downstream of a stream-stream join, so
+    the drain runs APPEND, which only emits a window once the watermark
+    passes it — the shared far-future sentinel fixture (max(ts) + 3 h in
+    both roles) pushes the final watermark past every real window.
+    Window width is load-bearing for the bounded drain: after the join
+    the effective watermark is sentinel - 1 h delay - 30 min interval
+    slack = max(ts) + 1.5 h, so HOURLY windows (last real window end <=
+    max(ts) + 1 h) all flush; daily windows would strand the final day.
+    A live deployment needs neither sentinel nor the width constraint —
+    the next real event advances the watermark."""
+    import tempfile
+    import uuid
+
+    from ..streaming.interval_join import streaming_interval_join
+    from ..streaming.run import drain_available_now
+
+    configure_runtime(spark)
+    src = _events_sentinel_path(spark, sf_dir)
+    schema = "user_id bigint, ts timestamp, event_type string, cents bigint"
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("cents").alias("__c"),
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, ["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+    )
+    agg = (
+        joined.groupBy(
+            F.window("purchase_ts", "1 hour").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("__c").alias("__s"))
+    )
+    sink = f"stream_jtw_{uuid.uuid4().hex[:8]}"
+    out = drain_available_now(
+        agg, sink, checkpoint_dir=tempfile.mkdtemp(prefix="fis_ckpt_")
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        F.col("win.start").alias("window_start"),
+        "user_id",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("__s").cast("bigint").alias("sum_cents"),
+    )
+
+
+ORACLE_STREAM_JOIN_THEN_WINDOW = """
+WITH pairs AS (
+  SELECT p.user_id, p.ts AS purchase_ts,
+         CAST(round(p.value * 100) AS BIGINT) AS cents
+  FROM events p
+  JOIN events c
+    ON p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+)
+SELECT CAST(date_trunc('hour', purchase_ts) AS TIMESTAMP) AS window_start,
+       user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def q_streaming_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI stream-stream interval join — the 15th drained
     streaming class and the EXISTS twin of the outer join above: clicks

@@ -121,6 +121,8 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "skyline_pareto",                # Pareto frontier, window tier +
     "skyline_pareto_bucketed",       # bucketed tier vs one NOT EXISTS
                                      # oracle; property net day one
+    "streaming_join_then_window",    # 17th drained class: chained
+                                     # stateful ops (join -> window agg)
 })
 
 
@@ -318,6 +320,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_interval_join",
     "streaming_interval_join_anti",
     "streaming_interval_join_outer",
+    "streaming_join_then_window",
     "streaming_interval_join_semi",
     "streaming_latest",
     "streaming_pit_join",

@@ -631,3 +631,75 @@ def test_streaming_interval_join_left_semi_exactly_once(spark):
         (1, TS(2024, 1, 1, 10, 0)),
         (2, TS(2024, 1, 1, 10, 0)),
     ]
+
+
+def test_chained_join_then_window_runs_two_stateful_operators(
+    spark, tmp_path_factory
+):
+    """The 17th drained class is CHAINED stateful execution: a
+    stream-stream interval join feeding a windowed aggregation in one
+    query. Pins (a) exact values on a crafted fixture incl. a sentinel
+    that flushes the final window, and (b) that the executed query
+    really carried TWO state stores (stateOperators in the progress
+    event: symmetricHashJoin + stateStoreSave), not a collapsed plan."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("jtw"))
+    # clicks at 10:00 and 10:05; purchases at 10:10 (user 1) and 10:40
+    # (user 1 — only the 10:05.. wait, 30 min window: both clicks match
+    # 10:10; only 10:05+30min=10:35 < 10:40 so neither matches 10:40...
+    # plus far-future sentinel rows (user -1) in both roles
+    left = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0)),
+            (1, TS(2024, 1, 1, 10, 5)),
+            (-1, TS(2024, 1, 2, 10, 0)),
+        ],
+        "user_id bigint, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 10), 100),
+            (1, TS(2024, 1, 1, 10, 40), 900),
+            (-1, TS(2024, 1, 2, 10, 0), 0),
+        ],
+        "user_id bigint, purchase_ts timestamp, cents bigint",
+    )
+    left.coalesce(1).write.parquet(os.path.join(d, "l"))
+    right.coalesce(1).write.parquet(os.path.join(d, "r"))
+    ls = spark.readStream.schema(left.schema).parquet(os.path.join(d, "l"))
+    rs = spark.readStream.schema(right.schema).parquet(os.path.join(d, "r"))
+
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.streaming.interval_join import streaming_interval_join
+
+    joined = streaming_interval_join(
+        ls, rs, ["user_id"], left_ts="click_ts", right_ts="purchase_ts",
+        before_seconds=1800, after_seconds=0,
+    )
+    agg = (
+        joined.groupBy(
+            F.window("purchase_ts", "1 hour").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("cents").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_jtw")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    op_names = sorted(o.get("operatorName", "") for o in ops)
+    assert len(ops) == 2, ops
+    assert any("symmetricHashJoin" in n for n in op_names), op_names
+    assert any("stateStoreSave" in n for n in op_names), op_names
+
+    rows = [
+        (r.user_id, r.win.start, r.n_pairs, r.s)
+        for r in spark.table("t_jtw").collect()
+        if r.user_id >= 0
+    ]
+    # both clicks pair with the 10:10 purchase; nothing reaches 10:40,
+    # so ONE hourly window with 2 pairs summing 200 cents
+    assert rows == [(1, TS(2024, 1, 1, 10, 0), 2, 200)]
