@@ -703,3 +703,80 @@ def test_chained_join_then_window_runs_two_stateful_operators(
     # both clicks pair with the 10:10 purchase; nothing reaches 10:40,
     # so ONE hourly window with 2 pairs summing 200 cents
     assert rows == [(1, TS(2024, 1, 1, 10, 0), 2, 200)]
+
+
+def test_chained_join_then_window_survives_restart(spark, tmp_path):
+    """Checkpoint recovery across BOTH state stores of the chained
+    query: run 1 buffers a click+purchase in the JOIN state and an
+    un-flushed window in the AGG state (watermark hasn't passed it);
+    after a restart with a fresh writer on the same checkpoint, run 2's
+    rows must pair against run 1's buffered join state, merge into the
+    same window, and flush once the sentinel advances the watermark —
+    proving two-deep state recovery, not just replay."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.streaming.interval_join import streaming_interval_join
+
+    lschema = "user_id bigint, click_ts timestamp"
+    rschema = "user_id bigint, purchase_ts timestamp, cents bigint"
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        ls = spark.readStream.schema(lschema).parquet(str(lsrc))
+        rs = spark.readStream.schema(rschema).parquet(str(rsrc))
+        joined = streaming_interval_join(
+            ls, rs, ["user_id"], left_ts="click_ts",
+            right_ts="purchase_ts", before_seconds=1800, after_seconds=0,
+        )
+        agg = (
+            joined.groupBy(
+                F.window("purchase_ts", "1 hour").alias("win"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("cents").alias("s"))
+        )
+        q = (
+            agg.select(F.col("win.start").alias("ws"), "user_id",
+                       "n_pairs", "s")
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: one click + one purchase — pair sits in join state, its
+    # window sits un-flushed in agg state
+    spark.createDataFrame([(1, TS(2024, 1, 1, 10, 0))], lschema) \
+        .coalesce(1).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame([(1, TS(2024, 1, 1, 10, 10), 100)], rschema) \
+        .coalesce(1).write.mode("append").parquet(str(rsrc))
+    run_once()
+    pre = spark.read.schema(
+        "ws timestamp, user_id bigint, n_pairs bigint, s bigint"
+    ).parquet(out_dir).filter("user_id >= 0")
+    assert pre.count() == 0  # nothing flushed yet — state is in flight
+
+    # restart: later rows must join against run 1's buffered state;
+    # sentinel (user -1, next day) flushes the real window
+    spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 20)), (-1, TS(2024, 1, 2, 10, 0))], lschema
+    ).coalesce(1).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 30), 50), (-1, TS(2024, 1, 2, 10, 0), 0)],
+        rschema,
+    ).coalesce(1).write.mode("append").parquet(str(rsrc))
+    run_once()
+
+    rows = sorted(
+        (r.user_id, r.ws, r.n_pairs, r.s)
+        for r in spark.read.parquet(out_dir)
+        .filter("user_id >= 0").collect()
+    )
+    # pairs across the restart boundary: (c10:00,p10:10,100) buffered in
+    # run 1; run 2 adds (c10:00,p10:30,50) — old click vs new purchase —
+    # and (c10:20,p10:30,50); all in ONE hourly window
+    assert rows == [(1, TS(2024, 1, 1, 10, 0), 3, 200)]
