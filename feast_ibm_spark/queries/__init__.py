@@ -582,6 +582,9 @@ QUERIES: dict[str, QueryDef] = {
                                        ORACLE_MULTI_HORIZON,
                                        "1h/24h/7d rolling features, one "
                                        "sort for all frames"),
+    "features_winsorize": QueryDef(q_features_winsorize, ORACLE_WINSORIZE,
+                                   "per-group winsorization to exact "
+                                   "[p01, p99] (pure-selection clip)"),
     "normalize_zscore": QueryDef(q_normalize_zscore, ORACLE_ZSCORE,
                                  "per-group z-score (exact integer "
                                  "moment sums; hash-safe)"),

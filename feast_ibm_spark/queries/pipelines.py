@@ -777,6 +777,50 @@ SELECT c.event_id, c.event_type,
 FROM c JOIN stats s USING (event_type)
 """
 
+def q_features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping to the exact [p01, p99]
+    of the group — the feature-preprocessing twin of normalize_zscore):
+    group percentiles via the exact interpolated percentile() (same
+    Spark/DuckDB parity the agg_value_percentiles gate row established),
+    broadcast back as a groups-sized frame, and the clip is PURE
+    SELECTION (least/greatest picks either the original double or the
+    percentile double — no float arithmetic, so the output value-hashes
+    with no rtol). One shuffle for the percentile agg; the sort cost is
+    per-group (exact percentiles sort within the aggregate) — at 100 TB
+    swap in approx_percentile for sketch-state one-pass bounds, the
+    documented trade from the approx twin rows."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value")
+    pct = (
+        base.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.01, 0.99))").alias("p"))
+        .select("event_type",
+                F.col("p")[0].alias("__lo"), F.col("p")[1].alias("__hi"))
+    )
+    return base.join(F.broadcast(pct), "event_type").select(
+        "event_id", "event_type", "value",
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi"))
+        .alias("winsorized"),
+        (F.col("value") < F.col("__lo")).cast("int").alias("clipped_lo"),
+        (F.col("value") > F.col("__hi")).cast("int").alias("clipped_hi"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, p.lo), p.hi) AS winsorized,
+       CAST(e.value < p.lo AS INTEGER) AS clipped_lo,
+       CAST(e.value > p.hi AS INTEGER) AS clipped_hi
+FROM events e JOIN p USING (event_type)
+"""
+
+
 PSI_N_BINS, PSI_SPLIT = 10, "2024-01-15 00:00:00"
 
 

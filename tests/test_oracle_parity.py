@@ -123,6 +123,8 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
                                      # oracle; property net day one
     "streaming_join_then_window",    # 17th drained class: chained
                                      # stateful ops (join -> window agg)
+    "features_winsorize",            # per-group winsorize to exact
+                                     # [p01,p99]; selection-only clip
 })
 
 
@@ -233,6 +235,7 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "features_target_encoding",
     "features_time_decay",
+    "features_winsorize",
     "features_time_weighted_avg",
     "filter_value_outliers",
     "funnel_conversion",
