@@ -215,6 +215,16 @@ SMOKE_QUERIES = [
     "drift_psi_counts",
     "streaming_interval_join_anti",
     "chunk_documents_cdc",
+    # round-9 continuation: layout/privacy/skyline/chained-streaming/
+    # winsorize additions
+    "layout_hilbert_roundtrip",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_suppression",
+    "skyline_pareto",
+    "skyline_pareto_bucketed",
+    "streaming_join_then_window",
+    "features_winsorize",
 ]
 
 
