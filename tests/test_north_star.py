@@ -2734,7 +2734,9 @@ if _HAS_HYP_PRIV:
             st_priv.tuples(
                 st_priv.one_of(st_priv.none(), st_priv.integers(0, 3)),
                 st_priv.integers(0, 2),
-                st_priv.integers(0, 4),
+                # sensitive values include None: count_distinct ignores
+                # NULLs in both engines, so an all-NULL class has l=0
+                st_priv.one_of(st_priv.none(), st_priv.integers(0, 4)),
             ),
             min_size=1,
             max_size=40,
@@ -2775,20 +2777,26 @@ if _HAS_HYP_PRIV:
         ls = Counter()
         by_class = {}
         for a, b, s in rows:
-            by_class.setdefault((a, b), set()).add(s)
+            by_class.setdefault((a, b), set())
+            if s is not None:  # SQL count_distinct ignores NULLs
+                by_class[(a, b)].add(s)
         for vals in by_class.values():
             ls[len(vals)] += 1
         got_l = {r.l: r.n_classes
                  for r in l_diversity_census(df, ["a", "b"], "s").collect()}
         assert got_l == dict(ls)
 
+        def nkey(t):  # None-safe total order over optional ints
+            return tuple((v is not None, v if v is not None else 0)
+                         for v in t)
+
         want_kept = sorted(
             [(a, b, s) for a, b, s in rows if sizes[(a, b)] >= k],
-            key=lambda t: (t[0] is not None, t))
+            key=nkey)
         got_kept = sorted(
             ((r.a, r.b, r.s) for r in
              suppress_small_classes(df, ["a", "b"], k).collect()),
-            key=lambda t: (t[0] is not None, t))
+            key=nkey)
         assert got_kept == want_kept
 
 
