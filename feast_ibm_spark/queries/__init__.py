@@ -582,6 +582,9 @@ QUERIES: dict[str, QueryDef] = {
                                        ORACLE_MULTI_HORIZON,
                                        "1h/24h/7d rolling features, one "
                                        "sort for all frames"),
+    "eval_bootstrap_ci": QueryDef(q_eval_bootstrap_ci, ORACLE_BOOTSTRAP_CI,
+                                  "deterministic Poisson-bootstrap CI "
+                                  "(map-side resample, exact arithmetic)"),
     "features_winsorize": QueryDef(q_features_winsorize, ORACLE_WINSORIZE,
                                    "per-group winsorization to exact "
                                    "[p01, p99] (pure-selection clip)"),

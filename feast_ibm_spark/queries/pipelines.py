@@ -821,6 +821,67 @@ FROM events e JOIN p USING (event_type)
 """
 
 
+def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the per-type mean
+    spend (operators/bootstrap.py): 40 deterministic resamples from the
+    multiplicative-hash weight stream, per-replicate exact-integer
+    means, exact-percentile CI — every number a fixed op sequence over
+    exact inputs, so the DuckDB oracle (the identical hash arithmetic
+    spelled out in SQL) value-hashes with no tolerance. B=41 is
+    LOAD-BEARING: with 41 replicates the 2.5/50/97.5 ranks land on
+    integer positions (0.025*40 = 1, 0.5*40 = 20, 0.975*40 = 39), so
+    the percentile is an element SELECTION — at fractional ranks the
+    Spark and DuckDB interpolation formulas differ by 1 ulp (measured:
+    one ci_lo cell at B=40). Plan: one scan, map-side 41x replication,
+    two-level aggregation — reduce side sees |groups| x B rows
+    regardless of input size."""
+    from ..operators.bootstrap import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", "event_id", _cents("value").alias("cents"))
+    return bootstrap_mean_ci(
+        base, "cents", ["event_type"], "event_id",
+        n_replicates=41, ci=0.95,
+    )
+
+
+ORACLE_BOOTSTRAP_CI = """
+WITH reps AS (SELECT unnest(range(41)) AS b),
+base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+wts AS (
+  SELECT event_type, b, cents,
+         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+              ELSE 6 END AS w
+  FROM (
+    SELECT event_type, b, cents,
+           ((event_id % 2147483647) * 48271 + b * 69621)
+             % 2147483647 % 1000000 AS u
+    FROM base, reps
+  )
+),
+rep_means AS (
+  SELECT event_type, b, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS m
+  FROM wts GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_est
+  FROM base GROUP BY 1
+)
+SELECT f.event_type, f.mean_est,
+       quantile_cont(m, 0.025) AS ci_lo,
+       quantile_cont(m, 0.5)   AS ci_mid,
+       quantile_cont(m, 0.975) AS ci_hi
+FROM rep_means r JOIN f USING (event_type)
+GROUP BY f.event_type, f.mean_est
+"""
+
+
 PSI_N_BINS, PSI_SPLIT = 10, "2024-01-15 00:00:00"
 
 

@@ -2842,3 +2842,56 @@ if _HAS_HYP_PRIV:
                    pareto_frontier_2d(df, "p", "s", strat,
                                       n_buckets=4).collect()}
             assert got == brute, (strat, sorted(got), sorted(brute))
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """bootstrap_mean_ci vs a pure-Python replay of the identical
+    weight stream (minstd hash -> integer Poisson CDF grid) and CI
+    (sorted-element selection at integer ranks) on a crafted fixture —
+    pins the full arithmetic path, including the documented w=6 tail
+    truncation, independently of DuckDB."""
+    from feast_ibm_spark.operators.bootstrap import (
+        _A_ID, _A_REP, _GRID, _P, _POISSON_CDF_GRID, bootstrap_mean_ci,
+    )
+
+    rows = [(("a" if i % 3 else "b"), i, (i * 37) % 1000)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v bigint")
+    B = 41
+    got = {
+        r.g: (r.mean_est, r.ci_lo, r.ci_mid, r.ci_hi)
+        for r in bootstrap_mean_ci(
+            df, "v", ["g"], "id", n_replicates=B, ci=0.95
+        ).collect()
+    }
+
+    def weight(i, b):
+        u = ((i % _P) * _A_ID + b * _A_REP) % _P % _GRID
+        for k, thr in enumerate(_POISSON_CDF_GRID):
+            if u < thr:
+                return k
+        return 6
+
+    want = {}
+    for g in ("a", "b"):
+        grp = [(i, v) for gg, i, v in rows if gg == g]
+        means = []
+        for b in range(B):
+            ws = sum(weight(i, b) * v for i, v in grp)
+            wn = sum(weight(i, b) for i, v in grp)
+            means.append(ws / wn)
+        means.sort()
+        want[g] = (
+            sum(v for _, v in grp) / len(grp),
+            means[1], means[20], means[39],  # integer ranks at B=41
+        )
+    assert got == want
+
+    # statistical sanity: the 95% CI brackets the full-sample mean here
+    for g in got:
+        assert got[g][1] <= got[g][0] <= got[g][3], got[g]

@@ -125,6 +125,8 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
                                      # stateful ops (join -> window agg)
     "features_winsorize",            # per-group winsorize to exact
                                      # [p01,p99]; selection-only clip
+    "eval_bootstrap_ci",             # deterministic Poisson-bootstrap
+                                     # CI; exact-arithmetic oracle
 })
 
 
@@ -224,6 +226,7 @@ _EXCLUDED_WITH_ORACLE = [
     "embedding_near_dup_lsh",
     "erasure_deletion_vectors",
     "eval_auc",
+    "eval_bootstrap_ci",
     "eval_lang_confusion",
     "eval_pr_curve",
     "event_interarrival",
