@@ -79,6 +79,94 @@ def l_diversity_census(
     return classes.groupBy("l").agg(F.count(F.lit(1)).alias("n_classes"))
 
 
+def t_closeness_census(
+    df: DataFrame,
+    qi_cols: list[str | Column],
+    sensitive_bin: str | Column,
+    n_bins: int,
+) -> DataFrame:
+    """t-closeness (Li et al. 2007) per QI class over an ORDERED binned
+    sensitive attribute: t = EMD between the class's bin distribution
+    and the table-global one = sum_j |cumsum_j(p - q)| / (m - 1). The
+    l-diversity blind spot this closes: a class can span many distinct
+    sensitive values that are all clustered at one end of the range —
+    diverse in count, revealing in distribution.
+
+    Output: one row per QI class — qi_cols + ``n`` (class size) + ``t``.
+
+    Exactness discipline — the whole EMD stays INTEGER until one final
+    division: with N the table size and n the class size,
+    ``cum_j(p - q) = (cum_j(cb) * N - cum_j(gb) * n) / (n * N)``, so
+    ``t = sum_j |cum_j(cb) * N - cum_j(gb) * n|  /  (n * N * (m-1))``
+    has an exact BIGINT numerator (integer cumsums are associative —
+    no float-summation-order hazard, the trap a p/q-per-bin float
+    formulation walks into) and a single CAST + divide at the end.
+    Bound: ``n * N * (m-1)`` must fit int64 — fine through ~10^9 rows
+    at m=10; beyond that, compute per-partition with a decimal type.
+    Missing bins still carry the running cumsums via a dense bin spine
+    (sequence + explode), so classes that skip bins are not
+    under-counted.
+
+    Scale: two hash aggregates (class x bin, then class), the global
+    distribution broadcast in as n_bins rows, and the windows run over
+    the |classes| x n_bins spine — never over data rows.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins={n_bins}: need >= 2 for an EMD")
+    qi = _qi(qi_cols)
+    sb = (F.col(sensitive_bin) if isinstance(sensitive_bin, str)
+          else sensitive_bin).alias("__bin")
+    base = df.select(*qi, sb)
+    qi_names = base.columns[:-1]
+
+    cls_bin = base.groupBy(*qi_names, "__bin").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    cls = cls_bin.groupBy(*qi_names).agg(F.sum("__cb").alias("__n"))
+    glob_bin = base.groupBy("__bin").agg(F.count(F.lit(1)).alias("__gb"))
+    n_total = base.count()  # one scalar; the oracle recomputes the same
+
+    # dense bin spine per class so absent bins still carry the cumsums
+    spine = cls.select(
+        *qi_names, "__n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin"),
+    )
+    from pyspark.sql import Window
+
+    wb = (
+        Window.partitionBy(*qi_names).orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = (
+        spine.join(cls_bin, [*qi_names, "__bin"], "left")
+        .join(F.broadcast(glob_bin), "__bin", "left")
+        .select(
+            *qi_names, "__n", "__bin",
+            F.sum(F.coalesce(F.col("__cb"), F.lit(0))).over(wb)
+            .alias("__ccb"),
+            F.sum(F.coalesce(F.col("__gb"), F.lit(0))).over(wb)
+            .alias("__cgb"),
+        )
+    )
+    num = F.abs(
+        F.col("__ccb") * F.lit(n_total) - F.col("__cgb") * F.col("__n")
+    )
+    return (
+        cums.select(*qi_names, "__n", num.alias("__num"))
+        .groupBy(*qi_names, "__n")
+        .agg(F.sum("__num").alias("__s"))
+        .select(
+            *qi_names,
+            F.col("__n").alias("n"),
+            (
+                F.col("__s").cast("double")
+                / (F.col("__n") * F.lit(n_total) * F.lit(n_bins - 1))
+                .cast("double")
+            ).alias("t"),
+        )
+    )
+
+
 def suppress_small_classes(
     df: DataFrame, qi_cols: list[str | Column], k: int
 ) -> DataFrame:

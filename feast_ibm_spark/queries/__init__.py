@@ -484,6 +484,10 @@ QUERIES: dict[str, QueryDef] = {
                                     ORACLE_PRIVACY_SUPPRESSION,
                                     "small-class suppression (semi-join "
                                     "enforcement) vs window/QUALIFY oracle"),
+    "privacy_t_closeness": QueryDef(q_privacy_t_closeness,
+                                    ORACLE_PRIVACY_T_CLOSENESS,
+                                    "t-closeness census (integer EMD of "
+                                    "per-class sensitive distribution)"),
     "skyline_pareto": QueryDef(q_skyline_pareto, ORACLE_SKYLINE_PARETO,
                                "Pareto frontier via monotone running-max "
                                "decomposition vs NOT EXISTS oracle"),

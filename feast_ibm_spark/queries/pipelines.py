@@ -266,6 +266,68 @@ SELECT l, COUNT(*) AS n_classes FROM classes GROUP BY l
 """
 
 
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census of events under (event_type, hour-of-day)
+    with the spend decile as the ordered sensitive attribute — the
+    third leg of the privacy triad (k-anonymity counts rows,
+    l-diversity counts distinct values, t-closeness bounds how far a
+    class's sensitive DISTRIBUTION drifts from the table's). The EMD
+    stays integer to the last op (see t_closeness_census), so the t
+    doubles hash exactly against the oracle's identical arithmetic."""
+    from ..operators.privacy import t_closeness_census
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents("value")
+    sens_bin = F.least(
+        F.lit(9), F.floor(cents / F.lit(2000.0)).cast("bigint")
+    )
+    out = t_closeness_census(
+        ev,
+        [F.col("event_type"), F.hour("ts").cast("bigint").alias("hh")],
+        sens_bin,
+        n_bins=10,
+    )
+    return out.select("event_type", "hh", "n", "t")
+
+
+ORACLE_PRIVACY_T_CLOSENESS = """
+WITH base AS (
+  SELECT event_type, hour(ts) AS hh,
+         least(9, CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000.0)
+                       AS BIGINT)) AS bin
+  FROM events
+),
+cls_bin AS (
+  SELECT event_type, hh, bin, COUNT(*) AS cb FROM base GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT event_type, hh, CAST(SUM(cb) AS BIGINT) AS n
+  FROM cls_bin GROUP BY 1, 2
+),
+gdist AS (SELECT bin, COUNT(*) AS gb FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*) AS nt FROM base),
+spine AS (
+  SELECT c.event_type, c.hh, c.n, b.bin
+  FROM cls c CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+),
+cums AS (
+  SELECT s.event_type, s.hh, s.n, s.bin,
+         SUM(COALESCE(cb.cb, 0)) OVER w AS ccb,
+         SUM(COALESCE(g.gb, 0)) OVER w AS cgb
+  FROM spine s
+  LEFT JOIN cls_bin cb USING (event_type, hh, bin)
+  LEFT JOIN gdist g USING (bin)
+  WINDOW w AS (PARTITION BY s.event_type, s.hh ORDER BY s.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hh, n,
+       CAST(SUM(ABS(ccb * nt - cgb * n)) AS DOUBLE)
+         / CAST(n * nt * 9 AS DOUBLE) AS t
+FROM cums CROSS JOIN tot
+GROUP BY event_type, hh, n, nt
+"""
+
+
 def q_privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppression enforcement: drop customer rows whose QI class holds
     fewer than 2 records (the remainder is 2-anonymous by construction

@@ -2895,3 +2895,51 @@ def test_poisson_bootstrap_matches_python_replay(spark):
     # statistical sanity: the 95% CI brackets the full-sample mean here
     for g in got:
         assert got[g][1] <= got[g][0] <= got[g][3], got[g]
+
+
+def test_t_closeness_crafted_and_zero_property(spark):
+    """t_closeness_census vs hand-computed EMD on a crafted table, plus
+    the exact-zero property the integer formulation makes literal: a
+    class whose bin distribution equals the global one has t == 0.0
+    EXACTLY (the integer numerator is 0 — a float p/q formulation would
+    leave ulp dust)."""
+    from fractions import Fraction
+
+    from feast_ibm_spark.operators.privacy import t_closeness_census
+
+    # class A: all mass in bin 0; class B: all mass in bin 3; 4 bins
+    rows = [("A", 0)] * 3 + [("B", 3)] * 3
+    df = spark.createDataFrame(rows, "g string, bin int")
+    got = {r.g: (r.n, r.t)
+           for r in t_closeness_census(df, ["g"], "bin", n_bins=4).collect()}
+    # global q = (1/2, 0, 0, 1/2). A: p=(1,0,0,0): diffs (1/2,0,0,-1/2)
+    # cums (1/2, 1/2, 1/2, 0) -> t = (3/2)/3 = 1/2. B symmetric.
+    assert got == {"A": (3, 0.5), "B": (3, 0.5)}
+
+    # exact-zero: two classes with IDENTICAL bin distributions
+    rows2 = [("A", b) for b in (0, 1, 1, 3)] + [("B", b) for b in (0, 1, 1, 3)]
+    df2 = spark.createDataFrame(rows2, "g string, bin int")
+    got2 = {r.g: r.t
+            for r in t_closeness_census(df2, ["g"], "bin", n_bins=4).collect()}
+    assert got2 == {"A": 0.0, "B": 0.0}
+
+    # cross-check one asymmetric case against a Fraction-exact replay
+    rows3 = [("A", 0), ("A", 1), ("B", 2), ("B", 3), ("B", 3)]
+    df3 = spark.createDataFrame(rows3, "g string, bin int")
+    got3 = {r.g: r.t
+            for r in t_closeness_census(df3, ["g"], "bin", n_bins=4).collect()}
+
+    def emd(cls_bins, all_bins, m=4):
+        n, nt = len(cls_bins), len(all_bins)
+        t = Fraction(0)
+        ccb = cgb = 0
+        for b in range(m):
+            ccb += sum(1 for x in cls_bins if x == b)
+            cgb += sum(1 for x in all_bins if x == b)
+            t += abs(Fraction(ccb, n) - Fraction(cgb, nt))
+        return t / (m - 1)
+
+    allb = [b for _, b in rows3]
+    for g in ("A", "B"):
+        want = emd([b for gg, b in rows3 if gg == g], allb)
+        assert abs(got3[g] - float(want)) < 1e-15, (g, got3[g], want)

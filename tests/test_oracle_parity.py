@@ -127,6 +127,8 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
                                      # [p01,p99]; selection-only clip
     "eval_bootstrap_ci",             # deterministic Poisson-bootstrap
                                      # CI; exact-arithmetic oracle
+    "privacy_t_closeness",           # integer-EMD t-closeness census
+                                     # (completes the privacy triad)
 })
 
 
@@ -291,6 +293,7 @@ _EXCLUDED_WITH_ORACLE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_suppression",
+    "privacy_t_closeness",
     "profile_columns",
     "pull_all_query_source",
     "pull_all_time_range",
