@@ -225,6 +225,8 @@ SMOKE_QUERIES = [
     "skyline_pareto_bucketed",
     "streaming_join_then_window",
     "features_winsorize",
+    "eval_bootstrap_ci",
+    "privacy_t_closeness",
 ]
 
 
