@@ -41,12 +41,20 @@ _POISSON_CDF_GRID = [367879, 735758, 919698, 981011, 996340, 999405]
 
 def poisson_weight_col(id_col: str | Column, rep_col: str | Column) -> Column:
     """Deterministic Poisson(1) weight for (id, replicate) — pure int64
-    expression, identical in any engine that can multiply and mod."""
+    expression, identical in any engine that can multiply and mod.
+    ``pmod`` (not ``%``, which keeps the dividend's sign) keeps the
+    uniform on the [0, grid) range for NEGATIVE ids too — with plain
+    ``%`` a negative id would land in (-grid, 0) and the threshold
+    chain would silently map every such row to w=0, excluding it from
+    most resamples. An engine twin in plain SQL must spell it
+    ``((x % p) + p) % p``."""
     i = F.col(id_col) if isinstance(id_col, str) else id_col
     r = F.col(rep_col) if isinstance(rep_col, str) else rep_col
-    u = (
-        (i.cast("bigint") % _P) * _A_ID + r.cast("bigint") * _A_REP
-    ) % _P % _GRID
+    u = F.pmod(
+        F.pmod(i.cast("bigint"), F.lit(_P)) * _A_ID
+        + r.cast("bigint") * _A_REP,
+        F.lit(_P),
+    ) % _GRID
     w = F.lit(6)
     for k in range(len(_POISSON_CDF_GRID) - 1, -1, -1):
         w = F.when(u < _POISSON_CDF_GRID[k], F.lit(k)).otherwise(w)
@@ -69,6 +77,13 @@ def bootstrap_mean_ci(
     (group, id, value); the per-(group, replicate) aggregate combines
     map-side; the percentile aggregate sees B rows per group. No window,
     no second scan — input bytes are read once.
+
+    Edge semantics: a (group, replicate) whose Poisson weights sum to
+    zero is DROPPED from that group's CI sample (the classic
+    zero-resample convention — and a division there would raise under
+    ANSI mode; near-certain for singleton groups, P(w=0) ~ 0.368 per
+    replicate). NULL group-key values form their own group like SQL
+    GROUP BY — the final join is null-safe.
     """
     if not 1 <= n_replicates <= 10_000:
         raise ValueError(f"n_replicates={n_replicates}")
@@ -85,6 +100,7 @@ def bootstrap_mean_ci(
             F.sum(F.col("__w") * F.col("__v")).alias("__ws"),
             F.sum("__w").alias("__wn"),
         )
+        .filter(F.col("__wn") > 0)  # zero-resample convention (docstring)
         .select(
             *group_cols,
             (F.col("__ws").cast("double") / F.col("__wn")).alias("__m"),
@@ -104,6 +120,11 @@ def bootstrap_mean_ci(
         F.col("__p")[1].alias("ci_mid"),
         F.col("__p")[2].alias("ci_hi"),
     )
-    return full.join(pct, group_cols).select(
-        *group_cols, "mean_est", "ci_lo", "ci_mid", "ci_hi"
+    cond = None
+    for g in group_cols:
+        c = full[g].eqNullSafe(pct[g])
+        cond = c if cond is None else cond & c
+    return full.join(pct, cond).select(
+        *[full[g] for g in group_cols], "mean_est", "ci_lo", "ci_mid",
+        "ci_hi",
     )

@@ -116,7 +116,17 @@ def t_closeness_census(
     qi = _qi(qi_cols)
     sb = (F.col(sensitive_bin) if isinstance(sensitive_bin, str)
           else sensitive_bin).alias("__bin")
-    base = df.select(*qi, sb)
+    # contract: only rows whose bin lands in [0, n_bins) enter the
+    # census — a NULL or out-of-range bin would be counted in the class
+    # size but never matched by the dense spine, silently corrupting t
+    # (it can exceed the valid [0, 1] range). Callers clamp or bin
+    # accordingly; rows outside the contract are excluded from BOTH the
+    # class and the global distribution, keeping the EMD well-defined.
+    base = df.select(*qi, sb).filter(
+        F.col("__bin").isNotNull()
+        & (F.col("__bin") >= 0)
+        & (F.col("__bin") < n_bins)
+    )
     qi_names = base.columns[:-1]
 
     cls_bin = base.groupBy(*qi_names, "__bin").agg(
@@ -124,7 +134,10 @@ def t_closeness_census(
     )
     cls = cls_bin.groupBy(*qi_names).agg(F.sum("__cb").alias("__n"))
     glob_bin = base.groupBy("__bin").agg(F.count(F.lit(1)).alias("__gb"))
-    n_total = base.count()  # one scalar; the oracle recomputes the same
+    # table size N rides along IN-PLAN as a broadcast 1-row cross join
+    # (no eager count at construction time, and no second scan: it
+    # derives from the bin distribution already being aggregated)
+    tot = glob_bin.agg(F.sum("__gb").alias("__nt"))
 
     # dense bin spine per class so absent bins still carry the cumsums
     spine = cls.select(
@@ -133,34 +146,48 @@ def t_closeness_census(
     )
     from pyspark.sql import Window
 
+    # all three frames derive from the same base, so DataFrame[col]
+    # references collapse to ambiguous lineage after the joins — use
+    # string aliases and qualified names throughout
+    sp, cb, gb = spine.alias("sp"), cls_bin.alias("cb"), glob_bin.alias("gb")
     wb = (
-        Window.partitionBy(*qi_names).orderBy("__bin")
+        Window.partitionBy(*[F.col(f"sp.{q}") for q in qi_names])
+        .orderBy(F.col("sp.__bin"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # null-safe QI equality: a NULL-valued QI class must match its own
+    # bin counts (SQL GROUP BY semantics, like the other censuses)
+    jc = F.col("sp.__bin") == F.col("cb.__bin")
+    for q in qi_names:
+        jc = jc & F.col(f"sp.{q}").eqNullSafe(F.col(f"cb.{q}"))
     cums = (
-        spine.join(cls_bin, [*qi_names, "__bin"], "left")
-        .join(F.broadcast(glob_bin), "__bin", "left")
+        sp.join(cb, jc, "left")
+        .join(F.broadcast(gb), F.col("sp.__bin") == F.col("gb.__bin"),
+              "left")
+        .crossJoin(F.broadcast(tot))
         .select(
-            *qi_names, "__n", "__bin",
-            F.sum(F.coalesce(F.col("__cb"), F.lit(0))).over(wb)
+            *[F.col(f"sp.{q}").alias(q) for q in qi_names],
+            F.col("sp.__n").alias("__n"), F.col("sp.__bin").alias("__bin"),
+            F.col("__nt"),
+            F.sum(F.coalesce(F.col("cb.__cb"), F.lit(0))).over(wb)
             .alias("__ccb"),
-            F.sum(F.coalesce(F.col("__gb"), F.lit(0))).over(wb)
+            F.sum(F.coalesce(F.col("gb.__gb"), F.lit(0))).over(wb)
             .alias("__cgb"),
         )
     )
     num = F.abs(
-        F.col("__ccb") * F.lit(n_total) - F.col("__cgb") * F.col("__n")
+        F.col("__ccb") * F.col("__nt") - F.col("__cgb") * F.col("__n")
     )
     return (
-        cums.select(*qi_names, "__n", num.alias("__num"))
-        .groupBy(*qi_names, "__n")
+        cums.select(*qi_names, "__n", "__nt", num.alias("__num"))
+        .groupBy(*qi_names, "__n", "__nt")
         .agg(F.sum("__num").alias("__s"))
         .select(
             *qi_names,
             F.col("__n").alias("n"),
             (
                 F.col("__s").cast("double")
-                / (F.col("__n") * F.lit(n_total) * F.lit(n_bins - 1))
+                / (F.col("__n") * F.col("__nt") * F.lit(n_bins - 1))
                 .cast("double")
             ).alias("t"),
         )

@@ -279,7 +279,8 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cents = _cents("value")
     sens_bin = F.least(
-        F.lit(9), F.floor(cents / F.lit(2000.0)).cast("bigint")
+        F.lit(9),
+        F.greatest(F.lit(0), F.floor(cents / F.lit(2000.0)).cast("bigint")),
     )
     out = t_closeness_census(
         ev,
@@ -293,8 +294,9 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRIVACY_T_CLOSENESS = """
 WITH base AS (
   SELECT event_type, hour(ts) AS hh,
-         least(9, CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000.0)
-                       AS BIGINT)) AS bin
+         least(9, greatest(0,
+                 CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000.0)
+                      AS BIGINT))) AS bin
   FROM events
 ),
 cls_bin AS (
@@ -930,6 +932,7 @@ wts AS (
 rep_means AS (
   SELECT event_type, b, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS m
   FROM wts GROUP BY 1, 2
+  HAVING SUM(w) > 0
 ),
 f AS (
   SELECT event_type, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_est

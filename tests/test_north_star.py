@@ -2943,3 +2943,89 @@ def test_t_closeness_crafted_and_zero_property(spark):
     for g in ("A", "B"):
         want = emd([b for gg, b in rows3 if gg == g], allb)
         assert abs(got3[g] - float(want)) < 1e-15, (g, got3[g], want)
+
+
+def test_bootstrap_review_edge_cases(spark):
+    """Round-9 review findings, pinned: (a) a singleton group must not
+    raise DIVIDE_BY_ZERO when a replicate's Poisson weights sum to zero
+    (those replicates are dropped — the zero-resample convention);
+    (b) a NULL group key is a real group in the output (null-safe final
+    join); (c) negative ids get valid weights (pmod keeps the uniform
+    on [0, grid); plain % would map them all to w=0)."""
+    from feast_ibm_spark.operators.bootstrap import (
+        _GRID, _P, _POISSON_CDF_GRID, bootstrap_mean_ci, poisson_weight_col,
+    )
+    from pyspark.sql import functions as F
+
+    # (a) + (b): singleton group, NULL group, normal group
+    rows = [("solo", 7, 100)] + [(None, i, 10) for i in range(50)] + [
+        ("a", i + 100, i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, id bigint, v bigint")
+    out = {r.g: r for r in bootstrap_mean_ci(
+        df, "v", ["g"], "id", n_replicates=41).collect()}
+    assert set(out) == {"solo", None, "a"}
+    assert out["solo"].mean_est == 100.0
+    # every surviving solo replicate mean is exactly 100
+    assert out["solo"].ci_lo == out["solo"].ci_hi == 100.0
+    assert out[None].mean_est == 10.0
+
+    # (c): negative ids — weights must still follow the Poisson grid
+    neg = spark.createDataFrame(
+        [(-i, b) for i in range(1, 200) for b in range(5)],
+        "id bigint, b int",
+    ).select(poisson_weight_col("id", "b").alias("w"))
+    ws = [r.w for r in neg.collect()]
+    assert all(0 <= w <= 6 for w in ws)
+    # plain % would give all-zero; the pmod stream must not
+    assert sum(1 for w in ws if w > 0) > len(ws) * 0.4
+
+    # and the pmod arithmetic matches the documented SQL twin
+    def weight(i, b):
+        u = (((i % _P) * 48271 + b * 69621) % _P + _P) % _P % _GRID
+        for k, thr in enumerate(_POISSON_CDF_GRID):
+            if u < thr:
+                return k
+        return 6
+
+    got = {(r.id, r.b): r.w for r in spark.createDataFrame(
+        [(-5, 0), (-5, 3), (-1000000, 7), (3, 1)], "id bigint, b int"
+    ).select("id", "b", poisson_weight_col("id", "b").alias("w")).collect()}
+    for (i, b), w in got.items():
+        assert w == weight(i, b), (i, b, w, weight(i, b))
+
+
+def test_t_closeness_review_edge_cases(spark):
+    """Round-9 review findings, pinned: (a) a NULL-valued QI class
+    matches its own bin counts (null-safe spine join — the review repro
+    returned t=1.5, outside the valid [0,1] EMD range); (b) NULL and
+    out-of-range bins are excluded from the census entirely (both the
+    class and global distributions), keeping t well-defined; (c) no
+    eager job at construction time."""
+    from feast_ibm_spark.operators.privacy import t_closeness_census
+
+    # (a) one NULL class whose distribution IS the global one -> t == 0
+    df = spark.createDataFrame(
+        [(None, 0), (None, 1)], "g string, bin int"
+    )
+    got = {r.g: (r.n, r.t)
+           for r in t_closeness_census(df, ["g"], "bin", n_bins=2).collect()}
+    assert got == {None: (2, 0.0)}
+
+    # (b) invalid bins (NULL, negative, >= n_bins) drop out of n and t
+    df2 = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", None), ("A", -3), ("A", 99),
+         ("B", 0), ("B", 1)],
+        "g string, bin int",
+    )
+    got2 = {r.g: (r.n, r.t)
+            for r in t_closeness_census(df2, ["g"], "bin", n_bins=2).collect()}
+    # valid rows: A->{0,1}, B->{0,1}: both classes equal the global
+    assert got2 == {"A": (2, 0.0), "B": (2, 0.0)}
+    # all t in the valid EMD range on a messier fixture
+    df3 = spark.createDataFrame(
+        [("A", 0)] * 5 + [("B", 1)] * 3 + [("C", None)] * 2 + [("C", 0)],
+        "g string, bin int",
+    )
+    for r in t_closeness_census(df3, ["g"], "bin", n_bins=2).collect():
+        assert 0.0 <= r.t <= 1.0, r

@@ -645,10 +645,10 @@ def test_chained_join_then_window_runs_two_stateful_operators(
     import os
 
     d = str(tmp_path_factory.mktemp("jtw"))
-    # clicks at 10:00 and 10:05; purchases at 10:10 (user 1) and 10:40
-    # (user 1 — only the 10:05.. wait, 30 min window: both clicks match
-    # 10:10; only 10:05+30min=10:35 < 10:40 so neither matches 10:40...
-    # plus far-future sentinel rows (user -1) in both roles
+    # clicks at 10:00 and 10:05; purchases at 10:10 and 10:40 (user 1):
+    # both clicks fall in the 30-min window before 10:10, neither
+    # reaches 10:40 (10:40 - 30min = 10:10 > both). Far-future sentinel
+    # rows (user -1) in both roles flush the final window on the drain
     left = spark.createDataFrame(
         [
             (1, TS(2024, 1, 1, 10, 0)),
