@@ -415,6 +415,17 @@ SHOWCASE: list[tuple[str, str]] = [
         "full rows is an explicit broadcast.",
     ),
     (
+        "eval_bootstrap_ci",
+        "Bootstrap that survives scale: no global resample shuffle\n"
+        "exists anywhere in this plan. The 41 replicates appear as a\n"
+        "map-side explode of a sequence literal, the per-replicate\n"
+        "weighted sums partially aggregate BEFORE the exchange, and the\n"
+        "reduce side sees |groups| x 41 rows whatever the input size.\n"
+        "The weights are pure int64 codegen (pmod/multiply/threshold\n"
+        "CASE) — no RNG state, no UDF, bit-reproducible across runs,\n"
+        "retries, and engines.",
+    ),
+    (
         "privacy_suppression",
         "Suppression as aggregate + null-safe LEFT SEMI join-back, not\n"
         "`count() OVER (PARTITION BY qi)`: the window form sorts and\n"
