@@ -194,6 +194,64 @@ def t_closeness_census(
     )
 
 
+def generalization_ladder_census(
+    df: DataFrame,
+    ladder: list[list[str | Column]],
+    k: int,
+) -> DataFrame:
+    """The OTHER classic k-anonymity enforcement, census'd: instead of
+    suppressing small-class rows (lossy in rows), GENERALIZE — recode
+    the quasi-identifiers ever coarser (full ZIP -> ZIP3 -> state ->
+    drop) until every class reaches k, losing precision instead of
+    records. ``ladder`` lists the QI column sets from finest to
+    coarsest; global recoding picks ONE level for the whole table.
+
+    Output: one row per ladder level —
+    ``level, n_classes, min_class, n_records_below_k, meets_k,
+    chosen`` — where ``chosen`` marks the FIRST (finest) level whose
+    minimum class size reaches k: the level a release would use, with
+    every finer level's residual risk quantified beside it.
+
+    Scale: one hash aggregate per ladder level over the same scan
+    (levels are few and fixed), each collapsing to |classes| rows
+    map-side; the level summaries are single rows, and the cross-level
+    ``chosen`` window runs over len(ladder) rows. NULL QI values form
+    their own class, exactly like the sibling censuses.
+    """
+    if k < 1:
+        raise ValueError(f"k={k}: need k >= 1")
+    if not ladder:
+        raise ValueError("need at least one ladder level")
+    from pyspark.sql import Window
+
+    summaries = None
+    for lvl, qi_cols in enumerate(ladder):
+        classes = df.groupBy(*_qi(qi_cols)).agg(
+            F.count(F.lit(1)).alias("__cs")
+        )
+        s = classes.agg(
+            F.lit(lvl).alias("level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("__cs").alias("min_class"),
+            F.sum(F.when(F.col("__cs") < k, F.col("__cs")).otherwise(0))
+            .alias("n_records_below_k"),
+        )
+        summaries = s if summaries is None else summaries.unionByName(s)
+    meets = F.col("min_class") >= k
+    w = (
+        Window.orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    earlier_ok = F.coalesce(
+        F.sum(meets.cast("int")).over(w), F.lit(0)
+    )
+    return summaries.select(
+        "level", "n_classes", "min_class", "n_records_below_k",
+        meets.alias("meets_k"),
+        (meets & (earlier_ok == 0)).alias("chosen"),
+    )
+
+
 def suppress_small_classes(
     df: DataFrame, qi_cols: list[str | Column], k: int
 ) -> DataFrame:

@@ -484,6 +484,10 @@ QUERIES: dict[str, QueryDef] = {
                                     ORACLE_PRIVACY_SUPPRESSION,
                                     "small-class suppression (semi-join "
                                     "enforcement) vs window/QUALIFY oracle"),
+    "privacy_generalization": QueryDef(q_privacy_generalization,
+                                       ORACLE_PRIVACY_GENERALIZATION,
+                                       "generalization-ladder census: "
+                                       "finest k-releasable QI level"),
     "privacy_t_closeness": QueryDef(q_privacy_t_closeness,
                                     ORACLE_PRIVACY_T_CLOSENESS,
                                     "t-closeness census (integer EMD of "

@@ -266,6 +266,71 @@ SELECT l, COUNT(*) AS n_classes FROM classes GROUP BY l
 """
 
 
+def q_privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder census on customer, k=10: the coarsening
+    route to k-anonymity (lose precision, keep every row) census'd per
+    level — $1000 balance bands -> $5000 bands -> drop the band -> drop
+    nation — with the finest releasable level flagged ``chosen`` and
+    the residual exposure (records in sub-k classes) quantified at
+    every finer level. One scan aggregate per level, single-row
+    summaries, a len(ladder)-row window for the flag."""
+    from ..operators.privacy import generalization_ladder_census
+
+    cust = _t(spark, sf_dir, "customer")
+    band = lambda w: F.floor(  # noqa: E731
+        F.col("c_acctbal") / F.lit(float(w))
+    ).cast("bigint")
+    ladder = [
+        [F.col("c_nationkey"), F.col("c_mktsegment"), band(1000)],
+        [F.col("c_nationkey"), F.col("c_mktsegment"), band(5000)],
+        [F.col("c_nationkey"), F.col("c_mktsegment")],
+        [F.col("c_mktsegment")],
+    ]
+    return generalization_ladder_census(cust, ladder, k=10)
+
+
+ORACLE_PRIVACY_GENERALIZATION = """
+WITH l0 AS (
+  SELECT COUNT(*) AS cs FROM customer
+  GROUP BY c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+),
+l1 AS (
+  SELECT COUNT(*) AS cs FROM customer
+  GROUP BY c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 5000.0) AS BIGINT)
+),
+l2 AS (SELECT COUNT(*) AS cs FROM customer GROUP BY c_nationkey, c_mktsegment),
+l3 AS (SELECT COUNT(*) AS cs FROM customer GROUP BY c_mktsegment),
+s AS (
+  SELECT 0 AS level, COUNT(*) AS n_classes, MIN(cs) AS min_class,
+         CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT)
+           AS n_records_below_k
+  FROM l0
+  UNION ALL
+  SELECT 1, COUNT(*), MIN(cs),
+         CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT)
+  FROM l1
+  UNION ALL
+  SELECT 2, COUNT(*), MIN(cs),
+         CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT)
+  FROM l2
+  UNION ALL
+  SELECT 3, COUNT(*), MIN(cs),
+         CAST(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT)
+  FROM l3
+)
+SELECT level, n_classes, min_class, n_records_below_k,
+       min_class >= 10 AS meets_k,
+       (min_class >= 10) AND COALESCE(
+         SUM(CASE WHEN min_class >= 10 THEN 1 ELSE 0 END)
+           OVER (ORDER BY level
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+         AS chosen
+FROM s
+"""
+
+
 def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness census of events under (event_type, hour-of-day)
     with the spend decile as the ordered sensitive attribute — the

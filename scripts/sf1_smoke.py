@@ -227,6 +227,7 @@ SMOKE_QUERIES = [
     "features_winsorize",
     "eval_bootstrap_ci",
     "privacy_t_closeness",
+    "privacy_generalization",
 ]
 
 

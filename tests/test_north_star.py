@@ -3029,3 +3029,39 @@ def test_t_closeness_review_edge_cases(spark):
     )
     for r in t_closeness_census(df3, ["g"], "bin", n_bins=2).collect():
         assert 0.0 <= r.t <= 1.0, r
+
+
+def test_generalization_ladder_crafted(spark):
+    """generalization_ladder_census on a crafted ladder: level sizes
+    known by construction; `chosen` marks exactly the FIRST level whose
+    min class reaches k, residual exposure counts sub-k records, and a
+    NULL QI value is its own class like the sibling censuses."""
+    import pytest
+
+    from feast_ibm_spark.operators.privacy import generalization_ladder_census
+    from pyspark.sql import functions as F
+
+    # zips 11111/11112 coarsen to prefix 1111; 22222 stands alone, and
+    # one NULL zip row survives every level that keeps the column
+    rows = ([("11111",)] * 2 + [("11112",)] * 2 + [("22222",)] * 3
+            + [(None,)] * 3)
+    df = spark.createDataFrame(rows, "zip string")
+    ladder = [
+        [F.col("zip")],                      # classes 2/2/3/3 -> min 2
+        [F.substring("zip", 1, 4)],          # classes 4/3/3   -> min 3
+        [F.lit("*")],                        # one class of 10
+    ]
+    got = {r.level: r for r in
+           generalization_ladder_census(df, ladder, k=3).collect()}
+    assert (got[0].n_classes, got[0].min_class,
+            got[0].n_records_below_k) == (4, 2, 4)
+    assert (got[1].n_classes, got[1].min_class,
+            got[1].n_records_below_k) == (3, 3, 0)
+    assert got[2].min_class == 10
+    assert [got[i].meets_k for i in range(3)] == [False, True, True]
+    assert [got[i].chosen for i in range(3)] == [False, True, False]
+
+    with pytest.raises(ValueError):
+        generalization_ladder_census(df, [], k=3)
+    with pytest.raises(ValueError):
+        generalization_ladder_census(df, ladder, k=0)

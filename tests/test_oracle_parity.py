@@ -129,6 +129,8 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
                                      # CI; exact-arithmetic oracle
     "privacy_t_closeness",           # integer-EMD t-closeness census
                                      # (completes the privacy triad)
+    "privacy_generalization",        # generalization-ladder census
+                                     # (the coarsening enforcement)
 })
 
 
@@ -290,6 +292,7 @@ _EXCLUDED_WITH_ORACLE = [
     "pit_join_partitioned",
     "pit_join_ttl",
     "pivot_event_counts",
+    "privacy_generalization",
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_suppression",
