@@ -83,13 +83,26 @@ def bootstrap_mean_ci(
     zero-resample convention — and a division there would raise under
     ANSI mode; near-certain for singleton groups, P(w=0) ~ 0.368 per
     replicate). NULL group-key values form their own group like SQL
-    GROUP BY — the final join is null-safe.
+    GROUP BY — the final join is null-safe. NULL ``value_col`` rows are
+    EXCLUDED up front (``avg()`` semantics: they contribute to neither
+    the numerator nor the denominator of any mean — without the filter
+    they would dilute ``mean_est`` and carry weights into ``__wn``
+    while their products vanish from ``__ws``).
     """
     if not 1 <= n_replicates <= 10_000:
         raise ValueError(f"n_replicates={n_replicates}")
     if not 0.0 < ci < 1.0:
         raise ValueError(f"ci={ci}")
+    df = df.filter(F.col(value_col).isNotNull())
     alpha = (1.0 - ci) / 2.0
+    # Embed SHORT-DECIMAL quantile literals: (1.0-0.95)/2.0 is the double
+    # 0.025000000000000022, and f-stringing THAT gives Spark a rank of
+    # 1.0000000000000009 at B=41 (interpolation, 1-ulp hazard) while an
+    # oracle writing the literal 0.025 gets rank exactly 1 (selection).
+    # round(., 12) collapses the arithmetic residue so both engines parse
+    # the same "0.025" / "0.975" and see bit-identical integer ranks.
+    lo_lit = repr(round(alpha, 12))
+    hi_lit = repr(round(1.0 - alpha, 12))
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b")
     w = poisson_weight_col(id_col, "__b")
     rep_means = (
@@ -112,7 +125,7 @@ def bootstrap_mean_ci(
     )
     pct = rep_means.groupBy(*group_cols).agg(
         F.expr(
-            f"percentile(__m, array({alpha}, 0.5, {1.0 - alpha}))"
+            f"percentile(__m, array({lo_lit}, 0.5, {hi_lit}))"
         ).alias("__p")
     ).select(
         *group_cols,

@@ -98,11 +98,17 @@ def t_closeness_census(
     division: with N the table size and n the class size,
     ``cum_j(p - q) = (cum_j(cb) * N - cum_j(gb) * n) / (n * N)``, so
     ``t = sum_j |cum_j(cb) * N - cum_j(gb) * n|  /  (n * N * (m-1))``
-    has an exact BIGINT numerator (integer cumsums are associative —
+    has an exact integer numerator (integer cumsums are associative —
     no float-summation-order hazard, the trap a p/q-per-bin float
     formulation walks into) and a single CAST + divide at the end.
-    Bound: ``n * N * (m-1)`` must fit int64 — fine through ~10^9 rows
-    at m=10; beyond that, compute per-partition with a decimal type.
+    Bound: the products are computed in ``decimal(38, 0)``, not BIGINT
+    — at int64 ``n * N * (m-1)`` silently wraps past ~10^9 rows at
+    m=10, exactly the scale this engine targets, turning a wrong answer
+    into nothing at all. Decimal(38,0) is exact through N ~ 10^18 rows
+    (products < 10^38) and costs nothing here: the arithmetic runs over
+    the |classes| x n_bins SPINE, never over data rows. Past 10^38
+    Spark's decimal overflow NULLs (or raises under ANSI) instead of
+    wrapping — loud, not silent.
     Missing bins still carry the running cumsums via a dense bin spine
     (sequence + explode), so classes that skip bins are not
     under-counted.
@@ -175,8 +181,10 @@ def t_closeness_census(
             .alias("__cgb"),
         )
     )
+    dec = "decimal(38,0)"
     num = F.abs(
-        F.col("__ccb") * F.col("__nt") - F.col("__cgb") * F.col("__n")
+        F.col("__ccb").cast(dec) * F.col("__nt").cast(dec)
+        - F.col("__cgb").cast(dec) * F.col("__n").cast(dec)
     )
     return (
         cums.select(*qi_names, "__n", "__nt", num.alias("__num"))
@@ -187,8 +195,11 @@ def t_closeness_census(
             F.col("__n").alias("n"),
             (
                 F.col("__s").cast("double")
-                / (F.col("__n") * F.col("__nt") * F.lit(n_bins - 1))
-                .cast("double")
+                / (
+                    F.col("__n").cast(dec)
+                    * F.col("__nt").cast(dec)
+                    * F.lit(n_bins - 1).cast(dec)
+                ).cast("double")
             ).alias("t"),
         )
     )

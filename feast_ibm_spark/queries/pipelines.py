@@ -142,9 +142,15 @@ def q_layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", _cents("value").alias("cents")
         )
+        # quantize BOTH axes: interleaving raw user_id at bits=8 reads
+        # only its low 8 bits, so ids >= 256 (sf0.1 has 1500) wrap and
+        # the key-axis clustering silently degrades. One bounded 1-row
+        # scalar (write-once path only) fixes the grid to the id range.
+        hi_user = ev.agg(F.max("user_id")).first()[0]
         write_zordered(
             ev, dest,
-            ["user_id", quantize_col(F.col("cents"), 0, 50000, 8)],
+            [quantize_col(F.col("user_id"), 0, hi_user, 8),
+             quantize_col(F.col("cents"), 0, 50000, 8)],
             bits=8, n_files=8,
         )
     back = read_parquet(spark, dest)
@@ -184,9 +190,14 @@ def q_layout_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", _cents("value").alias("cents")
         )
+        # same id-axis quantization as the zorder twin: hvalue_col reads
+        # only the low `bits` bits, so raw ids >= 2^bits wrap and the
+        # curve locality silently degrades (content stays correct)
+        hi_user = ev.agg(F.max("user_id")).first()[0]
         write_hilbert_clustered(
             ev, dest,
-            "user_id", quantize_col(F.col("cents"), 0, 50000, 8),
+            quantize_col(F.col("user_id"), 0, hi_user, 8),
+            quantize_col(F.col("cents"), 0, 50000, 8),
             bits=8, n_files=8,
         )
     back = read_parquet(spark, dest)
@@ -907,24 +918,43 @@ FROM c JOIN stats s USING (event_type)
 """
 
 def q_features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group winsorization (outlier clipping to the exact [p01, p99]
-    of the group — the feature-preprocessing twin of normalize_zscore):
-    group percentiles via the exact interpolated percentile() (same
-    Spark/DuckDB parity the agg_value_percentiles gate row established),
-    broadcast back as a groups-sized frame, and the clip is PURE
-    SELECTION (least/greatest picks either the original double or the
-    percentile double — no float arithmetic, so the output value-hashes
-    with no rtol). One shuffle for the percentile agg; the sort cost is
-    per-group (exact percentiles sort within the aggregate) — at 100 TB
-    swap in approx_percentile for sketch-state one-pass bounds, the
-    documented trade from the approx twin rows."""
+    """Per-group winsorization (outlier clipping to the group's [p01,
+    p99] — the feature-preprocessing twin of normalize_zscore), with the
+    bounds as DISCRETE ORDER STATISTICS: the element at 0-based sorted
+    rank floor(p*(n-1)), selected by row_number, never interpolated.
+
+    Why selection and not percentile()/quantile_cont: interpolated
+    percentiles at FRACTIONAL ranks differ by 1 ulp between Spark and
+    DuckDB (measured on the bootstrap CI at B=40), and p01/p99 ranks are
+    fractional for almost every group size — an exact-hash gate row on
+    the interpolated formulation is a data-dependent flake. Here every
+    emitted double is an ELEMENT of the input (the bound itself or the
+    row's value picked by least/greatest), so parity is exact for any n
+    at any scale. The rank expression floor(0.01*(n-1)) is one double
+    product + floor — bit-identical in both engines — and the value at a
+    sorted position is deterministic under ties (ties only permute equal
+    values). One window (per-group sort, the same cost the exact
+    percentile aggregate pays internally, but spillable instead of
+    collected into aggregate state) + one groups-sized broadcast join;
+    at 100 TB swap in approx_percentile for sketch-state one-pass
+    bounds, the documented trade from the approx twin rows."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
     base = ev.select("event_id", "event_type", "value")
+    nn = base.filter(F.col("value").isNotNull())
+    counts = nn.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = nn.select("event_type", "value").withColumn(
+        "__rn", F.row_number().over(w).cast("bigint") - 1
+    )
+    r_lo = F.floor(F.lit(0.01) * (F.col("__n") - 1).cast("double"))
+    r_hi = F.floor(F.lit(0.99) * (F.col("__n") - 1).cast("double"))
     pct = (
-        base.groupBy("event_type")
-        .agg(F.expr("percentile(value, array(0.01, 0.99))").alias("p"))
-        .select("event_type",
-                F.col("p")[0].alias("__lo"), F.col("p")[1].alias("__hi"))
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter((F.col("__rn") == r_lo) | (F.col("__rn") == r_hi))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
     )
     return base.join(F.broadcast(pct), "event_type").select(
         "event_id", "event_type", "value",
@@ -936,11 +966,22 @@ def q_features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WINSORIZE = """
-WITH p AS (
-  SELECT event_type,
-         quantile_cont(value, 0.01) AS lo,
-         quantile_cont(value, 0.99) AS hi
-  FROM events GROUP BY event_type
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events
+  WHERE value IS NOT NULL GROUP BY event_type
+),
+r AS (
+  SELECT event_type, value,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value)
+              AS BIGINT) - 1 AS rn
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT r.event_type, min(r.value) AS lo, max(r.value) AS hi
+  FROM r JOIN c USING (event_type)
+  WHERE r.rn = CAST(floor(0.01 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT)
+     OR r.rn = CAST(floor(0.99 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT)
+  GROUP BY r.event_type
 )
 SELECT e.event_id, e.event_type, e.value,
        least(greatest(e.value, p.lo), p.hi) AS winsorized,
@@ -961,7 +1002,12 @@ def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer positions (0.025*40 = 1, 0.5*40 = 20, 0.975*40 = 39), so
     the percentile is an element SELECTION — at fractional ranks the
     Spark and DuckDB interpolation formulas differ by 1 ulp (measured:
-    one ci_lo cell at B=40). Plan: one scan, map-side 41x replication,
+    one ci_lo cell at B=40). The operator normalizes the quantile
+    literals to short decimals before embedding (0.025, not the
+    arithmetic residue 0.025000000000000022 — which put Spark's rank at
+    1.0000000000000009, silently back on the interpolation path) so the
+    selection invariant holds on BOTH engines, not just the oracle.
+    Plan: one scan, map-side 41x replication,
     two-level aggregation — reduce side sees |groups| x B rows
     regardless of input size."""
     from ..operators.bootstrap import bootstrap_mean_ci
@@ -980,6 +1026,7 @@ base AS (
   SELECT event_type, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ),
 wts AS (
   SELECT event_type, b, cents,

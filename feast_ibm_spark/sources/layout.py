@@ -172,6 +172,15 @@ def hvalue_col(x: str | Column, y: str | Column, bits: int = 8) -> Column:
     OOM at bits=31), so the guard stops at 16. Quantize continuous
     columns with :func:`quantize_col` at the SAME width first — the
     zvalue_col width warning applies unchanged.
+
+    .. warning:: Input contract: both columns must lie in
+       ``[0, 2^bits)``. The fold reads only the low ``bits`` bits, so a
+       value of ``2^bits`` silently WRAPS onto 0 — the curve value (and
+       any content round-trip) stays well-defined, but rows far apart on
+       the real axis cluster together and the locality benefit silently
+       degrades. Quantize raw ids with :func:`quantize_col` (lo=0,
+       hi=max_id) rather than passing them through; the same wrap
+       applies to :func:`zvalue_col`.
     """
     if not 1 <= bits <= 16:
         raise ValueError(f"bits={bits}: need 1 <= bits <= 16 — finer "

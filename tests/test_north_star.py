@@ -2945,6 +2945,40 @@ def test_t_closeness_crafted_and_zero_property(spark):
         assert abs(got3[g] - float(want)) < 1e-15, (g, got3[g], want)
 
 
+def test_t_closeness_emd_survives_int64_overflow(spark):
+    """VERDICT r9 item 3: the EMD's n * N * (m-1) denominator exceeds
+    int64 past ~10^9 rows at m=10 — at that point the r9 BIGINT
+    formulation wraps silently (ANSI off) or aborts the whole census
+    (ANSI on, this session). The fix promotes the numerator/denominator
+    products to decimal(38,0) — exact through N ~ 10^18, loud (NULL /
+    ANSI error, never a wrapped value) beyond. Pinned two ways: the
+    exact cast discipline on literals AT the failure scale, and the
+    decimal types in the census's own analyzed plan."""
+    from feast_ibm_spark.operators.privacy import t_closeness_census
+
+    n = 3_100_000_000  # class size where n*n*9 ~ 8.6e19 > int64 max
+    dec = "decimal(38,0)"
+    row = spark.range(1).select(
+        (F.lit(n).cast(dec) * F.lit(n).cast(dec) * F.lit(9).cast(dec))
+        .alias("d")
+    ).first()
+    assert int(row.d) == n * n * 9  # exact where bigint cannot be
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        spark.range(1).select(
+            (F.lit(n).cast("bigint") * F.lit(n) * F.lit(9)).alias("x")
+        ).first()
+
+    # the census itself must carry the promotion (regression pin)
+    df = spark.createDataFrame([("A", 0), ("A", 1), ("B", 1)],
+                               "g string, bin int")
+    out = t_closeness_census(df, ["g"], "bin", n_bins=2)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan
+    got = {r.g: (r.n, r.t) for r in out.collect()}
+    assert got["A"][0] == 2 and got["B"][0] == 1
+    assert all(0.0 <= t <= 1.0 for _, t in got.values())
+
+
 def test_bootstrap_review_edge_cases(spark):
     """Round-9 review findings, pinned: (a) a singleton group must not
     raise DIVIDE_BY_ZERO when a replicate's Poisson weights sum to zero
