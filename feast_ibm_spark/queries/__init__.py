@@ -876,24 +876,24 @@ QUERIES: dict[str, QueryDef] = {
 # QUERIES, pinned by the local replica of the same DuckDB compare
 # (tests/test_oracle_parity.py, scripts/check_oracle.py). Membership
 # ROTATES each round so every query accumulates driver hashes over time.
-# Round 9 makes the gate 100% value-hashable (VERDICT r8 item 1 — the
-# r8 rows-only gamble bought nothing: the driver recorded
-# err:"no_oracle" for every oracle-withheld slot, i.e. no verification
-# at all). The 50 slots:
-#   (a) the 3 queued late-r8 registrations (_QUEUED_FOR_R9_GATE:
-#       dedup_exact_substr_spans/_cut, corpus_curation_exact_substr);
-#   (b) the 11 never-value-hashed queries carrying a full oracle — the
-#       10 oracle-family-covered r8 leftovers plus knn_lsh (its only
-#       driver rows were r1-r2 "no_oracle", before its oracle existed);
-#   (c) 4 NEW hash-stable integer-ingredient twins of the rtol ln()
-#       queries (text_bm25_counts, text_uni/bigram_logprob_counts,
-#       drift_psi_counts) — every column BIGINT, so the driver
-#       value-hashes the exact sufficient statistics the float scores
-#       derive from; the float twins keep their local rtol pins and
-#       never re-enter the gate (reconstruction identities pinned in
-#       tests/test_analytics_shapes.py);
-#   (d) 32 refresh slots: the stalest parked queries (last driver hash
-#       r2-r4).
+# The gate has been 100% value-hashable since round 9 (VERDICT r8 item
+# 1 — the driver records err:"no_oracle", i.e. no verification at all,
+# for oracle-withheld slots). The round-10 slots (VERDICT r9 item 1):
+#   (a) the 13 queued r9 registrations (_QUEUED_FOR_R10_GATE: the
+#       5-query privacy family, both skyline tiers, Hilbert roundtrip,
+#       CDC chunking, bootstrap CI, winsorize, and the 2 queued
+#       streaming classes) — each carried 3-scale local pins since the
+#       day it registered; this rotation takes their first driver hash,
+#       lifting cumulative own-driver-hash coverage to 230/236 (only
+#       the 4 ln-rtol + 2 approximate sketches stay documented-local,
+#       permanently);
+#   (b) 37 refresh slots: the stalest parked queries — every query
+#       whose last driver hash is r2 (dedup_simhash, text_token_count —
+#       formerly held out as transitively-pinned, but they are the
+#       stalest of all and carry full oracles, so they take slots),
+#       r4 (3), or r5 (17), plus 15 of the 50 r6-hashed picked for
+#       family breadth (core §2 PIT/pull surface, LSH/ANN bench
+#       drivers, streaming, agg, multimodal).
 # Full round-by-round rotation history: NOTES.md "Gate rotation ledger";
 # the per-round gate map is the generated index in COVERAGE.md.
 #
@@ -916,72 +916,73 @@ QUERIES: dict[str, QueryDef] = {
 # gate instead; approximate sketches stay local with exact-twin pins.
 GATE_ROWS_ONLY: frozenset[str] = frozenset()
 
-_DRIVER_GATE_R9 = (
-    # (a) queued late-r8 registrations (first in line by contract)
-    "dedup_exact_substr_spans",
-    "dedup_exact_substr_cut",
-    "corpus_curation_exact_substr",
-    # (b) never-value-hashed with full oracle (10 r8 leftovers + knn_lsh)
-    "chunk_documents",
-    "cluster_representatives",
-    "dedup_clusters",
-    "dedup_containment",
-    "graph_pagerank",
-    "knn_lsh",
-    "layout_zorder_roundtrip",
-    "materialize_partitioned",
-    "scan_orc_source",
-    "scan_xml_source",
-    "sessionize_native_window",
-    # (c) hash-stable integer-ingredient twins of the rtol ln() queries
-    "text_bm25_counts",
-    "text_unigram_logprob_counts",
-    "text_bigram_logprob_counts",
-    "drift_psi_counts",
-    # (d) stalest refresh rows (last driver hash r2-r4)
-    "pit_join_union_window",
-    "pit_join_shuffle",
-    "pull_latest_tiebreak",
-    "pull_latest_keep_ties",
-    "scan_json_props",
-    "scan_part_filter",
-    "scan_csv_source",
-    "scan_partitioned_events",
-    "agg_revenue_forecast",
-    "agg_event_type_stats",
-    "agg_rollup_region_revenue",
-    "agg_value_percentiles",
-    "agg_smallqty_revenue",
-    "agg_cube_status_priority",
-    "agg_pricing_summary",
-    "join_semi_late_orders",
-    "join_anti_quiet_customers",
-    "join_order_count_distribution",
-    "join_promo_revenue",
-    "join_nation_trade_flow",
-    "join_top_orders",
-    "join_region_revenue",
-    "set_user_cohorts",
-    "window_running_total",
-    "dedup_keep_latest",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "corpus_curation",
-    "sessionize_events",
-    "text_top_tokens",
-    "text_bpe_tokens",
-    "text_lang_id",
+_DRIVER_GATE_R10 = (
+    # (a) the 13 queued r9 registrations (first in line by contract)
+    "chunk_documents_cdc",
+    "eval_bootstrap_ci",
+    "features_winsorize",
+    "layout_hilbert_roundtrip",
+    "privacy_generalization",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_suppression",
+    "privacy_t_closeness",
+    "skyline_pareto",
+    "skyline_pareto_bucketed",
+    "streaming_interval_join_anti",
+    "streaming_join_then_window",
+    # (b) refresh: last driver hash r2 (the stalest of all)
+    "dedup_simhash",
+    "text_token_count",
+    # (b) refresh: last driver hash r4
+    "embedding_near_dup",
+    "knn_cosine_topk",
+    "text_fingerprint",
+    # (b) refresh: last driver hash r5 (all 17)
+    "asof_join_forward",
+    "dedup_clusters_lsh",
+    "funnel_conversion",
+    "fuzzy_part_names",
+    "hierarchy_chain",
+    "join_excess_suppliers",
+    "join_market_share",
+    "materialize_agg_incremental",
+    "merge_cdc_snapshot",
+    "pit_join_nottl",
+    "pivot_event_counts",
+    "quality_report",
+    "range_join_ship_windows",
+    "resample_locf",
+    "rollup_ohlc_daily",
+    "streaming_sessionize_files",
+    "window_spend_quartiles",
+    # (b) refresh: 15 of the r6-hashed, picked for family breadth
+    "pit_join_ttl",
+    "pit_join_multiview",
+    "pit_join_partitioned",
+    "pull_latest_per_key",
+    "pull_all_time_range",
+    "pull_all_query_source",
+    "dedup_minhash_lsh",
+    "corpus_curation_lsh",
+    "knn_ivf",
+    "knn_pq",
+    "streaming_dedup",
+    "streaming_window_counts",
+    "agg_daily_gapfill",
+    "agg_value_mad",
+    "multimodal_decode_stats",
 )
 
 DRIVER_QUERIES: dict[str, QueryDef] = {
-    _name: QUERIES[_name] for _name in _DRIVER_GATE_R9
+    _name: QUERIES[_name] for _name in _DRIVER_GATE_R10
 }
 
 assert len(DRIVER_QUERIES) == 50, (
     f"driver gate records at most 50 rows; got {len(DRIVER_QUERIES)} — "
-    "rebalance _DRIVER_GATE_R9 when rotating"
+    "rebalance _DRIVER_GATE_R10 when rotating"
 )
-assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R9), (
+assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R10), (
     "GATE_ROWS_ONLY entries must be gate members — they exist to shape "
     "the oracle_sql() export of the CURRENT gate"
 )

@@ -62,14 +62,30 @@ def _driver_value_hashed_through(root: str, last_round: int) -> set[str]:
     return hashed
 
 
-def test_driver_export_r9_rotation_invariants():
-    """The round-9 gate is 100% value-hashable (VERDICT r8 item 1: the
-    driver performs NO check on oracle-withheld slots, so rows-only gate
-    rows are wasted slots). Invariants: every slot carries a full
-    oracle; GATE_ROWS_ONLY is empty; the queued late-r8 registrations
-    and every never-value-hashed query with an oracle are in the gate
-    (closing the no_oracle backlog: knn_lsh r1-r2, the r8 leftovers);
-    every refresh slot is stale (no driver hash since round 4)."""
+def _driver_last_hash_round(root: str, last_round: int) -> dict[str, int]:
+    """Per-query LAST round with a hash_match=true driver row (0 if
+    never value-hashed)."""
+    import json
+
+    last: dict[str, int] = {}
+    for r in range(1, last_round + 1):
+        pth = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(pth):
+            for name, row in json.load(open(pth)).items():
+                if row.get("hash_match"):
+                    last[name] = r
+    return last
+
+
+def test_driver_export_r10_rotation_invariants():
+    """VERDICT r9 item 1: the 13 _QUEUED_FOR_R10_GATE registrations take
+    their first driver hashes and the remaining 37 slots go to the
+    stalest-hash refresh pool. Invariants: every slot carries a full
+    oracle; GATE_ROWS_ONLY is empty; all 13 queued queries are in the
+    gate; every refresh slot has its last driver hash in r2-r6 (nothing
+    recently-hashed wastes a slot); and the entire <= r5 pool — every
+    oracle-carrying query last hashed in r2/r4/r5 — is taken before any
+    r6 query is."""
     from feast_ibm_spark.queries import GATE_ROWS_ONLY
 
     assert GATE_ROWS_ONLY == frozenset()
@@ -77,33 +93,26 @@ def test_driver_export_r9_rotation_invariants():
     assert no_oracle == []
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assert _QUEUED_FOR_R9_GATE <= set(DRIVER_QUERIES)
-    value_hashed = _driver_value_hashed_through(root, 8)
-    never = (
-        {
-            n for n in QUERIES
-            if n not in value_hashed and QUERIES[n].oracle is not None
-        }
-        - set(_RTOL_LOCAL)      # float twins stay local by design
-        - _QUEUED_FOR_R10_GATE  # registered after this gate froze
-    )
-    missing = sorted(never - set(DRIVER_QUERIES))
-    assert missing == [], f"never-value-hashed left out of the r9 gate: {missing}"
-    # refresh slots: stale, not recently hashed
-    fresh = _driver_value_hashed_through(root, 8) - _driver_value_hashed_through(root, 4)
-    overlap = sorted(set(DRIVER_QUERIES) & fresh)
-    assert overlap == [], f"r9 refresh slots wasted on recently-hashed: {overlap}"
+    assert _QUEUED_FOR_R10_GATE <= set(DRIVER_QUERIES)
+    last = _driver_last_hash_round(root, 9)
+    refresh = set(DRIVER_QUERIES) - _QUEUED_FOR_R10_GATE
+    too_fresh = sorted(n for n in refresh if last.get(n, 0) > 6)
+    assert too_fresh == [], f"r10 refresh slots wasted on recently-hashed: {too_fresh}"
+    pool_le5 = {
+        n for n in QUERIES
+        if 1 <= last.get(n, 0) <= 5 and QUERIES[n].oracle is not None
+    }
+    skipped = sorted(pool_le5 - refresh)
+    assert skipped == [], f"stalest pool members left out of the r10 gate: {skipped}"
 
 
-# New-capability registrations made AFTER the round-9 gate list froze:
+# New-capability registrations made AFTER the round-10 gate list froze:
 # carry a full local oracle pin from day one, first in line for the
-# round-10 gate. Keep this list SHORT — it is the only sanctioned
+# round-11 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
-_QUEUED_FOR_R9_GATE = frozenset({
-    "dedup_exact_substr_spans",
-    "dedup_exact_substr_cut",
-    "corpus_curation_exact_substr",
-})
+_QUEUED_FOR_R11_GATE: frozenset[str] = frozenset()
+# (historical) the r9-queued list — rotated into the r10 gate, where the
+# rotation invariants above still reference it:
 _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
     "streaming_interval_join_anti",  # 16th drained class, registered
                                      # after the r9 gate froze; full
@@ -134,18 +143,18 @@ _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
 })
 
 
-def test_r9_never_hashed_are_documented_local_only():
-    """After the r9 rotation every registered query is either (a) driver
+def test_r10_never_hashed_are_documented_local_only():
+    """After the r10 rotation every registered query is either (a) driver
     value-hashed in some recorded round, (b) at the current gate, or
     (c) a documented local-only query: the rtol ln() float twins (their
-    hash-stable *_counts twins take the gate rows), the approximate
-    sketches, or the pinned r10 queue."""
+    hash-stable *_counts twins took gate rows in r9), the approximate
+    sketches, or the pinned r11 queue."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hashed = _driver_value_hashed_through(root, 99) | set(DRIVER_QUERIES)
-    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R10_GATE
+    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R11_GATE
     stragglers = sorted(set(QUERIES) - hashed - local_only)
     assert stragglers == [], f"undocumented never-hashed queries: {stragglers}"
-    for n in _QUEUED_FOR_R10_GATE:
+    for n in _QUEUED_FOR_R11_GATE:
         assert QUERIES[n].oracle is not None
 
 
@@ -180,57 +189,66 @@ _canon = _load_check_oracle().canon
 
 
 # Every registered query NOT in the driver export and carrying a full
-# oracle — pinned here with the driver's own compare at gate scale.
-# Round 8 parked the entire r7 gate (each slot 1+ green driver rows) and
-# everything hashed in r1-r6; the 10 never-driver-hashed stragglers in
-# this list each share their ORACLE string with a driver-hashed sibling
-# (invariant pinned in test_r8_leftover_never_hashed_share_oracle).
-# Rotation history lives in NOTES.md "Gate rotation ledger".
+# oracle - pinned here with the driver's own compare at gate scale.
+# Round 10 parked the entire r9 gate (each slot 1+ green driver rows,
+# 50/50 hash-green in CORRECTNESS_r09) plus everything last hashed in
+# r7-r8 and 35 of the r6-hashed; every member has at least one green
+# driver row of its own. Rotation history: NOTES.md 'Gate rotation
+# ledger'.
 _EXCLUDED_WITH_ORACLE = [
     "agg_activity_profile",
-    "agg_daily_gapfill",
+    "agg_cube_status_priority",
     "agg_equidepth_bins",
+    "agg_event_type_stats",
     "agg_global_avg_filter",
     "agg_grouping_sets_custom",
     "agg_important_parts",
+    "agg_pricing_summary",
     "agg_promo_share",
+    "agg_revenue_forecast",
+    "agg_rollup_region_revenue",
     "agg_salted_hot_keys",
+    "agg_smallqty_revenue",
     "agg_supplier_variety",
     "agg_value_histogram",
-    "agg_value_mad",
+    "agg_value_percentiles",
     "array_norm_stats",
-    "asof_join_forward",
     "asof_join_nearest",
     "attribution_last_touch",
     "chunk_and_pack",
+    "chunk_documents",
     "chunk_documents_udtf",
-    "chunk_documents_cdc",
+    "cluster_representatives",
     "cluster_representatives_lsh",
     "compliance_erasure_audit",
     "copurchase_pairs",
     "corpus_boilerplate_removal",
+    "corpus_curation",
     "corpus_curation_auto",
+    "corpus_curation_exact_substr",
     "corpus_curation_incremental",
-    "corpus_curation_lsh",
     "decontaminate_overlap",
-    "dedup_clusters_lsh",
+    "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_containment",
     "dedup_containment_prefix",
+    "dedup_exact",
     "dedup_exact_substr",
+    "dedup_exact_substr_cut",
+    "dedup_exact_substr_spans",
     "dedup_incremental",
     "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_keep_latest",
+    "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "drift_ks",
+    "drift_psi_counts",
     "embed_linear_probe",
     "embedding_clusters",
     "embedding_clusters_lsh",
-    "embedding_near_dup",
     "embedding_near_dup_lsh",
     "erasure_deletion_vectors",
     "eval_auc",
-    "eval_bootstrap_ci",
     "eval_lang_confusion",
     "eval_pr_curve",
     "event_interarrival",
@@ -242,97 +260,86 @@ _EXCLUDED_WITH_ORACLE = [
     "features_multi_horizon",
     "features_target_encoding",
     "features_time_decay",
-    "features_winsorize",
     "features_time_weighted_avg",
     "filter_value_outliers",
-    "funnel_conversion",
-    "fuzzy_part_names",
     "fuzzy_part_names_bucketed",
     "golden_record",
     "graph_kcore",
+    "graph_pagerank",
     "graph_pagerank_incremental",
     "graph_pagerank_weighted",
     "graph_ppr_recommend",
     "graph_triangles",
-    "hierarchy_chain",
-    "join_excess_suppliers",
+    "join_anti_quiet_customers",
     "join_large_orders",
     "join_lateral_topn",
-    "join_market_share",
     "join_min_cost_supplier",
     "join_nation_profit",
+    "join_nation_trade_flow",
+    "join_order_count_distribution",
+    "join_promo_revenue",
+    "join_region_revenue",
     "join_returned_customers",
+    "join_semi_late_orders",
+    "join_top_orders",
     "join_top_supplier",
     "join_waiting_suppliers",
-    "knn_cosine_topk",
-    "knn_ivf",
     "knn_ivfpq",
-    "knn_pq",
+    "knn_lsh",
     "layout_compaction_roundtrip",
-    "layout_hilbert_roundtrip",
+    "layout_zorder_roundtrip",
     "market_basket_rules",
-    "materialize_agg_incremental",
     "materialize_incremental",
     "materialize_moments_incremental",
-    "merge_cdc_snapshot",
+    "materialize_partitioned",
     "mix_domains",
     "mix_temperature_weights",
     "multimodal_audio_silence",
     "multimodal_audio_stats",
     "multimodal_byte_features",
-    "multimodal_decode_stats",
     "multimodal_frame_sample",
     "multimodal_image_dedup",
     "multimodal_resize_stats",
     "normalize_zscore",
     "pack_sequences",
     "peak_open_orders",
-    "pit_join_multiview",
-    "pit_join_nottl",
-    "pit_join_partitioned",
-    "pit_join_ttl",
-    "pivot_event_counts",
-    "privacy_generalization",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_suppression",
-    "privacy_t_closeness",
+    "pit_join_shuffle",
+    "pit_join_union_window",
     "profile_columns",
-    "pull_all_query_source",
-    "pull_all_time_range",
-    "pull_latest_per_key",
-    "quality_report",
-    "range_join_ship_windows",
+    "pull_latest_keep_ties",
+    "pull_latest_tiebreak",
     "resample_interpolate",
-    "resample_locf",
     "retention_cohorts",
     "rfm_segments",
-    "rollup_ohlc_daily",
     "sample_stratified",
     "sample_weighted",
     "scan_binary_files",
     "scan_csv_quarantine",
+    "scan_csv_source",
+    "scan_json_props",
     "scan_json_quarantine",
     "scan_merge_schema",
+    "scan_orc_source",
+    "scan_part_filter",
+    "scan_partitioned_events",
     "scan_python_source",
     "scan_text_logs",
     "scan_variant_props",
+    "scan_xml_source",
     "scd2_intervals",
     "sessionize_bounce_rate",
     "sessionize_dynamic_gap",
+    "sessionize_events",
+    "sessionize_native_window",
+    "set_user_cohorts",
     "sink_python_roundtrip",
-    "skyline_pareto",
-    "skyline_pareto_bucketed",
     "snapshot_diff",
     "split_train_val_test",
     "streaming_cdc_merge",
-    "streaming_dedup",
     "streaming_enrich",
     "streaming_first_seen",
     "streaming_interval_join",
-    "streaming_interval_join_anti",
     "streaming_interval_join_outer",
-    "streaming_join_then_window",
     "streaming_interval_join_semi",
     "streaming_latest",
     "streaming_pit_join",
@@ -340,21 +347,23 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_router",
     "streaming_session_window",
     "streaming_sessionize",
-    "streaming_sessionize_files",
     "streaming_state_inspect",
     "streaming_topk",
-    "streaming_window_counts",
     "table_checksum",
+    "text_bigram_logprob_counts",
+    "text_bm25_counts",
     "text_bpe_encode",
+    "text_bpe_tokens",
     "text_bpe_train",
-    "text_fingerprint",
     "text_keywords",
+    "text_lang_id",
     "text_pii_scan",
     "text_quality",
     "text_repetition",
     "text_similarity_topk",
-    "text_token_count",
+    "text_top_tokens",
     "text_top_tokens_by_lang",
+    "text_unigram_logprob_counts",
     "text_vocab_coverage",
     "training_negative_pairs",
     "training_pipeline_e2e",
@@ -364,8 +373,8 @@ _EXCLUDED_WITH_ORACLE = [
     "window_moving_median",
     "window_rank_suite",
     "window_rolling_24h",
+    "window_running_total",
     "window_sliding_distinct",
-    "window_spend_quartiles",
     "write_audit_publish",
 ]
 # The 4 rtol ln() float queries are LOCAL-ONLY permanently (the r8
