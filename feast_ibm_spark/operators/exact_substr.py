@@ -52,6 +52,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Measured whale edge (NOTES.md "ExactSubstr whale document"): the
+# hash-agg -> sort pipeline behind duplicated_spans is spill-safe once
+# the per-task fair share clears ~250 MB; at 93 MB/task (3 GB heap /
+# 32 slots) a 16 MB fully-duplicated whale doc OOMs the JVM opaquely.
+_FAIR_SHARE_EDGE_BYTES = 250 << 20
+
+
+def _whale_safe_partitions(pool_bytes: float | None,
+                           n_slots: int | None) -> int | None:
+    """The guard decision, kept PURE so the boundary is unit-testable:
+    given the executor unified-memory pool and its concurrent task
+    slots, return None when the per-task fair share
+    (``pool / slots``) clears the measured ~250 MB edge, else the
+    partition count that restores that share. Mirrors pit_join's
+    auto-salt-budget pattern: a session-derived bound, applied
+    automatically, loud when it fires."""
+    if not pool_bytes or not n_slots or n_slots <= 0:
+        return None
+    if pool_bytes / n_slots >= _FAIR_SHARE_EDGE_BYTES:
+        return None
+    return max(1, int(pool_bytes // _FAIR_SHARE_EDGE_BYTES))
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """Parse a JVM memory string ("3g", "512m", "2048k", bytes)."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _session_pool_and_slots(spark) -> tuple[float | None, int | None]:
+    """Best-effort (executor unified-memory pool bytes, concurrent task
+    slots). Local mode: the driver JVM IS the executor, so
+    Runtime.maxMemory is the real heap (conf strings can lie when the
+    JVM was started with different flags); cluster mode:
+    spark.executor.memory. Returns (None, None) when introspection is
+    unavailable (e.g. Spark Connect) — the guard then leaves the plan
+    alone rather than guessing."""
+    try:
+        sc = spark.sparkContext
+        mem_conf = sc.getConf().get("spark.executor.memory", None)
+        if mem_conf and not sc.master.startswith("local"):
+            heap = _parse_jvm_mem(mem_conf)
+        else:
+            heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        frac = float(sc.getConf().get("spark.memory.fraction", "0.6"))
+        pool = max(0.0, (heap - (300 << 20)) * frac)
+        return pool, sc.defaultParallelism
+    except Exception:
+        return None, None
+
 
 def _gram_array(chars_col: str, min_len: int, hashed: bool):
     """Array of ALL length-``min_len`` character grams of a
@@ -194,9 +247,35 @@ def duplicated_spans(
     spills 5.75 GB); the 3 GB/32-thread edge is ~8 MB (93 MB/task fair
     share). Full table: NOTES.md "ExactSubstr whale document",
     scripts/exact_substr_whale.py.
+
+    Fair-share guard (round 10, VERDICT r9 item 4): when the session's
+    per-task fair share (unified pool / task slots) sits BELOW the
+    measured ~250 MB edge, the operator pins its own shuffles — the
+    gram agg/join and the per-doc interval window — to
+    ``pool // 250 MB`` partitions, capping stage concurrency so each
+    running task regains the share the pipeline needs (the "8-thread
+    escape", applied automatically), and warns loudly. Above the edge
+    the plan is untouched. Trades parallelism for completion on
+    undersized heaps instead of an opaque JVM OOM.
     """
+    import warnings
+
     if chunk_chars < 1:
         raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    pool, slots = _session_pool_and_slots(df.sparkSession)
+    n_safe = _whale_safe_partitions(pool, slots)
+    if n_safe is not None:
+        warnings.warn(
+            f"duplicated_spans: per-task fair share "
+            f"{pool / slots / 2**20:.0f} MB (pool "
+            f"{pool / 2**30:.2f} GB / {slots} slots) is below the "
+            f"measured ~250 MB spill-safety edge; pinning the gram and "
+            f"interval-merge shuffles to {n_safe} partitions to cap "
+            f"stage concurrency (whale-document protection — see "
+            f"NOTES.md 'ExactSubstr whale document'). Raise executor "
+            f"memory or lower task slots to restore full parallelism.",
+            stacklevel=2,
+        )
     # chunk k (0-based) covers gram starts [k*step + 1, (k+1)*step],
     # clamped to n_starts = length - min_len + 1; the segment carries
     # min_len - 1 chars of lookahead so every start's full gram is local
@@ -235,6 +314,11 @@ def duplicated_spans(
             F.col("gram"),
         )
     )
+    if n_safe is not None:
+        # pin the gram shuffle: the agg below and the SMJ both reuse
+        # this hash partitioning, so the whole agg->sort pipeline runs
+        # at n_safe concurrent tasks (fair share back above the edge)
+        offs = offs.repartition(n_safe, "gram")
     # grams present in >= 2 distinct documents (per-gram agg, no join fan-out)
     dup_grams = (
         offs.groupBy("gram")
@@ -257,6 +341,10 @@ def duplicated_spans(
         offs.join(dup_grams.hint("merge"), "gram")
         .select(id_col, "off")
     )
+    if n_safe is not None:
+        # pin the interval-merge shuffle the same way (the window's
+        # per-doc sort is the other half of the measured OOM pipeline)
+        covered = covered.repartition(n_safe, id_col)
     # gaps-and-islands merge of [off, off + min_len - 1] intervals:
     # a new island starts where this gram's span no longer touches the
     # running max end of all previous spans (adjacency merges — coverage

@@ -423,3 +423,73 @@ def test_cut_tiers_are_equivalent(spark, corpus_df):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_fair_share_guard_decision_boundary():
+    """VERDICT r9 item 4: the pure guard decision at the measured edge.
+    250 MB/task (32 MB-whale-proven) -> no action; 93 MB/task (the
+    measured 16 MB-whale OOM config: 3 GB heap, 32 slots) -> pin to
+    pool // 250 MB partitions."""
+    from feast_ibm_spark.operators.exact_substr import (
+        _FAIR_SHARE_EDGE_BYTES,
+        _parse_jvm_mem,
+        _whale_safe_partitions,
+    )
+
+    edge = _FAIR_SHARE_EDGE_BYTES
+    assert _whale_safe_partitions(32 * edge, 32) is None          # at edge
+    assert _whale_safe_partitions(32 * edge + 1, 32) is None      # above
+    assert _whale_safe_partitions(32 * edge - 1, 32) == 31        # below
+    # the measured OOM config: (3g - 300m) * 0.6 pool over 32 slots
+    pool = ((3 << 30) - (300 << 20)) * 0.6
+    assert pool / 32 < edge
+    assert _whale_safe_partitions(pool, 32) == int(pool // edge) == 6
+    # degenerate sessions never divide by zero / go below 1 partition
+    assert _whale_safe_partitions(None, 32) is None
+    assert _whale_safe_partitions(pool, None) is None
+    assert _whale_safe_partitions(0, 32) is None
+    assert _whale_safe_partitions(edge - 1, 1) == 1
+
+    assert _parse_jvm_mem("3g") == 3 << 30
+    assert _parse_jvm_mem("512m") == 512 << 20
+    assert _parse_jvm_mem("2048k") == 2048 << 10
+    assert _parse_jvm_mem("1048576") == 1 << 20
+
+
+def test_fair_share_guard_fires_loudly_and_preserves_results(
+    spark, corpus_df, monkeypatch
+):
+    """When the share is below the edge the operator must (a) warn, (b)
+    pin its shuffles to the safe partition count, and (c) return the
+    identical spans. Forced by raising the edge above this session's
+    real share; the normal-session path must stay warning-free and
+    repartition-free (no plan change above the edge)."""
+    import warnings
+
+    from feast_ibm_spark.operators import exact_substr as es
+
+    want = {(r.doc_id, r.span_start, r.span_len)
+            for r in duplicated_spans(corpus_df, min_len=L).collect()}
+
+    pool, slots = es._session_pool_and_slots(spark)
+    assert pool and slots  # introspection works on a local session
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # normal session: no warning
+        plan_normal = duplicated_spans(corpus_df, min_len=L)
+    n_base = (plan_normal._jdf.queryExecution().analyzed().toString()
+              .lower().count("repartitionbyexpression"))
+
+    monkeypatch.setattr(es, "_FAIR_SHARE_EDGE_BYTES", int(pool) * 2)
+    with pytest.warns(UserWarning, match="fair share"):
+        guarded = es.duplicated_spans(corpus_df, min_len=L)
+    n_safe = es._whale_safe_partitions(pool, slots)
+    assert n_safe == 1  # edge of 2*pool -> pool//edge == 0 -> clamped
+    plan = guarded._jdf.queryExecution().analyzed().toString()
+    # TWO pinned shuffles added — the gram agg/join + the window; the
+    # gram one prints twice (offs feeds both dup_grams and covered, and
+    # the logical tree duplicates shared subplans), so 3 nodes total
+    assert plan.lower().count("repartitionbyexpression") == n_base + 3
+    assert "RepartitionByExpression [gram" in plan
+    assert f"RepartitionByExpression [{corpus_df.columns[0]}" in plan
+    got = {(r.doc_id, r.span_start, r.span_len) for r in guarded.collect()}
+    assert got == want

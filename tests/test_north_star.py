@@ -3099,3 +3099,135 @@ def test_generalization_ladder_crafted(spark):
         generalization_ladder_census(df, [], k=3)
     with pytest.raises(ValueError):
         generalization_ladder_census(df, ladder, k=0)
+
+
+# --- hypothesis property nets for the remaining graph ops (VERDICT r9
+# item 5: the pattern keeps finding real bugs — bootstrap pmod and
+# t-closeness NULL bins were both caught by nets like these) ----------------
+
+if _HAS_HYP_DEDUP:
+
+    def _py_canonical_edges(edges):
+        return {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 7), st_hyp.integers(0, 7)),
+            min_size=1, max_size=24,
+        ),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_triangles_property_match_brute_force(spark, edges):
+        """triangle_counts (degree-ordered orientation) must equal the
+        brute per-node triangle census on random multigraphs with
+        self-loops, duplicate and reversed edges (all collapse into the
+        canonical undirected simple graph by contract)."""
+        from itertools import combinations
+
+        from feast_ibm_spark.operators.graph import triangle_counts
+
+        e = _py_canonical_edges(edges)
+        nodes = sorted({n for ab in e for n in ab})
+        want: dict[int, int] = {}
+        for x, y, z in combinations(nodes, 3):
+            if ({(x, y), (x, z), (y, z)} <= e):
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        got = {r.node: r.n_triangles
+               for r in triangle_counts(df).collect()}
+        assert got == want
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 7), st_hyp.integers(0, 7)),
+            min_size=1, max_size=24,
+        ),
+        k=st_hyp.sampled_from([2, 3]),
+        rounds=st_hyp.sampled_from([1, 4]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_kcore_property_matches_python_replay(spark, edges, k, rounds):
+        """kcore_peel is a FIXED-round peel (pure function of edge set,
+        k, rounds): a Python replay of the same rounds — degree census,
+        drop below-k nodes, drop their edges — must match exactly,
+        including the not-yet-converged intermediate states at
+        rounds=1."""
+        from feast_ibm_spark.operators.graph import kcore_peel
+
+        e = _py_canonical_edges(edges)
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for a, b in e:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            e = {(a, b) for a, b in e if a in keep and b in keep}
+        want: dict[int, int] = {}
+        for a, b in e:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        got = {r.node: r.core_deg
+               for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+        assert got == want
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 7), st_hyp.integers(0, 7)),
+            min_size=1, max_size=24,
+        ),
+        seeds=st_hyp.lists(st_hyp.integers(0, 7), min_size=1, max_size=3),
+        iterations=st_hyp.sampled_from([1, 3]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_personalized_pagerank_property_matches_python_reference(
+        spark, edges, seeds, iterations
+    ):
+        """personalized_pagerank is the same engine-exact integer
+        recurrence as the global one but with teleport mass confined to
+        the seed set: a pure-Python replay must match to the last unit
+        on random multigraphs (duplicate edges count toward out-degree
+        and contribute once per edge; seeds outside the graph's node
+        set are dropped; unreachable nodes stay at exactly 0)."""
+        from feast_ibm_spark.operators.graph import (
+            PR_D_DEN,
+            PR_D_NUM,
+            PR_SCALE,
+            personalized_pagerank,
+        )
+
+        nodes = sorted({n for ab in edges for n in ab})
+        seed_set = set(seeds) & set(nodes)
+        deg: dict[int, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        tel = (15 * PR_SCALE) // 100
+        score = {n: (PR_SCALE if n in seed_set else 0) for n in nodes}
+        for _ in range(iterations):
+            mass = {n: 0 for n in nodes}
+            for s, d in edges:
+                mass[d] += (PR_D_NUM * score[s]) // (PR_D_DEN * deg[s])
+            score = {
+                n: (tel if n in seed_set else 0) + mass[n] for n in nodes
+            }
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+        got = {r.node: r.score_scaled
+               for r in personalized_pagerank(df, sdf, iterations).collect()}
+        assert got == score
