@@ -548,3 +548,58 @@ def pagerank_fixed_point_weighted(
             )
         )
     return scores.select("node", F.col("score").alias("score_scaled"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop levels: shortest unweighted hop distance
+    from any node in ``sources`` (one ``node`` column), capped at
+    ``max_hops`` — reachability rings ("everything within 3 hops of the
+    flagged accounts", "parts co-purchased at distance <= 2 from a
+    recalled part").
+
+    Level-synchronous frontier expansion — the canonical distributed
+    BFS: each round joins ONLY the current frontier (not the visited
+    set) against the edge list, dedups the discovered nodes, and
+    anti-joins the visited set so every node is labeled with its FIRST
+    discovery round, which is exactly the shortest hop distance. Work
+    per round is O(frontier-adjacent edges); total O(E * rounds) worst
+    case, with the same ``localCheckpoint`` lineage discipline as
+    :func:`kcore_peel` (an unrolled loop of joins otherwise compounds
+    the plan tree). The per-round ``isEmpty`` early-exit is a bounded
+    driver probe (at most ``max_hops`` of them, LIMIT-1-shaped).
+
+    Determinism: the output is a pure function of (edge set, source
+    set, max_hops) — no tie-breaks exist to get wrong, because BFS
+    levels are unique. Hub fan-in is absorbed by the distinct()'s
+    map-side partial aggregate (the pagerank-hub taxonomy row, not a
+    whale). Sources outside the edge set are kept at level 0 (they are
+    real query nodes); unreachable nodes are absent from the output.
+
+    Output: (node, lvl) — BIGINT hop distance in [0, max_hops].
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops}: need >= 0")
+    visited = sources.select("node").distinct().withColumn(
+        "lvl", F.lit(0).cast("bigint")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src_col])
+            .select(F.col(dst_col).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("lvl", F.lit(h).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -472,6 +472,11 @@ QUERIES: dict[str, QueryDef] = {
                                          "Hilbert-clustered write (continuous "
                                          "curve, tighter file envelopes), "
                                          "content-preserving round-trip"),
+    "layout_bucketed_join": QueryDef(q_layout_bucketed_join,
+                                     ORACLE_BUCKETED_JOIN,
+                                     "bucketed catalog tables: zero-Exchange "
+                                     "agg + co-located merge join, "
+                                     "content-preserving"),
     "privacy_k_anonymity": QueryDef(q_privacy_k_anonymity,
                                     ORACLE_PRIVACY_K_ANONYMITY,
                                     "k-anonymity equivalence-class census "
@@ -747,6 +752,14 @@ QUERIES: dict[str, QueryDef] = {
     "graph_triangles": QueryDef(q_graph_triangles, ORACLE_TRIANGLES,
                                 "per-node triangle counts, degree-ordered "
                                 "orientation (O(sqrt(E)) wedge bound)"),
+    "graph_bfs_levels": QueryDef(q_graph_bfs_levels, ORACLE_BFS_LEVELS,
+                                 "multi-hop reachability rings: frontier "
+                                 "BFS levels vs recursive-CTE oracle"),
+    "agg_weighted_median": QueryDef(q_agg_weighted_median,
+                                    ORACLE_WEIGHTED_MEDIAN,
+                                    "weighted order statistic by key: "
+                                    "selection-only integer cumweight "
+                                    "median (2*cum >= W, no division)"),
     "streaming_topk": QueryDef(q_streaming_topk, ORACLE_STREAM_TOPK,
                                "complete-mode streaming top-k leaderboard "
                                "(sort+limit inside the streaming plan)"),

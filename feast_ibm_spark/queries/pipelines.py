@@ -214,6 +214,79 @@ def q_layout_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HILBERT_ROUNDTRIP = ORACLE_ZORDER_ROUNDTRIP
 
 
+def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join at the gate (sources/bucketed.py's
+    first registered query — the plan contract was previously pinned
+    only in test_plans): events written ONCE as two catalog tables
+    hash-bucketed by user_id — the purchase fact and a per-user profile
+    dim — after which BOTH the per-user fact aggregate and the fact-dim
+    merge join reuse the persisted bucketing, zero Exchange anywhere in
+    the plan (tests/test_plans.py::test_bucketed_join_query_plan_is_
+    shuffle_free). This is the pay-the-shuffle-once-at-write lever a
+    100 TB feature store runs on; the oracle recomputes the same join
+    from the raw table, pinning that the bucketed path is
+    content-preserving. Tables rebuild per session (the in-memory
+    catalog forgets them; the parquet files just get overwritten)."""
+    import hashlib
+
+    from ..sources.bucketed import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fact, dim = f"fis_bk_purchases_{tag}", f"fis_bk_users_{tag}"
+    cat = spark.catalog
+    if not (cat.tableExists(fact) and cat.tableExists(dim)):
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse DIRECTORY persists; an unregistered leftover dir
+        # makes saveAsTable raise LOCATION_ALREADY_EXISTS — it is ours
+        # (these names are query-private), so clear it before rewriting
+        import os
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (fact, dim):
+            if not cat.tableExists(t):
+                shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type",
+            _cents("value").alias("cents"), "ts",
+        )
+        write_bucketed(
+            ev.filter(F.col("event_type") == "purchase").drop("ts"),
+            fact, ["user_id"], 8, sort_cols=["user_id"],
+        )
+        prof = ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        write_bucketed(prof, dim, ["user_id"], 8, sort_cols=["user_id"])
+    agg = spark.table(fact).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return agg.join(spark.table(dim).hint("merge"), "user_id").select(
+        "user_id", "n_purchases", "sum_cents", "n_events", "first_seen"
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+WITH prof AS (
+  SELECT user_id, min(ts) AS first_seen,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT a.user_id, a.n_purchases, a.sum_cents, p.n_events, p.first_seen
+FROM agg a JOIN prof p USING (user_id)
+"""
+
+
 # quasi-identifier set shared by the three privacy queries: nation x
 # market segment x $1000 balance band (floor over the same IEEE double
 # both engines read from parquet, so the band edges agree bit-exactly)

@@ -534,9 +534,12 @@ WHERE r.n_both * 100 >= {RULE_MIN_CONF_PCT} * na.n_part
 PR_EDGE_MIN_BOTH, PR_ITERS = 2, 3
 
 
-def _copurchase_edges(items: DataFrame, directed: bool = True) -> DataFrame:
+def _copurchase_edges(
+    items: DataFrame, directed: bool = True,
+    min_both: int = PR_EDGE_MIN_BOTH,
+) -> DataFrame:
     """Co-purchase graph from a distinct (l_orderkey, l_partkey) item
-    set: parts ordered together in >= PR_EDGE_MIN_BOTH orders become an
+    set: parts ordered together in >= ``min_both`` orders become an
     undirected edge, optionally doubled into a directed list (the shape
     pagerank consumes; triangle counting canonicalizes either)."""
     a, b = items.alias("a"), items.alias("b")
@@ -551,7 +554,7 @@ def _copurchase_edges(items: DataFrame, directed: bool = True) -> DataFrame:
             F.col("b.l_partkey").alias("pb"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= PR_EDGE_MIN_BOTH)
+        .filter(F.col("n") >= min_both)
     )
     edges = pairs.selectExpr("pa AS src", "pb AS dst")
     if directed:
@@ -925,6 +928,65 @@ SELECT node AS part, score AS score_scaled FROM s3
 """
 
 
+BFS_MAX_HOPS = 3
+
+
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability rings over the co-purchase graph: BFS hop
+    levels from the lowest-keyed part, capped at 3 hops — "everything
+    co-purchased within 3 hops of this part", the recall/contamination
+    blast-radius query. Level-synchronous frontier expansion
+    (operators/graph.bfs_levels): each round joins only the FRONTIER
+    against the edge list (O(frontier-adjacent edges) per round, hub
+    fan-in absorbed map-side), anti-joins the visited set, and labels
+    nodes with their first-discovery round — the shortest hop distance,
+    which is unique, so the result is engine-exact with no tie-break
+    hazard. The oracle walks the same rings with a recursive CTE
+    (UNION-dedup bounds the walk; min(lvl) is the BFS level). Edge
+    threshold 1 (any shared order), not the PageRank queries' 2: the
+    denser graph makes the 3-hop ring cover the full part population at
+    every scale (20k rows at sf0.1) — a strong whole-output hash rather
+    than a 2-row fragment."""
+    from ..operators.graph import bfs_levels
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = _copurchase_edges(items, min_both=1)
+    src = edges.agg(F.min("src").alias("node"))
+    out = bfs_levels(edges, src, max_hops=BFS_MAX_HOPS)
+    return out.select(F.col("node").alias("part"), "lvl")
+
+
+ORACLE_BFS_LEVELS = f"""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+src AS (
+  SELECT min(src) AS node FROM edges
+),
+walk(node, lvl) AS (
+  SELECT node, 0 FROM src
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < {BFS_MAX_HOPS}
+)
+SELECT node AS part, CAST(min(lvl) AS BIGINT) AS lvl
+FROM walk GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Pareto frontier (skyline): best price-for-size trade-offs in part.
 # Spark side is the monotone linear decomposition (operators/skyline.py);
@@ -967,4 +1029,77 @@ WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
       AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
   )
+"""
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation WEIGHTED median line-item price (weight = quantity):
+    the importance-weighted order statistic a corpus pipeline uses for
+    quantity-weighted price floors or token-weighted doc-length cuts —
+    the interpolated percentile family can't express weights at all.
+
+    Exactness discipline: selection-only, like features_winsorize. The
+    lower weighted median is the SMALLEST value whose cumulative weight
+    reaches half the total — found by (1) pre-aggregating weights per
+    DISTINCT value (kills any tie-order hazard: equal values merge
+    before the cumsum), (2) one integer running sum over the per-nation
+    distinct-value spine, (3) the half test as ``2*cum >= W`` in pure
+    BIGINT (no division, no float), (4) min(value) among qualifiers.
+    Every emitted number is an input element or an integer sum, so the
+    DuckDB twin hashes exactly at any scale. The window runs over
+    |nations x distinct prices| rows, never data rows; the two data
+    passes are hash aggregates (map-side combinable). Logic lives in
+    operators/weighted_stats.weighted_quantile_by_key (property-netted
+    vs a pure-Python replay)."""
+    from ..operators.weighted_stats import weighted_quantile_by_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    base = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            _cents("l_extendedprice").alias("__c"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("__w"),
+        )
+    )
+    out = weighted_quantile_by_key(base, ["nation"], "__c", "__w")
+    return out.select(
+        "nation",
+        "total_weight",
+        (F.col("wq").cast("double") / 100.0).alias("weighted_median"),
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT n_name AS nation,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+vals AS (
+  SELECT nation, c, CAST(SUM(w) AS BIGINT) AS vw
+  FROM base WHERE c IS NOT NULL AND w > 0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT nation, CAST(SUM(vw) AS BIGINT) AS total_weight
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT nation, c, SUM(vw) OVER (
+    PARTITION BY nation ORDER BY c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM vals
+)
+SELECT cum.nation, tot.total_weight,
+       CAST(MIN(cum.c) AS DOUBLE) / 100.0 AS weighted_median
+FROM cum JOIN tot ON cum.nation = tot.nation
+WHERE 2 * cum.cumw >= tot.total_weight
+GROUP BY cum.nation, tot.total_weight
 """

@@ -228,6 +228,11 @@ SMOKE_QUERIES = [
     "eval_bootstrap_ci",
     "privacy_t_closeness",
     "privacy_generalization",
+    # round-10 additions: BFS reachability rings, weighted order
+    # statistics, bucketed co-located join
+    "graph_bfs_levels",
+    "agg_weighted_median",
+    "layout_bucketed_join",
 ]
 
 

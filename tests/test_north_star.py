@@ -3231,3 +3231,99 @@ if _HAS_HYP_DEDUP:
         got = {r.node: r.score_scaled
                for r in personalized_pagerank(df, sdf, iterations).collect()}
         assert got == score
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 7), st_hyp.integers(0, 7)),
+            min_size=1, max_size=24,
+        ),
+        seeds=st_hyp.lists(st_hyp.integers(0, 7), min_size=1, max_size=3),
+        max_hops=st_hyp.sampled_from([0, 1, 3]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_bfs_levels_property_matches_python_reference(
+        spark, edges, seeds, max_hops
+    ):
+        """bfs_levels must equal a Python level-synchronous BFS on
+        random DIRECTED multigraphs (duplicate edges and self-loops
+        collapse; edges are followed src->dst only): first-discovery
+        level == shortest hop distance, sources pinned at 0 even when
+        absent from the edge list, unreachable nodes absent."""
+        from feast_ibm_spark.operators.graph import bfs_levels
+
+        adj: dict[int, set[int]] = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        want = {n: 0 for n in set(seeds)}
+        frontier = set(seeds)
+        for h in range(1, max_hops + 1):
+            nxt = {d for s in frontier for d in adj.get(s, ())} - set(want)
+            for n in nxt:
+                want[n] = h
+            frontier = nxt
+
+        df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+        got = {r.node: r.lvl
+               for r in bfs_levels(df, sdf, max_hops=max_hops).collect()}
+        assert got == want
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 2),            # key
+                st_hyp.integers(-5, 5),           # value
+                st_hyp.integers(-1, 4),           # weight (incl. invalid)
+            ),
+            min_size=1, max_size=24,
+        ),
+        q=st_hyp.sampled_from([(1, 2), (1, 4), (9, 10), (1, 1)]),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_weighted_quantile_property_matches_python_replay(
+        spark, rows, q
+    ):
+        """weighted_quantile_by_key must equal the textbook lower
+        weighted quantile — smallest v with cumweight(v) >= q*W — on
+        random multisets with duplicate values, duplicate keys, and
+        zero/negative weights (excluded by contract). Cross-checked via
+        Fraction arithmetic so the replay itself has no float step."""
+        from fractions import Fraction
+
+        from feast_ibm_spark.operators.weighted_stats import (
+            weighted_quantile_by_key,
+        )
+
+        q_num, q_den = q
+        valid = [(k, v, w) for k, v, w in rows if w > 0]
+        want = {}
+        keys = {k for k, _, _ in valid}
+        for k in keys:
+            agg: dict[int, int] = {}
+            for kk, v, w in valid:
+                if kk == k:
+                    agg[v] = agg.get(v, 0) + w
+            total = sum(agg.values())
+            cum = 0
+            sel = None
+            for v in sorted(agg):
+                cum += agg[v]
+                if Fraction(cum, total) >= Fraction(q_num, q_den):
+                    sel = v
+                    break
+            want[k] = (total, sel)
+
+        df = spark.createDataFrame(rows, "k bigint, v bigint, w bigint")
+        got = {r.k: (r.total_weight, r.wq)
+               for r in weighted_quantile_by_key(
+                   df, ["k"], "v", "w", q_num=q_num, q_den=q_den
+               ).collect()}
+        assert got == want

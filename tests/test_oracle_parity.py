@@ -110,7 +110,17 @@ def test_driver_export_r10_rotation_invariants():
 # carry a full local oracle pin from day one, first in line for the
 # round-11 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
-_QUEUED_FOR_R11_GATE: frozenset[str] = frozenset()
+_QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
+    "graph_bfs_levels",       # frontier BFS levels vs recursive-CTE
+                              # oracle; property net + 3-scale pins
+                              # from day one
+    "agg_weighted_median",    # weighted order statistic (selection-
+                              # only integer cumweight); property net
+                              # + 3-scale pins from day one
+    "layout_bucketed_join",   # bucketed catalog tables, zero-Exchange
+                              # agg + merge join; plan pin + 3-scale
+                              # content oracle from day one
+})
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
 _QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
@@ -212,6 +222,7 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_supplier_variety",
     "agg_value_histogram",
     "agg_value_percentiles",
+    "agg_weighted_median",
     "array_norm_stats",
     "asof_join_nearest",
     "attribution_last_touch",
@@ -264,6 +275,7 @@ _EXCLUDED_WITH_ORACLE = [
     "filter_value_outliers",
     "fuzzy_part_names_bucketed",
     "golden_record",
+    "graph_bfs_levels",
     "graph_kcore",
     "graph_pagerank",
     "graph_pagerank_incremental",
@@ -286,6 +298,7 @@ _EXCLUDED_WITH_ORACLE = [
     "join_waiting_suppliers",
     "knn_ivfpq",
     "knn_lsh",
+    "layout_bucketed_join",
     "layout_compaction_roundtrip",
     "layout_zorder_roundtrip",
     "market_basket_rules",

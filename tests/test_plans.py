@@ -1102,3 +1102,27 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
+    """The registered layout_bucketed_join query must carry ZERO
+    Exchange anywhere: the per-user fact aggregate and the fact-dim
+    merge join both reuse the bucketing persisted at write time
+    (sources/bucketed.py's write-once-shuffle-never contract, now
+    pinned on the gate query itself, not just a synthetic pair).
+    Broadcast is disabled so co-location — not a broadcast — is what
+    removes the join shuffle."""
+    from feast_ibm_spark.plans.inspect import count_shuffles
+    from feast_ibm_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["layout_bucketed_join"].fn(spark, sf_dir)
+        assert count_shuffles(df) == 0, \
+            df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in \
+            df._jdf.queryExecution().executedPlan().toString()
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
