@@ -477,6 +477,11 @@ QUERIES: dict[str, QueryDef] = {
                                      "bucketed catalog tables: zero-Exchange "
                                      "agg + co-located merge join, "
                                      "content-preserving"),
+    "layout_snapshot_time_travel": QueryDef(q_layout_snapshot_time_travel,
+                                            ORACLE_SNAPSHOT_TIME_TRAVEL,
+                                            "manifest snapshots: time-travel "
+                                            "read of v1 + lossless append to "
+                                            "v2, both vs the raw table"),
     "privacy_k_anonymity": QueryDef(q_privacy_k_anonymity,
                                     ORACLE_PRIVACY_K_ANONYMITY,
                                     "k-anonymity equivalence-class census "

@@ -270,6 +270,73 @@ def q_layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAPSHOT_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_layout_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-snapshot time travel (sources/snapshots.py — the
+    Iceberg/Delta core reduced to numbered manifests over immutable
+    segments): events are committed as TWO versions — v1 holds the
+    pre-split rows, v2 appends the rest — and the query reads BOTH
+    versions back (v1 via explicit time travel, v2 as latest),
+    aggregating each. Pins the two load-bearing properties at once:
+    time travel reproduces the pre-append table exactly (v1's aggregate
+    matches the raw table filtered to the same split), and the append
+    is lossless (v2 matches the unfiltered table). The oracle computes
+    both version profiles straight from the raw table. Manifest rename
+    is the commit point — a reader never sees a half-appended version;
+    built once per sf tag, versions immutable thereafter."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_snap_{tag}")
+    if len(snapshot_versions(dest)) < 2:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+        write_snapshot(ev.filter(F.col("ts") < split), dest)
+        write_snapshot(ev.filter(F.col("ts") >= split), dest)
+
+    def prof(v: int) -> DataFrame:
+        return (
+            read_snapshot(spark, dest, version=v)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(v).alias("version"), "event_type",
+                    "n_events", "sum_cents")
+        )
+
+    return prof(1).unionByName(prof(2))
+
+
+ORACLE_SNAPSHOT_TIME_TRAVEL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT CAST(1 AS INT) AS version, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c WHERE ts < TIMESTAMP '{SNAPSHOT_SPLIT}' GROUP BY event_type
+UNION ALL
+SELECT CAST(2 AS INT), event_type,
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM c GROUP BY event_type
+"""
+
+
 ORACLE_BUCKETED_JOIN = """
 WITH prof AS (
   SELECT user_id, min(ts) AS first_seen,

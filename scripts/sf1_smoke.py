@@ -233,6 +233,7 @@ SMOKE_QUERIES = [
     "graph_bfs_levels",
     "agg_weighted_median",
     "layout_bucketed_join",
+    "layout_snapshot_time_travel",
 ]
 
 

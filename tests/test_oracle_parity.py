@@ -120,6 +120,10 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
     "layout_bucketed_join",   # bucketed catalog tables, zero-Exchange
                               # agg + merge join; plan pin + 3-scale
                               # content oracle from day one
+    "layout_snapshot_time_travel",  # manifest snapshots: v1 time travel
+                                    # + lossless append; unit-tested
+                                    # commit-point semantics; 3-scale
+                                    # pins from day one
 })
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
@@ -300,6 +304,7 @@ _EXCLUDED_WITH_ORACLE = [
     "knn_lsh",
     "layout_bucketed_join",
     "layout_compaction_roundtrip",
+    "layout_snapshot_time_travel",
     "layout_zorder_roundtrip",
     "market_basket_rules",
     "materialize_incremental",

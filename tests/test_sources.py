@@ -473,3 +473,52 @@ def test_filter_ts_range_ntz_sentinel_bounds_outside_pandas_range(spark):
     # ...and a mixed window (one sentinel, one in-range bound) still filters
     half = filter_ts_range(df, "ts", datetime(1, 1, 1), "2024-03-01 00:00:00")
     assert sorted(r.i for r in half.collect()) == [0]
+
+
+def test_snapshot_manifest_semantics(spark, tmp_path):
+    """sources/snapshots.py contract: numbered versions over immutable
+    segments; append creates a NEW version while every old version
+    rereads exactly its committed rows (time travel); the manifest
+    rename is the commit point, so an uncommitted .tmp manifest (a
+    crashed writer) is invisible; bad versions and fresh tables raise
+    rather than guess."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap_table")
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path)
+    assert snapshot_versions(path) == []
+
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"),
+        path,
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame([(3, "c")], "id bigint, s string"), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert snapshot_versions(path) == [1, 2]
+
+    # time travel: v1 is exactly the pre-append table; latest sees all
+    assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1, 2}
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3}
+
+    # crashed writer: a .tmp manifest (and its orphan segment) must be
+    # invisible to readers and to the version list
+    os.makedirs(os.path.join(path, "data", "seg-000099"), exist_ok=True)
+    with open(os.path.join(path, "_snapshots", "v000099.json.tmp"), "w") as f:
+        json.dump({"version": 99, "segments": ["data/seg-000099"]}, f)
+    assert snapshot_versions(path) == [1, 2]
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3}
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, 7)
