@@ -728,6 +728,12 @@ QUERIES: dict[str, QueryDef] = {
                                     "foreachBatch MERGE loop over "
                                     "versioned keyed snapshots vs the "
                                     "batch MERGE oracle"),
+    "streaming_snapshot_sink": QueryDef(q_streaming_snapshot_sink,
+                                        ORACLE_STREAM_SNAPSHOT_SINK,
+                                        "exactly-once versioned snapshot "
+                                        "sink: one manifest commit per "
+                                        "micro-batch, idempotent on "
+                                        "batchId"),
     "golden_record": QueryDef(q_golden_record, ORACLE_GOLDEN_RECORD,
                               "column-level survivorship merge: each "
                               "attr keeps its own latest non-null"),

@@ -646,3 +646,70 @@ SELECT user_id, session_id,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def q_streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18th drained streaming class: EXACTLY-ONCE VERSIONED SNAPSHOT
+    SINK — the stream lands in the manifest-snapshot table format
+    (sources/snapshots.py) with one committed version per micro-batch,
+    idempotent on batchId (write_snapshot_batch: a replayed batch finds
+    its id in the manifest chain and returns the existing version
+    instead of double-committing — the contract foreachBatch retries
+    require; pinned in test_sources). Four genuine micro-batches
+    (4-file source, maxFilesPerTrigger=1) append four versions; the
+    drained check reads the LATEST version back and aggregates — which
+    must equal the whole input regardless of how the stream was split
+    into batches (append is order-independent), with n_versions pinning
+    that every batch became exactly one commit. Time travel into any
+    intermediate batch boundary comes free with the format."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot_batch,
+    )
+
+    configure_runtime(spark)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("cents"), "ts"
+    )
+    src_dir = tempfile.mkdtemp(prefix="fis_snapsink_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    dest = tempfile.mkdtemp(prefix="fis_snapsink_tbl_")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: write_snapshot_batch(batch, dest, bid)
+        )
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="fis_snapsink_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    n_versions = len(snapshot_versions(dest))
+    return (
+        read_snapshot(spark, dest)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(F.lit(n_versions).alias("n_versions"), "event_type",
+                "n_events", "sum_cents")
+    )
+
+
+ORACLE_STREAM_SNAPSHOT_SINK = """
+SELECT CAST(4 AS INT) AS n_versions, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""

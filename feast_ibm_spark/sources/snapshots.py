@@ -67,6 +67,32 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     return version
 
 
+def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:
+    """Exactly-once twin of :func:`write_snapshot` for streaming
+    ``foreachBatch`` sinks: the manifest records ``batch_id``, and a
+    RETRY of an already-committed batch (Structured Streaming replays
+    the last batch after a crash) finds its id in the manifest chain and
+    returns the existing version instead of double-committing — the
+    idempotent-sink contract foreachBatch requires. Returns the version
+    holding this batch."""
+    for v in reversed(snapshot_versions(path)):
+        m = _read_manifest(path, v)
+        if m.get("batch_id") == batch_id:
+            return v
+    versions = snapshot_versions(path)
+    version = (versions[-1] + 1) if versions else 1
+    seg = f"{_DATA_DIR}/seg-{version:06d}"
+    df.write.mode("errorifexists").parquet(os.path.join(path, seg))
+    prev = _read_manifest(path, versions[-1])["segments"] if versions else []
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "segments": prev + [seg],
+                   "batch_id": batch_id}, f)
+    os.rename(tmp, _manifest_path(path, version))  # commit point
+    return version
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         return json.load(f)

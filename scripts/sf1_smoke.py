@@ -234,6 +234,7 @@ SMOKE_QUERIES = [
     "agg_weighted_median",
     "layout_bucketed_join",
     "layout_snapshot_time_travel",
+    "streaming_snapshot_sink",
 ]
 
 

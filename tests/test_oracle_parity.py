@@ -124,6 +124,11 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
                                     # + lossless append; unit-tested
                                     # commit-point semantics; 3-scale
                                     # pins from day one
+    "streaming_snapshot_sink",      # 18th drained class: exactly-once
+                                    # versioned snapshot sink (one
+                                    # manifest commit per micro-batch,
+                                    # idempotent on batchId); 3-scale
+                                    # pins from day one
 })
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
@@ -365,6 +370,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_router",
     "streaming_session_window",
     "streaming_sessionize",
+    "streaming_snapshot_sink",
     "streaming_state_inspect",
     "streaming_topk",
     "table_checksum",

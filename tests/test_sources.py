@@ -522,3 +522,26 @@ def test_snapshot_manifest_semantics(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_snapshot(spark, path, 7)
+
+
+def test_snapshot_batch_writer_is_idempotent_on_batch_id(spark, tmp_path):
+    """write_snapshot_batch: a REPLAYED micro-batch (same batchId —
+    Structured Streaming re-runs the last uncommitted batch after a
+    crash) must return the existing version and commit nothing new;
+    distinct batchIds append monotonically."""
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot_batch,
+    )
+
+    path = str(tmp_path / "sink_table")
+    b0 = spark.createDataFrame([(1,)], "id bigint")
+    b1 = spark.createDataFrame([(2,)], "id bigint")
+    assert write_snapshot_batch(b0, path, batch_id=0) == 1
+    assert write_snapshot_batch(b1, path, batch_id=1) == 2
+    # retry of batch 1: same version back, no third commit, content flat
+    assert write_snapshot_batch(b1, path, batch_id=1) == 2
+    assert snapshot_versions(path) == [1, 2]
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2}
+    assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1}
