@@ -41,7 +41,10 @@ def weighted_quantile_by_key(
     median): the smallest value whose cumulative weight reaches
     ``q_num/q_den`` of the key's total weight. NULL values and NULL /
     non-positive weights are excluded (a zero-weight row cannot move an
-    order statistic; a NULL one is a non-observation).
+    order statistic; a NULL one is a non-observation). Weights are cast
+    to BIGINT — fractional weights TRUNCATE (a 0.4 weight counts 0);
+    pre-scale fractional weights to integers (e.g. x1000) so the
+    cumulative sums stay exact, which is the whole point.
 
     Output: key_cols + ``total_weight`` (BIGINT) + ``wq`` (the selected
     value, original type).
