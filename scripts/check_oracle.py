@@ -130,9 +130,18 @@ def main():
         qs = entry_mod.queries()
         oracles = entry_mod.oracle_sql()
 
+    # sweep-log hygiene (VERDICT r9 item 6): Python workers spam one
+    # pandas FutureWarning per empty Arrow batch (256 lines in one sf0.1
+    # sweep, measured), and the JVM logs a benign TorrentBroadcast ERROR
+    # at streaming-stop boundaries — both bury the RESULT line. Workers
+    # inherit the env in local mode, so setting PYTHONWARNINGS BEFORE
+    # the JVM forks them silences the Python side for this process only.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
     from feast_ibm_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-parity")
+    spark.sparkContext.setLogLevel("FATAL")
 
     con = duckdb.connect()
     for t in TABLES:
