@@ -63,15 +63,27 @@ def weighted_quantile_by_key(
         F.col(weight_col).cast("bigint").alias("__w"),
     )
     vals = base.groupBy(*key_cols, "__v").agg(F.sum("__w").alias("__vw"))
-    tot = vals.groupBy(*key_cols).agg(F.sum("__vw").alias("total_weight"))
-    w = (
+    # total weight rides the SAME partitioning as the running sum (a
+    # whole-partition window frame) instead of a separate aggregate +
+    # join-back: Spark 4.1 reuses no exchanges, so the agg+join diamond
+    # re-derived `vals` from a SECOND full scan of the input (measured
+    # in PLANS.md: 6 scans / 4 shuffles before, 3 / 2 after)
+    w_cum = (
         Window.partitionBy(*key_cols).orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = vals.withColumn("__cum", F.sum("__vw").over(w))
+    w_all = (
+        Window.partitionBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = vals.select(
+        *key_cols,
+        "__v",
+        F.sum("__vw").over(w_cum).alias("__cum"),
+        F.sum("__vw").over(w_all).alias("total_weight"),
+    )
     return (
-        cum.join(F.broadcast(tot), key_cols)
-        .filter(
+        cum.filter(
             F.lit(q_den) * F.col("__cum")
             >= F.lit(q_num) * F.col("total_weight")
         )

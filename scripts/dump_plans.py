@@ -449,12 +449,16 @@ SHOWCASE: list[tuple[str, str]] = [
     ),
     (
         "agg_weighted_median",
-        "Weighted order statistic with no interpolation anywhere: two\n"
-        "hash aggregates over the data (map-side combinable), then the\n"
-        "running-sum window and the half test (`2*cum >= W`, pure BIGINT)\n"
-        "run over the |keys x distinct values| spine — never over data\n"
-        "rows. Dims broadcast. The expensive exact-percentile aggregate\n"
-        "(collects every value into aggregate state) never appears.",
+        "Weighted order statistic with no interpolation anywhere: ONE\n"
+        "hash aggregate over the data (map-side combinable), then both\n"
+        "the running sum and the partition total ride the SAME window\n"
+        "shuffle over the |keys x distinct values| spine — the total as\n"
+        "a whole-partition frame, not a separate aggregate + join-back,\n"
+        "because Spark 4.1 reuses no exchanges and that diamond\n"
+        "re-scanned the input (measured: 6 scans / 4 shuffles before\n"
+        "this restructure, 3 / 2 after). The half test (`2*cum >= W`) is\n"
+        "pure BIGINT. The expensive exact-percentile aggregate (collects\n"
+        "every value into aggregate state) never appears.",
     ),
     (
         "graph_bfs_levels",
