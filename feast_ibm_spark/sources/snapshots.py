@@ -49,22 +49,62 @@ def snapshot_versions(path: str) -> list[int]:
     )
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
-    """Append ``df`` as a new immutable snapshot version; returns the
-    committed version number. Version 1 creates the table; later calls
-    are appends (the new version sees all previous segments plus this
-    one). The manifest rename is the commit point."""
+def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new immutable snapshot version; returns the
+    committed version number. Version 1 creates the table. ``mode``:
+    ``"append"`` — the new version sees all previous segments plus this
+    one; ``"overwrite"`` — the new version sees ONLY this segment (the
+    table-replacement commit; older versions stay readable until
+    :func:`vacuum_snapshots` reclaims their segments). The manifest
+    rename is the commit point either way."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode={mode!r}: need 'append' or 'overwrite'")
     versions = snapshot_versions(path)
     version = (versions[-1] + 1) if versions else 1
     seg = f"{_DATA_DIR}/seg-{version:06d}"
     df.write.mode("errorifexists").parquet(os.path.join(path, seg))
-    prev = _read_manifest(path, versions[-1])["segments"] if versions else []
+    prev = (
+        _read_manifest(path, versions[-1])["segments"]
+        if versions and mode == "append" else []
+    )
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(path, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": version, "segments": prev + [seg]}, f)
     os.rename(tmp, _manifest_path(path, version))  # commit point
     return version
+
+
+def vacuum_snapshots(path: str, keep_last: int = 1) -> tuple[int, int]:
+    """Retention: keep only the newest ``keep_last`` versions and delete
+    every segment directory no kept manifest references — the GC step
+    that makes ``mode="overwrite"`` reclaim space (append-only chains
+    share all segments with the latest version, so vacuum deletes
+    nothing there — by design, old versions stay time-travelable for
+    free). Deletion order is crash-safe: old MANIFESTS go first (the
+    commit dimension shrinks atomically per unlink), orphaned segments
+    after — a crash mid-vacuum leaves unreferenced segments, never a
+    readable version with missing data. Returns
+    (manifests_dropped, segments_deleted)."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last={keep_last}: need >= 1")
+    versions = snapshot_versions(path)
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    referenced = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["segments"])
+    for v in drop:
+        os.unlink(_manifest_path(path, v))
+    data_dir = os.path.join(path, _DATA_DIR)
+    n_seg = 0
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            if f"{_DATA_DIR}/{d}" not in referenced:
+                shutil.rmtree(os.path.join(data_dir, d))
+                n_seg += 1
+    return len(drop), n_seg
 
 
 def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:

@@ -545,3 +545,45 @@ def test_snapshot_batch_writer_is_idempotent_on_batch_id(spark, tmp_path):
     assert snapshot_versions(path) == [1, 2]
     assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2}
     assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1}
+
+
+def test_snapshot_overwrite_and_vacuum_lifecycle(spark, tmp_path):
+    """Overwrite commits replace the visible segment set while older
+    versions stay time-travelable; vacuum keeps the newest N versions,
+    deletes only segments no KEPT manifest references (append chains
+    share segments with the latest, so vacuum is a no-op there), and a
+    vacuumed version then raises instead of returning partial data."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+    # append-only chain: vacuum deletes nothing (all segments shared)
+    p1 = str(tmp_path / "appendy")
+    write_snapshot(mk(1), p1)
+    write_snapshot(mk(2), p1)
+    assert vacuum_snapshots(p1, keep_last=1) == (1, 0)
+    assert snapshot_versions(p1) == [2]
+    assert {r.id for r in read_snapshot(spark, p1).collect()} == {1, 2}
+
+    # overwrite chain: old segment becomes unreferenced and reclaimable
+    p2 = str(tmp_path / "rewrites")
+    write_snapshot(mk(1, 2), p2)
+    write_snapshot(mk(9), p2, mode="overwrite")
+    assert {r.id for r in read_snapshot(spark, p2).collect()} == {9}
+    assert {r.id for r in read_snapshot(spark, p2, 1).collect()} == {1, 2}
+    assert vacuum_snapshots(p2, keep_last=1) == (1, 1)
+    assert {r.id for r in read_snapshot(spark, p2).collect()} == {9}
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, p2, 1)  # vacuumed: loud, not partial
+
+    with _pytest.raises(ValueError):
+        write_snapshot(mk(1), p2, mode="replace")
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(p2, keep_last=0)
