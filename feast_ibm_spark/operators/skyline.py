@@ -52,6 +52,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# auto-tier switch point: |distinct minimize| above which the bucketed
+# tier's two extra passes beat the unpartitioned window's single-sorted-
+# partition straggler. Measured band (scripts/skyline_whale.py, 3g):
+# global_window wins at 1M distinct (5.6s vs 17.4s), bucketed at 20M
+# (17s vs 23-33s, worst task 3.5s vs 18-26s); 4M sits inside the
+# crossover region with the pit_join-auto style of a deliberately
+# conservative-but-measured constant.
+AUTO_DISTINCT_THRESHOLD = 4_000_000
+
 
 def pareto_frontier_2d(
     df: DataFrame,
@@ -61,13 +70,30 @@ def pareto_frontier_2d(
     n_buckets: int = 256,
 ) -> DataFrame:
     """Rows of ``df`` on the Pareto frontier of (minimize ``minimize``,
-    maximize ``maximize``). Output schema == input schema."""
-    if strategy not in ("global_window", "bucketed"):
+    maximize ``maximize``). Output schema == input schema.
+
+    ``strategy="auto"`` materializes the stage-1 reduction (one row per
+    distinct ``minimize`` value — the frame BOTH tiers consume anyway)
+    with a ``localCheckpoint`` and counts it: that count IS the exact
+    quantity the measured crossover depends on, so the probe costs one
+    cheap action over the already-reduced frame, and the checkpoint
+    doubles as a recompute shield for the bucketed tier's extra passes
+    (Spark 4.1 reuses no exchanges — the bounds and bucket-maxima scans
+    would otherwise re-derive stage 1 from the raw input)."""
+    if strategy not in ("global_window", "bucketed", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     pcol, scol = F.col(minimize), F.col(maximize)
     clean = df.filter(pcol.isNotNull() & scol.isNotNull())
 
     per = clean.groupBy(minimize).agg(F.max(scol).alias("__m"))
+
+    if strategy == "auto":
+        per = per.localCheckpoint(eager=True)
+        strategy = (
+            "bucketed"
+            if per.count() >= AUTO_DISTINCT_THRESHOLD
+            else "global_window"
+        )
 
     if strategy == "global_window":
         w = (

@@ -2837,7 +2837,7 @@ if _HAS_HYP_PRIV:
             )
         }
         df = spark.createDataFrame(data, "id long, p double, s int")
-        for strat in ("global_window", "bucketed"):
+        for strat in ("global_window", "bucketed", "auto"):
             got = {r.id for r in
                    pareto_frontier_2d(df, "p", "s", strat,
                                       n_buckets=4).collect()}
@@ -3327,3 +3327,26 @@ if _HAS_HYP_DEDUP:
                    df, ["k"], "v", "w", q_num=q_num, q_den=q_den
                ).collect()}
         assert got == want
+
+
+def test_pareto_auto_picks_tier_by_distinct_count(spark, monkeypatch):
+    """strategy='auto' counts the stage-1 reduction (|distinct
+    minimize|) and switches at AUTO_DISTINCT_THRESHOLD: both branches
+    must return the identical frontier (forced by monkeypatching the
+    threshold to 1 so the tiny fixture takes the bucketed branch)."""
+    from feast_ibm_spark.operators import skyline as sk
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 5), (2, 2.0, 9), (3, 2.0, 9), (4, 3.0, 1)],
+        "id long, p double, s int",
+    )
+    want = {r.id for r in
+            sk.pareto_frontier_2d(df, "p", "s", "global_window").collect()}
+    got_auto = {r.id for r in
+                sk.pareto_frontier_2d(df, "p", "s", "auto").collect()}
+    assert got_auto == want  # below threshold -> global_window branch
+    monkeypatch.setattr(sk, "AUTO_DISTINCT_THRESHOLD", 1)
+    got_forced = {r.id for r in
+                  sk.pareto_frontier_2d(df, "p", "s", "auto",
+                                        n_buckets=4).collect()}
+    assert got_forced == want  # forced bucketed branch, same frontier
