@@ -146,8 +146,15 @@ def pareto_frontier_2d(
     chain = per.filter(
         F.col("__r").isNull() | (F.col("__r") < F.col("__m"))
     ).select(minimize, "__m")
-    cond = (clean[minimize] == chain[minimize]) & (
-        clean[maximize] == chain["__m"]
-    )
-    out = clean.join(F.broadcast(chain), on=cond, how="left_semi")
+    # string aliases + qualified names, NOT DataFrame[col] refs: chain
+    # derives from clean, and once the auto tier localCheckpoints the
+    # shared stage-1 frame the dataset-id disambiguation behind
+    # DataFrame[col] breaks (measured: "Column __m are ambiguous" on a
+    # (p, s)-only input) — the same shared-lineage trap t_closeness hit
+    # in round 9
+    cl, ch = clean.alias("__sk_l"), chain.alias("__sk_r")
+    cond = (
+        F.col(f"__sk_l.{minimize}") == F.col(f"__sk_r.{minimize}")
+    ) & (F.col(f"__sk_l.{maximize}") == F.col("__sk_r.__m"))
+    out = cl.join(F.broadcast(ch), on=cond, how="left_semi")
     return out.select(*df.columns)

@@ -66,15 +66,24 @@ def main() -> None:
           flush=True)
 
     frontiers = {}
-    for strategy in ("bucketed", "global_window"):
+    for strategy in ("bucketed", "global_window", "auto"):
         for i in range(args.runs):
             before = spill_totals(spark)
             first_stage = next_stage_id(spark)
             t0 = time.time()
-            out = pareto_frontier_2d(
-                df, "p", "s", strategy=strategy, n_buckets=args.n_buckets
-            )
-            rows = sorted(map(tuple, out.collect()))
+            try:
+                out = pareto_frontier_2d(
+                    df, "p", "s", strategy=strategy,
+                    n_buckets=args.n_buckets,
+                )
+                rows = sorted(map(tuple, out.collect()))
+            except Exception as e:  # a tier at its heap edge must not
+                print(json.dumps({   # kill the other tiers' datapoints
+                    "strategy": strategy, "run": i,
+                    "error": type(e).__name__,
+                    "wall_s": round(time.time() - t0, 1),
+                }), flush=True)
+                continue
             wall = round(time.time() - t0, 1)
             after = spill_totals(spark)
             frontiers.setdefault(strategy, rows)
@@ -89,11 +98,12 @@ def main() -> None:
                      - before["diskBytesSpilled"]) / 2**30, 2),
                 **max_task_profile(spark, first_stage),
             }), flush=True)
-    assert frontiers["bucketed"] == frontiers["global_window"], (
+    done = [s for s in frontiers if frontiers[s]]
+    assert all(frontiers[s] == frontiers[done[0]] for s in done), (
         "tier mismatch on the whale fixture"
     )
-    print(json.dumps({"tiers_identical": True,
-                      "frontier": frontiers["bucketed"][:5]}), flush=True)
+    print(json.dumps({"tiers_identical": sorted(done),
+                      "frontier": frontiers[done[0]][:5]}), flush=True)
     spark.stop()
 
 
