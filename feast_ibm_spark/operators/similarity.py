@@ -96,6 +96,67 @@ def cosine_topk(
     )
 
 
+def retrieval_rank_stats(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Label-relevance ranking eval over exact cosine: for each query
+    vector, rank EVERY other corpus vector (cosine desc, id asc — total
+    order, fully deterministic) and aggregate where the query's label
+    reappears: ``first_hit_rank`` (the MRR ingredient, kept as the raw
+    integer rank — 1/rank is the caller's one division), ``hits_at_k``
+    (the precision@k numerator) and ``n_relevant`` (the recall
+    denominator). Every output column is an INTEGER — rank statistics,
+    not scores — so the result value-hashes across engines given the
+    established sequential-fold cosine parity (knn_cosine_topk's
+    oracle discipline); no NDCG-style log discount sneaks a float in.
+
+    Physical shape: same as :func:`cosine_topk` — broadcast(queries) x
+    corpus scoring without shuffling the corpus, one window keyed by
+    query id (|q| keys), then a per-query aggregate; the full ranking
+    is never materialized beyond the window pass.
+    """
+    qid = query_id_col or f"q_{id_col}"
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(qid),
+            F.col(label_col).alias("__q_label"),
+            F.col(vec_col).alias("q_vec"),
+            _norm_sq(F.col(vec_col)).alias("q_nsq"),
+        )
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par, id_col).select(
+        F.col(id_col), F.col(label_col), F.col(vec_col),
+        _norm_sq(F.col(vec_col)).alias("c_nsq"),
+    )
+    scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col(vec_col))
+        / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    hit = F.col(label_col) == F.col("__q_label")
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .groupBy(qid, F.col("__q_label").alias("q_label"))
+        .agg(
+            F.sum(hit.cast("bigint")).alias("n_relevant"),
+            F.min(F.when(hit, F.col("__rank"))).cast("bigint")
+            .alias("first_hit_rank"),
+            F.sum((hit & (F.col("__rank") <= k)).cast("bigint"))
+            .alias("hits_at_k"),
+        )
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -328,6 +328,11 @@ QUERIES: dict[str, QueryDef] = {
     "eval_pr_curve": QueryDef(q_eval_pr_curve, ORACLE_PR_CURVE,
                               "model eval: exact PR confusion counts at "
                               "9 thresholds in one pass"),
+    "eval_retrieval_ranks": QueryDef(q_eval_retrieval_ranks,
+                                     ORACLE_RETRIEVAL_RANKS,
+                                     "ranking eval: integer rank stats "
+                                     "(first-hit rank, hits@10, "
+                                     "n_relevant) over exact cosine"),
     "knn_lsh": QueryDef(q_knn_lsh, ORACLE_KNN_LSH,
                         "hyperplane-LSH ANN (full value-hash oracle "
                         "since round 6: seeded planes as SQL literals)"),

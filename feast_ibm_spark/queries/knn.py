@@ -761,3 +761,51 @@ SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
          AS auc
 FROM terms
 """
+
+
+RANK_K = 10
+
+
+def q_eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval (completes the eval family beside AUC / PR
+    curve / confusion / drift): each query vector's full cosine ranking
+    is reduced to the integer rank statistics retrieval dashboards are
+    built from — first_hit_rank (the MRR ingredient), hits@10 (the
+    precision@k numerator), n_relevant (the recall denominator) — with
+    relevance = same label. Everything emitted is an integer rank
+    statistic, so the row value-hashes exactly; the float cosine only
+    ever ORDERS rows, under the established sequential-fold parity
+    (ORACLE_KNN's discipline) with (cosine desc, vec_id) total order."""
+    from ..operators.similarity import retrieval_rank_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return retrieval_rank_stats(emb, queries, label_col="label", k=RANK_K)
+
+
+ORACLE_RETRIEVAL_RANKS = f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, label AS q_label, embedding AS qe
+  FROM embeddings WHERE vec_id < {KNN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.q_vec_id, q.q_label, e.vec_id, e.label,
+         {_duck_cosine('q.qe', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.q_vec_id
+),
+ranked AS (
+  SELECT q_vec_id, q_label, label,
+         row_number() OVER (
+           PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT q_vec_id, q_label,
+       CAST(COUNT(*) FILTER (WHERE label = q_label) AS BIGINT)
+         AS n_relevant,
+       CAST(MIN(rank) FILTER (WHERE label = q_label) AS BIGINT)
+         AS first_hit_rank,
+       CAST(COUNT(*) FILTER (WHERE label = q_label AND rank <= {RANK_K})
+            AS BIGINT) AS hits_at_k
+FROM ranked GROUP BY q_vec_id, q_label
+"""

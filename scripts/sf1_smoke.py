@@ -235,6 +235,7 @@ SMOKE_QUERIES = [
     "layout_bucketed_join",
     "layout_snapshot_time_travel",
     "streaming_snapshot_sink",
+    "eval_retrieval_ranks",
 ]
 
 

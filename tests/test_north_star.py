@@ -3350,3 +3350,71 @@ def test_pareto_auto_picks_tier_by_distinct_count(spark, monkeypatch):
                   sk.pareto_frontier_2d(df, "p", "s", "auto",
                                         n_buckets=4).collect()}
     assert got_forced == want  # forced bucketed branch, same frontier
+
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        vecs=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 2),                      # label
+                st_hyp.lists(st_hyp.integers(-3, 3),        # exact-in-
+                             min_size=3, max_size=3),       # float32 dims
+            ),
+            min_size=3, max_size=12,
+        ),
+        k=st_hyp.sampled_from([1, 2]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_retrieval_rank_stats_property_matches_python(spark, vecs, k):
+        """retrieval_rank_stats vs a pure-Python replay: small
+        integer-valued vectors are exactly representable in float32, and
+        the replay reproduces Spark's sequential left-to-right fold, so
+        cosine doubles — and therefore the (cosine desc, id) ranking —
+        agree bit-for-bit. Zero vectors give NULL/NaN cosine rows on
+        both sides; relevance = same label; queries = first two ids."""
+        from feast_ibm_spark.operators.similarity import retrieval_rank_stats
+
+        # drop all-zero vectors: cosine undefined (NaN) — out of contract
+        data = [(i, lab, [float(x) for x in v])
+                for i, (lab, v) in enumerate(vecs)
+                if any(x != 0 for x in v)]
+        if len(data) < 3:
+            return
+        q_ids = [data[0][0], data[1][0]]
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y  # same left-to-right fold as F.aggregate
+            return acc
+
+        want = {}
+        for qi, qlab, qv in (r for r in data if r[0] in q_ids):
+            scored = sorted(
+                (
+                    (-dot(qv, v) / ((dot(qv, qv) ** 0.5) * (dot(v, v) ** 0.5)),
+                     i, lab)
+                    for i, lab, v in data if i != qi
+                ),
+            )
+            n_rel = sum(1 for _, _, lab in scored if lab == qlab)
+            first = next((r + 1 for r, (_, _, lab) in enumerate(scored)
+                          if lab == qlab), None)
+            hits = sum(1 for r, (_, _, lab) in enumerate(scored)
+                       if r < k and lab == qlab)
+            want[qi] = (qlab, n_rel, first, hits)
+
+        df = spark.createDataFrame(
+            [(i, lab, v) for i, lab, v in data],
+            "vec_id bigint, label int, embedding array<float>",
+        )
+        queries = df.filter(F.col("vec_id").isin(q_ids))
+        got = {r.q_vec_id: (r.q_label, r.n_relevant, r.first_hit_rank,
+                            r.hits_at_k)
+               for r in retrieval_rank_stats(df, queries, k=k).collect()}
+        assert got == want

@@ -129,6 +129,10 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
                                     # manifest commit per micro-batch,
                                     # idempotent on batchId); 3-scale
                                     # pins from day one
+    "eval_retrieval_ranks",         # ranking eval: integer rank stats
+                                    # (MRR ingredient, hits@10) over
+                                    # exact cosine; property net +
+                                    # 3-scale pins from day one
 })
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
@@ -271,6 +275,7 @@ _EXCLUDED_WITH_ORACLE = [
     "eval_auc",
     "eval_lang_confusion",
     "eval_pr_curve",
+    "eval_retrieval_ranks",
     "event_interarrival",
     "event_paths",
     "event_transitions",
