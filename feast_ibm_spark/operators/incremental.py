@@ -256,3 +256,40 @@ def read_moments(spark: SparkSession, base_path: str) -> DataFrame:
             / 10000.0
         ).alias("var_value"),
     )
+
+
+def join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance for an INNER-join view J = A |><| B under
+    insert-only deltas — the relational-algebra delta expansion
+
+        dJ  =  dA |><| B  u  A |><| dB  u  dA |><| dB
+
+    so the refreshed view is ``old_J UNION ALL join_delta(...)`` and the
+    fact history is never rescanned against itself: every term has a
+    DELTA on at least one side, so each per-refresh join shuffles (or
+    broadcasts) delta-sized data against one base — the property that
+    makes a daily refresh of a 100 TB join view cost one day, not the
+    cross-history join. The three terms are disjoint from old_J and
+    from each other by construction (each row of dJ uses at least one
+    delta row, and the terms partition by WHICH sides are delta), so
+    plain UNION ALL is exact — no dedup pass.
+
+    Insert-only and INNER-only by contract: deletes/updates need
+    tombstone algebra (see streaming/cdc.py for the keyed-snapshot
+    alternative), and outer joins violate the disjoint-union identity
+    (a base row's NULL-padded result can be RETRACTED by a delta
+    match). Deltas are broadcast — they are small by definition; drop
+    the hint if a backfill-sized "delta" ever flows through.
+    """
+    da, db = F.broadcast(delta_a), F.broadcast(delta_b)
+    return (
+        da.join(base_b, on)
+        .unionByName(base_a.join(db, on))
+        .unionByName(da.join(delta_b, on))
+    )

@@ -733,6 +733,10 @@ QUERIES: dict[str, QueryDef] = {
                                     "foreachBatch MERGE loop over "
                                     "versioned keyed snapshots vs the "
                                     "batch MERGE oracle"),
+    "join_incremental_refresh": QueryDef(q_join_incremental_refresh,
+                                         ORACLE_JOIN_INCREMENTAL,
+                                         "join-view IVM: three-term delta "
+                                         "expansion == full-join recompute"),
     "streaming_snapshot_sink": QueryDef(q_streaming_snapshot_sink,
                                         ORACLE_STREAM_SNAPSHOT_SINK,
                                         "exactly-once versioned snapshot "

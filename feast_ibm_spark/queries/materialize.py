@@ -713,3 +713,51 @@ SELECT CAST(4 AS INT) AS n_versions, event_type,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
+
+
+JOIN_IVM_MOD_A, JOIN_IVM_MOD_B = 7, 3
+
+
+def q_join_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/incremental.
+    join_delta — completing the IVM story beside the additive-aggregate
+    and moments refreshes): orders and lineitem are each split into a
+    base and an insert delta, the stored view is base |><| base, and the
+    refresh applies the three-term delta expansion dA|><|B u A|><|dB u
+    dA|><|dB. The aggregate over (old view UNION ALL delta) must equal
+    the same aggregate over the FULL join recomputed from scratch — the
+    oracle does exactly that recompute, so any missing, duplicated, or
+    overlapping delta term breaks the counts. Every per-refresh join
+    touches delta-sized data on at least one side (broadcast), never
+    history x history."""
+    from ..operators.incremental import join_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.select("o_orderkey", "o_orderpriority")
+    b = li.select("l_orderkey", _cents("l_extendedprice").alias("cents"))
+    b = b.withColumnRenamed("l_orderkey", "o_orderkey")
+
+    base_a = a.filter(F.col("o_orderkey") % JOIN_IVM_MOD_A != 0)
+    delta_a = a.filter(F.col("o_orderkey") % JOIN_IVM_MOD_A == 0)
+    base_b = b.filter(F.col("cents") % JOIN_IVM_MOD_B != 0)
+    delta_b = b.filter(F.col("cents") % JOIN_IVM_MOD_B == 0)
+
+    old_view = base_a.join(base_b, ["o_orderkey"])
+    refreshed = old_view.unionByName(
+        join_delta(base_a, delta_a, base_b, delta_b, ["o_orderkey"])
+    )
+    return refreshed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+ORACLE_JOIN_INCREMENTAL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""

@@ -236,6 +236,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_time_travel",
     "streaming_snapshot_sink",
     "eval_retrieval_ranks",
+    "join_incremental_refresh",
 ]
 
 

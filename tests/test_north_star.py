@@ -3418,3 +3418,55 @@ if _HAS_HYP_DEDUP:
                             r.hits_at_k)
                for r in retrieval_rank_stats(df, queries, k=k).collect()}
         assert got == want
+
+    @given(
+        rows_a=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 4), st_hyp.integers(0, 9),
+                          st_hyp.booleans()),  # (key, payload, is_delta)
+            min_size=0, max_size=16,
+        ),
+        rows_b=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 4), st_hyp.integers(0, 9),
+                          st_hyp.booleans()),
+            min_size=0, max_size=16,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_join_delta_property_matches_full_recompute(
+        spark, rows_a, rows_b
+    ):
+        """join_delta's three-term expansion: old_view UNION ALL dJ must
+        equal the full inner join of (A u dA) x (B u dB) as a MULTISET —
+        on random tables with duplicate keys and duplicate rows, any
+        missing/duplicated/overlapping term breaks the bag equality.
+        Replay is a pure-Python bag join."""
+        from collections import Counter
+
+        from feast_ibm_spark.operators.incremental import join_delta
+
+        full_a = [(k, v) for k, v, _ in rows_a]
+        full_b = [(k, v) for k, v, _ in rows_b]
+        want = Counter(
+            (k, va, vb)
+            for k, va in full_a for k2, vb in full_b if k == k2
+        )
+
+        mk = lambda rows, col: spark.createDataFrame(
+            [(k, v) for k, v in rows] or [(None, None)],
+            f"k bigint, {col} bigint",
+        ).filter(F.col("k").isNotNull())
+        base_a = mk([(k, v) for k, v, d in rows_a if not d], "va")
+        delta_a = mk([(k, v) for k, v, d in rows_a if d], "va")
+        base_b = mk([(k, v) for k, v, d in rows_b if not d], "vb")
+        delta_b = mk([(k, v) for k, v, d in rows_b if d], "vb")
+
+        old_view = base_a.join(base_b, ["k"])
+        refreshed = old_view.unionByName(
+            join_delta(base_a, delta_a, base_b, delta_b, ["k"])
+        )
+        got = Counter((r.k, r.va, r.vb) for r in refreshed.collect())
+        assert got == want

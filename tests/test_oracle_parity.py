@@ -133,6 +133,9 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
                                     # (MRR ingredient, hits@10) over
                                     # exact cosine; property net +
                                     # 3-scale pins from day one
+    "join_incremental_refresh",     # join-view IVM: three-term delta
+                                    # expansion vs full-recompute
+                                    # oracle; bag-equality property net
 })
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
@@ -297,6 +300,7 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_ppr_recommend",
     "graph_triangles",
     "join_anti_quiet_customers",
+    "join_incremental_refresh",
     "join_large_orders",
     "join_lateral_topn",
     "join_min_cost_supplier",
