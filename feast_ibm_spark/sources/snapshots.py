@@ -133,6 +133,19 @@ def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:
     return version
 
 
+def compact_snapshots(spark: SparkSession, path: str) -> int:
+    """Rewrite the LATEST version's segment chain into one segment,
+    committed as a new ``overwrite`` version — the small-files
+    compaction every append-heavy snapshot table eventually needs
+    (each streaming micro-batch commit is its own segment; scan
+    planning degrades one task per tiny file). Contents are identical
+    by construction (one read, one write, no transformation); history
+    stays time-travelable until :func:`vacuum_snapshots` reclaims it.
+    Returns the new version number."""
+    return write_snapshot(read_snapshot(spark, path), path,
+                          mode="overwrite")
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
@@ -154,5 +167,12 @@ def read_snapshot(
     segs = _read_manifest(path, version)["segments"]
     # segments are ENGINE-written (micros timestamps), so the nanos shim
     # in sources/reader.py is unnecessary — a plain multi-dir scan reads
-    # them exactly
-    return spark.read.parquet(*[os.path.join(path, s) for s in segs])
+    # them exactly. mergeSchema: appends may legitimately ADD columns
+    # over a table's lifetime (schema evolution); without it a
+    # multi-segment scan would silently project the first-listed
+    # segment's schema and drop the new column from old-segment rows
+    # instead of NULL-padding them.
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, s) for s in segs])
+    )

@@ -587,3 +587,40 @@ def test_snapshot_overwrite_and_vacuum_lifecycle(spark, tmp_path):
         write_snapshot(mk(1), p2, mode="replace")
     with _pytest.raises(ValueError):
         vacuum_snapshots(p2, keep_last=0)
+
+
+def test_snapshot_compaction_and_schema_evolution(spark, tmp_path):
+    """compact_snapshots rewrites the latest segment chain into ONE
+    segment as a new overwrite commit (contents identical, history
+    intact until vacuum); appends that ADD a column read back
+    NULL-padded for old segments (mergeSchema) instead of silently
+    dropping the new column."""
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "evolving")
+    write_snapshot(spark.createDataFrame([(1,)], "id bigint"), path)
+    # schema evolution: v2 adds a column
+    write_snapshot(
+        spark.createDataFrame([(2, "x")], "id bigint, tag string"), path
+    )
+    got = {(r.id, r.tag) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, None), (2, "x")}  # old rows NULL-padded
+    # v1 time travel still shows the old schema's data
+    assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1}
+
+    v3 = compact_snapshots(spark, path)
+    assert v3 == 3 and snapshot_versions(path) == [1, 2, 3]
+    got3 = {(r.id, r.tag) for r in read_snapshot(spark, path).collect()}
+    assert got3 == got  # identical contents, one segment
+    import os
+    segs = os.listdir(os.path.join(path, "data"))
+    assert len(segs) == 3  # two originals + the compacted one (pre-GC)
+    assert vacuum_snapshots(path, keep_last=1) == (2, 2)
+    assert {(r.id, r.tag)
+            for r in read_snapshot(spark, path).collect()} == got
