@@ -328,6 +328,11 @@ QUERIES: dict[str, QueryDef] = {
     "eval_pr_curve": QueryDef(q_eval_pr_curve, ORACLE_PR_CURVE,
                               "model eval: exact PR confusion counts at "
                               "9 thresholds in one pass"),
+    "text_cms_heavy_hitters": QueryDef(q_text_cms_heavy_hitters,
+                                       ORACLE_CMS_HEAVY_HITTERS,
+                                       "Count-Min sketch heavy hitters: "
+                                       "integer counters value-hash the "
+                                       "sketch itself vs exact counts"),
     "eval_retrieval_ranks": QueryDef(q_eval_retrieval_ranks,
                                      ORACLE_RETRIEVAL_RANKS,
                                      "ranking eval: integer rank stats "

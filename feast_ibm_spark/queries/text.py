@@ -469,3 +469,110 @@ FROM cell JOIN row_tot USING (actual)
 
 
 ORACLE_LANG_CONFUSION = _oracle_lang_confusion()
+
+
+# Count-Min sketch: d independent counter rows, bucket = (poly-hash(token)
+# * A_j) mod P mod W. All counters are integer SUMS over deterministic
+# buckets, so — unlike the HLL sketch, whose binary state is not
+# SQL-replicable — this approximate structure carries a FULL value-hash
+# oracle: the estimate (min over rows) is bit-identical in any engine.
+CMS_D, CMS_W, CMS_TOPK = 3, 1024, 20
+CMS_A = (48271, 69621, 16807)   # minstd-family multipliers, one per row
+CMS_P = 2_147_483_647
+
+
+def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch, validated against exact
+    counts in one query: the CMS is THE mergeable-sketch answer when
+    the key space itself is too large for exact per-key state (d x w
+    integer counters regardless of vocabulary; counters merge by
+    addition across partitions/days — the 100 TB shape), and its
+    one-sided error (estimate >= truth, within n/w w.h.p.) is visible
+    here because the output carries BOTH numbers per top-20 token.
+    Everything is integer arithmetic over the portable polynomial token
+    hash, so the driver value-hashes the sketch itself — approximate in
+    GUARANTEE, exact in REPRODUCTION. Counters build from the per-token
+    exact aggregate (sum of counts per bucket == sum over occurrences,
+    one groupBy over |vocab| rows instead of every token occurrence);
+    the d x w counter table (<= 3072 rows) broadcasts to the top-k
+    probe. Top-20 cut is deterministic: ORDER BY count DESC, token."""
+    from ..functions.text import token_fingerprint_expr, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    keyed = exact.withColumn(
+        "__f", token_fingerprint_expr(F.col("token"))
+    )
+    a_arr = F.array(*[F.lit(a) for a in CMS_A])
+    j = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("__j")
+    bucket = (
+        (F.col("__f") * F.element_at(a_arr, F.col("__j") + 1)) % CMS_P
+    ) % CMS_W
+    spread = keyed.select("token", "exact_count", "__f", j).withColumn(
+        "__bucket", bucket
+    )
+    counters = spread.groupBy("__j", "__bucket").agg(
+        F.sum("exact_count").alias("__c")
+    )
+    top = keyed.orderBy(
+        F.col("exact_count").desc(), F.col("token").asc()
+    ).limit(CMS_TOPK)
+    probe = top.select("token", "exact_count", "__f", j).withColumn(
+        "__bucket", bucket
+    )
+    return (
+        probe.join(F.broadcast(counters), ["__j", "__bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("__c").alias("cms_estimate"))
+        .select("token", "exact_count", "cms_estimate")
+    )
+
+
+_DUCK_CMS_ROWS = ", ".join(
+    f"({i}, {a})" for i, a in enumerate(CMS_A)
+)
+_DUCK_TOKEN_FP_COL = f"""
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(token) + 1),
+      i -> CAST(unicode(token[i:i]) AS BIGINT))),
+  (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+)
+"""
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY token
+),
+keyed AS (
+  SELECT token, exact_count, {_DUCK_TOKEN_FP_COL} AS f FROM exact
+),
+spread AS (
+  SELECT token, exact_count, r.j,
+         ((f * r.a) % {CMS_P}) % {CMS_W} AS bucket
+  FROM keyed, (VALUES {_DUCK_CMS_ROWS}) AS r(j, a)
+),
+counters AS (
+  SELECT j, bucket, CAST(SUM(exact_count) AS BIGINT) AS c
+  FROM spread GROUP BY j, bucket
+),
+top AS (
+  SELECT token, exact_count, f FROM keyed
+  ORDER BY exact_count DESC, token LIMIT {CMS_TOPK}
+),
+probe AS (
+  SELECT token, exact_count, r.j,
+         ((f * r.a) % {CMS_P}) % {CMS_W} AS bucket
+  FROM top, (VALUES {_DUCK_CMS_ROWS}) AS r(j, a)
+)
+SELECT p.token, p.exact_count, CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_count
+"""

@@ -237,6 +237,7 @@ SMOKE_QUERIES = [
     "streaming_snapshot_sink",
     "eval_retrieval_ranks",
     "join_incremental_refresh",
+    "text_cms_heavy_hitters",
 ]
 
 

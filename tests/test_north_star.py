@@ -3470,3 +3470,71 @@ if _HAS_HYP_DEDUP:
         )
         got = Counter((r.k, r.va, r.vb) for r in refreshed.collect())
         assert got == want
+
+    @given(
+        docs=st_hyp.lists(
+            st_hyp.lists(st_hyp.sampled_from(["aa", "bb", "cc", "dd", "e"]),
+                         min_size=1, max_size=8),
+            min_size=1, max_size=10,
+        ),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cms_heavy_hitters_property_matches_python(spark, docs):
+        """The CMS pipeline (poly token hash -> d x w integer counters
+        -> min-over-rows estimate) vs a pure-Python replica of the
+        full pipeline at the query's real parameters, driven from the
+        same raw token stream. Invariants: estimate >= exact always
+        (one-sided CMS error), and bit-for-bit equal to the replica —
+        including the deterministic (count desc, token) top-20 cut."""
+        from feast_ibm_spark.functions.text import FP_BASE, FP_MOD
+        from feast_ibm_spark.queries.text import (
+            CMS_A,
+            CMS_P,
+            q_text_cms_heavy_hitters,
+        )
+
+        # pure-Python replica of the QUERY's full pipeline at its real
+        # parameters, driven from the same raw token stream
+        texts = [" ".join(d) for d in docs]
+        toks = [t for d in docs for t in d]
+        exact: dict[str, int] = {}
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+
+        def fp(tok: str) -> int:
+            acc = 0
+            for ch in tok:
+                acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+            return acc
+
+        counters: dict[tuple[int, int], int] = {}
+        for t, n in exact.items():
+            for j, a in enumerate(CMS_A):
+                b = ((fp(t) * a) % CMS_P) % 1024
+                counters[(j, b)] = counters.get((j, b), 0) + n
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        want = {}
+        for t, n in top:
+            est = min(
+                counters[(j, ((fp(t) * a) % CMS_P) % 1024)]
+                for j, a in enumerate(CMS_A)
+            )
+            want[t] = (n, est)
+            assert est >= n  # CMS one-sided error
+
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="fis_cms_net_")
+        spark.createDataFrame(
+            [(i, x, "en", "net", len(x)) for i, x in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r.token: (r.exact_count, r.cms_estimate)
+               for r in q_text_cms_heavy_hitters(spark, d).collect()}
+        assert got == want

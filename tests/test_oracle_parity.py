@@ -136,6 +136,10 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
     "join_incremental_refresh",     # join-view IVM: three-term delta
                                     # expansion vs full-recompute
                                     # oracle; bag-equality property net
+    "text_cms_heavy_hitters",       # Count-Min sketch whose integer
+                                    # counters value-hash the sketch
+                                    # itself vs exact counts; replica
+                                    # property net; 3-scale pins day one
 })
 # (historical) the r9-queued list — rotated into the r10 gate, where the
 # rotation invariants above still reference it:
@@ -388,6 +392,7 @@ _EXCLUDED_WITH_ORACLE = [
     "text_bpe_encode",
     "text_bpe_tokens",
     "text_bpe_train",
+    "text_cms_heavy_hitters",
     "text_keywords",
     "text_lang_id",
     "text_pii_scan",
