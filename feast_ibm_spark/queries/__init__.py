@@ -916,22 +916,20 @@ QUERIES: dict[str, QueryDef] = {
 # ROTATES each round so every query accumulates driver hashes over time.
 # The gate has been 100% value-hashable since round 9 (VERDICT r8 item
 # 1 — the driver records err:"no_oracle", i.e. no verification at all,
-# for oracle-withheld slots). The round-10 slots (VERDICT r9 item 1):
-#   (a) the 13 queued r9 registrations (_QUEUED_FOR_R10_GATE: the
-#       5-query privacy family, both skyline tiers, Hilbert roundtrip,
-#       CDC chunking, bootstrap CI, winsorize, and the 2 queued
-#       streaming classes) — each carried 3-scale local pins since the
-#       day it registered; this rotation takes their first driver hash,
-#       lifting cumulative own-driver-hash coverage to 230/236 (only
-#       the 4 ln-rtol + 2 approximate sketches stay documented-local,
-#       permanently);
-#   (b) 37 refresh slots: the stalest parked queries — every query
-#       whose last driver hash is r2 (dedup_simhash, text_token_count —
-#       formerly held out as transitively-pinned, but they are the
-#       stalest of all and carry full oracles, so they take slots),
-#       r4 (3), or r5 (17), plus 15 of the 50 r6-hashed picked for
-#       family breadth (core §2 PIT/pull surface, LSH/ANN bench
-#       drivers, streaming, agg, multimodal).
+# for oracle-withheld slots). The round-11 slots (VERDICT r10 item 1):
+#   (a) the 8 queued r10 registrations (_QUEUED_FOR_R11_GATE: BFS
+#       levels, weighted median, bucketed join, snapshot time travel,
+#       snapshot streaming sink, retrieval ranks, join IVM, Count-Min
+#       heavy hitters) — each carried 3-scale local pins and a
+#       property/unit net since the day it registered; this rotation
+#       takes their first driver hash, lifting cumulative
+#       own-driver-hash coverage to 238/244 (only the 4 ln-rtol +
+#       2 approximate sketches stay documented-local, permanently);
+#   (b) 42 refresh slots: the ENTIRE stalest pool — all 35 queries
+#       whose last driver hash is r6, plus 7 of the 50 r7-hashed
+#       picked for family breadth (eval AUC, graph triangles,
+#       mergeSchema scan, streaming top-k, BPE train, the feature-
+#       engineering flagship e2e, IVF+PQ ANN).
 # Full round-by-round rotation history: NOTES.md "Gate rotation ledger";
 # the per-round gate map is the generated index in COVERAGE.md.
 #
@@ -954,73 +952,71 @@ QUERIES: dict[str, QueryDef] = {
 # gate instead; approximate sketches stay local with exact-twin pins.
 GATE_ROWS_ONLY: frozenset[str] = frozenset()
 
-_DRIVER_GATE_R10 = (
-    # (a) the 13 queued r9 registrations (first in line by contract)
-    "chunk_documents_cdc",
-    "eval_bootstrap_ci",
-    "features_winsorize",
-    "layout_hilbert_roundtrip",
-    "privacy_generalization",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "privacy_suppression",
-    "privacy_t_closeness",
-    "skyline_pareto",
-    "skyline_pareto_bucketed",
-    "streaming_interval_join_anti",
-    "streaming_join_then_window",
-    # (b) refresh: last driver hash r2 (the stalest of all)
-    "dedup_simhash",
-    "text_token_count",
-    # (b) refresh: last driver hash r4
-    "embedding_near_dup",
-    "knn_cosine_topk",
-    "text_fingerprint",
-    # (b) refresh: last driver hash r5 (all 17)
-    "asof_join_forward",
-    "dedup_clusters_lsh",
-    "funnel_conversion",
-    "fuzzy_part_names",
-    "hierarchy_chain",
-    "join_excess_suppliers",
-    "join_market_share",
-    "materialize_agg_incremental",
-    "merge_cdc_snapshot",
-    "pit_join_nottl",
-    "pivot_event_counts",
-    "quality_report",
-    "range_join_ship_windows",
-    "resample_locf",
-    "rollup_ohlc_daily",
-    "streaming_sessionize_files",
-    "window_spend_quartiles",
-    # (b) refresh: 15 of the r6-hashed, picked for family breadth
-    "pit_join_ttl",
-    "pit_join_multiview",
-    "pit_join_partitioned",
-    "pull_latest_per_key",
-    "pull_all_time_range",
-    "pull_all_query_source",
-    "dedup_minhash_lsh",
-    "corpus_curation_lsh",
-    "knn_ivf",
-    "knn_pq",
-    "streaming_dedup",
-    "streaming_window_counts",
-    "agg_daily_gapfill",
-    "agg_value_mad",
-    "multimodal_decode_stats",
+_DRIVER_GATE_R11 = (
+    # (a) the 8 queued r10 registrations (first in line by contract)
+    "agg_weighted_median",
+    "eval_retrieval_ranks",
+    "graph_bfs_levels",
+    "join_incremental_refresh",
+    "layout_bucketed_join",
+    "layout_snapshot_time_travel",
+    "streaming_snapshot_sink",
+    "text_cms_heavy_hitters",
+    # (b) refresh: the entire r6-last-hashed pool (all 35)
+    "attribution_last_touch",
+    "chunk_and_pack",
+    "copurchase_pairs",
+    "corpus_curation_incremental",
+    "dedup_incremental",
+    "dedup_simhash_pairs",
+    "embedding_clusters",
+    "embedding_clusters_lsh",
+    "embedding_near_dup_lsh",
+    "event_paths",
+    "event_transitions",
+    "features_time_decay",
+    "fuzzy_part_names_bucketed",
+    "join_lateral_topn",
+    "materialize_incremental",
+    "multimodal_audio_stats",
+    "multimodal_byte_features",
+    "peak_open_orders",
+    "rfm_segments",
+    "sample_weighted",
+    "scd2_intervals",
+    "sessionize_bounce_rate",
+    "snapshot_diff",
+    "streaming_first_seen",
+    "streaming_interval_join",
+    "streaming_latest",
+    "streaming_pit_join",
+    "streaming_sessionize",
+    "text_keywords",
+    "text_quality",
+    "text_similarity_topk",
+    "training_pipeline_e2e",
+    "unpivot_part_attrs",
+    "window_rank_suite",
+    "window_sliding_distinct",
+    # (b) refresh: 7 of the r7-hashed, picked for family breadth
+    "eval_auc",
+    "graph_triangles",
+    "scan_merge_schema",
+    "streaming_topk",
+    "text_bpe_train",
+    "feature_engineering_e2e",
+    "knn_ivfpq",
 )
 
 DRIVER_QUERIES: dict[str, QueryDef] = {
-    _name: QUERIES[_name] for _name in _DRIVER_GATE_R10
+    _name: QUERIES[_name] for _name in _DRIVER_GATE_R11
 }
 
 assert len(DRIVER_QUERIES) == 50, (
     f"driver gate records at most 50 rows; got {len(DRIVER_QUERIES)} — "
-    "rebalance _DRIVER_GATE_R10 when rotating"
+    "rebalance _DRIVER_GATE_R11 when rotating"
 )
-assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R10), (
+assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R11), (
     "GATE_ROWS_ONLY entries must be gate members — they exist to shape "
     "the oracle_sql() export of the CURRENT gate"
 )

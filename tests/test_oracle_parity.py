@@ -77,15 +77,16 @@ def _driver_last_hash_round(root: str, last_round: int) -> dict[str, int]:
     return last
 
 
-def test_driver_export_r10_rotation_invariants():
-    """VERDICT r9 item 1: the 13 _QUEUED_FOR_R10_GATE registrations take
-    their first driver hashes and the remaining 37 slots go to the
-    stalest-hash refresh pool. Invariants: every slot carries a full
-    oracle; GATE_ROWS_ONLY is empty; all 13 queued queries are in the
-    gate; every refresh slot has its last driver hash in r2-r6 (nothing
-    recently-hashed wastes a slot); and the entire <= r5 pool — every
-    oracle-carrying query last hashed in r2/r4/r5 — is taken before any
-    r6 query is."""
+def test_driver_export_r11_rotation_invariants():
+    """VERDICT r10 item 1: the 8 _QUEUED_FOR_R11_GATE registrations take
+    their first driver hashes and the remaining 42 slots go to the
+    stalest-hash refresh pool (the r10 twin of this test retired with
+    its gate; history in NOTES.md 'Gate rotation ledger'). Invariants:
+    every slot carries a full oracle; GATE_ROWS_ONLY is empty; all 8
+    queued queries are in the gate; every refresh slot
+    has its last driver hash in r6-r7 (nothing recently-hashed wastes a
+    slot); and the entire <= r6 pool — every oracle-carrying query last
+    hashed in r6 or earlier — is taken before any r7 query is."""
     from feast_ibm_spark.queries import GATE_ROWS_ONLY
 
     assert GATE_ROWS_ONLY == frozenset()
@@ -93,23 +94,26 @@ def test_driver_export_r10_rotation_invariants():
     assert no_oracle == []
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assert _QUEUED_FOR_R10_GATE <= set(DRIVER_QUERIES)
-    last = _driver_last_hash_round(root, 9)
-    refresh = set(DRIVER_QUERIES) - _QUEUED_FOR_R10_GATE
-    too_fresh = sorted(n for n in refresh if last.get(n, 0) > 6)
-    assert too_fresh == [], f"r10 refresh slots wasted on recently-hashed: {too_fresh}"
-    pool_le5 = {
+    assert _QUEUED_FOR_R11_GATE <= set(DRIVER_QUERIES)
+    last = _driver_last_hash_round(root, 10)
+    refresh = set(DRIVER_QUERIES) - _QUEUED_FOR_R11_GATE
+    too_fresh = sorted(n for n in refresh if last.get(n, 0) > 7)
+    assert too_fresh == [], f"r11 refresh slots wasted on recently-hashed: {too_fresh}"
+    pool_le6 = {
         n for n in QUERIES
-        if 1 <= last.get(n, 0) <= 5 and QUERIES[n].oracle is not None
+        if 1 <= last.get(n, 0) <= 6 and QUERIES[n].oracle is not None
     }
-    skipped = sorted(pool_le5 - refresh)
-    assert skipped == [], f"stalest pool members left out of the r10 gate: {skipped}"
+    skipped = sorted(pool_le6 - refresh)
+    assert skipped == [], f"stalest pool members left out of the r11 gate: {skipped}"
 
 
-# New-capability registrations made AFTER the round-10 gate list froze:
+# New-capability registrations made AFTER the round-11 gate list froze:
 # carry a full local oracle pin from day one, first in line for the
-# round-11 gate. Keep this list SHORT — it is the only sanctioned
+# round-12 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
+_QUEUED_FOR_R12_GATE: frozenset[str] = frozenset()
+# (historical) the r10-queued list — rotated into the r11 gate, where the
+# rotation invariants above still reference it:
 _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
     "graph_bfs_levels",       # frontier BFS levels vs recursive-CTE
                               # oracle; property net + 3-scale pins
@@ -141,50 +145,22 @@ _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
                                     # itself vs exact counts; replica
                                     # property net; 3-scale pins day one
 })
-# (historical) the r9-queued list — rotated into the r10 gate, where the
-# rotation invariants above still reference it:
-_QUEUED_FOR_R10_GATE: frozenset[str] = frozenset({
-    "streaming_interval_join_anti",  # 16th drained class, registered
-                                     # after the r9 gate froze; full
-                                     # 3-scale oracle pin from day one
-    "chunk_documents_cdc",           # content-defined chunking (gear
-                                     # rolling hash); 3-scale pins +
-                                     # property nets from day one
-    "layout_hilbert_roundtrip",      # Hilbert-clustered write layout;
-                                     # 3-scale pins + bit-exactness and
-                                     # pruning plan tests from day one
-    "privacy_k_anonymity",           # privacy-audit family (k-anon /
-    "privacy_l_diversity",           # l-diversity censuses + small-
-    "privacy_suppression",           # class suppression); 3-scale pins
-                                     # + north-star unit tests day one
-    "skyline_pareto",                # Pareto frontier, window tier +
-    "skyline_pareto_bucketed",       # bucketed tier vs one NOT EXISTS
-                                     # oracle; property net day one
-    "streaming_join_then_window",    # 17th drained class: chained
-                                     # stateful ops (join -> window agg)
-    "features_winsorize",            # per-group winsorize to exact
-                                     # [p01,p99]; selection-only clip
-    "eval_bootstrap_ci",             # deterministic Poisson-bootstrap
-                                     # CI; exact-arithmetic oracle
-    "privacy_t_closeness",           # integer-EMD t-closeness census
-                                     # (completes the privacy triad)
-    "privacy_generalization",        # generalization-ladder census
-                                     # (the coarsening enforcement)
-})
+# (the r10 queue retired with its rotation test — history in NOTES.md
+# 'Gate rotation ledger' and git)
 
 
-def test_r10_never_hashed_are_documented_local_only():
-    """After the r10 rotation every registered query is either (a) driver
+def test_never_hashed_are_documented_local_only():
+    """After the r11 rotation every registered query is either (a) driver
     value-hashed in some recorded round, (b) at the current gate, or
     (c) a documented local-only query: the rtol ln() float twins (their
     hash-stable *_counts twins took gate rows in r9), the approximate
-    sketches, or the pinned r11 queue."""
+    sketches, or the pinned next-round queue."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hashed = _driver_value_hashed_through(root, 99) | set(DRIVER_QUERIES)
-    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R11_GATE
+    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R12_GATE
     stragglers = sorted(set(QUERIES) - hashed - local_only)
     assert stragglers == [], f"undocumented never-hashed queries: {stragglers}"
-    for n in _QUEUED_FOR_R11_GATE:
+    for n in _QUEUED_FOR_R12_GATE:
         assert QUERIES[n].oracle is not None
 
 
@@ -228,6 +204,7 @@ _canon = _load_check_oracle().canon
 _EXCLUDED_WITH_ORACLE = [
     "agg_activity_profile",
     "agg_cube_status_priority",
+    "agg_daily_gapfill",
     "agg_equidepth_bins",
     "agg_event_type_stats",
     "agg_global_avg_filter",
@@ -241,25 +218,25 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_smallqty_revenue",
     "agg_supplier_variety",
     "agg_value_histogram",
+    "agg_value_mad",
     "agg_value_percentiles",
-    "agg_weighted_median",
     "array_norm_stats",
+    "asof_join_forward",
     "asof_join_nearest",
-    "attribution_last_touch",
-    "chunk_and_pack",
     "chunk_documents",
+    "chunk_documents_cdc",
     "chunk_documents_udtf",
     "cluster_representatives",
     "cluster_representatives_lsh",
     "compliance_erasure_audit",
-    "copurchase_pairs",
     "corpus_boilerplate_removal",
     "corpus_curation",
     "corpus_curation_auto",
     "corpus_curation_exact_substr",
-    "corpus_curation_incremental",
+    "corpus_curation_lsh",
     "decontaminate_overlap",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "dedup_clusters_star",
     "dedup_containment",
     "dedup_containment_prefix",
@@ -267,46 +244,40 @@ _EXCLUDED_WITH_ORACLE = [
     "dedup_exact_substr",
     "dedup_exact_substr_cut",
     "dedup_exact_substr_spans",
-    "dedup_incremental",
     "dedup_jaccard_prefix",
     "dedup_keep_latest",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
+    "dedup_simhash",
     "drift_ks",
     "drift_psi_counts",
     "embed_linear_probe",
-    "embedding_clusters",
-    "embedding_clusters_lsh",
-    "embedding_near_dup_lsh",
+    "embedding_near_dup",
     "erasure_deletion_vectors",
-    "eval_auc",
+    "eval_bootstrap_ci",
     "eval_lang_confusion",
     "eval_pr_curve",
-    "eval_retrieval_ranks",
     "event_interarrival",
-    "event_paths",
-    "event_transitions",
-    "feature_engineering_e2e",
     "features_hashing_trick",
     "features_last_k_events",
     "features_multi_horizon",
     "features_target_encoding",
-    "features_time_decay",
     "features_time_weighted_avg",
+    "features_winsorize",
     "filter_value_outliers",
-    "fuzzy_part_names_bucketed",
+    "funnel_conversion",
+    "fuzzy_part_names",
     "golden_record",
-    "graph_bfs_levels",
     "graph_kcore",
     "graph_pagerank",
     "graph_pagerank_incremental",
     "graph_pagerank_weighted",
     "graph_ppr_recommend",
-    "graph_triangles",
+    "hierarchy_chain",
     "join_anti_quiet_customers",
-    "join_incremental_refresh",
+    "join_excess_suppliers",
     "join_large_orders",
-    "join_lateral_topn",
+    "join_market_share",
     "join_min_cost_supplier",
     "join_nation_profit",
     "join_nation_trade_flow",
@@ -318,43 +289,57 @@ _EXCLUDED_WITH_ORACLE = [
     "join_top_orders",
     "join_top_supplier",
     "join_waiting_suppliers",
-    "knn_ivfpq",
+    "knn_cosine_topk",
+    "knn_ivf",
     "knn_lsh",
-    "layout_bucketed_join",
+    "knn_pq",
     "layout_compaction_roundtrip",
-    "layout_snapshot_time_travel",
+    "layout_hilbert_roundtrip",
     "layout_zorder_roundtrip",
     "market_basket_rules",
-    "materialize_incremental",
+    "materialize_agg_incremental",
     "materialize_moments_incremental",
     "materialize_partitioned",
+    "merge_cdc_snapshot",
     "mix_domains",
     "mix_temperature_weights",
     "multimodal_audio_silence",
-    "multimodal_audio_stats",
-    "multimodal_byte_features",
+    "multimodal_decode_stats",
     "multimodal_frame_sample",
     "multimodal_image_dedup",
     "multimodal_resize_stats",
     "normalize_zscore",
     "pack_sequences",
-    "peak_open_orders",
+    "pit_join_multiview",
+    "pit_join_nottl",
+    "pit_join_partitioned",
     "pit_join_shuffle",
+    "pit_join_ttl",
     "pit_join_union_window",
+    "pivot_event_counts",
+    "privacy_generalization",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_suppression",
+    "privacy_t_closeness",
     "profile_columns",
+    "pull_all_query_source",
+    "pull_all_time_range",
     "pull_latest_keep_ties",
+    "pull_latest_per_key",
     "pull_latest_tiebreak",
+    "quality_report",
+    "range_join_ship_windows",
     "resample_interpolate",
+    "resample_locf",
     "retention_cohorts",
-    "rfm_segments",
+    "rollup_ohlc_daily",
     "sample_stratified",
-    "sample_weighted",
     "scan_binary_files",
     "scan_csv_quarantine",
     "scan_csv_source",
     "scan_json_props",
     "scan_json_quarantine",
-    "scan_merge_schema",
     "scan_orc_source",
     "scan_part_filter",
     "scan_partitioned_events",
@@ -362,57 +347,48 @@ _EXCLUDED_WITH_ORACLE = [
     "scan_text_logs",
     "scan_variant_props",
     "scan_xml_source",
-    "scd2_intervals",
-    "sessionize_bounce_rate",
     "sessionize_dynamic_gap",
     "sessionize_events",
     "sessionize_native_window",
     "set_user_cohorts",
     "sink_python_roundtrip",
-    "snapshot_diff",
+    "skyline_pareto",
+    "skyline_pareto_bucketed",
     "split_train_val_test",
     "streaming_cdc_merge",
+    "streaming_dedup",
     "streaming_enrich",
-    "streaming_first_seen",
-    "streaming_interval_join",
+    "streaming_interval_join_anti",
     "streaming_interval_join_outer",
     "streaming_interval_join_semi",
-    "streaming_latest",
-    "streaming_pit_join",
+    "streaming_join_then_window",
     "streaming_python_source",
     "streaming_router",
     "streaming_session_window",
-    "streaming_sessionize",
-    "streaming_snapshot_sink",
+    "streaming_sessionize_files",
     "streaming_state_inspect",
-    "streaming_topk",
+    "streaming_window_counts",
     "table_checksum",
     "text_bigram_logprob_counts",
     "text_bm25_counts",
     "text_bpe_encode",
     "text_bpe_tokens",
-    "text_bpe_train",
-    "text_cms_heavy_hitters",
-    "text_keywords",
+    "text_fingerprint",
     "text_lang_id",
     "text_pii_scan",
-    "text_quality",
     "text_repetition",
-    "text_similarity_topk",
+    "text_token_count",
     "text_top_tokens",
     "text_top_tokens_by_lang",
     "text_unigram_logprob_counts",
     "text_vocab_coverage",
     "training_negative_pairs",
-    "training_pipeline_e2e",
     "training_shuffle",
     "trend_theil_sen",
-    "unpivot_part_attrs",
     "window_moving_median",
-    "window_rank_suite",
     "window_rolling_24h",
     "window_running_total",
-    "window_sliding_distinct",
+    "window_spend_quartiles",
     "write_audit_publish",
 ]
 # The 4 rtol ln() float queries are LOCAL-ONLY permanently (the r8
