@@ -94,14 +94,30 @@ def _session_pool_and_slots(spark) -> tuple[float | None, int | None]:
     alone rather than guessing."""
     try:
         sc = spark.sparkContext
+        local = sc.master.startswith("local")
         mem_conf = sc.getConf().get("spark.executor.memory", None)
-        if mem_conf and not sc.master.startswith("local"):
+        if mem_conf and not local:
             heap = _parse_jvm_mem(mem_conf)
         else:
             heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
         frac = float(sc.getConf().get("spark.memory.fraction", "0.6"))
         pool = max(0.0, (heap - (300 << 20)) * frac)
-        return pool, sc.defaultParallelism
+        if local:
+            # the single JVM is the executor; defaultParallelism IS its
+            # slot count
+            slots = sc.defaultParallelism
+        else:
+            # cluster mode: the pool above is PER EXECUTOR, so slots
+            # must be per-executor too — defaultParallelism is the
+            # CLUSTER-TOTAL core count and would understate the fair
+            # share by the executor count, firing the guard spuriously
+            # and collapsing cluster-wide parallelism (ADVICE r10).
+            exec_cores = sc.getConf().get("spark.executor.cores", None)
+            if exec_cores is None:
+                return None, None  # unknown topology: don't guess
+            task_cpus = int(sc.getConf().get("spark.task.cpus", "1"))
+            slots = max(1, int(exec_cores) // max(1, task_cpus))
+        return pool, slots
     except Exception:
         return None, None
 

@@ -34,15 +34,24 @@ version into place, and only THEN appends the ledger entry:
 
 Re-applying an already-committed ``refresh_id`` is a no-op (pinned by
 the gate query, which deliberately re-applies its second slice).
+
+Metadata I/O (existence probes, the state-directory rename, stale-state
+cleanup) routes through :mod:`feast_ibm_spark.sources.fsio`: the rename
+step needs an ATOMIC RENAME filesystem — posix local disks and HDFS
+qualify; object stores do not, and fsio refuses their schemes rather
+than committing unsafely (see the fsio module docstring for the
+object-store commit-point alternatives). The data plane (parquet state
+and ledger segments) is Spark-native and scheme-agnostic.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.fsio import get_fs
 
 _LEDGER = "_refresh_ledger"
 _STATE_PREFIX = "state__"
@@ -55,8 +64,8 @@ def _ledger_rows(spark: SparkSession, base_path: str) -> list:
     existing ledger for an empty one, recompute state from just the
     current slice, and silently discard all accumulated history — the
     exact failure the commit protocol exists to prevent."""
-    ledger_dir = os.path.join(base_path, _LEDGER)
-    if not os.path.exists(ledger_dir):
+    ledger_dir = posixpath.join(base_path, _LEDGER)
+    if not get_fs(base_path, spark).exists(ledger_dir):
         return []
     return spark.read.parquet(ledger_dir).orderBy("seq").collect()
 
@@ -66,10 +75,10 @@ def _ledger_ids(spark: SparkSession, base_path: str) -> list[str]:
     return [r["refresh_id"] for r in _ledger_rows(spark, base_path)]
 
 
-def _current_state_dir(base_path: str, ids: list[str]) -> str | None:
+def _current_state_dir(fs, base_path: str, ids: list[str]) -> str | None:
     for rid in reversed(ids):
-        d = os.path.join(base_path, _STATE_PREFIX + rid)
-        if os.path.exists(d):
+        d = posixpath.join(base_path, _STATE_PREFIX + rid)
+        if fs.exists(d):
             return d
     return None
 
@@ -99,7 +108,7 @@ def refresh_additive_agg(
     max_cents — all additive-mergeable, all exact integers."""
     if _STATE_PREFIX in refresh_id or "/" in refresh_id:
         raise ValueError(f"invalid refresh_id: {refresh_id!r}")
-    os.makedirs(base_path, exist_ok=True)
+    get_fs(base_path, spark).makedirs(base_path)
     ledger = _ledger_rows(spark, base_path)
     ids = [r["refresh_id"] for r in ledger]
     if refresh_id in ids:
@@ -110,7 +119,7 @@ def refresh_additive_agg(
     next_seq = max((r["seq"] for r in ledger), default=-1) + 1
 
     parts = slice_partials(facts_slice, key_cols, cents_col)
-    cur = _current_state_dir(base_path, ids)
+    cur = _current_state_dir(get_fs(base_path, spark), base_path, ids)
     if cur is not None:
         old = spark.read.parquet(cur)
         merged = (
@@ -135,27 +144,28 @@ def _commit_state(spark, base_path, refresh_id, merged, ids, next_seq):
     for the crash analysis): write-to-temp, rename into place, THEN
     append the ledger entry (the commit point), then opportunistically
     clean superseded versions."""
-    new_dir = os.path.join(base_path, _STATE_PREFIX + refresh_id)
+    fs = get_fs(base_path, spark)
+    new_dir = posixpath.join(base_path, _STATE_PREFIX + refresh_id)
     tmp = new_dir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(new_dir):  # uncommitted leftover from a dead retry
-        shutil.rmtree(new_dir)
-    os.rename(tmp, new_dir)
+    if fs.exists(new_dir):  # uncommitted leftover from a dead retry
+        fs.rmtree(new_dir)
+    fs.rename(tmp, new_dir)
     # commit point: the ledger append makes new_dir the current state
     spark.createDataFrame(
         [(next_seq, refresh_id)], "seq bigint, refresh_id string"
-    ).write.mode("append").parquet(os.path.join(base_path, _LEDGER))
+    ).write.mode("append").parquet(posixpath.join(base_path, _LEDGER))
     # opportunistic cleanup of superseded state versions
     for rid in ids:
-        stale = os.path.join(base_path, _STATE_PREFIX + rid)
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        stale = posixpath.join(base_path, _STATE_PREFIX + rid)
+        if fs.exists(stale):
+            fs.rmtree(stale)
 
 
 def read_agg(spark: SparkSession, base_path: str) -> DataFrame:
     """The maintained aggregate, with AVG derived at read time."""
     ids = _ledger_ids(spark, base_path)
-    cur = _current_state_dir(base_path, ids)
+    cur = _current_state_dir(get_fs(base_path, spark), base_path, ids)
     if cur is None:
         raise FileNotFoundError(f"no committed state under {base_path}")
     st = spark.read.parquet(cur)
@@ -203,7 +213,7 @@ def refresh_moments_agg(
     beyond that, promote the state to DECIMAL(38,0), same protocol."""
     if _STATE_PREFIX in refresh_id or "/" in refresh_id:
         raise ValueError(f"invalid refresh_id: {refresh_id!r}")
-    os.makedirs(base_path, exist_ok=True)
+    get_fs(base_path, spark).makedirs(base_path)
     ledger = _ledger_rows(spark, base_path)
     ids = [r["refresh_id"] for r in ledger]
     if refresh_id in ids:
@@ -211,7 +221,7 @@ def refresh_moments_agg(
     next_seq = max((r["seq"] for r in ledger), default=-1) + 1
 
     parts = slice_moment_partials(facts_slice, key_cols, cents_col)
-    cur = _current_state_dir(base_path, ids)
+    cur = _current_state_dir(get_fs(base_path, spark), base_path, ids)
     if cur is not None:
         merged = (
             spark.read.parquet(cur)
@@ -236,7 +246,7 @@ def read_moments(spark: SparkSession, base_path: str) -> DataFrame:
     cents^2 -> value^2) — bit-identical to any engine evaluating the
     same formula on the same integers."""
     ids = _ledger_ids(spark, base_path)
-    cur = _current_state_dir(base_path, ids)
+    cur = _current_state_dir(get_fs(base_path, spark), base_path, ids)
     if cur is None:
         raise FileNotFoundError(f"no committed state under {base_path}")
     st = spark.read.parquet(cur)

@@ -53,15 +53,18 @@ def weighted_quantile_by_key(
         raise ValueError("need at least one key column")
     if not (0 < Fraction(q_num, q_den) <= 1):
         raise ValueError(f"quantile {q_num}/{q_den} must be in (0, 1]")
+    # Filter on the CASTED weight: a fractional weight in (0, 1) passes
+    # a pre-cast `> 0` test but truncates to 0, and a key whose weights
+    # are ALL fractional would then get total_weight=0 — making the rank
+    # test (den*cum >= num*0) vacuously true and emitting a bogus
+    # wq = min(value) row instead of excluding the key (ADVICE r10).
     base = df.filter(
-        F.col(value_col).isNotNull()
-        & F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
     ).select(
         *key_cols,
         F.col(value_col).alias("__v"),
         F.col(weight_col).cast("bigint").alias("__w"),
-    )
+    ).filter(F.col("__w") > 0)
     vals = base.groupBy(*key_cols, "__v").agg(F.sum("__w").alias("__vw"))
     # total weight rides the SAME partitioning as the running sum (a
     # whole-partition window frame) instead of a separate aggregate +

@@ -15,6 +15,24 @@ at version v load only v's segment list — time travel is free, O(1)
 metadata, no data copies; reproducing last week's training set is
 ``read_snapshot(path, version=last_week)``.
 
+Concurrency contract: SINGLE WRITER (one committer at a time — the
+usual arrangement for a curated table; Structured Streaming's
+foreachBatch serializes micro-batches by construction). Readers are
+unlimited and never blocked. :func:`vacuum_snapshots` must run from
+the writer (or while the writer is quiescent): it reclaims orphaned
+segments, and only the single-writer rule makes "unreferenced" mean
+"dead" rather than "about to be committed" — defensively it also
+skips segments numbered beyond the newest committed version, so even
+a racing in-flight append's segment survives.
+
+Metadata I/O routes through :mod:`feast_ibm_spark.sources.fsio`: the
+commit protocol needs ATOMIC RENAME, which posix local disks and HDFS
+provide; object stores do not (no safe rename — fsio refuses those
+schemes rather than committing unsafely; the object-store answer is a
+conditional-PUT/catalog commit point, noted as the next tier, not
+built). The DATA plane — parquet segment write/scan — is Spark-native
+and scheme-agnostic either way.
+
 Scale: manifests hold segment DIRECTORY names, not file lists — the
 per-version metadata is O(appends), and the read plan is a plain
 multi-directory parquet scan (partition pruning, pushdown, and column
@@ -26,27 +44,67 @@ layer), noted here as the next tier, not built.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import get_fs
 
 _MANIFEST_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+def _join(*parts: str) -> str:
+    return posixpath.join(*parts)
+
+
 def _manifest_path(path: str, version: int) -> str:
-    return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+    return _join(path, _MANIFEST_DIR, f"v{version:06d}.json")
 
 
-def snapshot_versions(path: str) -> list[int]:
-    """Committed versions, ascending (empty for a fresh/absent table)."""
-    d = os.path.join(path, _MANIFEST_DIR)
-    if not os.path.isdir(d):
-        return []
+def _snapshot_versions(fs, path: str) -> list[int]:
     return sorted(
-        int(f[1:-5]) for f in os.listdir(d)
+        int(f[1:-5]) for f in fs.listdir(_join(path, _MANIFEST_DIR))
         if f.startswith("v") and f.endswith(".json")
     )
+
+
+def snapshot_versions(path: str, spark: SparkSession | None = None) -> list[int]:
+    """Committed versions, ascending (empty for a fresh/absent table)."""
+    return _snapshot_versions(get_fs(path, spark), path)
+
+
+def _read_manifest(fs, path: str, version: int) -> dict:
+    return json.loads(fs.read_text(_manifest_path(path, version)))
+
+
+def _commit_version(
+    df: DataFrame, path: str, mode: str, batch_id: int | None = None
+) -> int:
+    """Shared commit tail of :func:`write_snapshot` and
+    :func:`write_snapshot_batch`: write the segment, then publish the
+    manifest via atomic rename (the commit point)."""
+    fs = get_fs(path, df.sparkSession)
+    fs.makedirs(_join(path, _MANIFEST_DIR))
+    versions = _snapshot_versions(fs, path)
+    version = (versions[-1] + 1) if versions else 1
+    seg = f"{_DATA_DIR}/seg-{version:06d}"
+    # mode("overwrite"), not errorifexists: only the atomically renamed
+    # manifest publishes a segment, and the deterministic name can only
+    # collide with an ORPHAN of the same uncommitted version (a writer
+    # that crashed between segment write and manifest rename) — a retry
+    # must be able to pave over it, or the table wedges permanently on
+    # the leftover (ADVICE r10).
+    df.write.mode("overwrite").parquet(_join(path, seg))
+    prev = (
+        _read_manifest(fs, path, versions[-1])["segments"]
+        if versions and mode == "append" else []
+    )
+    manifest: dict = {"version": version, "segments": prev + [seg]}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    fs.write_text_atomic(_manifest_path(path, version), json.dumps(manifest))
+    return version
 
 
 def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
@@ -59,51 +117,50 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     rename is the commit point either way."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode={mode!r}: need 'append' or 'overwrite'")
-    versions = snapshot_versions(path)
-    version = (versions[-1] + 1) if versions else 1
-    seg = f"{_DATA_DIR}/seg-{version:06d}"
-    df.write.mode("errorifexists").parquet(os.path.join(path, seg))
-    prev = (
-        _read_manifest(path, versions[-1])["segments"]
-        if versions and mode == "append" else []
-    )
-    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
-    tmp = _manifest_path(path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "segments": prev + [seg]}, f)
-    os.rename(tmp, _manifest_path(path, version))  # commit point
-    return version
+    return _commit_version(df, path, mode)
 
 
-def vacuum_snapshots(path: str, keep_last: int = 1) -> tuple[int, int]:
+def vacuum_snapshots(
+    path: str, keep_last: int = 1, spark: SparkSession | None = None
+) -> tuple[int, int]:
     """Retention: keep only the newest ``keep_last`` versions and delete
     every segment directory no kept manifest references — the GC step
     that makes ``mode="overwrite"`` reclaim space (append-only chains
     share all segments with the latest version, so vacuum deletes
     nothing there — by design, old versions stay time-travelable for
-    free). Deletion order is crash-safe: old MANIFESTS go first (the
-    commit dimension shrinks atomically per unlink), orphaned segments
-    after — a crash mid-vacuum leaves unreferenced segments, never a
-    readable version with missing data. Returns
-    (manifests_dropped, segments_deleted)."""
-    import shutil
-
+    free). Runs under the module's single-writer contract (docstring);
+    defensively, segments numbered BEYOND the newest committed version
+    are never touched — they belong to an in-flight (uncommitted)
+    append, not to garbage (ADVICE r10). Deletion order is crash-safe:
+    old MANIFESTS go first (the commit dimension shrinks atomically per
+    unlink), orphaned segments after — a crash mid-vacuum leaves
+    unreferenced segments, never a readable version with missing data.
+    Returns (manifests_dropped, segments_deleted)."""
     if keep_last < 1:
         raise ValueError(f"keep_last={keep_last}: need >= 1")
-    versions = snapshot_versions(path)
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
     drop, keep = versions[:-keep_last], versions[-keep_last:]
+    latest = versions[-1] if versions else 0
     referenced = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["segments"])
+        referenced.update(_read_manifest(fs, path, v)["segments"])
     for v in drop:
-        os.unlink(_manifest_path(path, v))
-    data_dir = os.path.join(path, _DATA_DIR)
+        fs.unlink(_manifest_path(path, v))
+    data_dir = _join(path, _DATA_DIR)
     n_seg = 0
-    if os.path.isdir(data_dir):
-        for d in sorted(os.listdir(data_dir)):
-            if f"{_DATA_DIR}/{d}" not in referenced:
-                shutil.rmtree(os.path.join(data_dir, d))
-                n_seg += 1
+    for d in fs.listdir(data_dir):
+        rel = f"{_DATA_DIR}/{d}"
+        if rel in referenced:
+            continue
+        try:
+            seg_version = int(d.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            seg_version = 0  # foreign name: not an in-flight segment
+        if seg_version > latest:
+            continue  # in-flight writer's uncommitted segment
+        fs.rmtree(_join(data_dir, d))
+        n_seg += 1
     return len(drop), n_seg
 
 
@@ -113,24 +170,17 @@ def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:
     RETRY of an already-committed batch (Structured Streaming replays
     the last batch after a crash) finds its id in the manifest chain and
     returns the existing version instead of double-committing — the
-    idempotent-sink contract foreachBatch requires. Returns the version
-    holding this batch."""
-    for v in reversed(snapshot_versions(path)):
-        m = _read_manifest(path, v)
-        if m.get("batch_id") == batch_id:
+    idempotent-sink contract foreachBatch requires. A retry of a batch
+    that crashed BETWEEN segment write and manifest rename finds no
+    committed batch_id and recommits the same version number, paving
+    over the orphaned segment (the overwrite-mode segment write in
+    :func:`_commit_version` — ADVICE r10). Returns the version holding
+    this batch."""
+    fs = get_fs(path, df.sparkSession)
+    for v in reversed(_snapshot_versions(fs, path)):
+        if _read_manifest(fs, path, v).get("batch_id") == batch_id:
             return v
-    versions = snapshot_versions(path)
-    version = (versions[-1] + 1) if versions else 1
-    seg = f"{_DATA_DIR}/seg-{version:06d}"
-    df.write.mode("errorifexists").parquet(os.path.join(path, seg))
-    prev = _read_manifest(path, versions[-1])["segments"] if versions else []
-    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
-    tmp = _manifest_path(path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "segments": prev + [seg],
-                   "batch_id": batch_id}, f)
-    os.rename(tmp, _manifest_path(path, version))  # commit point
-    return version
+    return _commit_version(df, path, "append", batch_id=batch_id)
 
 
 def compact_snapshots(spark: SparkSession, path: str) -> int:
@@ -146,25 +196,21 @@ def compact_snapshots(spark: SparkSession, path: str) -> int:
                           mode="overwrite")
 
 
-def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as f:
-        return json.load(f)
-
-
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest committed). A plain
     multi-directory parquet scan over the version's segment list —
     pushdown/pruning intact, no data movement."""
-    versions = snapshot_versions(path)
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path}")
     if version is None:
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    segs = _read_manifest(path, version)["segments"]
+    segs = _read_manifest(fs, path, version)["segments"]
     # segments are ENGINE-written (micros timestamps), so the nanos shim
     # in sources/reader.py is unnecessary — a plain multi-dir scan reads
     # them exactly. mergeSchema: appends may legitimately ADD columns
@@ -174,5 +220,5 @@ def read_snapshot(
     # instead of NULL-padding them.
     return (
         spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, s) for s in segs])
+        .parquet(*[_join(path, s) for s in segs])
     )

@@ -493,3 +493,52 @@ def test_fair_share_guard_fires_loudly_and_preserves_results(
     assert f"RepartitionByExpression [{corpus_df.columns[0]}" in plan
     got = {(r.doc_id, r.span_start, r.span_len) for r in guarded.collect()}
     assert got == want
+
+
+def test_session_pool_and_slots_cluster_mode_uses_executor_cores():
+    """ADVICE r10: in cluster mode the pool is PER EXECUTOR, so slots
+    must be per-executor too — spark.executor.cores / spark.task.cpus,
+    never defaultParallelism (the CLUSTER-TOTAL core count, which would
+    understate the fair share by the executor count and fire the guard
+    spuriously on healthy clusters). Unknown topology -> (None, None):
+    the guard must not guess."""
+    from feast_ibm_spark.operators import exact_substr as es
+
+    class FakeConf:
+        def __init__(self, d):
+            self._d = d
+
+        def get(self, k, default=None):
+            return self._d.get(k, default)
+
+    class FakeSC:
+        def __init__(self, conf, master):
+            self._conf, self.master = conf, master
+            self.defaultParallelism = 640  # cluster-total: must be unused
+
+        def getConf(self):
+            return self._conf
+
+    class FakeSpark:
+        def __init__(self, conf_dict, master="spark://m:7077"):
+            self.sparkContext = FakeSC(FakeConf(conf_dict), master)
+
+    pool, slots = es._session_pool_and_slots(
+        FakeSpark({"spark.executor.memory": "8g",
+                   "spark.executor.cores": "4"})
+    )
+    assert slots == 4  # per-executor, not defaultParallelism=640
+    assert pool == ((8 << 30) - (300 << 20)) * 0.6
+
+    # task.cpus divides the slot count
+    _, slots = es._session_pool_and_slots(
+        FakeSpark({"spark.executor.memory": "8g",
+                   "spark.executor.cores": "8",
+                   "spark.task.cpus": "2"})
+    )
+    assert slots == 4
+
+    # unknown executor.cores in cluster mode: refuse to guess
+    assert es._session_pool_and_slots(
+        FakeSpark({"spark.executor.memory": "8g"})
+    ) == (None, None)

@@ -3329,6 +3329,29 @@ if _HAS_HYP_DEDUP:
         assert got == want
 
 
+def test_weighted_quantile_fractional_weights_truncate_to_exclusion(spark):
+    """ADVICE r10: the positivity filter must run on the CASTED weight.
+    A fractional weight in (0, 1) truncates to 0 and counts nothing —
+    'a 0.4 weight counts 0' per the docstring — so a key whose weights
+    are ALL fractional is EXCLUDED (previously it slipped past the
+    pre-cast filter with total_weight=0 and emitted a bogus
+    wq=min(value) row), and mixed keys count only the integer part."""
+    from feast_ibm_spark.operators.weighted_stats import (
+        weighted_quantile_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [("all_frac", 1, 0.4), ("all_frac", 2, 0.9),
+         ("mixed", 10, 0.7), ("mixed", 20, 2.4), ("mixed", 30, 1.0)],
+        "k string, v bigint, w double",
+    )
+    got = {r.k: (r.total_weight, r.wq)
+           for r in weighted_quantile_by_key(df, ["k"], "v", "w").collect()}
+    # all_frac: every weight truncates to 0 -> key absent, no bogus row
+    # mixed: weights (0, 2, 1) -> W=3, median at cum>=1.5 -> v=20
+    assert got == {"mixed": (3, 20)}
+
+
 def test_pareto_auto_picks_tier_by_distinct_count(spark, monkeypatch):
     """strategy='auto' counts the stage-1 reduction (|distinct
     minimize|) and switches at AUTO_DISTINCT_THRESHOLD: both branches

@@ -624,3 +624,147 @@ def test_snapshot_compaction_and_schema_evolution(spark, tmp_path):
     assert vacuum_snapshots(path, keep_last=1) == (2, 2)
     assert {(r.id, r.tag)
             for r in read_snapshot(spark, path).collect()} == got
+
+
+def test_snapshot_retry_paves_over_orphan_segment(spark, tmp_path):
+    """ADVICE r10 (medium): a writer that crashes BETWEEN the segment
+    write and the manifest rename leaves an orphaned data/seg-NNNNNN
+    for the next (uncommitted) version. The retry recomputes the same
+    version number and must PAVE OVER the orphan and commit — the old
+    errorifexists segment write wedged the table permanently here.
+    Safe because only the atomically renamed manifest publishes a
+    segment, and the deterministic name can only collide with an
+    orphan of the same uncommitted version."""
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+        write_snapshot_batch,
+    )
+
+    path = str(tmp_path / "crashy")
+    write_snapshot(spark.createDataFrame([(1,)], "id bigint"), path)
+    # simulate the crash window: v2's segment exists (stale rows), no
+    # manifest published
+    spark.createDataFrame([(99,)], "id bigint").write.parquet(
+        str(tmp_path / "crashy" / "data" / "seg-000002")
+    )
+    assert snapshot_versions(path) == [1]
+    # plain writer retry: commits v2 with the RETRY's rows, not 99
+    v = write_snapshot(spark.createDataFrame([(2,)], "id bigint"), path)
+    assert v == 2
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2}
+
+    # same window for the foreachBatch sink: batch replay after a crash
+    # between segment write and manifest rename must make progress
+    spark.createDataFrame([(98,)], "id bigint").write.parquet(
+        str(tmp_path / "crashy" / "data" / "seg-000003")
+    )
+    v = write_snapshot_batch(
+        spark.createDataFrame([(3,)], "id bigint"), path, batch_id=7
+    )
+    assert v == 3
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3}
+    # and the idempotent path still short-circuits
+    assert write_snapshot_batch(
+        spark.createDataFrame([(3,)], "id bigint"), path, batch_id=7
+    ) == 3
+
+
+def test_snapshot_vacuum_skips_in_flight_segment(spark, tmp_path):
+    """ADVICE r10: vacuum must never reclaim a segment numbered BEYOND
+    the newest committed version — that is an in-flight writer's
+    uncommitted segment, and deleting it would let the writer publish
+    a manifest pointing at deleted data."""
+    import os
+
+    from feast_ibm_spark.sources.snapshots import (
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "inflight")
+    write_snapshot(spark.createDataFrame([(1, 2)], "id bigint, v bigint"),
+                   path)
+    write_snapshot(spark.createDataFrame([(9, 9)], "id bigint, v bigint"),
+                   path, mode="overwrite")
+    # in-flight append: v3's segment written, manifest not yet renamed
+    spark.createDataFrame([(3, 3)], "id bigint, v bigint").write.parquet(
+        os.path.join(path, "data", "seg-000003")
+    )
+    dropped, deleted = vacuum_snapshots(path, keep_last=1)
+    assert (dropped, deleted) == (1, 1)  # v1 manifest + v1's orphan only
+    assert os.path.isdir(os.path.join(path, "data", "seg-000003"))
+
+
+def test_snapshot_lifecycle_through_hadoop_fs(spark, tmp_path):
+    """VERDICT r10 item 4: the metadata commit protocol runs through the
+    fsio facade; the HadoopFS implementation (JVM FileSystem API) is
+    exercised against file:// — the same code path a real hdfs:// URI
+    takes. Full lifecycle: append, time travel, overwrite, batch
+    idempotence, vacuum."""
+    from feast_ibm_spark.sources.fsio import HadoopFS, get_fs
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+        write_snapshot_batch,
+    )
+
+    path = "file://" + str(tmp_path / "hdfs_like")
+    assert isinstance(get_fs(path, spark), HadoopFS)
+    write_snapshot(spark.createDataFrame([(1,)], "id bigint"), path)
+    write_snapshot(spark.createDataFrame([(2,)], "id bigint"), path)
+    assert snapshot_versions(path, spark) == [1, 2]
+    assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1}
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2}
+    write_snapshot(spark.createDataFrame([(9,)], "id bigint"), path,
+                   mode="overwrite")
+    assert write_snapshot_batch(
+        spark.createDataFrame([(4,)], "id bigint"), path, batch_id=0
+    ) == 4
+    assert write_snapshot_batch(
+        spark.createDataFrame([(4,)], "id bigint"), path, batch_id=0
+    ) == 4  # replay: idempotent through the JVM route too
+    dropped, deleted = vacuum_snapshots(path, keep_last=2, spark=spark)
+    assert dropped == 2 and deleted >= 1
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {9, 4}
+
+
+def test_ivm_refresh_through_hadoop_fs(spark, tmp_path):
+    """The IVM ledger commit protocol through the same HadoopFS route:
+    two refreshes + a replayed refresh_id over file://."""
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.operators.incremental import (
+        read_agg,
+        refresh_additive_agg,
+    )
+
+    base = "file://" + str(tmp_path / "ivm_state")
+    s1 = spark.createDataFrame([("a", 100), ("a", 200), ("b", 50)],
+                               "k string, cents bigint")
+    s2 = spark.createDataFrame([("a", 300)], "k string, cents bigint")
+    assert refresh_additive_agg(spark, base, s1, ["k"], F.col("cents"), "d1")
+    assert refresh_additive_agg(spark, base, s2, ["k"], F.col("cents"), "d2")
+    # replay: no-op
+    assert not refresh_additive_agg(spark, base, s2, ["k"],
+                                    F.col("cents"), "d2")
+    got = {(r.k, r.n, r.sum_value) for r in read_agg(spark, base).collect()}
+    assert got == {("a", 3, 6.0), ("b", 1, 0.5)}
+
+
+def test_fsio_refuses_object_store_schemes(spark):
+    """fsio: object stores have no atomic rename — the commit protocol
+    must refuse them loudly, not commit unsafely (VERDICT r10 item 4)."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.fsio import LocalFS, get_fs
+
+    assert isinstance(get_fs("/plain/posix/path"), LocalFS)
+    for scheme in ("s3a", "gs", "abfss", "cos"):
+        with _pytest.raises(ValueError, match="atomic rename"):
+            get_fs(f"{scheme}://bucket/table", spark)
+    with _pytest.raises(ValueError, match="SparkSession"):
+        get_fs("hdfs://nn/table", None)
