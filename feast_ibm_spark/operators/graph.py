@@ -603,3 +603,80 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def sssp_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths from any node in ``sources``
+    (one ``node`` column): the cheapest total edge weight reachable in
+    at most ``max_hops`` edges — Bellman-Ford with the frontier
+    optimization, the min-plus sibling of :func:`bfs_levels` ("cheapest
+    supply route within 4 legs", "strongest co-purchase chain to this
+    part").
+
+    Each round relaxes ONLY the nodes whose distance improved last
+    round against the edge list (one join + one min-aggregate), then
+    keeps the improvements (one left join against the running
+    distances). The frontier-Bellman-Ford invariant — after round h,
+    ``cost`` is the exact minimum over paths of <= h edges — holds
+    because every <= h-edge path's prefix improved at some earlier
+    round and was relaxed then; work per round is O(frontier-adjacent
+    edges), same localCheckpoint lineage discipline and bounded
+    ``isEmpty`` probes as BFS. Weights are BIGINT by contract
+    (integer-exact min-plus — no float summation-order hazard; hop cap
+    bounds negative-weight pathology, but non-negative weights are the
+    intended domain and the oracle's).
+
+    Determinism: min cost per node is unique — no tie-break exists.
+    Output: (node, cost) BIGINT; unreachable nodes absent; sources at
+    cost 0.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops}: need >= 0")
+    # plain renamed-column joins throughout (no alias-qualified refs):
+    # sources/edges often share lineage at the call site (sources
+    # aggregated FROM the edge list), and the qualified-access style
+    # hits attribute-resolution holes there (the MISSING_ATTRIBUTES
+    # family) — renames sidestep it entirely
+    ecols = edges.select(
+        F.col(src_col).alias("__esrc"),
+        F.col(dst_col).alias("__edst"),
+        F.col(weight_col).cast("bigint").alias("__ew"),
+    )
+    dist = sources.select("node").distinct().withColumn(
+        "cost", F.lit(0).cast("bigint")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(1, max_hops + 1):
+        cand = (
+            frontier.join(ecols, frontier["node"] == ecols["__esrc"])
+            .groupBy(F.col("__edst").alias("node"))
+            .agg(F.min(F.col("cost") + F.col("__ew")).alias("cost"))
+        )
+        old = dist.select(
+            F.col("node").alias("__onode"), F.col("cost").alias("__ocost")
+        )
+        improved = (
+            cand.join(old, cand["node"] == old["__onode"], "left")
+            .filter(
+                F.col("__ocost").isNull()
+                | (F.col("cost") < F.col("__ocost"))
+            )
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

@@ -25,7 +25,7 @@ arithmetic — no float bucketing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,61 @@ def range_join(
         pts.join(ivals, cond, how)
         .select(*[pts[c] for c in points.columns],
                 *[ivals[c] for c in ival_cols])
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key — the classic
+    gaps-and-islands merge ("total time under warranty", "covered
+    service windows", "union of session spans"): intervals whose start
+    lies at or before the running maximum end of everything earlier
+    join the same ISLAND; a strictly later start opens a new one.
+
+    One window shuffle on (keys, start): the running max of ``end``
+    over earlier rows flags island breaks, a running sum of the flags
+    numbers the islands, and a per-island aggregate emits one merged
+    row. Tie-safety: rows sharing a start can never open an island
+    (the prior row with the same start has end >= start), so the
+    break flags — and therefore the output — are independent of the
+    ordering among equal starts; no tie-break column is needed.
+    Endpoints are inclusive and TOUCHING intervals merge
+    (next.start == prev.end joins the island); any orderable type
+    works — integers, dates, timestamps.
+
+    Output: key_cols + (island_start, island_end, n_merged) — one row
+    per island, n_merged = input intervals absorbed.
+    """
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.select(
+        *key_cols,
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).withColumn(
+        "__break",
+        (
+            F.col("__s") > F.coalesce(F.max("__e").over(w_prev), F.col("__e"))
+        ).cast("bigint"),
+    ).withColumn("__island", F.sum("__break").over(w_cum))
+    return (
+        flagged.groupBy(*key_cols, "__island")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
     )

@@ -780,6 +780,35 @@ QUERIES: dict[str, QueryDef] = {
     "graph_bfs_levels": QueryDef(q_graph_bfs_levels, ORACLE_BFS_LEVELS,
                                  "multi-hop reachability rings: frontier "
                                  "BFS levels vs recursive-CTE oracle"),
+    "graph_sssp_hops": QueryDef(q_graph_sssp_hops, ORACLE_SSSP_HOPS,
+                                "bounded-hop weighted shortest paths: "
+                                "frontier Bellman-Ford (min-plus) vs "
+                                "chained-rounds oracle"),
+    "interval_coverage": QueryDef(q_interval_coverage,
+                                  ORACLE_INTERVAL_COVERAGE,
+                                  "gaps-and-islands interval union per "
+                                  "supplier: islands, absorbed intervals, "
+                                  "covered days (one window shuffle)"),
+    "trend_cusum_changepoint": QueryDef(q_trend_cusum_changepoint,
+                                        ORACLE_CUSUM_CHANGEPOINT,
+                                        "integer-exact CUSUM changepoint "
+                                        "per user: argmax |n*S_k - k*S_n| "
+                                        "on one window shuffle"),
+    "layout_snapshot_changes": QueryDef(q_layout_snapshot_changes,
+                                        ORACLE_SNAPSHOT_CHANGES,
+                                        "snapshot change data feed: "
+                                        "segment-diff incremental read "
+                                        "tagged by introducing commit"),
+    "layout_snapshot_merge": QueryDef(q_layout_snapshot_merge,
+                                      ORACLE_SNAPSHOT_MERGE,
+                                      "MERGE INTO on the snapshot format: "
+                                      "keyed upserts + deletes as a "
+                                      "copy-on-write overwrite commit"),
+    "layout_data_skipping": QueryDef(q_layout_data_skipping,
+                                     ORACLE_DATA_SKIPPING,
+                                     "file-level zone-map skipping: "
+                                     "persisted min/max stats prune the "
+                                     "scan to overlapping files only"),
     "agg_weighted_median": QueryDef(q_agg_weighted_median,
                                     ORACLE_WEIGHTED_MEDIAN,
                                     "weighted order statistic by key: "

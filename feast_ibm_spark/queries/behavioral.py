@@ -1508,3 +1508,86 @@ SELECT user_id,
          / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 10000.0 AS var_value
 FROM c GROUP BY user_id
 """
+
+
+def q_trend_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM changepoint per user: the event index k
+    where the cumulative spend deviates most from the user's overall
+    trend — argmax_k |n*S_k - k*S_n| (binary segmentation's first
+    split, the classic level-shift detector). The cross-multiplied
+    form keeps the whole statistic in BIGINT: it is n^2 times the
+    textbook |S_k/k-ish mean-shift CUSUM|, so the ARGMAX is identical
+    and no ratio, mean, or float ever enters — the deviation column
+    value-hashes exactly against any engine evaluating the same
+    integers. int64 headroom: |n*S_k - k*S_n| <= 2*n*max|S| — at 10^5
+    events/key of 10^6-cent values that is ~2*10^16, inside int64;
+    promote to decimal(38,0) past that (the t-closeness pattern).
+
+    One shuffle: row_number, running sum, and the key totals all ride
+    one (user_id, ts, event_id) window partitioning; the argmax is a
+    second window ORDER (a sort, not an exchange) over dev DESC with
+    the earliest k breaking exact ties. Output: user_id, n, cp_k (the
+    1-based changepoint index), cp_ts (its timestamp), cp_dev (the
+    BIGINT deviation)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("__c")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = (
+        ev.withColumn("k", F.row_number().over(w_ord))
+        .withColumn("s_k", F.sum("__c").over(w_cum))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s_n", F.sum("__c").over(w_all))
+        .withColumn(
+            "dev",
+            F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")),
+        )
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("dev"), F.asc("k")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("cp_k"),
+            F.col("ts").alias("cp_ts"),
+            F.col("dev").alias("cp_dev"),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH scored AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER w AS k,
+         SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s_k,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(cents) OVER (PARTITION BY user_id) AS s_n
+  FROM (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dev AS (
+  SELECT user_id, ts, k, n, ABS(n * s_k - k * s_n) AS dev,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ABS(n * s_k - k * s_n) DESC, k ASC)
+           AS rn
+  FROM scored
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS cp_k,
+       ts AS cp_ts, CAST(dev AS BIGINT) AS cp_dev
+FROM dev WHERE rn = 1
+"""

@@ -337,6 +337,216 @@ FROM c GROUP BY event_type
 """
 
 
+# CDF chain splits (v1 < S1, v2 in [S1, S2), v3 >= S2) and the merge /
+# zone-map probe constants, shared by the Spark queries and their oracles
+SNAPSHOT_CDF_SPLIT1 = "2024-01-10 00:00:00"
+SNAPSHOT_CDF_SPLIT2 = "2024-01-20 00:00:00"
+MERGE_DELETE_MOD = 7
+SKIP_LO, SKIP_HI = 10, 59
+
+
+def q_layout_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the manifest-snapshot format
+    (sources/snapshots.read_snapshot_changes): a 3-version append chain
+    is committed once (events split at day 10 / day 20), then the query
+    asks "what changed since version 1" and aggregates the answer per
+    introducing commit. The delta between two versions is the SEGMENT
+    LIST DIFFERENCE — O(metadata) to compute, and the scan touches only
+    the new segments, so incremental consumers pay for the new data,
+    never the table (the Delta-CDF idea, append-only case; overwrite
+    commits in range are detected and refused). The oracle rebuilds the
+    same per-commit profile from the raw table with the split
+    predicates."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot_changes,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_cdf_{tag}")
+    if len(snapshot_versions(dest)) < 3:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        s1 = F.lit(SNAPSHOT_CDF_SPLIT1).cast("timestamp")
+        s2 = F.lit(SNAPSHOT_CDF_SPLIT2).cast("timestamp")
+        write_snapshot(ev.filter(F.col("ts") < s1), dest)
+        write_snapshot(ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+                       dest)
+        write_snapshot(ev.filter(F.col("ts") >= s2), dest)
+    return (
+        read_snapshot_changes(spark, dest, from_version=1)
+        .groupBy("_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_CHANGES = f"""
+SELECT CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}'
+            THEN 2 ELSE 3 END AS BIGINT) AS _commit_version,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE ts >= TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}'
+GROUP BY 1, 2
+"""
+
+
+def q_layout_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot format (sources/snapshots.
+    merge_snapshot): v1 commits the latest-per-user profile from the
+    first half of events, then one MERGE applies the second half as
+    keyed upserts — with every MERGE_DELETE_MOD-th
+    user arriving as a DELETE — and commits the result as v2
+    (copy-on-write; v1 stays time-travelable). The merge itself is the
+    engine's union+window CDC move: no join, one shuffle on the key,
+    duplicate-key updates rejected loudly (SQL MERGE semantics). The
+    query reads the merged table back; the oracle recomputes the same
+    upsert/delete algebra from the raw events with a FULL OUTER join of
+    the two halves' latest rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_users_merge_{tag}")
+    if len(snapshot_versions(dest)) < 2:
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", _cents("value").alias("cents"), "ts", "event_id"
+        )
+        split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+
+        def latest(df):
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("user_id", "cents", "ts")
+            )
+
+        write_snapshot(latest(ev.filter(F.col("ts") < split)), dest)
+        upd = latest(ev.filter(F.col("ts") >= split)).withColumn(
+            "__delete", F.col("user_id") % MERGE_DELETE_MOD == 0
+        )
+        merge_snapshot(upd, dest, ["user_id"], delete_col="__delete")
+    return read_snapshot(spark, dest)
+
+
+ORACLE_SNAPSHOT_MERGE = f"""
+WITH r1 AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{SNAPSHOT_SPLIT}'
+),
+base AS (SELECT user_id, cents, ts FROM r1 WHERE rn = 1),
+r2 AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts >= TIMESTAMP '{SNAPSHOT_SPLIT}'
+),
+upd AS (SELECT user_id, cents, ts FROM r2 WHERE rn = 1)
+SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+       COALESCE(u.cents, b.cents) AS cents,
+       COALESCE(u.ts, b.ts) AS ts
+FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+WHERE NOT (u.user_id IS NOT NULL
+           AND u.user_id % {MERGE_DELETE_MOD} = 0)
+"""
+
+
+def q_layout_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone-map skipping: events are written once as a
+    range-clustered parquet layout (repartitionByRange on user_id, so
+    each file owns a contiguous user range) with a persisted per-file
+    (min_user, max_user) STATS TABLE beside it — the Delta/Iceberg
+    data-skipping index reduced to its core. The probe consults only
+    the stats table (metadata-sized), collects the files whose range
+    overlaps the probe range (a bounded driver list — file
+    count, not rows), scans JUST those files, and re-applies the exact
+    predicate. At 100 TB the scan cost becomes proportional to the
+    files that can contain matches instead of the table; the pruning
+    factor is pinned by a plan test (tests/test_plans.py), the CONTENT
+    by this oracle (a plain filter over the raw table — zone maps must
+    never change an answer, only the I/O)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_skip_{tag}")
+    zmap = dest + "_zonemap"
+    if not os.path.isdir(zmap):
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", _cents("value").alias("cents")
+        )
+        ev.repartitionByRange(16, "user_id").write.mode(
+            "overwrite"
+        ).parquet(dest)
+        (
+            spark.read.parquet(dest)
+            .select(F.col("_metadata.file_path").alias("file"), "user_id")
+            .groupBy("file")
+            .agg(
+                F.min("user_id").alias("min_user"),
+                F.max("user_id").alias("max_user"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(zmap)
+        )
+    candidates = [
+        r["file"]
+        for r in spark.read.parquet(zmap)
+        .filter(
+            (F.col("min_user") <= SKIP_HI) & (F.col("max_user") >= SKIP_LO)
+        )
+        .collect()
+    ]
+    return (
+        spark.read.parquet(*candidates)
+        .filter(F.col("user_id").between(SKIP_LO, SKIP_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_DATA_SKIPPING = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE user_id BETWEEN {SKIP_LO} AND {SKIP_HI}
+GROUP BY event_type
+"""
+
+
 ORACLE_BUCKETED_JOIN = """
 WITH prof AS (
   SELECT user_id, min(ts) AS first_seen,

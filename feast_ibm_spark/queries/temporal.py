@@ -362,3 +362,74 @@ SELECT event_type, CAST(bin AS BIGINT) AS bin,
        CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 100.0 AS bin_sum
 FROM binned GROUP BY 1, 2
 """
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union per supplier: each line item
+    occupies a handling window [shipdate, shipdate + quantity days]
+    (this testdata carries no receiptdate; the quantity-proportional
+    end gives varied, heavily overlapping spans); merge each
+    supplier's windows into islands and report how many islands
+    remain, how many raw intervals they absorbed, and the total
+    covered days — "how much of the calendar is this supplier actually
+    mid-shipment", the classic coverage/utilization question (machine
+    uptime, policy coverage, session span union). One window shuffle
+    on (suppkey, start) flags island breaks via the running max end
+    date (operators/interval.merge_intervals — break flags are
+    provably independent of ordering among equal starts, so the result
+    is engine-exact with no tie-break column), then one aggregate
+    rolls islands up per supplier. The oracle runs the same two-window
+    algebra in SQL."""
+    from ..operators.interval import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("w_start"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+        ).alias("w_end"),
+    )
+    islands = merge_intervals(li, ["l_suppkey"], "w_start", "w_end")
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_merged").alias("n_intervals"),
+        F.sum(
+            F.datediff("island_end", "island_start") + F.lit(1)
+        ).cast("bigint").alias("covered_days"),
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH spans AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+  FROM lineitem
+),
+flagged AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN s > COALESCE(
+             MAX(e) OVER (
+               PARTITION BY l_suppkey ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             e)
+           THEN 1 ELSE 0 END AS brk
+  FROM spans
+),
+islands AS (
+  SELECT l_suppkey, s, e,
+         SUM(brk) OVER (
+           PARTITION BY l_suppkey ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+merged AS (
+  SELECT l_suppkey, isl, MIN(s) AS island_start, MAX(e) AS island_end,
+         COUNT(*) AS n_merged
+  FROM islands GROUP BY l_suppkey, isl
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(n_merged) AS BIGINT) AS n_intervals,
+       CAST(SUM(island_end - island_start + 1) AS BIGINT) AS covered_days
+FROM merged GROUP BY l_suppkey
+"""

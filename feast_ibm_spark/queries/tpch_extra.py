@@ -987,6 +987,87 @@ FROM walk GROUP BY node
 """
 
 
+SSSP_MAX_HOPS = 4
+
+
+def q_graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths over the co-purchase graph
+    (edge weight = co-purchase count; threshold 1 like the BFS query —
+    at sf0.1 the >= 2 graph shrinks to a 2-row fragment, a weak hash,
+    while threshold 1 keeps the 4-hop ball covering the full part
+    population at every scale): cheapest total weight within 4 legs of the
+    lowest-keyed part — the min-plus sibling of the BFS rings
+    (operators/graph.sssp_hops, frontier Bellman-Ford: each round
+    relaxes only last round's improved nodes against the edge list).
+    Integer weights make the min-plus algebra exact; min cost per node
+    is unique, so there is no tie-break hazard. The oracle runs the
+    same bounded relaxation as chained materialized rounds
+    (d_h = min(d_{h-1}, min over edges(d_{h-1}[src] + w))) — the
+    POLYNOMIAL formulation, not a path-enumerating recursive CTE, which
+    would explode combinatorially on a dense graph."""
+    from ..operators.graph import sssp_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst", "w").unionByName(
+        pairs.selectExpr("pb AS src", "pa AS dst", "w")
+    )
+    src = edges.agg(F.min("src").alias("node"))
+    out = sssp_hops(edges, src, max_hops=SSSP_MAX_HOPS, weight_col="w")
+    return out.select(F.col("node").alias("part"), "cost")
+
+
+def _sssp_round(prev: str, label: str) -> str:
+    return f"""{label} AS MATERIALIZED (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.cost + e.w AS cost
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)"""
+
+
+ORACLE_SSSP_HOPS = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS w
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, w FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM pairs
+),
+d0 AS MATERIALIZED (
+  SELECT min(src) AS node, CAST(0 AS BIGINT) AS cost FROM edges
+),
+{_sssp_round("d0", "d1")},
+{_sssp_round("d1", "d2")},
+{_sssp_round("d2", "d3")},
+{_sssp_round("d3", "d4")}
+SELECT node AS part, cost FROM d4
+"""
+
+
 # --------------------------------------------------------------------------
 # Pareto frontier (skyline): best price-for-size trade-offs in part.
 # Spark side is the monotone linear decomposition (operators/skyline.py);

@@ -47,6 +47,7 @@ import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .fsio import get_fs
 
@@ -194,6 +195,134 @@ def compact_snapshots(spark: SparkSession, path: str) -> int:
     Returns the new version number."""
     return write_snapshot(read_snapshot(spark, path), path,
                           mode="overwrite")
+
+
+def read_snapshot_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed (insert-only): the rows ADDED after
+    ``from_version`` up to and including ``to_version`` (default:
+    latest), each tagged with the BIGINT ``_commit_version`` that
+    introduced it — the incremental-consumption read that lets a
+    downstream training pipeline process only what changed since its
+    last run instead of re-scanning the table (the Delta CDF / Iceberg
+    incremental-scan idea, reduced to the append-only case).
+
+    Because segments are immutable and a manifest lists everything its
+    version sees, the delta between two versions is exactly the SEGMENT
+    LIST DIFFERENCE — an O(metadata) computation; the data plane scans
+    only the new segments, so the cost of "what's new" is proportional
+    to the new data, never the table. Only APPEND chains qualify: an
+    ``overwrite`` commit inside the range rewrites visibility instead
+    of adding rows, so insert-only semantics would be a lie there —
+    detected (some prior segment absent from the newer manifest) and
+    refused loudly. ``from_version == to_version`` returns an empty
+    frame with the right schema."""
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if to_version is None:
+        to_version = versions[-1] if versions else 0
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} < from_version {from_version}"
+        )
+    base = _read_manifest(fs, path, from_version)["segments"]
+    new_by_version: list[tuple[int, list[str]]] = []
+    seen = list(base)
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        segs = _read_manifest(fs, path, v)["segments"]
+        missing = [s for s in seen if s not in segs]
+        if missing:
+            raise ValueError(
+                f"version {v} is not an append (drops {missing}) — "
+                "insert-only CDF is undefined across overwrite commits"
+            )
+        added = [s for s in segs if s not in seen]
+        if added:
+            new_by_version.append((v, added))
+        seen = segs
+    out = None
+    for v, segs in new_by_version:
+        part = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(path, s) for s in segs])
+            .withColumn("_commit_version", F.lit(v).cast("bigint"))
+        )
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        # empty delta with the target version's schema
+        return read_snapshot(spark, path, to_version).withColumn(
+            "_commit_version", F.lit(to_version).cast("bigint")
+        ).limit(0)
+    return out
+
+
+def merge_snapshot(
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO for the snapshot format: apply keyed UPSERTS (and,
+    when ``delete_col`` names a boolean column, DELETES) to the latest
+    version and commit the result as a new ``overwrite`` version —
+    copy-on-write merge, the Delta/Iceberg MERGE reduced to its
+    essential move. History stays time-travelable (the pre-merge
+    version still reads exactly as committed) until
+    :func:`vacuum_snapshots` reclaims it.
+
+    The merge itself is the engine's union+window CDC pattern (see
+    operators/merge.py): no join — current rows tagged rank 1, update
+    rows rank 2, one window per key keeps the highest-rank row, delete
+    rows drop out after winning. One shuffle on the merge key; at
+    100 TB the rewrite cost is the table scan every copy-on-write MERGE
+    pays (merge-on-read deletion vectors are the deferred-cost tier —
+    see operators/deletion_vectors.py for that trade implemented on
+    plain parquet). Returns the committed version."""
+    from pyspark.sql import Window
+
+    spark = updates.sparkSession
+    current = read_snapshot(spark, path)
+    if delete_col is None:
+        upd = updates.withColumn("__del", F.lit(False))
+    else:
+        upd = updates.withColumn(
+            "__del", F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    # SQL MERGE semantics: a key matched by TWO update rows is an error
+    # (and silently nondeterministic under the window below) — detect on
+    # the small side before touching the table
+    dup = (
+        upd.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+    ).collect()
+    if dup:
+        raise ValueError(
+            f"updates contain duplicate merge keys (e.g. {dup[0]}) — "
+            "MERGE requires each target row matched at most once"
+        )
+    data_cols = [c for c in upd.columns if c != "__del"]
+    cur = current.select(*data_cols).withColumn(
+        "__del", F.lit(False)
+    ).withColumn("__rank", F.lit(1))
+    merged = (
+        cur.unionByName(upd.withColumn("__rank", F.lit(2)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(F.desc("__rank"))
+            ),
+        )
+        .filter((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__rank", "__rn", "__del")
+    )
+    return write_snapshot(merged, path, mode="overwrite")
 
 
 def read_snapshot(

@@ -238,6 +238,14 @@ SMOKE_QUERIES = [
     "eval_retrieval_ranks",
     "join_incremental_refresh",
     "text_cms_heavy_hitters",
+    # round-11 additions: weighted SSSP, interval union, CUSUM
+    # changepoint, snapshot CDF + MERGE, zone-map skipping
+    "graph_sssp_hops",
+    "interval_coverage",
+    "trend_cusum_changepoint",
+    "layout_snapshot_changes",
+    "layout_snapshot_merge",
+    "layout_data_skipping",
 ]
 
 

@@ -3561,3 +3561,160 @@ if _HAS_HYP_DEDUP:
         got = {r.token: (r.exact_count, r.cms_estimate)
                for r in q_text_cms_heavy_hitters(spark, d).collect()}
         assert got == want
+
+
+# --- round-11 property nets: SSSP, interval merge, CUSUM ------------------
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        edges=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 6),        # src
+                st_hyp.integers(0, 6),        # dst
+                st_hyp.integers(1, 9),        # weight (positive)
+            ),
+            min_size=1, max_size=20,
+        ),
+        seeds=st_hyp.lists(st_hyp.integers(0, 6), min_size=1, max_size=2),
+        max_hops=st_hyp.sampled_from([0, 1, 3]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_sssp_hops_property_matches_python_bellman_ford(
+        spark, edges, seeds, max_hops
+    ):
+        """sssp_hops must equal a Python hop-bounded Bellman-Ford on
+        random weighted DIRECTED multigraphs (parallel edges keep the
+        cheapest, self-loops never improve): after round h, cost is
+        the exact minimum over paths of <= h edges; sources at 0;
+        unreachable nodes absent. The replay relaxes EVERY edge each
+        round (no frontier optimization), so it also proves the
+        operator's frontier pruning drops nothing."""
+        from feast_ibm_spark.operators.graph import sssp_hops
+
+        dist = {s: 0 for s in set(seeds)}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for s, d, w in edges:
+                if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        df = spark.createDataFrame(
+            list(edges), "src bigint, dst bigint, weight bigint"
+        )
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+        got = {r.node: r.cost
+               for r in sssp_hops(df, sdf, max_hops=max_hops).collect()}
+        assert got == dist
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 2),        # key
+                st_hyp.integers(0, 20),       # start
+                st_hyp.integers(0, 10),       # length
+            ),
+            min_size=1, max_size=24,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_intervals_property_matches_python_sweep(spark, rows):
+        """merge_intervals must equal the textbook sweep merge
+        (sort by start; extend the island while start <= running max
+        end, inclusive/touching endpoints) on random interval multisets
+        with duplicates, ties, nesting, and zero-length intervals."""
+        from feast_ibm_spark.operators.interval import merge_intervals
+
+        ivals = [(k, s, s + ln) for k, s, ln in rows]
+        want = set()
+        for k in {k for k, _, _ in ivals}:
+            mine = sorted(
+                [(s, e) for kk, s, e in ivals if kk == k]
+            )
+            islands = []
+            for s, e in mine:
+                if islands and s <= islands[-1][1]:
+                    islands[-1][1] = max(islands[-1][1], e)
+                    islands[-1][2] += 1
+                else:
+                    islands.append([s, e, 1])
+                islands[-1][0] = min(islands[-1][0], s)
+            for s, e, n in islands:
+                want.add((k, s, e, n))
+
+        df = spark.createDataFrame(ivals, "k bigint, s bigint, e bigint")
+        got = {
+            (r.k, r.island_start, r.island_end, r.n_merged)
+            for r in merge_intervals(df, ["k"], "s", "e").collect()
+        }
+        assert got == want
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 1),          # key
+                st_hyp.integers(-50, 50),       # cents
+            ),
+            min_size=1, max_size=20,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cusum_changepoint_property_matches_python(spark, rows):
+        """The CUSUM argmax |n*S_k - k*S_n| (earliest k on exact ties)
+        replayed in pure Python integers on random per-key series. The
+        query under test is the registered one run over a parquet
+        events fixture, so the whole chain — cents cast, windows,
+        tie-break — is exercised, not just the formula."""
+        import shutil
+        import tempfile
+
+        from feast_ibm_spark.queries import QUERIES
+
+        series: dict[int, list[int]] = {}
+        data = []
+        for i, (k, c) in enumerate(rows):
+            series.setdefault(k, []).append(c)
+            data.append(
+                (k, i, f"2024-01-01 00:{i:02d}:00", c / 100.0, "t")
+            )
+        want = {}
+        for k, cs in series.items():
+            n, s_n = len(cs), sum(cs)
+            best = None
+            cum = 0
+            for idx, c in enumerate(cs, start=1):
+                cum += c
+                dev = abs(n * cum - idx * s_n)
+                if best is None or dev > best[1]:
+                    best = (idx, dev)
+            want[k] = (n, best[0], best[1])
+
+        d = tempfile.mkdtemp(prefix="fis_cusum_net_")
+        try:
+            spark.createDataFrame(
+                data, "user_id bigint, event_id bigint, ts string, "
+                      "value double, event_type string"
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "overwrite"
+            ).parquet(d + "/events.parquet")
+            got = {
+                r.user_id: (r.n, r.cp_k, r.cp_dev)
+                for r in QUERIES["trend_cusum_changepoint"].fn(
+                    spark, d
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        assert got == want

@@ -111,7 +111,28 @@ def test_driver_export_r11_rotation_invariants():
 # carry a full local oracle pin from day one, first in line for the
 # round-12 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
-_QUEUED_FOR_R12_GATE: frozenset[str] = frozenset()
+_QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
+    "graph_sssp_hops",          # bounded-hop weighted shortest paths
+                                # (frontier Bellman-Ford) vs chained
+                                # min-plus rounds oracle; property net
+                                # + 3-scale pins from day one
+    "interval_coverage",        # gaps-and-islands interval union per
+                                # supplier; sweep-replay property net +
+                                # 3-scale pins from day one
+    "trend_cusum_changepoint",  # integer-exact CUSUM changepoint
+                                # (argmax |n*S_k - k*S_n|); replica
+                                # property net + 3-scale pins day one
+    "layout_snapshot_changes",  # snapshot CDF: segment-diff
+                                # incremental read; unit-tested refusal
+                                # semantics + 3-scale pins day one
+    "layout_snapshot_merge",    # MERGE INTO (upserts+deletes) as a
+                                # copy-on-write commit; unit-tested
+                                # duplicate-key/delete semantics +
+                                # 3-scale pins day one
+    "layout_data_skipping",     # file-level zone-map skipping with a
+                                # persisted stats table; pruning plan
+                                # pin + 3-scale content oracle day one
+})
 # (historical) the r10-queued list — rotated into the r11 gate, where the
 # rotation invariants above still reference it:
 _QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
@@ -273,7 +294,9 @@ _EXCLUDED_WITH_ORACLE = [
     "graph_pagerank_incremental",
     "graph_pagerank_weighted",
     "graph_ppr_recommend",
+    "graph_sssp_hops",
     "hierarchy_chain",
+    "interval_coverage",
     "join_anti_quiet_customers",
     "join_excess_suppliers",
     "join_large_orders",
@@ -294,7 +317,10 @@ _EXCLUDED_WITH_ORACLE = [
     "knn_lsh",
     "knn_pq",
     "layout_compaction_roundtrip",
+    "layout_data_skipping",
     "layout_hilbert_roundtrip",
+    "layout_snapshot_changes",
+    "layout_snapshot_merge",
     "layout_zorder_roundtrip",
     "market_basket_rules",
     "materialize_agg_incremental",
@@ -384,6 +410,7 @@ _EXCLUDED_WITH_ORACLE = [
     "text_vocab_coverage",
     "training_negative_pairs",
     "training_shuffle",
+    "trend_cusum_changepoint",
     "trend_theil_sen",
     "window_moving_median",
     "window_rolling_24h",

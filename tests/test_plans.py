@@ -1126,3 +1126,51 @@ def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_data_skipping_prunes_files_and_preserves_answer(spark):
+    """layout_data_skipping: the zone-map probe must (a) scan strictly
+    fewer files than the clustered table holds — the stats table is an
+    I/O index, pinned here against layout drift — and (b) return
+    exactly the full-scan answer (zone maps change I/O, never
+    results)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from feast_ibm_spark.queries import QUERIES
+    from feast_ibm_spark.queries.pipelines import SKIP_HI, SKIP_LO
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = QUERIES["layout_data_skipping"].fn(spark, sf_dir)
+    got = {(r.event_type, r.n_events, r.n_users, r.sum_cents)
+           for r in out.collect()}
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_skip_{tag}")
+    total_files = len(glob.glob(os.path.join(dest, "*.parquet")))
+    stats = spark.read.parquet(dest + "_zonemap")
+    candidates = stats.filter(
+        (F.col("min_user") <= SKIP_HI) & (F.col("max_user") >= SKIP_LO)
+    ).count()
+    assert stats.count() == total_files
+    # 16 range-clustered files over 150 users; a 50-user probe range
+    # must touch a strict subset
+    assert 0 < candidates < total_files
+
+    full = {
+        (r.event_type, r.n_events, r.n_users, r.sum_cents)
+        for r in spark.read.parquet(dest)
+        .filter(F.col("user_id").between(SKIP_LO, SKIP_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == full

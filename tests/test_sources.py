@@ -768,3 +768,96 @@ def test_fsio_refuses_object_store_schemes(spark):
             get_fs(f"{scheme}://bucket/table", spark)
     with _pytest.raises(ValueError, match="SparkSession"):
         get_fs("hdfs://nn/table", None)
+
+
+def test_snapshot_change_data_feed_semantics(spark, tmp_path):
+    """read_snapshot_changes: the delta between two versions is the
+    segment-list difference, tagged per introducing commit; an
+    overwrite inside the range is refused loudly (insert-only CDF is
+    undefined across it); from==to yields an empty frame with the
+    right schema; bad versions raise."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
+    path = str(tmp_path / "cdf")
+    write_snapshot(mk(1), path)
+    write_snapshot(mk(2, 3), path)
+    write_snapshot(mk(4), path)
+
+    got = {(r.id, r._commit_version)
+           for r in read_snapshot_changes(spark, path, 1).collect()}
+    assert got == {(2, 2), (3, 2), (4, 3)}
+    got = {(r.id, r._commit_version)
+           for r in read_snapshot_changes(spark, path, 2, 3).collect()}
+    assert got == {(4, 3)}
+
+    empty = read_snapshot_changes(spark, path, 3, 3)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns
+
+    with _pytest.raises(ValueError, match="not in"):
+        read_snapshot_changes(spark, path, 9)
+    with _pytest.raises(ValueError, match="to_version"):
+        read_snapshot_changes(spark, path, 3, 1)
+
+    # overwrite inside the range: refused, not silently wrong
+    write_snapshot(mk(9), path, mode="overwrite")
+    with _pytest.raises(ValueError, match="not an append"):
+        read_snapshot_changes(spark, path, 1)
+    # ...but a range that stops before it still works
+    assert read_snapshot_changes(spark, path, 1, 3).count() == 3
+
+
+def test_snapshot_merge_semantics(spark, tmp_path):
+    """merge_snapshot: keyed upserts update in place, new keys insert,
+    delete-flagged keys drop (including deletes of absent keys — a
+    no-op), duplicate update keys are rejected loudly (SQL MERGE
+    semantics), and the pre-merge version stays time-travelable."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "mrg")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+        ),
+        path,
+    )
+    v = merge_snapshot(
+        spark.createDataFrame(
+            # update 1, insert 4, delete 2, delete-absent 9 (no-op)
+            [(1, "A", False), (4, "d", False), (2, "b", True),
+             (9, "x", True)],
+            "id bigint, v string, del boolean",
+        ),
+        path,
+        ["id"],
+        delete_col="del",
+    )
+    assert v == 2
+    got = {(r.id, r.v) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "A"), (3, "c"), (4, "d")}
+    # pre-merge version unchanged
+    got1 = {(r.id, r.v) for r in read_snapshot(spark, path, 1).collect()}
+    assert got1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    with _pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_snapshot(
+            spark.createDataFrame(
+                [(1, "p", False), (1, "q", False)],
+                "id bigint, v string, del boolean",
+            ),
+            path,
+            ["id"],
+            delete_col="del",
+        )
