@@ -471,6 +471,38 @@ SHOWCASE: list[tuple[str, str]] = [
         "O(frontier-adjacent edges); at 100 TB the cost driver is\n"
         "rounds x edge-scan, not skew.",
     ),
+    (
+        "graph_sssp_hops",
+        "Frontier Bellman-Ford (min-plus BFS sibling): each round joins\n"
+        "only LAST ROUND'S IMPROVED NODES against the edge list, takes a\n"
+        "per-node min (hash agg, map-side combine absorbs hub fan-in),\n"
+        "keeps the improvements with one renamed-column left join, and\n"
+        "localCheckpoints to keep the unrolled tree flat. Integer weights\n"
+        "keep the min-plus algebra exact; per-round cost matches BFS\n"
+        "(measured 0.69 s/extra hop over 10M edges,\n"
+        "scripts/bfs_deep_10x.py) — rounds x edge-scan, never skew.",
+    ),
+    (
+        "interval_coverage",
+        "Gaps-and-islands in ONE window shuffle on (supplier, start): the\n"
+        "running max end over earlier rows flags island breaks, a running\n"
+        "sum numbers the islands on the SAME partitioning (a reorder, not\n"
+        "an exchange), and one hash aggregate rolls islands up per\n"
+        "supplier. The naive alternative — interval self-join to find\n"
+        "overlaps — is O(n^2) per key; this shape is one sort per key and\n"
+        "survives any per-key interval count the window's spillable row\n"
+        "buffer survives.",
+    ),
+    (
+        "layout_data_skipping",
+        "The zone-map probe plan is the point: the stats table scan is\n"
+        "metadata-sized (one row per file), the collected candidate list\n"
+        "is bounded by FILE COUNT, and the data scan's file sources list\n"
+        "ONLY the overlapping files — the plan-pinned strict subset\n"
+        "(tests/test_plans.py). The exact predicate re-applies on top, so\n"
+        "zone maps change I/O, never answers; at 100 TB the probe cost is\n"
+        "proportional to matching files, not table size.",
+    ),
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
