@@ -809,6 +809,19 @@ QUERIES: dict[str, QueryDef] = {
                                      "file-level zone-map skipping: "
                                      "persisted min/max stats prune the "
                                      "scan to overlapping files only"),
+    "layout_snapshot_consume": QueryDef(q_layout_snapshot_consume,
+                                        ORACLE_SNAPSHOT_CONSUME,
+                                        "exactly-once CDF consumer: "
+                                        "cursor checkpoint, ack-advance, "
+                                        "empty re-consume under the hash"),
+    "trend_ols_counts": QueryDef(q_trend_ols_counts, ORACLE_OLS_COUNTS,
+                                 "OLS trend sufficient statistics per "
+                                 "user, all BIGINT (slope reconstructed "
+                                 "in the test net)"),
+    "agg_mode_exact": QueryDef(q_agg_mode_exact, ORACLE_MODE_EXACT,
+                               "exact per-key mode with deterministic "
+                               "ties (count desc, value asc) riding one "
+                               "window shuffle"),
     "agg_weighted_median": QueryDef(q_agg_weighted_median,
                                     ORACLE_WEIGHTED_MEDIAN,
                                     "weighted order statistic by key: "

@@ -1591,3 +1591,97 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS cp_k,
        ts AS cp_ts, CAST(dev AS BIGINT) AS cp_dev
 FROM dev WHERE rn = 1
 """
+
+
+def q_trend_ols_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend INGREDIENTS per user, all BIGINT: n, sum_x,
+    sum_y, sum_xy, sum_x2 with x = days since epoch and y = cents. The
+    OLS slope is (n*sum_xy - sum_x*sum_y) / (n*sum_x2 - sum_x^2) — one
+    float division OUTSIDE the query, reconstructed in the test net —
+    so the hashed row is pure integer sufficient statistics, the same
+    *_counts discipline as BM25/logprob/PSI (completing the trend
+    family: Theil-Sen robust slope, CUSUM changepoint, OLS). One hash
+    aggregate, map-side combine, no window, no join. int64 headroom:
+    sum_xy <= n * 2*10^4 days * 10^6 cents — ~2*10^16 at 10^6 rows/key,
+    inside int64."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+        .alias("__x"),
+        _cents("value").alias("__y"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sum_x"),
+        F.sum("__y").alias("sum_y"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sum_xy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sum_x2"),
+    )
+
+
+ORACLE_OLS_COUNTS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2
+FROM (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key MODE with a deterministic tie rule: each user's
+    most frequent event type (highest count; lexicographically smallest
+    type on ties — SQL's mode() leaves ties undefined, this one is
+    engine-exact). Two-phase: one hash aggregate to (user, type)
+    counts, then one window on the user partition picks the winner and
+    carries the user total on the same shuffle (no agg+join diamond —
+    the weighted-median lesson)."""
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    w_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w_pick))
+        .withColumn("n_total", F.sum("n").over(w_all))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("mode_n"),
+            "n_total",
+        )
+    )
+
+
+ORACLE_MODE_EXACT = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+  FROM counts
+)
+SELECT user_id, event_type AS mode_event_type, n AS mode_n, n_total
+FROM ranked WHERE rn = 1
+"""

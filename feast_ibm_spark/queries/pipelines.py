@@ -357,15 +357,27 @@ def q_layout_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits in range are detected and refused). The oracle rebuilds the
     same per-commit profile from the raw table with the split
     predicates."""
+    from ..sources.snapshots import read_snapshot_changes
+
+    dest = _cdf_chain(spark, sf_dir)
+    return (
+        read_snapshot_changes(spark, dest, from_version=1)
+        .groupBy("_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+def _cdf_chain(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 3-version append chain (events split at day 10 /
+    day 20) the CDF queries read; built once per sf tag."""
     import hashlib
     import os
     import tempfile
 
-    from ..sources.snapshots import (
-        read_snapshot_changes,
-        snapshot_versions,
-        write_snapshot,
-    )
+    from ..sources.snapshots import snapshot_versions, write_snapshot
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     dest = os.path.join(tempfile.gettempdir(), f"fis_events_cdf_{tag}")
@@ -379,14 +391,52 @@ def q_layout_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot(ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
                        dest)
         write_snapshot(ev.filter(F.col("ts") >= s2), dest)
-    return (
-        read_snapshot_changes(spark, dest, from_version=1)
-        .groupBy("_commit_version", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").alias("sum_cents"),
-        )
+    return dest
+
+
+def q_layout_snapshot_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental CONSUMPTION of the change data feed
+    (sources/snapshots.consume_snapshot_changes): a fresh consumer
+    (cursor 0) drains the 3-version chain — the whole table, tagged per
+    introducing commit — acks, and consumes again. The second consume
+    MUST be empty: its rows (phase 2) would add rows the oracle does
+    not have, failing the row-count and hash checks, so the cursor
+    advance is itself under the value-hash gate. The consumer cursor is
+    a one-line checkpoint file committed with the same atomic-rename
+    discipline as the table's manifests (Kafka-offset semantics on
+    table versions: no ack, same delta again — at-least-once delivery,
+    exactly-once end-to-end with an idempotent downstream)."""
+    import os
+
+    from ..sources.snapshots import (
+        ack_snapshot_consume,
+        consume_snapshot_changes,
     )
+
+    dest = _cdf_chain(spark, sf_dir)
+    consumer = dest + "_consumer"
+    # deterministic replay: every run re-enacts the same fresh-consumer
+    # cycle (the build guard above makes the chain itself build-once)
+    if os.path.exists(consumer):
+        os.unlink(consumer)
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return (
+            df.groupBy("_commit_version", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(phase).cast("bigint").alias("phase"),
+                "_commit_version", "event_type", "n_events", "sum_cents",
+            )
+        )
+
+    v1, first = consume_snapshot_changes(spark, dest, consumer)
+    ack_snapshot_consume(consumer, v1)
+    _, second = consume_snapshot_changes(spark, dest, consumer)
+    return prof(first, 1).unionByName(prof(second, 2))
 
 
 ORACLE_SNAPSHOT_CHANGES = f"""
@@ -398,6 +448,22 @@ SELECT CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}'
 FROM events
 WHERE ts >= TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}'
 GROUP BY 1, 2
+"""
+
+
+# phase-2 rows exist only on a cursor bug (the second consume must be
+# empty), so the oracle carries phase-1 rows alone — an extra row fails
+# the row-count check before the hash is even compared
+ORACLE_SNAPSHOT_CONSUME = f"""
+SELECT CAST(1 AS BIGINT) AS phase,
+       CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}' THEN 1
+                 WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}' THEN 2
+                 ELSE 3 END AS BIGINT) AS _commit_version,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2, 3
 """
 
 

@@ -222,14 +222,20 @@ def read_snapshot_changes(
     versions = _snapshot_versions(fs, path)
     if to_version is None:
         to_version = versions[-1] if versions else 0
+    # from_version=0 is the before-anything cursor: the delta is the
+    # whole table, every row tagged by its introducing commit (what a
+    # brand-new incremental consumer reads first)
     for v in (from_version, to_version):
-        if v not in versions:
+        if v not in versions and not (v == 0 and v == from_version):
             raise ValueError(f"version {v} not in {versions}")
     if to_version < from_version:
         raise ValueError(
             f"to_version {to_version} < from_version {from_version}"
         )
-    base = _read_manifest(fs, path, from_version)["segments"]
+    base = (
+        _read_manifest(fs, path, from_version)["segments"]
+        if from_version else []
+    )
     new_by_version: list[tuple[int, list[str]]] = []
     seen = list(base)
     for v in versions:
@@ -262,6 +268,50 @@ def read_snapshot_changes(
             "_commit_version", F.lit(to_version).cast("bigint")
         ).limit(0)
     return out
+
+
+def consume_snapshot_changes(
+    spark: SparkSession, path: str, consumer_path: str
+) -> tuple[int, DataFrame]:
+    """Exactly-once INCREMENTAL CONSUMER over the change data feed: each
+    call returns ``(latest_version, df)`` where ``df`` is everything
+    committed after this consumer's cursor (its own tiny checkpoint
+    file — a consumer group of one, the Kafka-offset idea on table
+    versions). The cursor starts at 0, so a brand-new consumer's first
+    read is the whole table, tagged per introducing commit. The caller
+    processes ``df`` and then calls :func:`ack_snapshot_consume` with
+    the returned version — cursor advances ONLY on ack, so a consumer
+    that crashes mid-processing re-reads the same delta on restart
+    (at-least-once delivery; acks make it exactly-once end-to-end when
+    the downstream write is idempotent, e.g. another snapshot table's
+    batch writer). A fully caught-up consumer gets an empty frame with
+    the right schema."""
+    fs = get_fs(consumer_path, spark)
+    cursor = 0
+    if fs.exists(consumer_path):
+        cursor = json.loads(fs.read_text(consumer_path))["version"]
+    versions = snapshot_versions(path, spark)
+    latest = versions[-1] if versions else 0
+    if cursor > latest:
+        raise ValueError(
+            f"consumer cursor {cursor} is ahead of the table ({latest}) — "
+            "wrong table or a vacuumed/rebuilt one"
+        )
+    return latest, read_snapshot_changes(
+        spark, path, from_version=cursor, to_version=latest
+    )
+
+
+def ack_snapshot_consume(
+    consumer_path: str, version: int, spark: SparkSession | None = None
+) -> None:
+    """Advance the consumer cursor to ``version`` (atomic write-temp-
+    then-rename, same commit discipline as the table's manifests)."""
+    fs = get_fs(consumer_path, spark)
+    parent = posixpath.dirname(consumer_path)
+    if parent:
+        fs.makedirs(parent)
+    fs.write_text_atomic(consumer_path, json.dumps({"version": version}))
 
 
 def merge_snapshot(

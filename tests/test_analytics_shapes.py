@@ -300,3 +300,40 @@ def test_psi_counts_reconstruct_term(spark, sf_dir):
         pa = (r.n_a + 1) / (r.tot_a + PSI_N_BINS)
         pb = (r.n_b + 1) / (r.tot_b + PSI_N_BINS)
         assert (pa - pb) * math.log(pa / pb) == pytest.approx(psi, rel=1e-9)
+
+
+def test_ols_counts_reconstruct_slope(spark):
+    """trend_ols_counts reconstruction identity: the float OLS slope
+    recomputed in pure Python from the hashed integer sufficient
+    statistics must match numpy's polyfit on the raw points (rtol
+    1e-9) — the *_counts discipline's proof that no information was
+    lost by keeping the gate row integer."""
+    import numpy as np
+
+    from feast_ibm_spark.queries import QUERIES
+    from feast_ibm_spark.sources.reader import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.user_id: r for r in
+            QUERIES["trend_ols_counts"].fn(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").selectExpr(
+        "user_id",
+        "cast(datediff(to_date(ts), '1970-01-01') as bigint) as x",
+        "cast(round(value * 100) as bigint) as y",
+    ).collect()
+    pts: dict[int, list] = {}
+    for r in ev:
+        pts.setdefault(r.user_id, []).append((r.x, r.y))
+    checked = 0
+    for uid, row in rows.items():
+        num = row.n * row.sum_xy - row.sum_x * row.sum_y
+        den = row.n * row.sum_x2 - row.sum_x * row.sum_x
+        if den == 0:
+            continue
+        slope = num / den
+        xs, ys = zip(*pts[uid])
+        want = np.polyfit(np.array(xs, dtype=float),
+                          np.array(ys, dtype=float), 1)[0]
+        assert abs(slope - want) <= 1e-9 * max(1.0, abs(want)), uid
+        checked += 1
+    assert checked > 0

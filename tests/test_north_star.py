@@ -3718,3 +3718,56 @@ if _HAS_HYP_DEDUP:
         finally:
             shutil.rmtree(d, ignore_errors=True)
         assert got == want
+
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 2),                    # key
+                st_hyp.sampled_from(["a", "b", "c"]),     # value
+            ),
+            min_size=1, max_size=24,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_mode_exact_property_matches_python(spark, rows):
+        """agg_mode_exact's tie rule (highest count, lexicographically
+        smallest value) replayed in Python on random multisets — SQL's
+        mode() leaves ties undefined; this one must not."""
+        import shutil
+        import tempfile
+
+        from feast_ibm_spark.queries import QUERIES
+
+        want = {}
+        per_key: dict[int, dict[str, int]] = {}
+        for k, v in rows:
+            per_key.setdefault(k, {})
+            per_key[k][v] = per_key[k].get(v, 0) + 1
+        for k, cnt in per_key.items():
+            mode = min(cnt, key=lambda v: (-cnt[v], v))
+            want[k] = (mode, cnt[mode], sum(cnt.values()))
+
+        d = tempfile.mkdtemp(prefix="fis_mode_net_")
+        try:
+            spark.createDataFrame(
+                [(k, i, "2024-01-01 00:00:00", 1.0, v)
+                 for i, (k, v) in enumerate(rows)],
+                "user_id bigint, event_id bigint, ts string, "
+                "value double, event_type string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "overwrite"
+            ).parquet(d + "/events.parquet")
+            got = {
+                r.user_id: (r.mode_event_type, r.mode_n, r.n_total)
+                for r in QUERIES["agg_mode_exact"].fn(spark, d).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        assert got == want

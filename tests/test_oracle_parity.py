@@ -132,6 +132,16 @@ _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
     "layout_data_skipping",     # file-level zone-map skipping with a
                                 # persisted stats table; pruning plan
                                 # pin + 3-scale content oracle day one
+    "layout_snapshot_consume",  # exactly-once CDF consumer (cursor
+                                # checkpoint + ack); empty re-consume
+                                # under the hash; unit net + 3-scale
+                                # pins from day one
+    "trend_ols_counts",         # OLS sufficient statistics, all
+                                # BIGINT; reconstruction-identity net
+                                # + 3-scale pins from day one
+    "agg_mode_exact",           # deterministic per-key mode (count
+                                # desc, value asc); property net +
+                                # 3-scale pins from day one
 })
 # (historical) the r10-queued list — rotated into the r11 gate, where the
 # rotation invariants above still reference it:
@@ -231,6 +241,7 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_global_avg_filter",
     "agg_grouping_sets_custom",
     "agg_important_parts",
+    "agg_mode_exact",
     "agg_pricing_summary",
     "agg_promo_share",
     "agg_revenue_forecast",
@@ -320,6 +331,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_data_skipping",
     "layout_hilbert_roundtrip",
     "layout_snapshot_changes",
+    "layout_snapshot_consume",
     "layout_snapshot_merge",
     "layout_zorder_roundtrip",
     "market_basket_rules",
@@ -411,6 +423,7 @@ _EXCLUDED_WITH_ORACLE = [
     "training_negative_pairs",
     "training_shuffle",
     "trend_cusum_changepoint",
+    "trend_ols_counts",
     "trend_theil_sen",
     "window_moving_median",
     "window_rolling_24h",

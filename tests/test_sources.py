@@ -861,3 +861,47 @@ def test_snapshot_merge_semantics(spark, tmp_path):
             ["id"],
             delete_col="del",
         )
+
+
+def test_snapshot_consume_ack_semantics(spark, tmp_path):
+    """consume_snapshot_changes / ack_snapshot_consume: a fresh consumer
+    reads the whole table tagged per commit; WITHOUT an ack the same
+    delta comes back (at-least-once on crash); after ack only new
+    commits arrive; caught-up consumers get an empty frame; a cursor
+    ahead of the table is refused (wrong/rebuilt table)."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        ack_snapshot_consume,
+        consume_snapshot_changes,
+        write_snapshot,
+    )
+
+    mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
+    path = str(tmp_path / "tbl")
+    cons = str(tmp_path / "cursors" / "c1.json")
+    write_snapshot(mk(1), path)
+    write_snapshot(mk(2), path)
+
+    v, df = consume_snapshot_changes(spark, path, cons)
+    got = {(r.id, r._commit_version) for r in df.collect()}
+    assert v == 2 and got == {(1, 1), (2, 2)}
+    # no ack -> crash replay sees the identical delta
+    v2, df2 = consume_snapshot_changes(spark, path, cons)
+    assert v2 == 2
+    assert {(r.id, r._commit_version) for r in df2.collect()} == got
+
+    ack_snapshot_consume(cons, v)
+    write_snapshot(mk(3), path)
+    v3, df3 = consume_snapshot_changes(spark, path, cons)
+    assert v3 == 3
+    assert {(r.id, r._commit_version)
+            for r in df3.collect()} == {(3, 3)}
+    ack_snapshot_consume(cons, v3)
+    v4, df4 = consume_snapshot_changes(spark, path, cons)
+    assert v4 == 3 and df4.count() == 0
+    assert "_commit_version" in df4.columns
+
+    ack_snapshot_consume(cons, 99)
+    with _pytest.raises(ValueError, match="ahead of the table"):
+        consume_snapshot_changes(spark, path, cons)
