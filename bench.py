@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # (BFS frontier rounds) and the zero-Exchange bucketed-join pin
     "graph_bfs_levels",
     "layout_bucketed_join",
+    # round-11 families: gaps-and-islands window merge + integer CUSUM
+    # (one representative each; SSSP is covered by the BFS entry's
+    # iterative shape and is too heavy for a 5-run bench slot)
+    "interval_coverage",
+    "trend_cusum_changepoint",
 ]
 
 
