@@ -814,6 +814,12 @@ QUERIES: dict[str, QueryDef] = {
                                         "exactly-once CDF consumer: "
                                         "cursor checkpoint, ack-advance, "
                                         "empty re-consume under the hash"),
+    "layout_snapshot_pipeline": QueryDef(q_layout_snapshot_pipeline,
+                                         ORACLE_SNAPSHOT_PIPELINE,
+                                         "exactly-once table-to-table "
+                                         "pipeline: CDF consume -> agg -> "
+                                         "version-keyed downstream commit "
+                                         "-> ack; no-op cycle hashed"),
     "trend_ols_counts": QueryDef(q_trend_ols_counts, ORACLE_OLS_COUNTS,
                                  "OLS trend sufficient statistics per "
                                  "user, all BIGINT (slope reconstructed "

@@ -451,6 +451,67 @@ GROUP BY 1, 2
 """
 
 
+def q_layout_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EXACTLY-ONCE incremental pipeline between two
+    snapshot tables (sources/snapshots.pipeline_snapshot_changes):
+    consume the upstream CDF, aggregate the delta, commit downstream
+    keyed by the upstream version, ack last. The query re-enacts the
+    full lifecycle every run (fresh upstream/downstream/cursor): commit
+    upstream v1 -> cycle -> commit v2 -> cycle -> one EXTRA cycle with
+    nothing new (must be a no-op; a spurious downstream commit would
+    add rows the oracle lacks), then reads the downstream table back —
+    one aggregate row set per upstream commit. The crash windows the
+    ordering closes are unit-tested (test_sources.py); here the hash
+    pins the happy path plus no-op idempotence."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.snapshots import (
+        pipeline_snapshot_changes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_pipe_{tag}")
+    up, down, cur = base + "_up", base + "_down", base + "_cursor"
+    for p in (up, down, cur):
+        if os.path.exists(p):
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("cents"), "ts"
+    )
+    split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+
+    def agg(delta: DataFrame) -> DataFrame:
+        return delta.groupBy("_commit_version", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    write_snapshot(ev.filter(F.col("ts") < split), up)
+    pipeline_snapshot_changes(spark, up, cur, down, agg)
+    write_snapshot(ev.filter(F.col("ts") >= split), up)
+    pipeline_snapshot_changes(spark, up, cur, down, agg)
+    # caught-up cycle: must commit nothing downstream
+    pipeline_snapshot_changes(spark, up, cur, down, agg)
+    return read_snapshot(spark, down)
+
+
+ORACLE_SNAPSHOT_PIPELINE = f"""
+SELECT CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_SPLIT}'
+            THEN 1 ELSE 2 END AS BIGINT) AS _commit_version,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # phase-2 rows exist only on a cursor bug (the second consume must be
 # empty), so the oracle carries phase-1 rows alone — an extra row fails
 # the row-count check before the hash is even compared

@@ -314,6 +314,41 @@ def ack_snapshot_consume(
     fs.write_text_atomic(consumer_path, json.dumps({"version": version}))
 
 
+def pipeline_snapshot_changes(
+    spark: SparkSession,
+    src_path: str,
+    consumer_path: str,
+    dst_path: str,
+    transform,
+) -> int:
+    """One cycle of an EXACTLY-ONCE table-to-table incremental
+    pipeline: consume the upstream delta, apply ``transform``
+    (DataFrame -> DataFrame), commit the result downstream as a batch
+    keyed by the upstream version, THEN ack the cursor. The ordering
+    makes every crash window safe:
+
+    - crash before the downstream commit: cursor unmoved, retry
+      re-consumes the same delta and recomputes — nothing was written;
+    - crash AFTER the downstream commit, before the ack: retry
+      re-consumes the same delta, but ``write_snapshot_batch`` finds
+      ``batch_id == version`` already committed and returns the
+      existing version instead of double-writing — then the ack lands;
+    - crash after the ack: the cycle is complete; the next cycle
+      consumes only newer commits.
+
+    A caught-up upstream is a no-op (no downstream commit, no ack
+    churn). Returns the upstream version this cycle is synced to."""
+    cursor = 0
+    fs = get_fs(consumer_path, spark)
+    if fs.exists(consumer_path):
+        cursor = json.loads(fs.read_text(consumer_path))["version"]
+    version, delta = consume_snapshot_changes(spark, src_path, consumer_path)
+    if version > cursor:
+        write_snapshot_batch(transform(delta), dst_path, batch_id=version)
+        ack_snapshot_consume(consumer_path, version, spark)
+    return version
+
+
 def merge_snapshot(
     updates: DataFrame,
     path: str,

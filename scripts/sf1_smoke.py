@@ -249,6 +249,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_consume",
     "trend_ols_counts",
     "agg_mode_exact",
+    "layout_snapshot_pipeline",
 ]
 
 

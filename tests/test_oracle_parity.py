@@ -142,6 +142,10 @@ _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
     "agg_mode_exact",           # deterministic per-key mode (count
                                 # desc, value asc); property net +
                                 # 3-scale pins from day one
+    "layout_snapshot_pipeline", # exactly-once table-to-table pipeline
+                                # (consume -> agg -> version-keyed
+                                # commit -> ack); crash-window unit net
+                                # + 3-scale pins from day one
 })
 # (historical) the r10-queued list — rotated into the r11 gate, where the
 # rotation invariants above still reference it:
@@ -333,6 +337,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_snapshot_changes",
     "layout_snapshot_consume",
     "layout_snapshot_merge",
+    "layout_snapshot_pipeline",
     "layout_zorder_roundtrip",
     "market_basket_rules",
     "materialize_agg_incremental",

@@ -905,3 +905,51 @@ def test_snapshot_consume_ack_semantics(spark, tmp_path):
     ack_snapshot_consume(cons, 99)
     with _pytest.raises(ValueError, match="ahead of the table"):
         consume_snapshot_changes(spark, path, cons)
+
+
+def test_pipeline_crash_between_commit_and_ack_is_exactly_once(spark, tmp_path):
+    """pipeline_snapshot_changes crash analysis, the hard window: the
+    downstream batch COMMITTED but the consumer ack did not land. The
+    retry re-consumes the same delta (cursor unmoved) and must find the
+    batch_id already committed and NOT double-write — downstream holds
+    exactly one copy; the ack then lands and a further cycle is a
+    no-op."""
+    from feast_ibm_spark.sources.snapshots import (
+        consume_snapshot_changes,
+        pipeline_snapshot_changes,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+        write_snapshot_batch,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    cur = str(tmp_path / "cursor.json")
+    write_snapshot(
+        spark.createDataFrame([(1,), (2,)], "id bigint"), up
+    )
+
+    ident = lambda df: df
+
+    # crash simulation: do the consume + downstream commit by hand,
+    # "crash" before ack
+    v, delta = consume_snapshot_changes(spark, up, cur)
+    write_snapshot_batch(ident(delta), down, batch_id=v)
+    # restart: the full pipeline cycle runs again from the stale cursor
+    assert pipeline_snapshot_changes(spark, up, cur, down, ident) == 1
+    assert snapshot_versions(down) == [1]  # no second commit
+    got = {(r.id, r._commit_version)
+           for r in read_snapshot(spark, down).collect()}
+    assert got == {(1, 1), (2, 1)}  # exactly one copy
+
+    # caught-up cycle: no-op, no downstream version churn
+    assert pipeline_snapshot_changes(spark, up, cur, down, ident) == 1
+    assert snapshot_versions(down) == [1]
+
+    # new upstream commit flows through as its own downstream batch
+    write_snapshot(spark.createDataFrame([(3,)], "id bigint"), up)
+    assert pipeline_snapshot_changes(spark, up, cur, down, ident) == 2
+    got = {(r.id, r._commit_version)
+           for r in read_snapshot(spark, down).collect()}
+    assert got == {(1, 1), (2, 1), (3, 2)}
