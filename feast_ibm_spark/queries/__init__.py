@@ -820,6 +820,10 @@ QUERIES: dict[str, QueryDef] = {
                                          "pipeline: CDF consume -> agg -> "
                                          "version-keyed downstream commit "
                                          "-> ack; no-op cycle hashed"),
+    "layout_snapshot_mor_delete": QueryDef(
+        q_layout_snapshot_mor_delete, ORACLE_SNAPSHOT_MOR_DELETE,
+        "merge-on-read key tombstones: O(deletes) suppression commit, "
+        "appends carry tombstones, compaction materializes"),
     "trend_ols_counts": QueryDef(q_trend_ols_counts, ORACLE_OLS_COUNTS,
                                  "OLS trend sufficient statistics per "
                                  "user, all BIGINT (slope reconstructed "

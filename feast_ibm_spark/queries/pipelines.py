@@ -501,6 +501,87 @@ def q_layout_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, down)
 
 
+def q_layout_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes (sources/snapshots.delete_snapshot_keys):
+    key tombstones committed as an O(|deletes|) version — suppression
+    is immediate at read time (one broadcast anti join against the
+    tombstone union) while the table rewrite waits for compaction; the
+    GDPR-erasure shape, dual to the copy-on-write MERGE. The chain
+    built once per sf tag: v1 = first-half events, v2 = tombstone every
+    user_id % 4 == 0, v3 = append the second half — which must NOT
+    resurrect tombstoned users (appends carry tombstones forward). The
+    query profiles v1 (pre-delete truth), v3 (suppressed view), and a
+    v4 compaction (tombstones materialized physically, same content as
+    v3 — pinned by sharing its rows' hash); the oracle recomputes all
+    three from the raw table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        compact_snapshots,
+        delete_snapshot_keys,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_mor_{tag}")
+    if len(snapshot_versions(dest)) < 4:
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+        write_snapshot(ev.filter(F.col("ts") < split), dest)
+        delete_snapshot_keys(
+            ev.filter(F.col("user_id") % 4 == 0).select("user_id"),
+            dest, ["user_id"],
+        )
+        write_snapshot(ev.filter(F.col("ts") >= split), dest)
+        compact_snapshots(spark, dest)
+
+    def prof(v: int) -> DataFrame:
+        return (
+            read_snapshot(spark, dest, version=v)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"),
+                    "event_type", "n_events", "sum_cents")
+        )
+
+    return prof(1).unionByName(prof(3)).unionByName(prof(4))
+
+
+ORACLE_SNAPSHOT_MOR_DELETE = f"""
+WITH c AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+),
+v1 AS (
+  SELECT CAST(1 AS BIGINT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM c WHERE ts < TIMESTAMP '{SNAPSHOT_SPLIT}' GROUP BY 2
+),
+suppressed AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM c WHERE user_id % 4 <> 0 GROUP BY 1
+)
+SELECT * FROM v1
+UNION ALL
+SELECT CAST(3 AS BIGINT), * FROM suppressed
+UNION ALL
+SELECT CAST(4 AS BIGINT), * FROM suppressed
+"""
+
+
 ORACLE_SNAPSHOT_PIPELINE = f"""
 SELECT CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_SPLIT}'
             THEN 1 ELSE 2 END AS BIGINT) AS _commit_version,

@@ -98,10 +98,19 @@ def _commit_version(
     # the leftover (ADVICE r10).
     df.write.mode("overwrite").parquet(_join(path, seg))
     prev = (
-        _read_manifest(fs, path, versions[-1])["segments"]
-        if versions and mode == "append" else []
+        _read_manifest(fs, path, versions[-1])
+        if versions and mode == "append" else {}
     )
-    manifest: dict = {"version": version, "segments": prev + [seg]}
+    manifest: dict = {
+        "version": version,
+        "segments": prev.get("segments", []) + [seg],
+    }
+    # appends preserve live tombstones (an append must not resurrect
+    # erased keys); overwrite commits start clean — the new segment IS
+    # the table, so compaction materializes deletions physically
+    if prev.get("deletes"):
+        manifest["deletes"] = prev["deletes"]
+        manifest["delete_keys"] = prev["delete_keys"]
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     fs.write_text_atomic(_manifest_path(path, version), json.dumps(manifest))
@@ -145,7 +154,9 @@ def vacuum_snapshots(
     latest = versions[-1] if versions else 0
     referenced = set()
     for v in keep:
-        referenced.update(_read_manifest(fs, path, v)["segments"])
+        mf = _read_manifest(fs, path, v)
+        referenced.update(mf["segments"])
+        referenced.update(mf.get("deletes", []))
     for v in drop:
         fs.unlink(_manifest_path(path, v))
     data_dir = _join(path, _DATA_DIR)
@@ -232,21 +243,28 @@ def read_snapshot_changes(
         raise ValueError(
             f"to_version {to_version} < from_version {from_version}"
         )
-    base = (
-        _read_manifest(fs, path, from_version)["segments"]
-        if from_version else []
+    base_manifest = (
+        _read_manifest(fs, path, from_version) if from_version else {}
     )
+    base = base_manifest.get("segments", [])
+    base_deletes = base_manifest.get("deletes", [])
     new_by_version: list[tuple[int, list[str]]] = []
     seen = list(base)
     for v in versions:
         if not (from_version < v <= to_version):
             continue
-        segs = _read_manifest(fs, path, v)["segments"]
+        mf = _read_manifest(fs, path, v)
+        segs = mf["segments"]
         missing = [s for s in seen if s not in segs]
         if missing:
             raise ValueError(
                 f"version {v} is not an append (drops {missing}) — "
                 "insert-only CDF is undefined across overwrite commits"
+            )
+        if mf.get("deletes", []) != base_deletes:
+            raise ValueError(
+                f"version {v} changes the tombstone set — insert-only "
+                "CDF is undefined across merge-on-read deletes"
             )
         added = [s for s in segs if s not in seen]
         if added:
@@ -312,6 +330,50 @@ def ack_snapshot_consume(
     if parent:
         fs.makedirs(parent)
     fs.write_text_atomic(consumer_path, json.dumps({"version": version}))
+
+
+def delete_snapshot_keys(
+    keys_df: DataFrame, path: str, key_cols: list[str]
+) -> int:
+    """MERGE-ON-READ deletes: commit the given keys as a TOMBSTONE
+    file — an O(|deletes|) commit that suppresses those keys from
+    every read (all segments, all future appends) until
+    :func:`compact_snapshots` materializes the deletion physically.
+    This is the GDPR-erasure shape: suppression is immediate and
+    cheap NOW, the table rewrite happens on the maintenance schedule
+    (:func:`merge_snapshot` is the copy-on-write alternative that pays
+    the rewrite up front). Semantics are KEY tombstones, not Delta's
+    per-file positional vectors: a tombstoned key is suppressed
+    retroactively AND prospectively — re-inserting it requires a
+    compaction (which clears all tombstones) first; the read path
+    makes that explicit rather than silently resurrecting erased data.
+    Tombstone files ride the same manifest/vacuum lifecycle as data
+    segments. Returns the committed version."""
+    spark = keys_df.sparkSession
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    prev = _read_manifest(fs, path, versions[-1])
+    if prev.get("delete_keys") not in (None, key_cols):
+        raise ValueError(
+            f"tombstone key columns {key_cols} != existing "
+            f"{prev['delete_keys']} — one key per table"
+        )
+    version = versions[-1] + 1
+    del_dir = f"{_DATA_DIR}/del-{version:06d}"
+    # overwrite paves a crashed retry's orphan, same as segments
+    keys_df.select(*key_cols).distinct().write.mode("overwrite").parquet(
+        _join(path, del_dir)
+    )
+    manifest = {
+        "version": version,
+        "segments": prev["segments"],
+        "deletes": prev.get("deletes", []) + [del_dir],
+        "delete_keys": key_cols,
+    }
+    fs.write_text_atomic(_manifest_path(path, version), json.dumps(manifest))
+    return version
 
 
 def pipeline_snapshot_changes(
@@ -424,7 +486,7 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    segs = _read_manifest(fs, path, version)["segments"]
+    manifest = _read_manifest(fs, path, version)
     # segments are ENGINE-written (micros timestamps), so the nanos shim
     # in sources/reader.py is unnecessary — a plain multi-dir scan reads
     # them exactly. mergeSchema: appends may legitimately ADD columns
@@ -432,7 +494,18 @@ def read_snapshot(
     # multi-segment scan would silently project the first-listed
     # segment's schema and drop the new column from old-segment rows
     # instead of NULL-padding them.
-    return (
+    out = (
         spark.read.option("mergeSchema", "true")
-        .parquet(*[_join(path, s) for s in segs])
+        .parquet(*[_join(path, s) for s in manifest["segments"]])
     )
+    if manifest.get("deletes"):
+        # merge-on-read: one anti join against the (small) tombstone
+        # union — broadcast-sized by construction (deletes are keys,
+        # not rows), applied at read so suppression is immediate
+        tombs = spark.read.parquet(
+            *[_join(path, d) for d in manifest["deletes"]]
+        ).distinct()
+        out = out.join(
+            F.broadcast(tombs), manifest["delete_keys"], "left_anti"
+        )
+    return out

@@ -250,6 +250,7 @@ SMOKE_QUERIES = [
     "trend_ols_counts",
     "agg_mode_exact",
     "layout_snapshot_pipeline",
+    "layout_snapshot_mor_delete",
 ]
 
 

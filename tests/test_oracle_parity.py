@@ -146,6 +146,10 @@ _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
                                 # (consume -> agg -> version-keyed
                                 # commit -> ack); crash-window unit net
                                 # + 3-scale pins from day one
+    "layout_snapshot_mor_delete",  # merge-on-read key tombstones
+                                   # (O(deletes) suppression, appends
+                                   # carry, compaction materializes);
+                                   # lifecycle unit net + 3-scale pins
 })
 # (historical) the r10-queued list — rotated into the r11 gate, where the
 # rotation invariants above still reference it:
@@ -337,6 +341,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_snapshot_changes",
     "layout_snapshot_consume",
     "layout_snapshot_merge",
+    "layout_snapshot_mor_delete",
     "layout_snapshot_pipeline",
     "layout_zorder_roundtrip",
     "market_basket_rules",

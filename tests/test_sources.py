@@ -953,3 +953,62 @@ def test_pipeline_crash_between_commit_and_ack_is_exactly_once(spark, tmp_path):
     got = {(r.id, r._commit_version)
            for r in read_snapshot(spark, down).collect()}
     assert got == {(1, 1), (2, 1), (3, 2)}
+
+
+def test_snapshot_tombstone_lifecycle(spark, tmp_path):
+    """delete_snapshot_keys: tombstones suppress immediately (all
+    segments AND later appends — no resurrection), pre-delete versions
+    stay time-travelable, compaction materializes physically (clean
+    manifest, tombstones cleared so the key can re-insert), CDF refuses
+    a range crossing a tombstone commit, vacuum keeps referenced
+    tombstone files, and mismatched key columns are rejected."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        delete_snapshot_keys,
+        read_snapshot,
+        read_snapshot_changes,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    mk = lambda *pairs: spark.createDataFrame(list(pairs), "id bigint, v string")
+    path = str(tmp_path / "mor")
+    write_snapshot(mk((1, "a"), (2, "b")), path)                     # v1
+    v = delete_snapshot_keys(
+        spark.createDataFrame([(2,)], "id bigint"), path, ["id"]
+    )                                                                # v2
+    assert v == 2
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1}
+    # time travel: pre-delete version intact
+    assert {r.id for r in read_snapshot(spark, path, 1).collect()} == {1, 2}
+    # append must NOT resurrect the tombstoned key
+    write_snapshot(mk((2, "zombie"), (3, "c")), path)                # v3
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 3}
+
+    # CDF across the tombstone commit: refused, not silently wrong
+    with _pytest.raises(ValueError, match="tombstone"):
+        read_snapshot_changes(spark, path, 1)
+    # a range that avoids it works (v2 -> v3 added seg only)
+    assert {r.id for r in
+            read_snapshot_changes(spark, path, 2, 3).collect()} == {2, 3}
+
+    # mismatched tombstone key columns rejected
+    with _pytest.raises(ValueError, match="key columns"):
+        delete_snapshot_keys(
+            spark.createDataFrame([("x",)], "v string"), path, ["v"]
+        )
+
+    # vacuum keeps tombstones referenced by kept manifests
+    dropped, deleted = vacuum_snapshots(path, keep_last=1)
+    assert (dropped, deleted) == (2, 0)  # all 3 segs + del file still live
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 3}
+
+    # compaction materializes: physical rows drop, tombstones clear,
+    # the key can re-insert afterwards
+    v4 = compact_snapshots(spark, path)
+    got = {(r.id, r.v) for r in read_snapshot(spark, path, v4).collect()}
+    assert got == {(1, "a"), (3, "c")}
+    write_snapshot(mk((2, "reborn")), path)
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3}
