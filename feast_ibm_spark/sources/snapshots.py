@@ -38,7 +38,17 @@ per-version metadata is O(appends), and the read plan is a plain
 multi-directory parquet scan (partition pruning, pushdown, and column
 pruning all intact). At 100 TB the same design holds; production would
 add manifest compaction past ~10^5 segments (Iceberg's manifest-list
-layer), noted here as the next tier, not built.
+layer), noted here as the next tier, not built. The 500-commit chain's
+metadata paths are measured in scripts/snapshot_chain_10x.py.
+
+Surface (each with its own gate query + unit net): append/overwrite
+commits, time travel, exactly-once streaming sink
+(:func:`write_snapshot_batch`), vacuum, compaction, schema evolution on
+read, change data feed (:func:`read_snapshot_changes`), exactly-once
+incremental consumption (:func:`consume_snapshot_changes` /
+:func:`ack_snapshot_consume` / :func:`pipeline_snapshot_changes`),
+copy-on-write MERGE (:func:`merge_snapshot`), and merge-on-read key
+tombstones (:func:`delete_snapshot_keys`).
 """
 
 from __future__ import annotations

@@ -494,6 +494,15 @@ SHOWCASE: list[tuple[str, str]] = [
         "buffer survives.",
     ),
     (
+        "trend_cusum_changepoint",
+        "The whole statistic rides ONE window shuffle on (user, ts,\n"
+        "event_id): row_number, the running sum, the key count and key\n"
+        "total all share the partitioning; the argmax is a second window\n"
+        "ORDER on the same partitions (a sort, not an exchange). The\n"
+        "cross-multiplied |n*S_k - k*S_n| keeps everything BIGINT — no\n"
+        "mean, no ratio, no float until nothing is left to hash.",
+    ),
+    (
         "layout_data_skipping",
         "The zone-map probe plan is the point: the stats table scan is\n"
         "metadata-sized (one row per file), the collected candidate list\n"
