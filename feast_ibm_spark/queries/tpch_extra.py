@@ -951,7 +951,11 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    edges = _copurchase_edges(items, min_both=1)
+    # checkpoint the edge list ONCE: every BFS round joins against it,
+    # and Spark 4.1 reuses no exchanges, so the distinct+self-join+agg
+    # edge build would re-execute per round — measured 8.43 s -> 3.37 s
+    # median at sf0.1 (2.5x) from this one materialization
+    edges = _copurchase_edges(items, min_both=1).localCheckpoint(eager=True)
     src = edges.agg(F.min("src").alias("node"))
     out = bfs_levels(edges, src, max_hops=BFS_MAX_HOPS)
     return out.select(F.col("node").alias("part"), "lvl")
@@ -1022,9 +1026,12 @@ def q_graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # checkpointed for the same reason as the BFS query: four
+    # relaxation rounds would otherwise rebuild the self-join edge
+    # list each round (no exchange reuse in Spark 4.1)
     edges = pairs.selectExpr("pa AS src", "pb AS dst", "w").unionByName(
         pairs.selectExpr("pb AS src", "pa AS dst", "w")
-    )
+    ).localCheckpoint(eager=True)
     src = edges.agg(F.min("src").alias("node"))
     out = sssp_hops(edges, src, max_hops=SSSP_MAX_HOPS, weight_col="w")
     return out.select(F.col("node").alias("part"), "cost")
