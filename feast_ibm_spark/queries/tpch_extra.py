@@ -559,7 +559,13 @@ def _copurchase_edges(
     edges = pairs.selectExpr("pa AS src", "pb AS dst")
     if directed:
         edges = edges.unionByName(pairs.selectExpr("pb AS src", "pa AS dst"))
-    return edges
+    # materialized ONCE for every caller: all seven consumers are
+    # iterative (pagerank rounds, k-core peels, BFS frontiers) or
+    # multi-pass (triangle wedges), and Spark 4.1 reuses no exchanges —
+    # without this the distinct+self-join+aggregate build re-executes
+    # once per round (measured: BFS 8.43 -> 3.37 s, PageRank 3.79 ->
+    # 2.69 s median at sf0.1 from the checkpoint alone)
+    return edges.localCheckpoint(eager=True)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,11 +957,9 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    # checkpoint the edge list ONCE: every BFS round joins against it,
-    # and Spark 4.1 reuses no exchanges, so the distinct+self-join+agg
-    # edge build would re-execute per round — measured 8.43 s -> 3.37 s
-    # median at sf0.1 (2.5x) from this one materialization
-    edges = _copurchase_edges(items, min_both=1).localCheckpoint(eager=True)
+    # the edge build is checkpointed inside _copurchase_edges — every
+    # BFS round joins against it (measured 8.43 -> 3.37 s at sf0.1)
+    edges = _copurchase_edges(items, min_both=1)
     src = edges.agg(F.min("src").alias("node"))
     out = bfs_levels(edges, src, max_hops=BFS_MAX_HOPS)
     return out.select(F.col("node").alias("part"), "lvl")
