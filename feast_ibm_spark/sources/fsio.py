@@ -14,22 +14,26 @@ filesystem with ATOMIC RENAME. Two implementations:
   or ``file://``. Exercised in tests against ``file://`` — the local
   Hadoop filesystem in Spark's own JVM.
 
-Contract and caveat (VERDICT r10 item 4): the protocol is correct
-exactly where rename is atomic — posix local disks and HDFS. OBJECT
-STORES (s3a://, gs://) have no atomic rename: S3A "rename" is a
-copy+delete that can be observed half-done, so the manifest commit
-point would need a different primitive there (conditional PUT /
-if-none-match, or a manifest-list pointer swapped through a
-transactional catalog — the Iceberg/Delta answer). HadoopFS therefore
-REFUSES s3a/gs/wasb schemes rather than committing unsafely. The data
-plane (parquet segment scans) needs none of this and is scheme-agnostic
-already.
+Contract and caveat (VERDICT r10 item 4): ``write_text_atomic``
+(single-owner checkpoints — consumer cursors, IVM state renames) needs
+atomic rename; ``write_text_exclusive`` (the snapshot COMMIT point)
+needs atomic publish-if-absent — posix models it with a hardlink of a
+fully-written temp file, HDFS with rename-no-overwrite, and on
+S3-class stores the same protocol is a conditional PUT
+(If-None-Match: * — object PUTs are all-or-nothing there). HadoopFS
+still REFUSES s3a/gs/wasb schemes in THIS environment (no object store
+to exercise the conditional PUT against), but the commit protocol is
+already shaped for it; S3A "rename" is a copy+delete that can be
+observed half-done, which is why rename-based commits can never be the
+object-store answer. The data plane (parquet segment scans) needs none
+of this and is scheme-agnostic already.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 _NO_ATOMIC_RENAME = ("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs",
                      "abfss", "oss", "cos")
@@ -66,6 +70,29 @@ class LocalFS:
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+
+    def write_text_exclusive(self, p: str, text: str) -> bool:
+        """COMPARE-AND-SWAP commit: publish a COMPLETE file at ``p``
+        atomically, failing (False) if ``p`` already exists — the
+        conditional-PUT primitive optimistic concurrency needs. The
+        posix model: write the full content to a writer-unique temp
+        name, then ``os.link`` it to the final name — link is atomic
+        and fails with EEXIST when another writer won, and because the
+        temp was fully written first, a reader can never observe a
+        partial file at the final name (plain O_EXCL+write could leave
+        one after a mid-write crash). On S3-class stores the same
+        protocol is a conditional PUT (If-None-Match: *) — object PUTs
+        are already all-or-nothing there."""
+        tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        try:
+            os.link(tmp, p)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def unlink(self, p: str) -> None:
         os.unlink(p)
@@ -147,6 +174,27 @@ class HadoopFS:
         # destinations are versioned names that must not pre-exist).
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def write_text_exclusive(self, p: str, text: str) -> bool:
+        """CAS commit via HDFS rename semantics: rename does NOT
+        overwrite an existing destination on HDFS (returns false), so
+        write-temp-then-rename is already conditional there. The
+        defensive pre-check narrows (but on non-HDFS Hadoop local
+        filesystems cannot fully close) the lost-race window — HDFS is
+        the supported multi-writer Hadoop target; posix paths use
+        LocalFS's link-based CAS via get_fs."""
+        if self._fs.exists(self._p(p)):
+            return False
+        tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        won = bool(self._fs.rename(self._p(tmp), self._p(p)))
+        if not won:
+            self._fs.delete(self._p(tmp), False)
+        return won
 
     def unlink(self, p: str) -> None:
         if not self._fs.delete(self._p(p), False):

@@ -8,30 +8,35 @@ DIRECTORY of immutable data segments plus a sequence of numbered
 manifest files, each listing exactly the segments visible at that
 version. Appends write a new segment, then publish a new manifest that
 lists the old segments plus the new one; the manifest write is the
-COMMIT POINT (written to a temp name, then atomically renamed), so a
+COMMIT POINT (published atomically via compare-and-swap), so a
 reader never observes a half-appended version and a crashed writer
 leaves at most an orphaned segment that no manifest references. Reads
 at version v load only v's segment list — time travel is free, O(1)
 metadata, no data copies; reproducing last week's training set is
 ``read_snapshot(path, version=last_week)``.
 
-Concurrency contract: SINGLE WRITER (one committer at a time — the
-usual arrangement for a curated table; Structured Streaming's
-foreachBatch serializes micro-batches by construction). Readers are
-unlimited and never blocked. :func:`vacuum_snapshots` must run from
-the writer (or while the writer is quiescent): it reclaims orphaned
-segments, and only the single-writer rule makes "unreferenced" mean
-"dead" rather than "about to be committed" — defensively it also
-skips segments numbered beyond the newest committed version, so even
-a racing in-flight append's segment survives.
+Concurrency contract: OPTIMISTIC MULTI-WRITER commits (round 11).
+Every commit publishes its manifest with a COMPARE-AND-SWAP
+(fsio.write_text_exclusive — a hardlink on posix, rename-no-overwrite
+on HDFS, a conditional PUT on object stores in a real deployment): the
+writer that loses the race on a version number re-reads the new latest
+manifest, rebuilds its commit against it, and retries — appends
+serialize without losing updates, exactly the Iceberg/Delta optimistic
+protocol. Readers are unlimited and never blocked.
+:func:`vacuum_snapshots` remains EXCLUSIVE (run it while writers are
+quiescent): it reclaims orphaned segments, and only that exclusivity
+makes "unreferenced" mean "dead" rather than "about to be committed" —
+defensively it also skips segments numbered beyond the newest committed
+version, so even a racing in-flight append's segment survives.
 
 Metadata I/O routes through :mod:`feast_ibm_spark.sources.fsio`: the
-commit protocol needs ATOMIC RENAME, which posix local disks and HDFS
-provide; object stores do not (no safe rename — fsio refuses those
-schemes rather than committing unsafely; the object-store answer is a
-conditional-PUT/catalog commit point, noted as the next tier, not
-built). The DATA plane — parquet segment write/scan — is Spark-native
-and scheme-agnostic either way.
+commit point needs an atomic PUBLISH-IF-ABSENT, which posix provides
+via hardlink and HDFS via rename-no-overwrite; on object stores the
+same protocol is a conditional PUT (If-None-Match) — fsio still
+refuses those schemes here because this environment cannot exercise
+one, but the commit protocol is already shaped for it. The DATA
+plane — parquet segment write/scan — is Spark-native and
+scheme-agnostic either way.
 
 Scale: manifests hold segment DIRECTORY names, not file lists — the
 per-version metadata is O(appends), and the read plan is a plain
@@ -55,6 +60,8 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,42 +96,87 @@ def _read_manifest(fs, path: str, version: int) -> dict:
     return json.loads(fs.read_text(_manifest_path(path, version)))
 
 
+_COMMIT_RETRIES = 24
+
+
+_SEG_VERSION_RE = re.compile(r"^(?:seg|del)-(\d{6})")
+
+
+def _seg_version(name: str) -> int:
+    """Version prefix of a segment/tombstone directory name (0 for a
+    foreign name). Names carry a writer-unique nonce suffix since the
+    round-11 optimistic-concurrency work (``seg-000007-3fa9c1d2``);
+    pre-nonce tables (``seg-000007``) parse identically."""
+    m = _SEG_VERSION_RE.match(name)
+    return int(m.group(1)) if m else 0
+
+
+def _reposition_segment(fs, path, written: str | None, df, seg: str) -> str:
+    """Land the commit's data at ``seg``. First attempt writes the
+    DataFrame; a retry after a lost race just RENAMES the
+    already-written directory to the new version's name — a metadata
+    move, so optimistic retries cost milliseconds, not a second Spark
+    job (the expensive-data/cheap-metadata split every optimistic
+    committer needs to avoid starvation under contention). The nonce in
+    the name makes both the write and the rename CONTENTION-FREE: no
+    two writers ever touch the same data path, and a crashed writer's
+    orphan just lingers (invisible — only a CAS-published manifest
+    makes a segment visible) until vacuum reclaims it."""
+    dst = _join(path, seg)
+    if written is None:
+        df.write.mode("overwrite").parquet(dst)
+    elif written != dst:
+        fs.rename(written, dst)
+    return dst
+
+
 def _commit_version(
     df: DataFrame, path: str, mode: str, batch_id: int | None = None
 ) -> int:
     """Shared commit tail of :func:`write_snapshot` and
     :func:`write_snapshot_batch`: write the segment, then publish the
-    manifest via atomic rename (the commit point)."""
+    manifest via COMPARE-AND-SWAP (the commit point). A lost race —
+    another writer published this version number first — rebuilds the
+    commit against the new latest manifest and retries: the segment is
+    renamed to the new version's name (cheap; see
+    :func:`_reposition_segment`) and the manifest's base is re-read,
+    so concurrent appends serialize without losing updates."""
+    import time
+
     fs = get_fs(path, df.sparkSession)
     fs.makedirs(_join(path, _MANIFEST_DIR))
-    versions = _snapshot_versions(fs, path)
-    version = (versions[-1] + 1) if versions else 1
-    seg = f"{_DATA_DIR}/seg-{version:06d}"
-    # mode("overwrite"), not errorifexists: only the atomically renamed
-    # manifest publishes a segment, and the deterministic name can only
-    # collide with an ORPHAN of the same uncommitted version (a writer
-    # that crashed between segment write and manifest rename) — a retry
-    # must be able to pave over it, or the table wedges permanently on
-    # the leftover (ADVICE r10).
-    df.write.mode("overwrite").parquet(_join(path, seg))
-    prev = (
-        _read_manifest(fs, path, versions[-1])
-        if versions and mode == "append" else {}
+    written = None
+    nonce = uuid.uuid4().hex[:8]
+    for attempt in range(_COMMIT_RETRIES):
+        versions = _snapshot_versions(fs, path)
+        version = (versions[-1] + 1) if versions else 1
+        seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}"
+        written = _reposition_segment(fs, path, written, df, seg)
+        prev = (
+            _read_manifest(fs, path, versions[-1])
+            if versions and mode == "append" else {}
+        )
+        manifest: dict = {
+            "version": version,
+            "segments": prev.get("segments", []) + [seg],
+        }
+        # appends preserve live tombstones (an append must not resurrect
+        # erased keys); overwrite commits start clean — the new segment IS
+        # the table, so compaction materializes deletions physically
+        if prev.get("deletes"):
+            manifest["deletes"] = prev["deletes"]
+            manifest["delete_keys"] = prev["delete_keys"]
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        if fs.write_text_exclusive(
+            _manifest_path(path, version), json.dumps(manifest)
+        ):
+            return version
+        time.sleep(0.01 * (attempt + 1))  # linear backoff under thrash
+    raise RuntimeError(
+        f"snapshot commit lost {_COMMIT_RETRIES} optimistic races under "
+        f"{path} — pathological writer contention"
     )
-    manifest: dict = {
-        "version": version,
-        "segments": prev.get("segments", []) + [seg],
-    }
-    # appends preserve live tombstones (an append must not resurrect
-    # erased keys); overwrite commits start clean — the new segment IS
-    # the table, so compaction materializes deletions physically
-    if prev.get("deletes"):
-        manifest["deletes"] = prev["deletes"]
-        manifest["delete_keys"] = prev["delete_keys"]
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    fs.write_text_atomic(_manifest_path(path, version), json.dumps(manifest))
-    return version
 
 
 def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
@@ -175,11 +227,7 @@ def vacuum_snapshots(
         rel = f"{_DATA_DIR}/{d}"
         if rel in referenced:
             continue
-        try:
-            seg_version = int(d.rsplit("-", 1)[1])
-        except (IndexError, ValueError):
-            seg_version = 0  # foreign name: not an in-flight segment
-        if seg_version > latest:
+        if _seg_version(d) > latest:
             continue  # in-flight writer's uncommitted segment
         fs.rmtree(_join(data_dir, d))
         n_seg += 1
@@ -300,8 +348,7 @@ def read_snapshot_changes(
     # foreign/renamed segment fails loudly here instead of mistagging.
     for v, segs in new_by_version:
         for s in segs:
-            parsed = int(s.rsplit("-", 1)[1])
-            if parsed != v:
+            if _seg_version(posixpath.basename(s)) != v:
                 raise ValueError(
                     f"segment {s!r} introduced at version {v} does not "
                     "carry its version in its name — cannot tag the CDF"
@@ -313,7 +360,7 @@ def read_snapshot_changes(
         .withColumn(
             "_commit_version",
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"/seg-(\d{6})/", 1
+                F.col("_metadata.file_path"), r"/seg-(\d{6})[-/]", 1
             ).cast("bigint"),
         )
     )
@@ -380,31 +427,43 @@ def delete_snapshot_keys(
     makes that explicit rather than silently resurrecting erased data.
     Tombstone files ride the same manifest/vacuum lifecycle as data
     segments. Returns the committed version."""
+    import time
+
     spark = keys_df.sparkSession
     fs = get_fs(path, spark)
-    versions = _snapshot_versions(fs, path)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {path}")
-    prev = _read_manifest(fs, path, versions[-1])
-    if prev.get("delete_keys") not in (None, key_cols):
-        raise ValueError(
-            f"tombstone key columns {key_cols} != existing "
-            f"{prev['delete_keys']} — one key per table"
+    written = None
+    nonce = uuid.uuid4().hex[:8]
+    for attempt in range(_COMMIT_RETRIES):
+        versions = _snapshot_versions(fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {path}")
+        prev = _read_manifest(fs, path, versions[-1])
+        if prev.get("delete_keys") not in (None, key_cols):
+            raise ValueError(
+                f"tombstone key columns {key_cols} != existing "
+                f"{prev['delete_keys']} — one key per table"
+            )
+        version = versions[-1] + 1
+        del_dir = f"{_DATA_DIR}/del-{version:06d}-{nonce}"
+        written = _reposition_segment(
+            fs, path, written,
+            keys_df.select(*key_cols).distinct(), del_dir,
         )
-    version = versions[-1] + 1
-    del_dir = f"{_DATA_DIR}/del-{version:06d}"
-    # overwrite paves a crashed retry's orphan, same as segments
-    keys_df.select(*key_cols).distinct().write.mode("overwrite").parquet(
-        _join(path, del_dir)
+        manifest = {
+            "version": version,
+            "segments": prev["segments"],
+            "deletes": prev.get("deletes", []) + [del_dir],
+            "delete_keys": key_cols,
+        }
+        if fs.write_text_exclusive(
+            _manifest_path(path, version), json.dumps(manifest)
+        ):
+            return version
+        time.sleep(0.01 * (attempt + 1))
+    raise RuntimeError(
+        f"tombstone commit lost {_COMMIT_RETRIES} optimistic races under "
+        f"{path} — pathological writer contention"
     )
-    manifest = {
-        "version": version,
-        "segments": prev["segments"],
-        "deletes": prev.get("deletes", []) + [del_dir],
-        "delete_keys": key_cols,
-    }
-    fs.write_text_atomic(_manifest_path(path, version), json.dumps(manifest))
-    return version
 
 
 def pipeline_snapshot_changes(

@@ -628,13 +628,14 @@ def test_snapshot_compaction_and_schema_evolution(spark, tmp_path):
 
 def test_snapshot_retry_paves_over_orphan_segment(spark, tmp_path):
     """ADVICE r10 (medium): a writer that crashes BETWEEN the segment
-    write and the manifest rename leaves an orphaned data/seg-NNNNNN
-    for the next (uncommitted) version. The retry recomputes the same
-    version number and must PAVE OVER the orphan and commit — the old
-    errorifexists segment write wedged the table permanently here.
-    Safe because only the atomically renamed manifest publishes a
-    segment, and the deterministic name can only collide with an
-    orphan of the same uncommitted version."""
+    write and the manifest publish leaves an orphaned data/ directory
+    for the next (uncommitted) version. The retry must make progress
+    past the orphan and commit — the old errorifexists segment write
+    wedged the table permanently here. Since the round-11
+    optimistic-concurrency work, segment names carry a writer nonce,
+    so the retry cannot even collide with the orphan; the orphan stays
+    invisible (only a CAS-published manifest makes a segment visible)
+    until vacuum reclaims it."""
     from feast_ibm_spark.sources.snapshots import (
         read_snapshot,
         snapshot_versions,
@@ -1012,3 +1013,76 @@ def test_snapshot_tombstone_lifecycle(spark, tmp_path):
     assert got == {(1, "a"), (3, "c")}
     write_snapshot(mk((2, "reborn")), path)
     assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3}
+
+
+def test_snapshot_concurrent_writers_serialize_without_loss(spark, tmp_path):
+    """Optimistic multi-writer commits (round 11): four threads racing
+    three appends each against one table must serialize into twelve
+    distinct versions with NO lost update — every batch readable in the
+    final version, every intermediate manifest a superset of its
+    predecessor. The commit point is fsio.write_text_exclusive (posix
+    hardlink CAS); a lost race rebuilds against the new latest manifest
+    and retries."""
+    import threading
+
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "multi")
+    n_writers, n_commits = 4, 3
+    errors = []
+
+    def writer(wid: int):
+        try:
+            for i in range(n_commits):
+                df = spark.createDataFrame(
+                    [(wid, i)], "writer bigint, batch bigint"
+                )
+                write_snapshot(df, path)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    total = n_writers * n_commits
+    assert snapshot_versions(path) == list(range(1, total + 1))
+    got = {(r.writer, r.batch)
+           for r in read_snapshot(spark, path).collect()}
+    assert got == {(w, i) for w in range(n_writers)
+                   for i in range(n_commits)}  # no lost update
+    # every version's segment list strictly extends its predecessor's
+    import json as _json
+    import os as _os
+    segs_by_v = {}
+    for v in range(1, total + 1):
+        m = _json.load(open(_os.path.join(
+            path, "_snapshots", f"v{v:06d}.json")))
+        segs_by_v[v] = m["segments"]
+        assert len(m["segments"]) == v
+        if v > 1:
+            assert set(segs_by_v[v - 1]) < set(m["segments"])
+
+
+def test_fsio_write_text_exclusive_cas_semantics(tmp_path):
+    """The CAS primitive itself: first publish wins, the loser sees
+    False and the winner's content survives intact; no temp debris."""
+    import os
+
+    from feast_ibm_spark.sources.fsio import LocalFS
+
+    fs = LocalFS()
+    p = str(tmp_path / "commit.json")
+    assert fs.write_text_exclusive(p, "winner")
+    assert not fs.write_text_exclusive(p, "loser")
+    assert fs.read_text(p) == "winner"
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    assert leftovers == []
