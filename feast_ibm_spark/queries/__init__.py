@@ -968,20 +968,19 @@ QUERIES: dict[str, QueryDef] = {
 # ROTATES each round so every query accumulates driver hashes over time.
 # The gate has been 100% value-hashable since round 9 (VERDICT r8 item
 # 1 — the driver records err:"no_oracle", i.e. no verification at all,
-# for oracle-withheld slots). The round-11 slots (VERDICT r10 item 1):
-#   (a) the 8 queued r10 registrations (_QUEUED_FOR_R11_GATE: BFS
-#       levels, weighted median, bucketed join, snapshot time travel,
-#       snapshot streaming sink, retrieval ranks, join IVM, Count-Min
-#       heavy hitters) — each carried 3-scale local pins and a
-#       property/unit net since the day it registered; this rotation
-#       takes their first driver hash, lifting cumulative
-#       own-driver-hash coverage to 238/244 (only the 4 ln-rtol +
+# for oracle-withheld slots). The round-12 slots (VERDICT r11 item 1):
+#   (a) the 11 queued r11 registrations (_QUEUED_FOR_R12_GATE: weighted
+#       SSSP, interval coverage, CUSUM changepoint, snapshot CDF /
+#       consumer / MERGE / MOR-delete / pipeline, zone-map data
+#       skipping, OLS counts, exact mode) — each carried 3-scale local
+#       pins and a property/unit net since the day it registered; this
+#       rotation takes their first driver hash, lifting cumulative
+#       own-driver-hash coverage to 249/255 (only the 4 ln-rtol +
 #       2 approximate sketches stay documented-local, permanently);
-#   (b) 42 refresh slots: the ENTIRE stalest pool — all 35 queries
-#       whose last driver hash is r6, plus 7 of the 50 r7-hashed
-#       picked for family breadth (eval AUC, graph triangles,
-#       mergeSchema scan, streaming top-k, BPE train, the feature-
-#       engineering flagship e2e, IVF+PQ ANN).
+#   (b) 39 refresh slots from the stalest pool: the 43 r7-last-hashed
+#       rows minus 4 left for the r13 pool, each of which keeps a
+#       same-family sibling in this gate (see _DRIVER_GATE_R12 inline
+#       notes).
 # Full round-by-round rotation history: NOTES.md "Gate rotation ledger";
 # the per-round gate map is the generated index in COVERAGE.md.
 #
@@ -1004,71 +1003,78 @@ QUERIES: dict[str, QueryDef] = {
 # gate instead; approximate sketches stay local with exact-twin pins.
 GATE_ROWS_ONLY: frozenset[str] = frozenset()
 
-_DRIVER_GATE_R11 = (
-    # (a) the 8 queued r10 registrations (first in line by contract)
-    "agg_weighted_median",
-    "eval_retrieval_ranks",
-    "graph_bfs_levels",
-    "join_incremental_refresh",
-    "layout_bucketed_join",
-    "layout_snapshot_time_travel",
-    "streaming_snapshot_sink",
-    "text_cms_heavy_hitters",
-    # (b) refresh: the entire r6-last-hashed pool (all 35)
-    "attribution_last_touch",
-    "chunk_and_pack",
-    "copurchase_pairs",
-    "corpus_curation_incremental",
-    "dedup_incremental",
-    "dedup_simhash_pairs",
-    "embedding_clusters",
-    "embedding_clusters_lsh",
-    "embedding_near_dup_lsh",
-    "event_paths",
-    "event_transitions",
-    "features_time_decay",
-    "fuzzy_part_names_bucketed",
-    "join_lateral_topn",
-    "materialize_incremental",
-    "multimodal_audio_stats",
-    "multimodal_byte_features",
-    "peak_open_orders",
-    "rfm_segments",
-    "sample_weighted",
-    "scd2_intervals",
-    "sessionize_bounce_rate",
-    "snapshot_diff",
-    "streaming_first_seen",
-    "streaming_interval_join",
-    "streaming_latest",
-    "streaming_pit_join",
-    "streaming_sessionize",
-    "text_keywords",
-    "text_quality",
-    "text_similarity_topk",
-    "training_pipeline_e2e",
-    "unpivot_part_attrs",
-    "window_rank_suite",
-    "window_sliding_distinct",
-    # (b) refresh: 7 of the r7-hashed, picked for family breadth
-    "eval_auc",
-    "graph_triangles",
-    "scan_merge_schema",
-    "streaming_topk",
-    "text_bpe_train",
-    "feature_engineering_e2e",
-    "knn_ivfpq",
+_DRIVER_GATE_R12 = (
+    # (a) the 11 queued r11 registrations (_QUEUED_FOR_R12_GATE:
+    # first in line by contract — each carried 3-scale local pins and
+    # a property/unit net since the day it registered)
+    "agg_mode_exact",
+    "graph_sssp_hops",
+    "interval_coverage",
+    "layout_data_skipping",
+    "layout_snapshot_changes",
+    "layout_snapshot_consume",
+    "layout_snapshot_merge",
+    "layout_snapshot_mor_delete",
+    "layout_snapshot_pipeline",
+    "trend_cusum_changepoint",
+    "trend_ols_counts",
+    # (b) refresh: 39 of the 43 r7-last-hashed rows (the entire
+    # stalest pool minus 4 left for r13, each of which keeps a
+    # same-family sibling in this gate: dedup_jaccard_prefix ->
+    # dedup_containment_prefix; features_time_weighted_avg -> three
+    # other features_*; graph_pagerank_weighted ->
+    # graph_pagerank_incremental/_ppr/_kcore;
+    # streaming_interval_join_outer -> five other streaming_*)
+    "agg_equidepth_bins",
+    "chunk_documents_udtf",
+    "cluster_representatives_lsh",
+    "compliance_erasure_audit",
+    "corpus_curation_auto",
+    "dedup_clusters_star",
+    "dedup_containment_prefix",
+    "embed_linear_probe",
+    "erasure_deletion_vectors",
+    "eval_lang_confusion",
+    "eval_pr_curve",
+    "features_hashing_trick",
+    "features_last_k_events",
+    "features_target_encoding",
+    "golden_record",
+    "graph_kcore",
+    "graph_pagerank_incremental",
+    "graph_ppr_recommend",
+    "layout_compaction_roundtrip",
+    "market_basket_rules",
+    "mix_temperature_weights",
+    "multimodal_audio_silence",
+    "multimodal_image_dedup",
+    "scan_csv_quarantine",
+    "scan_json_quarantine",
+    "scan_python_source",
+    "sink_python_roundtrip",
+    "streaming_cdc_merge",
+    "streaming_python_source",
+    "streaming_router",
+    "streaming_session_window",
+    "streaming_state_inspect",
+    "table_checksum",
+    "text_bpe_encode",
+    "text_pii_scan",
+    "training_negative_pairs",
+    "training_shuffle",
+    "trend_theil_sen",
+    "write_audit_publish",
 )
 
 DRIVER_QUERIES: dict[str, QueryDef] = {
-    _name: QUERIES[_name] for _name in _DRIVER_GATE_R11
+    _name: QUERIES[_name] for _name in _DRIVER_GATE_R12
 }
 
 assert len(DRIVER_QUERIES) == 50, (
     f"driver gate records at most 50 rows; got {len(DRIVER_QUERIES)} — "
-    "rebalance _DRIVER_GATE_R11 when rotating"
+    "rebalance _DRIVER_GATE_R12 when rotating"
 )
-assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R11), (
+assert GATE_ROWS_ONLY <= set(_DRIVER_GATE_R12), (
     "GATE_ROWS_ONLY entries must be gate members — they exist to shape "
     "the oracle_sql() export of the CURRENT gate"
 )

@@ -77,16 +77,31 @@ def _driver_last_hash_round(root: str, last_round: int) -> dict[str, int]:
     return last
 
 
-def test_driver_export_r11_rotation_invariants():
-    """VERDICT r10 item 1: the 8 _QUEUED_FOR_R11_GATE registrations take
-    their first driver hashes and the remaining 42 slots go to the
-    stalest-hash refresh pool (the r10 twin of this test retired with
+# The 4 r7-last-hashed rows deliberately left for the r13 refresh pool —
+# each keeps a same-family sibling in the r12 gate, so no operator
+# family goes unrefreshed this round.
+_R7_LEFT_FOR_R13: frozenset[str] = frozenset({
+    "dedup_jaccard_prefix",           # sibling in gate: dedup_containment_prefix
+    "features_time_weighted_avg",     # siblings: features_hashing_trick /
+                                      # _last_k_events / _target_encoding
+    "graph_pagerank_weighted",        # siblings: graph_pagerank_incremental,
+                                      # graph_ppr_recommend, graph_kcore
+    "streaming_interval_join_outer",  # siblings: streaming_cdc_merge, _router,
+                                      # _session_window, _state_inspect,
+                                      # _python_source
+})
+
+
+def test_driver_export_r12_rotation_invariants():
+    """VERDICT r11 item 1: the 11 _QUEUED_FOR_R12_GATE registrations take
+    their first driver hashes and the remaining 39 slots go to the
+    stalest-hash refresh pool (the r11 twin of this test retired with
     its gate; history in NOTES.md 'Gate rotation ledger'). Invariants:
-    every slot carries a full oracle; GATE_ROWS_ONLY is empty; all 8
-    queued queries are in the gate; every refresh slot
-    has its last driver hash in r6-r7 (nothing recently-hashed wastes a
-    slot); and the entire <= r6 pool — every oracle-carrying query last
-    hashed in r6 or earlier — is taken before any r7 query is."""
+    every slot carries a full oracle; GATE_ROWS_ONLY is empty; all 11
+    queued queries are in the gate; every refresh slot has its last
+    driver hash in r7 exactly (nothing recently-hashed wastes a slot);
+    and the entire r7 pool is taken except the 4 documented
+    same-family-sibling leave-outs."""
     from feast_ibm_spark.queries import GATE_ROWS_ONLY
 
     assert GATE_ROWS_ONLY == frozenset()
@@ -94,23 +109,26 @@ def test_driver_export_r11_rotation_invariants():
     assert no_oracle == []
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assert _QUEUED_FOR_R11_GATE <= set(DRIVER_QUERIES)
-    last = _driver_last_hash_round(root, 10)
-    refresh = set(DRIVER_QUERIES) - _QUEUED_FOR_R11_GATE
-    too_fresh = sorted(n for n in refresh if last.get(n, 0) > 7)
-    assert too_fresh == [], f"r11 refresh slots wasted on recently-hashed: {too_fresh}"
-    pool_le6 = {
+    assert _QUEUED_FOR_R12_GATE <= set(DRIVER_QUERIES)
+    last = _driver_last_hash_round(root, 11)
+    refresh = set(DRIVER_QUERIES) - _QUEUED_FOR_R12_GATE
+    assert len(refresh) == 39
+    not_r7 = sorted(n for n in refresh if last.get(n, 0) != 7)
+    assert not_r7 == [], f"r12 refresh slots not from the r7 pool: {not_r7}"
+    pool_r7 = {
         n for n in QUERIES
-        if 1 <= last.get(n, 0) <= 6 and QUERIES[n].oracle is not None
+        if last.get(n, 0) == 7 and QUERIES[n].oracle is not None
     }
-    skipped = sorted(pool_le6 - refresh)
-    assert skipped == [], f"stalest pool members left out of the r11 gate: {skipped}"
+    assert pool_r7 - refresh == _R7_LEFT_FOR_R13
 
 
-# New-capability registrations made AFTER the round-11 gate list froze:
+# New-capability registrations made AFTER the round-12 gate list froze:
 # carry a full local oracle pin from day one, first in line for the
-# round-12 gate. Keep this list SHORT — it is the only sanctioned
+# round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
+_QUEUED_FOR_R13_GATE: frozenset[str] = frozenset()
+# (historical) the r11-queued list — rotated into the r12 gate, where the
+# rotation invariants above still reference it:
 _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
     "graph_sssp_hops",          # bounded-hop weighted shortest paths
                                 # (frontier Bellman-Ford) vs chained
@@ -151,41 +169,8 @@ _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
                                    # carry, compaction materializes);
                                    # lifecycle unit net + 3-scale pins
 })
-# (historical) the r10-queued list — rotated into the r11 gate, where the
-# rotation invariants above still reference it:
-_QUEUED_FOR_R11_GATE: frozenset[str] = frozenset({
-    "graph_bfs_levels",       # frontier BFS levels vs recursive-CTE
-                              # oracle; property net + 3-scale pins
-                              # from day one
-    "agg_weighted_median",    # weighted order statistic (selection-
-                              # only integer cumweight); property net
-                              # + 3-scale pins from day one
-    "layout_bucketed_join",   # bucketed catalog tables, zero-Exchange
-                              # agg + merge join; plan pin + 3-scale
-                              # content oracle from day one
-    "layout_snapshot_time_travel",  # manifest snapshots: v1 time travel
-                                    # + lossless append; unit-tested
-                                    # commit-point semantics; 3-scale
-                                    # pins from day one
-    "streaming_snapshot_sink",      # 18th drained class: exactly-once
-                                    # versioned snapshot sink (one
-                                    # manifest commit per micro-batch,
-                                    # idempotent on batchId); 3-scale
-                                    # pins from day one
-    "eval_retrieval_ranks",         # ranking eval: integer rank stats
-                                    # (MRR ingredient, hits@10) over
-                                    # exact cosine; property net +
-                                    # 3-scale pins from day one
-    "join_incremental_refresh",     # join-view IVM: three-term delta
-                                    # expansion vs full-recompute
-                                    # oracle; bag-equality property net
-    "text_cms_heavy_hitters",       # Count-Min sketch whose integer
-                                    # counters value-hash the sketch
-                                    # itself vs exact counts; replica
-                                    # property net; 3-scale pins day one
-})
-# (the r10 queue retired with its rotation test — history in NOTES.md
-# 'Gate rotation ledger' and git)
+# (the r10 and r11 queues retired with their rotation tests — history
+# in NOTES.md 'Gate rotation ledger' and git)
 
 
 def test_never_hashed_are_documented_local_only():
@@ -196,10 +181,10 @@ def test_never_hashed_are_documented_local_only():
     sketches, or the pinned next-round queue."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hashed = _driver_value_hashed_through(root, 99) | set(DRIVER_QUERIES)
-    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R12_GATE
+    local_only = set(_RTOL_LOCAL) | set(_EXCLUDED_ROWS_ONLY) | _QUEUED_FOR_R13_GATE
     stragglers = sorted(set(QUERIES) - hashed - local_only)
     assert stragglers == [], f"undocumented never-hashed queries: {stragglers}"
-    for n in _QUEUED_FOR_R12_GATE:
+    for n in _QUEUED_FOR_R13_GATE:
         assert QUERIES[n].oracle is not None
 
 
@@ -244,12 +229,10 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_activity_profile",
     "agg_cube_status_priority",
     "agg_daily_gapfill",
-    "agg_equidepth_bins",
     "agg_event_type_stats",
     "agg_global_avg_filter",
     "agg_grouping_sets_custom",
     "agg_important_parts",
-    "agg_mode_exact",
     "agg_pricing_summary",
     "agg_promo_share",
     "agg_revenue_forecast",
@@ -260,65 +243,67 @@ _EXCLUDED_WITH_ORACLE = [
     "agg_value_histogram",
     "agg_value_mad",
     "agg_value_percentiles",
+    "agg_weighted_median",
     "array_norm_stats",
     "asof_join_forward",
     "asof_join_nearest",
+    "attribution_last_touch",
+    "chunk_and_pack",
     "chunk_documents",
     "chunk_documents_cdc",
-    "chunk_documents_udtf",
     "cluster_representatives",
-    "cluster_representatives_lsh",
-    "compliance_erasure_audit",
+    "copurchase_pairs",
     "corpus_boilerplate_removal",
     "corpus_curation",
-    "corpus_curation_auto",
     "corpus_curation_exact_substr",
+    "corpus_curation_incremental",
     "corpus_curation_lsh",
     "decontaminate_overlap",
     "dedup_clusters",
     "dedup_clusters_lsh",
-    "dedup_clusters_star",
     "dedup_containment",
-    "dedup_containment_prefix",
     "dedup_exact",
     "dedup_exact_substr",
     "dedup_exact_substr_cut",
     "dedup_exact_substr_spans",
+    "dedup_incremental",
     "dedup_jaccard_prefix",
     "dedup_keep_latest",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "drift_ks",
     "drift_psi_counts",
-    "embed_linear_probe",
+    "embedding_clusters",
+    "embedding_clusters_lsh",
     "embedding_near_dup",
-    "erasure_deletion_vectors",
+    "embedding_near_dup_lsh",
+    "eval_auc",
     "eval_bootstrap_ci",
-    "eval_lang_confusion",
-    "eval_pr_curve",
+    "eval_retrieval_ranks",
     "event_interarrival",
-    "features_hashing_trick",
-    "features_last_k_events",
+    "event_paths",
+    "event_transitions",
+    "feature_engineering_e2e",
     "features_multi_horizon",
-    "features_target_encoding",
+    "features_time_decay",
     "features_time_weighted_avg",
     "features_winsorize",
     "filter_value_outliers",
     "funnel_conversion",
     "fuzzy_part_names",
-    "golden_record",
-    "graph_kcore",
+    "fuzzy_part_names_bucketed",
+    "graph_bfs_levels",
     "graph_pagerank",
-    "graph_pagerank_incremental",
     "graph_pagerank_weighted",
-    "graph_ppr_recommend",
-    "graph_sssp_hops",
+    "graph_triangles",
     "hierarchy_chain",
-    "interval_coverage",
     "join_anti_quiet_customers",
     "join_excess_suppliers",
+    "join_incremental_refresh",
     "join_large_orders",
+    "join_lateral_topn",
     "join_market_share",
     "join_min_cost_supplier",
     "join_nation_profit",
@@ -333,31 +318,27 @@ _EXCLUDED_WITH_ORACLE = [
     "join_waiting_suppliers",
     "knn_cosine_topk",
     "knn_ivf",
+    "knn_ivfpq",
     "knn_lsh",
     "knn_pq",
-    "layout_compaction_roundtrip",
-    "layout_data_skipping",
+    "layout_bucketed_join",
     "layout_hilbert_roundtrip",
-    "layout_snapshot_changes",
-    "layout_snapshot_consume",
-    "layout_snapshot_merge",
-    "layout_snapshot_mor_delete",
-    "layout_snapshot_pipeline",
+    "layout_snapshot_time_travel",
     "layout_zorder_roundtrip",
-    "market_basket_rules",
     "materialize_agg_incremental",
+    "materialize_incremental",
     "materialize_moments_incremental",
     "materialize_partitioned",
     "merge_cdc_snapshot",
     "mix_domains",
-    "mix_temperature_weights",
-    "multimodal_audio_silence",
+    "multimodal_audio_stats",
+    "multimodal_byte_features",
     "multimodal_decode_stats",
     "multimodal_frame_sample",
-    "multimodal_image_dedup",
     "multimodal_resize_stats",
     "normalize_zscore",
     "pack_sequences",
+    "peak_open_orders",
     "pit_join_multiview",
     "pit_join_nottl",
     "pit_join_partitioned",
@@ -381,65 +362,69 @@ _EXCLUDED_WITH_ORACLE = [
     "resample_interpolate",
     "resample_locf",
     "retention_cohorts",
+    "rfm_segments",
     "rollup_ohlc_daily",
     "sample_stratified",
+    "sample_weighted",
     "scan_binary_files",
-    "scan_csv_quarantine",
     "scan_csv_source",
     "scan_json_props",
-    "scan_json_quarantine",
+    "scan_merge_schema",
     "scan_orc_source",
     "scan_part_filter",
     "scan_partitioned_events",
-    "scan_python_source",
     "scan_text_logs",
     "scan_variant_props",
     "scan_xml_source",
+    "scd2_intervals",
+    "sessionize_bounce_rate",
     "sessionize_dynamic_gap",
     "sessionize_events",
     "sessionize_native_window",
     "set_user_cohorts",
-    "sink_python_roundtrip",
     "skyline_pareto",
     "skyline_pareto_bucketed",
+    "snapshot_diff",
     "split_train_val_test",
-    "streaming_cdc_merge",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_first_seen",
+    "streaming_interval_join",
     "streaming_interval_join_anti",
     "streaming_interval_join_outer",
     "streaming_interval_join_semi",
     "streaming_join_then_window",
-    "streaming_python_source",
-    "streaming_router",
-    "streaming_session_window",
+    "streaming_latest",
+    "streaming_pit_join",
+    "streaming_sessionize",
     "streaming_sessionize_files",
-    "streaming_state_inspect",
+    "streaming_snapshot_sink",
+    "streaming_topk",
     "streaming_window_counts",
-    "table_checksum",
     "text_bigram_logprob_counts",
     "text_bm25_counts",
-    "text_bpe_encode",
     "text_bpe_tokens",
+    "text_bpe_train",
+    "text_cms_heavy_hitters",
     "text_fingerprint",
+    "text_keywords",
     "text_lang_id",
-    "text_pii_scan",
+    "text_quality",
     "text_repetition",
+    "text_similarity_topk",
     "text_token_count",
     "text_top_tokens",
     "text_top_tokens_by_lang",
     "text_unigram_logprob_counts",
     "text_vocab_coverage",
-    "training_negative_pairs",
-    "training_shuffle",
-    "trend_cusum_changepoint",
-    "trend_ols_counts",
-    "trend_theil_sen",
+    "training_pipeline_e2e",
+    "unpivot_part_attrs",
     "window_moving_median",
+    "window_rank_suite",
     "window_rolling_24h",
     "window_running_total",
+    "window_sliding_distinct",
     "window_spend_quartiles",
-    "write_audit_publish",
 ]
 # The 4 rtol ln() float queries are LOCAL-ONLY permanently (the r8
 # rows-only gate experiment produced unverified no_oracle rows): their
