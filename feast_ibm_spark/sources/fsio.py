@@ -165,6 +165,17 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        # HDFS rename does NOT overwrite an existing destination (it
+        # returns false where posix rename replaces), and single-owner
+        # checkpoints REWRITE their file on every ack — so the second
+        # ack on an hdfs:// consumer path would fail forever. Delete
+        # the old file first: a crash in the gap leaves the checkpoint
+        # transiently missing, which degrades to at-least-once
+        # delivery — exactly what the consume protocol already
+        # tolerates (ADVICE r11).
+        jp = self._p(p)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, False)
         self.rename(tmp, p)
 
     def rename(self, src: str, dst: str) -> None:
