@@ -814,6 +814,12 @@ QUERIES: dict[str, QueryDef] = {
                                         "exactly-once CDF consumer: "
                                         "cursor checkpoint, ack-advance, "
                                         "empty re-consume under the hash"),
+    "layout_snapshot_compact_consume": QueryDef(
+        q_layout_snapshot_compact_consume,
+        ORACLE_SNAPSHOT_COMPACT_CONSUME,
+        "CDF consumption ACROSS a certified compaction: fresh, "
+        "lagging-pre-compaction, and fully-acked consumer positions "
+        "under one hash (round 12)"),
     "layout_snapshot_pipeline": QueryDef(q_layout_snapshot_pipeline,
                                          ORACLE_SNAPSHOT_PIPELINE,
                                          "exactly-once table-to-table "

@@ -628,6 +628,94 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_layout_snapshot_compact_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption ACROSS a certified compaction (round 12,
+    VERDICT r11 item 2): the chain is v1 append / v2 append /
+    v3 = compact_snapshots (manifest carries the conflict-checked
+    ``compaction_of: 2`` certificate) / v4 append. Three consumer
+    positions under one value hash: a FRESH consumer (cursor 0) drains
+    the whole feed — the compaction contributes NOTHING and every row
+    is tagged by its true introducing commit (1, 2, 4 — never 3); a
+    LAGGING consumer parked just before the compaction (cursor 2)
+    crosses it and receives only v4's rows; a fully-acked consumer
+    re-consumes EMPTY (any phase-3 row adds rows the oracle does not
+    have, failing row-count before the hash is even compared). This is
+    the exact sequence that deadlocked before round 12 — the module
+    prescribed compaction for every streaming-sink chain while the CDF
+    refused to cross one."""
+    import os
+
+    from ..sources.snapshots import (
+        ack_snapshot_consume,
+        compact_snapshots,
+        consume_snapshot_changes,
+        write_snapshot,
+    )
+
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_cc_{tag}")
+    if _chain_needs_build(dest, 4):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        s1 = F.lit(SNAPSHOT_CDF_SPLIT1).cast("timestamp")
+        s2 = F.lit(SNAPSHOT_CDF_SPLIT2).cast("timestamp")
+        write_snapshot(ev.filter(F.col("ts") < s1), dest)
+        write_snapshot(ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+                       dest)
+        compact_snapshots(spark, dest)
+        write_snapshot(ev.filter(F.col("ts") >= s2), dest)
+    consumer = dest + "_consumer"
+    if os.path.exists(consumer):
+        os.unlink(consumer)
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return (
+            df.groupBy("_commit_version", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(phase).cast("bigint").alias("phase"),
+                "_commit_version", "event_type", "n_events", "sum_cents",
+            )
+        )
+
+    latest, first = consume_snapshot_changes(spark, dest, consumer)
+    ack_snapshot_consume(consumer, 2)  # park just before the compaction
+    _, second = consume_snapshot_changes(spark, dest, consumer)
+    ack_snapshot_consume(consumer, latest)
+    _, third = consume_snapshot_changes(spark, dest, consumer)
+    return (
+        prof(first, 1).unionByName(prof(second, 2)).unionByName(prof(third, 3))
+    )
+
+
+ORACLE_SNAPSHOT_COMPACT_CONSUME = f"""
+WITH tagged AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}' THEN 1
+              WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}' THEN 2
+              ELSE 4 END AS cv,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(1 AS BIGINT) AS phase, CAST(cv AS BIGINT) AS _commit_version,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM tagged GROUP BY 1, 2, 3
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+       event_type, CAST(count(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM tagged WHERE cv = 4 GROUP BY 1, 2, 3
+"""
+
+
 def q_layout_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the snapshot format (sources/snapshots.
     merge_snapshot): v1 commits the latest-per-user profile from the

@@ -126,7 +126,15 @@ def test_driver_export_r12_rotation_invariants():
 # carry a full local oracle pin from day one, first in line for the
 # round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
-_QUEUED_FOR_R13_GATE: frozenset[str] = frozenset()
+_QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
+    "layout_snapshot_compact_consume",  # CDF across a certified
+                                        # compaction: fresh + lagging +
+                                        # fully-acked consumer positions;
+                                        # unit net (test_sources.py
+                                        # test_cdf_survives_certified_
+                                        # compaction) + 3-scale pins
+                                        # from day one
+})
 # (historical) the r11-queued list — rotated into the r12 gate, where the
 # rotation invariants above still reference it:
 _QUEUED_FOR_R12_GATE: frozenset[str] = frozenset({
@@ -323,6 +331,7 @@ _EXCLUDED_WITH_ORACLE = [
     "knn_pq",
     "layout_bucketed_join",
     "layout_hilbert_roundtrip",
+    "layout_snapshot_compact_consume",
     "layout_snapshot_time_travel",
     "layout_zorder_roundtrip",
     "materialize_agg_incremental",
