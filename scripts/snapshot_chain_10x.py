@@ -40,6 +40,7 @@ from feast_ibm_spark.sources.snapshots import (  # noqa: E402
     snapshot_versions,
     vacuum_snapshots,
     write_snapshot,
+    write_snapshot_batch,
 )
 
 
@@ -68,9 +69,31 @@ def main() -> None:
         batch = spark.range(args.rows).select(
             F.col("id").alias("k"), (F.col("id") * 7).alias("v")
         ).coalesce(1)
+        # the STREAMING SINK path (write_snapshot_batch): every commit
+        # runs the replay-dedup probe, which pre-round-12 walked the
+        # whole manifest chain — O(chain) per commit, quadratic
+        # cumulative. The bounded batch ledger makes it one manifest
+        # read; per-commit wall time across the chain is the proof.
+        per_commit: list[float] = []
         for i in range(args.commits):
-            write_snapshot(batch.withColumn("b", F.lit(i)), tbl)
+            c0 = time.time()
+            write_snapshot_batch(batch.withColumn("b", F.lit(i)), tbl,
+                                 batch_id=i)
+            per_commit.append(time.time() - c0)
         t_build = time.time() - t0
+        w = max(10, args.commits // 10)
+        flat_first = sum(per_commit[:w]) / w
+        flat_last = sum(per_commit[-w:]) / w
+
+        # replay probes at both ends of the chain: the newest batch hits
+        # the ledger (O(1) manifest reads); batch 0 is older than the
+        # ledger window and takes the exhaustive-fallback walk
+        t0 = time.time()
+        assert write_snapshot_batch(batch, tbl, args.commits - 1) == args.commits
+        t_replay_newest = time.time() - t0
+        t0 = time.time()
+        assert write_snapshot_batch(batch, tbl, 0) == 1
+        t_replay_oldest_fallback = time.time() - t0
 
         t0 = time.time()
         versions = snapshot_versions(tbl)
@@ -107,6 +130,12 @@ def main() -> None:
         print(json.dumps({
             "commits": args.commits, "rows_per_commit": args.rows,
             "build_s": round(t_build, 1),
+            "per_commit_first_window_ms": round(flat_first * 1000, 1),
+            "per_commit_last_window_ms": round(flat_last * 1000, 1),
+            "per_commit_flatness_ratio": round(flat_last / flat_first, 2),
+            "replay_newest_ms": round(t_replay_newest * 1000, 1),
+            "replay_oldest_fallback_ms": round(
+                t_replay_oldest_fallback * 1000, 1),
             "version_list_ms": round(t_list * 1000, 1),
             "read_latest_s": round(t_read_latest, 2),
             "cdf_plan_s": round(t_cdf_plan, 2),

@@ -3771,3 +3771,101 @@ if _HAS_HYP_DEDUP:
         finally:
             shutil.rmtree(d, ignore_errors=True)
         assert got == want
+
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        ops=st_hyp.lists(
+            st_hyp.tuples(
+                st_hyp.integers(0, 3),
+                st_hyp.lists(
+                    st_hyp.tuples(st_hyp.integers(0, 9),
+                                  st_hyp.integers(0, 100)),
+                    min_size=1, max_size=4,
+                ),
+            ),
+            min_size=1, max_size=6,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_snapshot_lifecycle_property_matches_replay(spark, ops):
+        """VERDICT r11 item 7: brute-force replay net for the snapshot
+        table's full mutation surface. Random op sequences —
+        append / MOR key-tombstone delete / copy-on-write MERGE
+        (upserts+deletes) / certified compaction — against a
+        pure-Python model: physical rows + live tombstone set, where
+        reads suppress tombstoned keys, MERGE applies to the
+        suppressed view and clears tombstones (overwrite commit), and
+        compaction materializes suppressions and clears tombstones.
+        Final read_snapshot content must equal the model's visible
+        view exactly."""
+        import shutil
+        import tempfile
+
+        from feast_ibm_spark.sources.snapshots import (
+            compact_snapshots,
+            delete_snapshot_keys,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_versions,
+            write_snapshot,
+        )
+
+        physical: dict[int, int] = {}
+        tombs: set[int] = set()
+
+        def visible() -> dict[int, int]:
+            return {k: v for k, v in physical.items() if k not in tombs}
+
+        d = tempfile.mkdtemp(prefix="fis_snap_net_")
+        tbl = d + "/tbl"
+        mk = lambda rows, schema="k bigint, v bigint": spark.createDataFrame(
+            rows, schema)
+        try:
+            committed = False
+            for code, pairs in ops:
+                if code == 0:  # append rows for keys not physically present
+                    fresh = {k: v for k, v in pairs if k not in physical}
+                    if not fresh:
+                        continue
+                    write_snapshot(mk(sorted(fresh.items())), tbl)
+                    physical.update(fresh)
+                    committed = True
+                elif not committed:
+                    continue  # delete/merge/compact need a first commit
+                elif code == 1:  # MOR tombstones (suppress, carry forward)
+                    keys = sorted({k for k, _ in pairs})
+                    delete_snapshot_keys(
+                        mk([(k,) for k in keys], "k bigint"), tbl, ["k"])
+                    tombs.update(keys)
+                elif code == 2:  # copy-on-write MERGE on the suppressed view
+                    upd = {}
+                    for k, v in pairs:  # merge requires unique keys
+                        upd.setdefault(k, (v, v % 3 == 0))
+                    rows = [(k, v, dl) for k, (v, dl) in sorted(upd.items())]
+                    merge_snapshot(
+                        mk(rows, "k bigint, v bigint, is_del boolean"),
+                        tbl, ["k"], delete_col="is_del")
+                    vis = visible()
+                    for k, (v, dl) in upd.items():
+                        if dl:
+                            vis.pop(k, None)
+                        else:
+                            vis[k] = v
+                    physical, tombs = vis, set()
+                else:  # certified compaction: materialize + clear tombstones
+                    compact_snapshots(spark, tbl)
+                    physical, tombs = visible(), set()
+            if committed:
+                got = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
+                n = read_snapshot(spark, tbl).count()
+                assert n == len(got), "duplicate keys leaked into the table"
+                assert got == visible()
+                assert len(snapshot_versions(tbl)) >= 1
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
