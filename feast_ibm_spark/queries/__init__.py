@@ -400,6 +400,11 @@ QUERIES: dict[str, QueryDef] = {
                                         ORACLE_RANGE_JOIN,
                                         "bucketed interval-containment join "
                                         "(hash join on week bucket, no BNLJ)"),
+    "range_join_auto_bucket": QueryDef(q_range_join_auto_bucket,
+                                       ORACLE_RANGE_JOIN,
+                                       "range join with the data-driven "
+                                       "bucket width (~p95 sampled interval "
+                                       "length; round 12)"),
     "rollup_ohlc_daily": QueryDef(q_rollup_ohlc_daily, ORACLE_OHLC,
                                   "hypertable-style OHLC daily rollup "
                                   "(min_by/max_by, one shuffle)"),

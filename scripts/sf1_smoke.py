@@ -60,6 +60,7 @@ SMOKE_QUERIES = [
     "materialize_partitioned",
     # round-3 batch 3: new join operators + composed text/cluster shapes
     "asof_join_nearest",
+    "range_join_auto_bucket",
     "range_join_ship_windows",
     "rollup_ohlc_daily",
     "cluster_representatives",

@@ -418,3 +418,26 @@ if _HAS_HYPOTHESIS:
             ).collect()
         }
         assert got_interp == want_interp
+
+
+def test_range_join_auto_bucket_matches_manual(spark):
+    """bucket=None derives ~p95 of the sampled interval lengths and the
+    result set is identical to any manual width (the bucket is a
+    physical knob; the exact containment filter fixes the answer)."""
+    from feast_ibm_spark.operators.interval import _auto_bucket, range_join
+
+    i_df = spark.createDataFrame(
+        [(i, i * 10, i * 10 + 6) for i in range(40)], "iid long, s long, e long"
+    )
+    p_df = spark.createDataFrame([(p,) for p in range(0, 400, 3)], "p long")
+    assert _auto_bucket(i_df, "s", "e") == 7  # constant length-7 windows
+    want = {(r.p, r.iid)
+            for r in range_join(p_df, i_df, "p", "s", "e", bucket=7).collect()}
+    got = {(r.p, r.iid)
+           for r in range_join(p_df, i_df, "p", "s", "e").collect()}
+    assert got == want and len(got) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        _auto_bucket(i_df.filter("iid < 0"), "s", "e")

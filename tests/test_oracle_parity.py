@@ -127,6 +127,11 @@ def test_driver_export_r12_rotation_invariants():
 # round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
 _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
+    "range_join_auto_bucket",           # data-driven bucket width
+                                        # (~p95 sampled interval length);
+                                        # A/B vs bad manual widths in
+                                        # scripts/interval_bucket_ab.py;
+                                        # 3-scale pins from day one
     "layout_snapshot_compact_consume",  # CDF across a certified
                                         # compaction: fresh + lagging +
                                         # fully-acked consumer positions;
@@ -367,6 +372,7 @@ _EXCLUDED_WITH_ORACLE = [
     "pull_latest_per_key",
     "pull_latest_tiebreak",
     "quality_report",
+    "range_join_auto_bucket",
     "range_join_ship_windows",
     "resample_interpolate",
     "resample_locf",
