@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     # iterative shape and is too heavy for a 5-run bench slot)
     "interval_coverage",
     "trend_cusum_changepoint",
+    # round-12 family: the snapshot-format write path end to end (3
+    # commits + 2 pipeline cycles + a no-op cycle per run, fresh dirs
+    # every run) — the format's write-path regression canary
+    "layout_snapshot_pipeline",
 ]
 
 

@@ -44,13 +44,18 @@ one, but the commit protocol is already shaped for it. The DATA
 plane — parquet segment write/scan — is Spark-native and
 scheme-agnostic either way.
 
-Scale: manifests hold segment DIRECTORY names, not file lists — the
-per-version metadata is O(appends), and the read plan is a plain
-multi-directory parquet scan (partition pruning, pushdown, and column
-pruning all intact). At 100 TB the same design holds; production would
-add manifest compaction past ~10^5 segments (Iceberg's manifest-list
-layer), noted here as the next tier, not built. The 500-commit chain's
-metadata paths are measured in scripts/snapshot_chain_10x.py.
+Scale: manifests hold segment DIRECTORY names, not file lists, and
+append/tombstone commits write DELTA manifests (round 12) — O(1)
+metadata bytes per commit, with a FULL checkpoint every ``_FULL_EVERY``
+commits bounding any version's resolution to a short manifest walk
+(the Iceberg manifest-list idea reduced to this format's needs;
+measured on a 2,000-commit chain: ~20x less amortized manifest bytes
+per commit, 16x less total metadata — scripts/snapshot_chain_10x.py).
+The read plan stays a plain multi-directory parquet scan (partition
+pruning, pushdown, and column pruning all intact). At 100 TB the same
+design holds; the residual O(segments) cost is the periodic full
+checkpoint, which manifest-LIST indirection would bound in turn —
+noted as the next tier, not built.
 
 Surface (each with its own gate query + unit net): append/overwrite
 commits, time travel, exactly-once streaming sink
@@ -103,6 +108,51 @@ def snapshot_versions(path: str, spark: SparkSession | None = None) -> list[int]
 
 def _read_manifest(fs, path: str, version: int) -> dict:
     return json.loads(fs.read_text(_manifest_path(path, version)))
+
+
+# Delta-manifest tier (round 12): a full manifest restates the WHOLE
+# segment list, so an append-heavy table pays O(total segments) metadata
+# bytes per commit — quadratic cumulative over a streaming sink's life
+# (the module docstring's deferred "manifest compaction past ~10^5
+# segments" tier, now built). Append and tombstone commits instead write
+# a DELTA manifest ({delta_base: v-1, add_segments/add_deletes: [...],
+# delta_depth: d}) and every _FULL_EVERY-th commit in a delta chain —
+# plus every overwrite/compaction/merge — writes a FULL manifest (the
+# checkpoint), so resolving any version walks at most _FULL_EVERY
+# manifests. Per-commit metadata is O(1) amortized; readers resolve
+# through :func:`_resolve_manifest`. The bounded ``recent_batches``
+# ledger is restated RAW in every manifest (delta or full) so the
+# streaming replay probe stays one read. Pre-round-12 manifests have no
+# ``delta_base`` and resolve as depth-0 fulls — old tables read
+# unchanged.
+_FULL_EVERY = 32
+
+
+def _resolve_manifest(
+    fs, path: str, version: int, cache: dict | None = None
+) -> dict:
+    """The EFFECTIVE manifest at ``version``: full manifests return
+    as-is (normalized); delta manifests apply their additions onto the
+    resolved base. ``cache`` (version -> resolved dict) makes an
+    ascending walk O(1) per version."""
+    if cache is not None and version in cache:
+        return cache[version]
+    mf = _read_manifest(fs, path, version)
+    if "delta_base" in mf:
+        base = _resolve_manifest(fs, path, mf["delta_base"], cache)
+        out = dict(mf)
+        out["segments"] = base.get("segments", []) + mf.get("add_segments", [])
+        out["deletes"] = base.get("deletes", []) + mf.get("add_deletes", [])
+        if not out.get("delete_keys"):
+            out["delete_keys"] = base.get("delete_keys")
+        if not out["deletes"]:
+            out.pop("deletes")
+            out.pop("delete_keys", None)
+    else:
+        out = mf
+    if cache is not None:
+        cache[version] = out
+    return out
 
 
 _COMMIT_RETRIES = 24
@@ -199,23 +249,40 @@ def _commit_version(
         seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}"
         written = _reposition_segment(fs, path, written, df, seg)
         prev = _read_manifest(fs, path, versions[-1]) if versions else {}
-        manifest: dict = {
-            "version": version,
-            "segments": (
-                (prev.get("segments", []) if mode == "append" else [])
-                + [seg]
-            ),
-        }
-        # appends preserve live tombstones (an append must not resurrect
-        # erased keys); overwrite commits start clean — the new segment IS
-        # the table, so compaction materializes deletions physically
-        if mode == "append" and prev.get("deletes"):
-            manifest["deletes"] = prev["deletes"]
-            manifest["delete_keys"] = prev["delete_keys"]
-        # the batch ledger rides EVERY commit (appends, overwrites,
-        # compactions) so a streaming replay probe after any
-        # maintenance operation still finds its batch_id in the newest
-        # manifest alone
+        depth = prev.get("delta_depth", 0)
+        if mode == "append" and versions and depth + 1 < _FULL_EVERY:
+            # DELTA commit: O(1) metadata — the raw prev manifest
+            # already carries everything needed (depth, ledger,
+            # delete_keys); no resolution, no segment-list restatement
+            manifest: dict = {
+                "version": version,
+                "delta_base": versions[-1],
+                "delta_depth": depth + 1,
+                "add_segments": [seg],
+            }
+        else:
+            # FULL checkpoint: every _FULL_EVERY-th commit in a delta
+            # chain, every overwrite, and version 1 — resolving any
+            # version therefore walks at most _FULL_EVERY manifests
+            full_prev = (
+                _resolve_manifest(fs, path, versions[-1])
+                if versions and mode == "append" else {}
+            )
+            manifest = {
+                "version": version,
+                "segments": full_prev.get("segments", []) + [seg],
+            }
+            # appends preserve live tombstones (an append must not
+            # resurrect erased keys); overwrite commits start clean —
+            # the new segment IS the table, so compaction materializes
+            # deletions physically
+            if full_prev.get("deletes"):
+                manifest["deletes"] = full_prev["deletes"]
+                manifest["delete_keys"] = full_prev["delete_keys"]
+        # the batch ledger rides EVERY commit RAW (appends, deltas,
+        # overwrites, compactions) so a streaming replay probe after
+        # any maintenance operation still finds its batch_id in the
+        # newest manifest alone
         ledger = prev.get("recent_batches", [])
         if batch_id is not None:
             manifest["batch_id"] = batch_id
@@ -268,13 +335,26 @@ def vacuum_snapshots(
         raise ValueError(f"keep_last={keep_last}: need >= 1")
     fs = get_fs(path, spark)
     versions = _snapshot_versions(fs, path)
-    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    keep = versions[-keep_last:]
     latest = versions[-1] if versions else 0
     referenced = set()
+    # a kept DELTA manifest resolves through its base chain, so those
+    # base manifests must survive too (they are bytes, not data; the
+    # chain is at most _FULL_EVERY long per kept version)
+    keep_closure = set(keep)
+    _mf_cache: dict = {}
     for v in keep:
-        mf = _read_manifest(fs, path, v)
+        mf = _resolve_manifest(fs, path, v, _mf_cache)
         referenced.update(mf["segments"])
         referenced.update(mf.get("deletes", []))
+        w = v
+        while True:
+            raw = _read_manifest(fs, path, w)
+            if "delta_base" not in raw:
+                break
+            w = raw["delta_base"]
+            keep_closure.add(w)
+    drop = [v for v in versions if v not in keep_closure]
     for v in drop:
         fs.unlink(_manifest_path(path, v))
     data_dir = _join(path, _DATA_DIR)
@@ -421,8 +501,12 @@ def read_snapshot_changes(
         raise ValueError(
             f"to_version {to_version} < from_version {from_version}"
         )
+    # resolve with a shared cache: the ascending walk makes each
+    # version's resolution O(1) on top of its predecessor's
+    _mf_cache: dict = {}
     base_manifest = (
-        _read_manifest(fs, path, from_version) if from_version else {}
+        _resolve_manifest(fs, path, from_version, _mf_cache)
+        if from_version else {}
     )
     base = base_manifest.get("segments", [])
     cur_deletes = base_manifest.get("deletes", [])
@@ -432,7 +516,7 @@ def read_snapshot_changes(
     for v in versions:
         if not (from_version < v <= to_version):
             continue
-        mf = _read_manifest(fs, path, v)
+        mf = _resolve_manifest(fs, path, v, _mf_cache)
         segs = mf["segments"]
         comp_of = mf.get("compaction_of")
         if comp_of is not None:
@@ -575,7 +659,8 @@ def delete_snapshot_keys(
         versions = _snapshot_versions(fs, path)
         if not versions:
             raise FileNotFoundError(f"no committed snapshots under {path}")
-        prev = _read_manifest(fs, path, versions[-1])
+        prev_raw = _read_manifest(fs, path, versions[-1])
+        prev = _resolve_manifest(fs, path, versions[-1])
         if prev.get("delete_keys") not in (None, key_cols):
             raise ValueError(
                 f"tombstone key columns {key_cols} != existing "
@@ -587,12 +672,25 @@ def delete_snapshot_keys(
             fs, path, written,
             keys_df.select(*key_cols).distinct(), del_dir,
         )
-        manifest = {
-            "version": version,
-            "segments": prev["segments"],
-            "deletes": prev.get("deletes", []) + [del_dir],
-            "delete_keys": key_cols,
-        }
+        depth = prev_raw.get("delta_depth", 0)
+        if depth + 1 < _FULL_EVERY:
+            # tombstones are delta commits too — O(1) metadata
+            manifest = {
+                "version": version,
+                "delta_base": versions[-1],
+                "delta_depth": depth + 1,
+                "add_deletes": [del_dir],
+                "delete_keys": key_cols,
+            }
+        else:
+            manifest = {
+                "version": version,
+                "segments": prev["segments"],
+                "deletes": prev.get("deletes", []) + [del_dir],
+                "delete_keys": key_cols,
+            }
+        if prev_raw.get("recent_batches"):
+            manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
             _manifest_path(path, version), json.dumps(manifest)
         ):
@@ -762,7 +860,7 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    manifest = _read_manifest(fs, path, version)
+    manifest = _resolve_manifest(fs, path, version)
     # segments are ENGINE-written (micros timestamps), so the nanos shim
     # in sources/reader.py is unnecessary — a plain multi-dir scan reads
     # them exactly. mergeSchema: appends may legitimately ADD columns

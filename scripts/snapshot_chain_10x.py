@@ -95,6 +95,21 @@ def main() -> None:
         assert write_snapshot_batch(batch, tbl, 0) == 1
         t_replay_oldest_fallback = time.time() - t0
 
+        # manifest BYTES: the round-12 delta tier bounds per-commit
+        # metadata — a full-manifest format restates the whole segment
+        # list every commit (O(n) bytes per commit, quadratic
+        # cumulative); deltas keep the last-window mean flat at the
+        # first-window mean, with only every 32nd commit paying a full
+        # checkpoint
+        man_dir = os.path.join(tbl, "_snapshots")
+        man_sizes = sorted(
+            (f, os.path.getsize(os.path.join(man_dir, f)))
+            for f in os.listdir(man_dir)
+        )
+        man_first = sum(s for _, s in man_sizes[:w]) / w
+        man_last = sum(s for _, s in man_sizes[-w:]) / w
+        man_total = sum(s for _, s in man_sizes)
+
         t0 = time.time()
         versions = snapshot_versions(tbl)
         t_list = time.time() - t0
@@ -136,6 +151,9 @@ def main() -> None:
             "replay_newest_ms": round(t_replay_newest * 1000, 1),
             "replay_oldest_fallback_ms": round(
                 t_replay_oldest_fallback * 1000, 1),
+            "manifest_bytes_first_window_mean": round(man_first, 1),
+            "manifest_bytes_last_window_mean": round(man_last, 1),
+            "manifest_bytes_total": man_total,
             "version_list_ms": round(t_list * 1000, 1),
             "read_latest_s": round(t_read_latest, 2),
             "cdf_plan_s": round(t_cdf_plan, 2),

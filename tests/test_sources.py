@@ -564,12 +564,15 @@ def test_snapshot_overwrite_and_vacuum_lifecycle(spark, tmp_path):
 
     mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
 
-    # append-only chain: vacuum deletes nothing (all segments shared)
+    # append-only chain: vacuum deletes nothing (all segments shared);
+    # since round 12 appends are DELTA manifests, so the kept version's
+    # resolution chain (v1, a few bytes) survives too — and stays
+    # readable, because its segments are a subset of the kept ones
     p1 = str(tmp_path / "appendy")
     write_snapshot(mk(1), p1)
     write_snapshot(mk(2), p1)
-    assert vacuum_snapshots(p1, keep_last=1) == (1, 0)
-    assert snapshot_versions(p1) == [2]
+    assert vacuum_snapshots(p1, keep_last=1) == (0, 0)
+    assert snapshot_versions(p1) == [1, 2]
     assert {r.id for r in read_snapshot(spark, p1).collect()} == {1, 2}
 
     # overwrite chain: old segment becomes unreferenced and reclaimable
@@ -1001,9 +1004,11 @@ def test_snapshot_tombstone_lifecycle(spark, tmp_path):
             spark.createDataFrame([("x",)], "v string"), path, ["v"]
         )
 
-    # vacuum keeps tombstones referenced by kept manifests
+    # vacuum keeps tombstones referenced by kept manifests (and, since
+    # round 12, the kept delta manifest's whole base chain — manifests
+    # are bytes; every data file stays referenced by the kept resolution)
     dropped, deleted = vacuum_snapshots(path, keep_last=1)
-    assert (dropped, deleted) == (2, 0)  # all 3 segs + del file still live
+    assert (dropped, deleted) == (0, 0)  # all 3 segs + del file still live
     assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 3}
 
     # compaction materializes: physical rows drop, tombstones clear,
@@ -1062,10 +1067,15 @@ def test_snapshot_concurrent_writers_serialize_without_loss(spark, tmp_path):
     # every version's segment list strictly extends its predecessor's
     import json as _json
     import os as _os
+    # RESOLVED manifests (append commits are delta manifests since
+    # round 12 — raw files carry only their own add_segments)
+    from feast_ibm_spark.sources.fsio import LocalFS
+    from feast_ibm_spark.sources.snapshots import _resolve_manifest
+
+    _fs, _cache = LocalFS(), {}
     segs_by_v = {}
     for v in range(1, total + 1):
-        m = _json.load(open(_os.path.join(
-            path, "_snapshots", f"v{v:06d}.json")))
+        m = _resolve_manifest(_fs, path, v, _cache)
         segs_by_v[v] = m["segments"]
         assert len(m["segments"]) == v
         if v > 1:
@@ -1378,3 +1388,101 @@ def test_chain_needs_build_wipes_partial(spark, tmp_path):
     for i in range(3):
         write_snapshot(spark.createDataFrame([(i,)], "id bigint"), dest)
     assert not _chain_needs_build(dest, 3)      # complete: reused
+
+
+def test_delta_manifests_bound_metadata_growth(spark, tmp_path):
+    """Round 12 manifest tier: append commits write DELTA manifests
+    (O(1) bytes) with a FULL checkpoint every _FULL_EVERY-th commit, so
+    per-commit metadata no longer restates the whole segment list.
+    Reads, time travel, and the CDF resolve identically across the
+    checkpoint boundary; vacuum keeps resolution chains intact."""
+    import json
+    import os
+
+    from feast_ibm_spark.sources.fsio import LocalFS
+    from feast_ibm_spark.sources.snapshots import (
+        _FULL_EVERY,
+        _resolve_manifest,
+        read_snapshot,
+        read_snapshot_changes,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    mk = lambda i: spark.createDataFrame([(i,)], "id bigint")
+    path = str(tmp_path / "deltas")
+    n = _FULL_EVERY + 8  # crosses the first full checkpoint
+    for i in range(1, n + 1):
+        write_snapshot(mk(i), path)
+
+    raw = {
+        v: json.load(open(os.path.join(path, "_snapshots", f"v{v:06d}.json")))
+        for v in snapshot_versions(path)
+    }
+    fulls = [v for v, m in raw.items() if "delta_base" in m] and [
+        v for v, m in raw.items() if "segments" in m
+    ]
+    assert fulls == [1, _FULL_EVERY + 1]  # v1 + the depth-32 checkpoint
+    # delta manifests carry ONE segment each — O(1) bytes per commit
+    for v, m in raw.items():
+        if "delta_base" in m:
+            assert m["delta_base"] == v - 1
+            assert len(m["add_segments"]) == 1
+            assert "segments" not in m
+    # the checkpoint restates everything; bytes on disk stay bounded
+    sizes = {
+        v: os.path.getsize(os.path.join(path, "_snapshots", f"v{v:06d}.json"))
+        for v in raw
+    }
+    assert sizes[n] < sizes[_FULL_EVERY + 1]  # last delta << the checkpoint
+
+    # content identical across the boundary: full read, time travel, CDF
+    assert {r.id for r in read_snapshot(spark, path).collect()} == set(
+        range(1, n + 1))
+    assert {r.id for r in read_snapshot(spark, path, _FULL_EVERY - 1)
+            .collect()} == set(range(1, _FULL_EVERY))
+    got = {(r.id, r._commit_version) for r in read_snapshot_changes(
+        spark, path, _FULL_EVERY - 2).collect()}
+    assert got == {(i, i) for i in range(_FULL_EVERY - 1, n + 1)}
+    # resolution is exact at every version
+    fs, cache = LocalFS(), {}
+    for v in snapshot_versions(path):
+        assert len(_resolve_manifest(fs, path, v, cache)["segments"]) == v
+
+
+def test_delta_manifests_legacy_chain_compat(spark, tmp_path):
+    """A pre-round-12 table (every manifest full, no delta fields) keeps
+    working: new appends write deltas on top of the legacy fulls, and
+    reads/CDF resolve across the old/new boundary."""
+    import json
+    import os
+
+    from feast_ibm_spark.sources.fsio import LocalFS
+    from feast_ibm_spark.sources.snapshots import (
+        _resolve_manifest,
+        read_snapshot,
+        read_snapshot_changes,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    mk = lambda i: spark.createDataFrame([(i,)], "id bigint")
+    path = str(tmp_path / "legacy")
+    for i in (1, 2, 3):
+        write_snapshot(mk(i), path)
+    # rewrite every manifest as a pre-r12 FULL manifest
+    fs = LocalFS()
+    for v in snapshot_versions(path):
+        full = _resolve_manifest(fs, path, v)
+        full = {k: v2 for k, v2 in full.items()
+                if k in ("version", "segments", "deletes", "delete_keys")}
+        open(os.path.join(path, "_snapshots", f"v{v:06d}.json"),
+             "w").write(json.dumps(full))
+
+    write_snapshot(mk(4), path)  # a post-upgrade delta append
+    m4 = json.load(open(os.path.join(path, "_snapshots", "v000004.json")))
+    assert m4["delta_base"] == 3 and m4["delta_depth"] == 1
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 2, 3, 4}
+    got = {(r.id, r._commit_version)
+           for r in read_snapshot_changes(spark, path, 2).collect()}
+    assert got == {(3, 3), (4, 4)}
