@@ -825,6 +825,11 @@ QUERIES: dict[str, QueryDef] = {
         "CDF consumption ACROSS a certified compaction: fresh, "
         "lagging-pre-compaction, and fully-acked consumer positions "
         "under one hash (round 12)"),
+    "layout_snapshot_partition_overwrite": QueryDef(
+        q_layout_snapshot_partition_overwrite,
+        ORACLE_SNAPSHOT_PARTITION_OVERWRITE,
+        "dynamic partition overwrite: metadata-level partition swap + "
+        "time travel + partition-pruned read (round 12)"),
     "layout_snapshot_pipeline": QueryDef(q_layout_snapshot_pipeline,
                                          ORACLE_SNAPSHOT_PIPELINE,
                                          "exactly-once table-to-table "

@@ -716,6 +716,89 @@ FROM tagged WHERE cv = 4 GROUP BY 1, 2, 3
 """
 
 
+def q_layout_snapshot_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE on the snapshot format (round 12,
+    sources/snapshots.overwrite_snapshot_partitions — the Delta
+    replaceWhere / Iceberg dynamic-overwrite move): v1 commits the
+    whole events table as partition-tagged segments (one per
+    event_type), v2 replaces ONLY the 'purchase' partition with a
+    corrected backfill (its pre-split rows) — a metadata-level swap
+    that rewrites no byte of any other partition. Three read positions
+    under one hash: v1 time travel (the pre-backfill table intact),
+    the latest table (purchase corrected, everything else untouched),
+    and a partition-PRUNED read of 'purchase' alone (the manifest
+    answers pruning before any file listing — reading one partition of
+    a 10^5-segment table plans O(1) directories). At 100 TB this is
+    the daily-backfill pattern: one day's write replaces one day's
+    partition, never a table scan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        overwrite_snapshot_partitions,
+        read_snapshot,
+        read_snapshot_partitions,
+        write_snapshot_partitioned,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_po_{tag}")
+    if _chain_needs_build(dest, 2):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", _cents("value").alias("cents"), "ts"
+        )
+        write_snapshot_partitioned(ev, dest, "event_type")
+        fix = ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
+        )
+        overwrite_snapshot_partitions(fix, dest, "event_type")
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(phase).cast("bigint").alias("phase"),
+            "event_type", "n_events", "sum_cents",
+        )
+
+    return (
+        prof(read_snapshot(spark, dest, 1), 1)
+        .unionByName(prof(read_snapshot(spark, dest), 2))
+        .unionByName(
+            prof(read_snapshot_partitions(spark, dest, ["purchase"]), 3)
+        )
+    )
+
+
+ORACLE_SNAPSHOT_PARTITION_OVERWRITE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT CAST(1 AS BIGINT) AS phase, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type,
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM ev
+WHERE event_type <> 'purchase' OR ts < TIMESTAMP '{SNAPSHOT_SPLIT}'
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(3 AS BIGINT), event_type,
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM ev
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '{SNAPSHOT_SPLIT}'
+GROUP BY 1, 2
+"""
+
+
 def q_layout_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the snapshot format (sources/snapshots.
     merge_snapshot): v1 commits the latest-per-user profile from the

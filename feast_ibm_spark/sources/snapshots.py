@@ -142,6 +142,14 @@ def _resolve_manifest(
         base = _resolve_manifest(fs, path, mf["delta_base"], cache)
         out = dict(mf)
         out["segments"] = base.get("segments", []) + mf.get("add_segments", [])
+        if base.get("segment_partitions") or mf.get("add_segment_partitions"):
+            out["segment_partitions"] = {
+                **base.get("segment_partitions", {}),
+                **mf.get("add_segment_partitions", {}),
+            }
+            out["partition_col"] = (
+                mf.get("partition_col") or base.get("partition_col")
+            )
         out["deletes"] = base.get("deletes", []) + mf.get("add_deletes", [])
         if not out.get("delete_keys"):
             out["delete_keys"] = base.get("delete_keys")
@@ -844,6 +852,241 @@ def merge_snapshot(
     return _commit_version(
         merged, path, "overwrite", base_version=base_version
     )
+
+
+def _write_partition_segments(
+    fs, path: str, df: DataFrame, partition_col: str,
+    version: int, nonce: str, written: dict[str, str],
+) -> tuple[list[str], dict[str, str]]:
+    """One segment directory PER PARTITION VALUE at ``version`` —
+    the layout that makes partition-level drops exact (a segment is
+    droppable iff its single partition value is replaced). Values are
+    compared as strings (cast once, both at write and at replace), so
+    any orderable partition type works. ``written`` memoizes
+    value -> already-written dir across CAS retries: a retry renames
+    the directories to the new version's names instead of re-running
+    the Spark jobs (the same cheap-metadata reposition appends use).
+    One write job per AFFECTED partition value — the partition-
+    overwrite workload is a backfill touching few partitions; bulk
+    initial loads should use plain appends or accept the one-off
+    cost."""
+    vals = sorted(
+        r[0] for r in
+        df.select(F.col(partition_col).cast("string")).distinct().collect()
+        if r[0] is not None
+    )
+    if not vals:
+        raise ValueError("no non-null partition values in the batch")
+    segs, tags = [], {}
+    for i, val in enumerate(vals):
+        seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}-p{i:04d}"
+        src_dir = written.get(val)
+        part_df = df.filter(F.col(partition_col).cast("string") == val)
+        written[val] = _reposition_segment(fs, path, src_dir, part_df, seg)
+        segs.append(seg)
+        tags[seg] = val
+    return segs, tags
+
+
+def write_snapshot_partitioned(
+    df: DataFrame, path: str, partition_col: str
+) -> int:
+    """Append ``df`` as PARTITION-TAGGED segments: one segment per
+    distinct ``partition_col`` value, each tagged in the manifest —
+    the layout :func:`overwrite_snapshot_partitions` needs to replace
+    partitions at the METADATA level (zero rewrite of untouched
+    partitions) and :func:`read_snapshot_partitions` needs to prune
+    scans to the asked-for partitions before touching data. The
+    partition column stays a normal data column inside each segment
+    (no Hive-style directory encoding), so every other read path is
+    unchanged. Returns the committed version."""
+    import time
+
+    spark = df.sparkSession
+    fs = get_fs(path, spark)
+    fs.makedirs(_join(path, _MANIFEST_DIR))
+    nonce = uuid.uuid4().hex[:8]
+    written: dict[str, str] = {}
+    for attempt in range(_COMMIT_RETRIES):
+        versions = _snapshot_versions(fs, path)
+        version = (versions[-1] + 1) if versions else 1
+        prev_raw = _read_manifest(fs, path, versions[-1]) if versions else {}
+        prev_pcol = None
+        if versions:
+            resolved_prev = _resolve_manifest(fs, path, versions[-1])
+            prev_pcol = resolved_prev.get("partition_col")
+            if prev_pcol not in (None, partition_col):
+                raise ValueError(
+                    f"partition column {partition_col!r} != existing "
+                    f"{prev_pcol!r} — one partition dimension per table"
+                )
+        segs, tags = _write_partition_segments(
+            fs, path, df, partition_col, version, nonce, written
+        )
+        depth = prev_raw.get("delta_depth", 0)
+        if versions and depth + 1 < _FULL_EVERY:
+            manifest: dict = {
+                "version": version,
+                "delta_base": versions[-1],
+                "delta_depth": depth + 1,
+                "add_segments": segs,
+                "add_segment_partitions": tags,
+                "partition_col": partition_col,
+            }
+        else:
+            full_prev = (
+                _resolve_manifest(fs, path, versions[-1]) if versions else {}
+            )
+            manifest = {
+                "version": version,
+                "segments": full_prev.get("segments", []) + segs,
+                "segment_partitions": {
+                    **full_prev.get("segment_partitions", {}), **tags
+                },
+                "partition_col": partition_col,
+            }
+            if full_prev.get("deletes"):
+                manifest["deletes"] = full_prev["deletes"]
+                manifest["delete_keys"] = full_prev["delete_keys"]
+        if prev_raw.get("recent_batches"):
+            manifest["recent_batches"] = prev_raw["recent_batches"]
+        if fs.write_text_exclusive(
+            _manifest_path(path, version), json.dumps(manifest)
+        ):
+            return version
+        time.sleep(0.01 * (attempt + 1))
+    raise RuntimeError(
+        f"partitioned append lost {_COMMIT_RETRIES} optimistic races "
+        f"under {path} — pathological writer contention"
+    )
+
+
+def overwrite_snapshot_partitions(
+    df: DataFrame, path: str, partition_col: str
+) -> int:
+    """DYNAMIC PARTITION OVERWRITE (Delta ``replaceWhere`` / Iceberg
+    dynamic overwrite, reduced to this format): commit a new version
+    where every partition PRESENT IN ``df`` is replaced by ``df``'s
+    rows and every other partition is untouched — a METADATA-level
+    swap (drop the replaced partitions' segments from the manifest,
+    add the new ones); no byte of an untouched partition is rewritten
+    or even read. This is the daily-backfill move: correcting one day
+    of a year-partitioned 100 TB table costs one day's write, not a
+    table scan.
+
+    Requires every live segment to carry a partition tag (i.e. a table
+    built with :func:`write_snapshot_partitioned`) — compaction
+    collapses the table into one untagged segment and therefore trades
+    this ability away until the table is re-partitioned; refused
+    loudly. The commit retries like an append on a lost CAS race
+    (the drop set is recomputed against the new latest, so concurrent
+    appends of OTHER partitions interleave safely; two overwrites of
+    the SAME partition serialize last-writer-wins). History stays
+    time-travelable; the replaced segments become vacuum-reclaimable
+    once their manifests age out. The change data feed refuses ranges
+    crossing this commit (rows were REPLACED, not added — insert-only
+    semantics would lie). Returns the committed version."""
+    import time
+
+    spark = df.sparkSession
+    fs = get_fs(path, spark)
+    nonce = uuid.uuid4().hex[:8]
+    written: dict[str, str] = {}
+    for attempt in range(_COMMIT_RETRIES):
+        versions = _snapshot_versions(fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {path}")
+        prev_raw = _read_manifest(fs, path, versions[-1])
+        prev = _resolve_manifest(fs, path, versions[-1])
+        tags = prev.get("segment_partitions", {})
+        untagged = [s for s in prev["segments"] if s not in tags]
+        if untagged:
+            raise ValueError(
+                f"partition overwrite needs every live segment "
+                f"partition-tagged; {len(untagged)} untagged (e.g. "
+                f"{untagged[0]!r}) — rebuild with "
+                "write_snapshot_partitioned (compaction discards tags)"
+            )
+        if prev.get("partition_col") != partition_col:
+            raise ValueError(
+                f"partition column {partition_col!r} != table's "
+                f"{prev.get('partition_col')!r}"
+            )
+        version = versions[-1] + 1
+        segs, new_tags = _write_partition_segments(
+            fs, path, df, partition_col, version, nonce, written
+        )
+        affected = set(new_tags.values())
+        kept = [s for s in prev["segments"] if tags[s] not in affected]
+        manifest = {
+            "version": version,
+            "segments": kept + segs,
+            "segment_partitions": {
+                **{s: tags[s] for s in kept}, **new_tags
+            },
+            "partition_col": partition_col,
+        }
+        # suppression outlives the swap: tombstoned keys stay erased in
+        # untouched partitions (and suppress re-introductions, the
+        # append rule)
+        if prev.get("deletes"):
+            manifest["deletes"] = prev["deletes"]
+            manifest["delete_keys"] = prev["delete_keys"]
+        if prev_raw.get("recent_batches"):
+            manifest["recent_batches"] = prev_raw["recent_batches"]
+        if fs.write_text_exclusive(
+            _manifest_path(path, version), json.dumps(manifest)
+        ):
+            return version
+        time.sleep(0.01 * (attempt + 1))
+    raise RuntimeError(
+        f"partition overwrite lost {_COMMIT_RETRIES} optimistic races "
+        f"under {path} — pathological writer contention"
+    )
+
+
+def read_snapshot_partitions(
+    spark: SparkSession,
+    path: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-PRUNED snapshot read: scan only the segments whose
+    partition tag is in ``values`` (compared as strings, matching the
+    write side) — the manifest answers the pruning question before any
+    file listing, so reading one partition of a 10^5-segment table
+    plans O(1) data directories. Tombstones still apply. Unknown
+    values prune to nothing and raise (catching typos loudly rather
+    than returning a silently empty frame)."""
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    manifest = _resolve_manifest(fs, path, version)
+    tags = manifest.get("segment_partitions", {})
+    want = {str(v) for v in values}
+    known = set(tags.values())
+    missing = want - known
+    if missing:
+        raise ValueError(
+            f"partition values {sorted(missing)} not in the table "
+            f"(has {sorted(known)})"
+        )
+    dirs = [s for s in manifest["segments"] if tags.get(s) in want]
+    out = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_join(path, s) for s in dirs])
+    )
+    if manifest.get("deletes"):
+        tombs = spark.read.parquet(
+            *[_join(path, d) for d in manifest["deletes"]]
+        ).distinct()
+        out = out.join(
+            F.broadcast(tombs), manifest["delete_keys"], "left_anti"
+        )
+    return out
 
 
 def read_snapshot(

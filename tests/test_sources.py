@@ -1486,3 +1486,84 @@ def test_delta_manifests_legacy_chain_compat(spark, tmp_path):
     got = {(r.id, r._commit_version)
            for r in read_snapshot_changes(spark, path, 2).collect()}
     assert got == {(3, 3), (4, 4)}
+
+
+def test_partition_overwrite_lifecycle(spark, tmp_path):
+    """Dynamic partition overwrite (round 12): partition-tagged appends,
+    a metadata-level partition swap (untouched partitions' segments are
+    byte-identical directories before and after), partition-pruned
+    reads, time travel across the swap, CDF refusal across it, vacuum
+    reclaiming replaced segments, and the compaction-discards-tags
+    refusal."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        overwrite_snapshot_partitions,
+        read_snapshot,
+        read_snapshot_changes,
+        read_snapshot_partitions,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot_partitioned,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "day string, id bigint")
+    path = str(tmp_path / "parts")
+    v1 = write_snapshot_partitioned(
+        mk([("mon", 1), ("mon", 2), ("tue", 3)]), path, "day")
+    v2 = write_snapshot_partitioned(mk([("wed", 4)]), path, "day")
+    assert (v1, v2) == (1, 2)
+    assert {(r.day, r.id) for r in read_snapshot(spark, path).collect()} == {
+        ("mon", 1), ("mon", 2), ("tue", 3), ("wed", 4)}
+
+    # partition column is enforced table-wide
+    with _pytest.raises(ValueError, match="partition column"):
+        write_snapshot_partitioned(
+            mk([("x", 9)]).withColumnRenamed("day", "other"), path, "other")
+
+    # the backfill: replace ONLY partition 'mon'
+    before = {
+        s for s in os.listdir(os.path.join(path, "data"))
+    }
+    v3 = overwrite_snapshot_partitions(mk([("mon", 10)]), path, "day")
+    got = {(r.day, r.id) for r in read_snapshot(spark, path).collect()}
+    assert got == {("mon", 10), ("tue", 3), ("wed", 4)}
+    # metadata-level swap: tue/wed segment DIRECTORIES are untouched
+    mf = json.load(open(os.path.join(path, "_snapshots", f"v{v3:06d}.json")))
+    kept = [s for s in mf["segments"]
+            if mf["segment_partitions"][s] in ("tue", "wed")]
+    assert all(os.path.basename(s) in before for s in kept)
+    # time travel: the pre-swap table is intact
+    assert {(r.day, r.id) for r in read_snapshot(spark, path, 2).collect()
+            } == {("mon", 1), ("mon", 2), ("tue", 3), ("wed", 4)}
+
+    # partition-pruned read: only the asked-for partitions' segments
+    pruned = read_snapshot_partitions(spark, path, ["mon"])
+    assert {(r.day, r.id) for r in pruned.collect()} == {("mon", 10)}
+    assert len(pruned.inputFiles()) < len(
+        read_snapshot(spark, path).inputFiles())
+    with _pytest.raises(ValueError, match="not in the table"):
+        read_snapshot_partitions(spark, path, ["thu"])
+
+    # CDF refuses across the swap (rows were replaced, not added)
+    with _pytest.raises(ValueError, match="not an append"):
+        read_snapshot_changes(spark, path, 1)
+    # ...but the pre-swap range still feeds
+    assert read_snapshot_changes(spark, path, 1, 2).count() == 1
+
+    # vacuum reclaims the replaced mon segments once manifests age out
+    dropped, deleted = vacuum_snapshots(path, keep_last=1)
+    assert deleted == 1  # exactly v1's replaced 'mon' segment is dead;
+    # tue (v1) and wed (v2) stay referenced by the kept resolution
+    assert {(r.day, r.id) for r in read_snapshot(spark, path).collect()
+            } == {("mon", 10), ("tue", 3), ("wed", 4)}
+
+    # compaction collapses to one untagged segment: partition overwrite
+    # then refuses until the table is rebuilt partitioned
+    compact_snapshots(spark, path)
+    with _pytest.raises(ValueError, match="partition-tagged"):
+        overwrite_snapshot_partitions(mk([("tue", 9)]), path, "day")
