@@ -825,6 +825,11 @@ QUERIES: dict[str, QueryDef] = {
         "CDF consumption ACROSS a certified compaction: fresh, "
         "lagging-pre-compaction, and fully-acked consumer positions "
         "under one hash (round 12)"),
+    "layout_snapshot_zonemap": QueryDef(
+        q_layout_snapshot_zonemap,
+        ORACLE_SNAPSHOT_ZONEMAP,
+        "manifest zone maps: per-segment [min,max] stats prune "
+        "time-windowed snapshot reads at the metadata level (round 12)"),
     "layout_snapshot_partition_overwrite": QueryDef(
         q_layout_snapshot_partition_overwrite,
         ORACLE_SNAPSHOT_PARTITION_OVERWRITE,

@@ -716,6 +716,80 @@ FROM tagged WHERE cv = 4 GROUP BY 1, 2, 3
 """
 
 
+def q_layout_snapshot_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST zone maps (round 12, sources/snapshots
+    read_snapshot_between): three ts-windowed appends committed with
+    ``stats_cols=["ts"]`` record per-segment [min, max] in the
+    manifest, and a time-windowed read prunes non-overlapping segments
+    from METADATA alone — the Iceberg per-file-stats move, the natural
+    fit for streaming tables whose micro-batches each cover a narrow
+    time range (a windowed read of a 10^5-segment table plans only the
+    overlapping handful). Phase 1 hashes the full table; phase 2 a
+    window covering the middle segment plus part of the third — the
+    exact predicate re-applies on top, so stats change I/O, never
+    answers (the skipped-files plan property is pinned in
+    tests/test_plans.py)."""
+    import datetime
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot,
+        read_snapshot_between,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_zm_{tag}")
+    if _chain_needs_build(dest, 3):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", _cents("value").alias("cents"), "ts"
+        )
+        s1 = F.lit(SNAPSHOT_CDF_SPLIT1).cast("timestamp")
+        s2 = F.lit(SNAPSHOT_CDF_SPLIT2).cast("timestamp")
+        write_snapshot(ev.filter(F.col("ts") < s1), dest, stats_cols=["ts"])
+        write_snapshot(ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+                       dest, stats_cols=["ts"])
+        write_snapshot(ev.filter(F.col("ts") >= s2), dest, stats_cols=["ts"])
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(phase).cast("bigint").alias("phase"),
+            "event_type", "n_events", "sum_cents",
+        )
+
+    lo = datetime.datetime.fromisoformat(SNAPSHOT_CDF_SPLIT1)
+    hi = datetime.datetime.fromisoformat(ZONEMAP_WINDOW_END)
+    return prof(read_snapshot(spark, dest), 1).unionByName(
+        prof(read_snapshot_between(spark, dest, "ts", lo, hi), 2)
+    )
+
+
+ZONEMAP_WINDOW_END = "2024-01-22 00:00:00"
+
+ORACLE_SNAPSHOT_ZONEMAP = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT CAST(1 AS BIGINT) AS phase, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type,
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM ev
+WHERE ts >= TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}'
+  AND ts <= TIMESTAMP '{ZONEMAP_WINDOW_END}'
+GROUP BY 1, 2
+"""
+
+
 def q_layout_snapshot_partition_overwrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -142,6 +142,11 @@ def _resolve_manifest(
         base = _resolve_manifest(fs, path, mf["delta_base"], cache)
         out = dict(mf)
         out["segments"] = base.get("segments", []) + mf.get("add_segments", [])
+        if base.get("segment_stats") or mf.get("add_segment_stats"):
+            out["segment_stats"] = {
+                **base.get("segment_stats", {}),
+                **mf.get("add_segment_stats", {}),
+            }
         if base.get("segment_partitions") or mf.get("add_segment_partitions"):
             out["segment_partitions"] = {
                 **base.get("segment_partitions", {}),
@@ -215,6 +220,38 @@ def _reposition_segment(fs, path, written: str | None, df, seg: str) -> str:
     return dst
 
 
+def _canon_stat(v):
+    """Canonical JSON-storable form of a segment-stat bound whose
+    comparison order matches the column's: numerics and plain strings
+    as-is; timestamps as FIXED-WIDTH microsecond strings (variable
+    precision would make lexicographic order lie exactly at window
+    boundaries — a wrongly skipped segment is a wrong ANSWER, since the
+    exact filter can only narrow, never resurrect); dates as ISO."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
+    """Per-column [min, max] of the batch being committed — ONE small
+    aggregate over the increment (cost proportional to new data, never
+    the table), stored in the manifest so stat-pruned reads can skip
+    whole segments without touching the data plane."""
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: [_canon_stat(row[f"__lo_{c}"]), _canon_stat(row[f"__hi_{c}"])]
+        for c in stats_cols
+        if row[f"__lo_{c}"] is not None
+    }
+
+
 def _commit_version(
     df: DataFrame,
     path: str,
@@ -222,6 +259,7 @@ def _commit_version(
     batch_id: int | None = None,
     base_version: int | None = None,
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Shared commit tail of :func:`write_snapshot` and
     :func:`write_snapshot_batch`: write the segment, then publish the
@@ -245,6 +283,7 @@ def _commit_version(
     fs.makedirs(_join(path, _MANIFEST_DIR))
     written = None
     nonce = uuid.uuid4().hex[:8]
+    stats = _segment_stats(df, stats_cols) if stats_cols else None
     for attempt in range(_COMMIT_RETRIES):
         versions = _snapshot_versions(fs, path)
         version = (versions[-1] + 1) if versions else 1
@@ -268,6 +307,8 @@ def _commit_version(
                 "delta_depth": depth + 1,
                 "add_segments": [seg],
             }
+            if stats:
+                manifest["add_segment_stats"] = {seg: stats}
         else:
             # FULL checkpoint: every _FULL_EVERY-th commit in a delta
             # chain, every overwrite, and version 1 — resolving any
@@ -280,6 +321,11 @@ def _commit_version(
                 "version": version,
                 "segments": full_prev.get("segments", []) + [seg],
             }
+            prior_stats = full_prev.get("segment_stats", {})
+            if prior_stats or stats:
+                manifest["segment_stats"] = dict(prior_stats)
+                if stats:
+                    manifest["segment_stats"][seg] = stats
             # appends preserve live tombstones (an append must not
             # resurrect erased keys); overwrite commits start clean —
             # the new segment IS the table, so compaction materializes
@@ -310,7 +356,10 @@ def _commit_version(
     )
 
 
-def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_snapshot(
+    df: DataFrame, path: str, mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new immutable snapshot version; returns the
     committed version number. Version 1 creates the table. ``mode``:
     ``"append"`` — the new version sees all previous segments plus this
@@ -320,7 +369,7 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
     rename is the commit point either way."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode={mode!r}: need 'append' or 'overwrite'")
-    return _commit_version(df, path, mode)
+    return _commit_version(df, path, mode, stats_cols=stats_cols)
 
 
 def vacuum_snapshots(
@@ -378,7 +427,10 @@ def vacuum_snapshots(
     return len(drop), n_seg
 
 
-def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:
+def write_snapshot_batch(
+    df: DataFrame, path: str, batch_id: int,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Exactly-once twin of :func:`write_snapshot` for streaming
     ``foreachBatch`` sinks: the manifest records ``batch_id``, and a
     RETRY of an already-committed batch (Structured Streaming replays
@@ -413,11 +465,13 @@ def write_snapshot_batch(df: DataFrame, path: str, batch_id: int) -> int:
         if hit is not None:
             return hit
         if batch_id > ledger[-1][0]:
-            return _commit_version(df, path, "append", batch_id=batch_id)
+            return _commit_version(df, path, "append", batch_id=batch_id,
+                                   stats_cols=stats_cols)
     for v in reversed(versions):
         if _read_manifest(fs, path, v).get("batch_id") == batch_id:
             return v
-    return _commit_version(df, path, "append", batch_id=batch_id)
+    return _commit_version(df, path, "append", batch_id=batch_id,
+                           stats_cols=stats_cols)
 
 
 def compact_snapshots(spark: SparkSession, path: str) -> int:
@@ -1087,6 +1141,64 @@ def read_snapshot_partitions(
             F.broadcast(tombs), manifest["delete_keys"], "left_anti"
         )
     return out
+
+
+def read_snapshot_between(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stat-PRUNED snapshot read: ``col BETWEEN lo AND hi`` (inclusive)
+    where whole segments are skipped from the MANIFEST's per-segment
+    [min, max] stats before any file listing — the Iceberg zone-map
+    move on this format. A streaming table's micro-batches each cover a
+    narrow time window, so a time-windowed read of a 10^5-segment
+    table plans only the overlapping handful. Segments without
+    recorded stats for ``col`` (committed without ``stats_cols``, or
+    rewritten by a compaction) are conservatively scanned, and the
+    exact predicate re-applies on top — stats change I/O, never
+    answers. Pass timestamp bounds as ``datetime`` objects (canonical
+    fixed-width comparison; a string bound must already be full-width
+    canonical)."""
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    manifest = _resolve_manifest(fs, path, version)
+    stats = manifest.get("segment_stats", {})
+    lo_c, hi_c = _canon_stat(lo), _canon_stat(hi)
+    dirs = [
+        s for s in manifest["segments"]
+        if not (
+            col in stats.get(s, {})
+            and (stats[s][col][1] < lo_c or stats[s][col][0] > hi_c)
+        )
+    ]
+    if not dirs:
+        # every segment skipped: an empty frame with the right schema
+        dirs = manifest["segments"][:1]
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(path, d) for d in dirs]).limit(0)
+        )
+    else:
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(path, d) for d in dirs])
+        )
+    if manifest.get("deletes"):
+        tombs = spark.read.parquet(
+            *[_join(path, d) for d in manifest["deletes"]]
+        ).distinct()
+        out = out.join(
+            F.broadcast(tombs), manifest["delete_keys"], "left_anti"
+        )
+    return out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
 def read_snapshot(

@@ -249,6 +249,7 @@ SMOKE_QUERIES = [
     "layout_data_skipping",
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
+    "layout_snapshot_zonemap",
     "layout_snapshot_consume",
     "trend_ols_counts",
     "agg_mode_exact",

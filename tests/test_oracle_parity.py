@@ -127,6 +127,10 @@ def test_driver_export_r12_rotation_invariants():
 # round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
 _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
+    "layout_snapshot_zonemap",          # manifest zone maps: stat-pruned
+                                        # windowed reads; unit net +
+                                        # plan pin + 3-scale pins from
+                                        # day one
     "layout_snapshot_partition_overwrite",  # dynamic partition
                                         # overwrite: metadata-level swap,
                                         # pruned read; lifecycle unit net
@@ -343,6 +347,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_time_travel",
+    "layout_snapshot_zonemap",
     "layout_zorder_roundtrip",
     "materialize_agg_incremental",
     "materialize_incremental",

@@ -1567,3 +1567,60 @@ def test_partition_overwrite_lifecycle(spark, tmp_path):
     compact_snapshots(spark, path)
     with _pytest.raises(ValueError, match="partition-tagged"):
         overwrite_snapshot_partitions(mk([("tue", 9)]), path, "day")
+
+
+def test_snapshot_segment_stats_skipping(spark, tmp_path):
+    """Manifest zone maps (round 12): commits with stats_cols record
+    per-segment [min, max]; read_snapshot_between skips non-overlapping
+    segments from the manifest alone (inputFiles proves it), boundary
+    rows are INCLUSIVE both ends, stats survive delta resolution,
+    stat-less segments are conservatively scanned, and the exact filter
+    re-applies on top."""
+    import datetime
+
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+        read_snapshot_between,
+        write_snapshot,
+    )
+
+    def mk(lo, n):
+        base = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(lo + i, base + datetime.timedelta(days=lo + i))
+             for i in range(n)],
+            "id bigint, ts timestamp",
+        )
+
+    path = str(tmp_path / "zones")
+    write_snapshot(mk(0, 5), path, stats_cols=["ts", "id"])    # days 0-4
+    write_snapshot(mk(5, 5), path, stats_cols=["ts", "id"])    # days 5-9
+    write_snapshot(mk(10, 5), path, stats_cols=["ts", "id"])   # days 10-14
+
+    full_files = len(read_snapshot(spark, path).inputFiles())
+    base = datetime.datetime(2024, 1, 1)
+    win = read_snapshot_between(
+        spark, path, "ts",
+        base + datetime.timedelta(days=5), base + datetime.timedelta(days=9),
+    )
+    assert {r.id for r in win.collect()} == set(range(5, 10))  # inclusive
+    assert len(win.inputFiles()) < full_files  # segments truly skipped
+
+    # numeric stats prune the same way; empty window -> empty + schema
+    assert {r.id for r in read_snapshot_between(
+        spark, path, "id", 12, 99).collect()} == {12, 13, 14}
+    none = read_snapshot_between(spark, path, "id", 100, 200)
+    assert none.count() == 0 and set(none.columns) == {"id", "ts"}
+
+    # a stat-less segment is scanned conservatively, answer still exact
+    write_snapshot(mk(15, 5), path)  # no stats_cols
+    got = {r.id for r in read_snapshot_between(
+        spark, path, "id", 14, 16).collect()}
+    assert got == {14, 15, 16}
+
+    # compaction rewrites into one stat-less segment: unpruned but exact
+    compact_snapshots(spark, path)
+    got = {r.id for r in read_snapshot_between(
+        spark, path, "id", 3, 6).collect()}
+    assert got == {3, 4, 5, 6}
