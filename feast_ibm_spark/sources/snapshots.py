@@ -179,6 +179,15 @@ _COMMIT_RETRIES = 24
 _BATCH_LEDGER_KEEP = 64
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's batch redefines an existing column with a DIFFERENT
+    type. mergeSchema would accept the commit and then fail (or
+    silently coerce) every later multi-segment scan — refuse at the
+    commit point instead, naming the column (the Delta
+    schema-enforcement behavior). Additive evolution (new columns) and
+    batches omitting existing columns remain allowed."""
+
+
 class SnapshotConflictError(RuntimeError):
     """A read-modify-write commit (MERGE, compaction) lost to a
     concurrent writer: the table's latest version advanced past the
@@ -220,6 +229,27 @@ def _reposition_segment(fs, path, written: str | None, df, seg: str) -> str:
     return dst
 
 
+def _merged_schema(prev_raw: dict, df: DataFrame, path: str) -> dict:
+    """Validate-and-merge an appending commit's schema against the
+    table's recorded one (see the enforcement note in
+    :func:`_commit_version`); returns the map to record."""
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    table_schema = dict(prev_raw.get("schema", {}))
+    conflicts = {
+        name: (table_schema[name], typ)
+        for name, typ in new_schema.items()
+        if name in table_schema and table_schema[name] != typ
+    }
+    if conflicts:
+        raise SchemaEvolutionError(
+            f"append under {path} changes column types "
+            f"{{name: (table, batch)}}: {conflicts} — cast the batch "
+            "or commit mode='overwrite' to replace the table"
+        )
+    table_schema.update(new_schema)
+    return table_schema
+
+
 def _canon_stat(v):
     """Canonical JSON-storable form of a segment-stat bound whose
     comparison order matches the column's: numerics and plain strings
@@ -241,15 +271,19 @@ def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
     aggregate over the increment (cost proportional to new data, never
     the table), stored in the manifest so stat-pruned reads can skip
     whole segments without touching the data plane."""
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
-    return {
+    out = {
         c: [_canon_stat(row[f"__lo_{c}"]), _canon_stat(row[f"__hi_{c}"])]
         for c in stats_cols
         if row[f"__lo_{c}"] is not None
     }
+    # the row count rides the same single aggregate — it enables
+    # metadata-only COUNT(*) (snapshot_row_count) for free
+    out["__rows"] = row["__n"]
+    return out
 
 
 def _commit_version(
@@ -284,6 +318,7 @@ def _commit_version(
     written = None
     nonce = uuid.uuid4().hex[:8]
     stats = _segment_stats(df, stats_cols) if stats_cols else None
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for attempt in range(_COMMIT_RETRIES):
         versions = _snapshot_versions(fs, path)
         version = (versions[-1] + 1) if versions else 1
@@ -296,6 +331,19 @@ def _commit_version(
         seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}"
         written = _reposition_segment(fs, path, written, df, seg)
         prev = _read_manifest(fs, path, versions[-1]) if versions else {}
+        # SCHEMA ENFORCEMENT at the commit point (round 12): every
+        # manifest carries the table's field->type map RAW; an append
+        # whose shared columns CHANGE TYPE is refused here — at commit,
+        # with a named column — instead of corrupting every later
+        # multi-segment scan with a mergeSchema type conflict. New
+        # columns are additive evolution (allowed, recorded); a batch
+        # may omit existing columns (old readers null-pad). Overwrite
+        # commits replace the schema outright. Pre-round-12 manifests
+        # carry no schema: recording starts at the next commit.
+        table_schema = (
+            _merged_schema(prev, df, path) if mode == "append"
+            else dict(new_schema)
+        )
         depth = prev.get("delta_depth", 0)
         if mode == "append" and versions and depth + 1 < _FULL_EVERY:
             # DELTA commit: O(1) metadata — the raw prev manifest
@@ -333,6 +381,7 @@ def _commit_version(
             if full_prev.get("deletes"):
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
+        manifest["schema"] = table_schema
         # the batch ledger rides EVERY commit RAW (appends, deltas,
         # overwrites, compactions) so a streaming replay probe after
         # any maintenance operation still finds its batch_id in the
@@ -751,6 +800,8 @@ def delete_snapshot_keys(
                 "deletes": prev.get("deletes", []) + [del_dir],
                 "delete_keys": key_cols,
             }
+        if prev_raw.get("schema"):
+            manifest["schema"] = prev_raw["schema"]
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1002,6 +1053,7 @@ def write_snapshot_partitioned(
             if full_prev.get("deletes"):
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
+        manifest["schema"] = _merged_schema(prev_raw, df, path)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1086,6 +1138,7 @@ def overwrite_snapshot_partitions(
         if prev.get("deletes"):
             manifest["deletes"] = prev["deletes"]
             manifest["delete_keys"] = prev["delete_keys"]
+        manifest["schema"] = _merged_schema(prev_raw, df, path)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1199,6 +1252,41 @@ def read_snapshot_between(
             F.broadcast(tombs), manifest["delete_keys"], "left_anti"
         )
     return out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+def snapshot_row_count(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> int:
+    """METADATA-ONLY ``COUNT(*)`` (round 12): every commit made with
+    ``stats_cols`` also records its segment's row count (the count
+    rides the same single aggregate), so counting a version is a
+    manifest resolution — no data scan, O(metadata) at any table size
+    (the Iceberg scan-planning count). Raises when any live segment
+    lacks a recorded count (committed without stats) or when live
+    tombstones make the physical count unequal to the visible one —
+    never returns a number that a full read would contradict."""
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    manifest = _resolve_manifest(fs, path, version)
+    if manifest.get("deletes"):
+        raise ValueError(
+            "live merge-on-read tombstones suppress rows at read — the "
+            "metadata count would overstate; compact first or count a "
+            "full read"
+        )
+    stats = manifest.get("segment_stats", {})
+    missing = [s for s in manifest["segments"]
+               if "__rows" not in stats.get(s, {})]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} segment(s) without recorded row counts "
+            f"(e.g. {missing[0]!r}) — committed without stats_cols"
+        )
+    return sum(stats[s]["__rows"] for s in manifest["segments"])
 
 
 def read_snapshot(

@@ -1624,3 +1624,61 @@ def test_snapshot_segment_stats_skipping(spark, tmp_path):
     got = {r.id for r in read_snapshot_between(
         spark, path, "id", 3, 6).collect()}
     assert got == {3, 4, 5, 6}
+
+
+def test_snapshot_schema_enforcement_and_metadata_count(spark, tmp_path):
+    """Round 12: (a) an append that CHANGES an existing column's type is
+    refused at the commit point with the column named (mergeSchema
+    would otherwise poison every later scan); additive new columns and
+    omitted columns stay allowed; overwrite replaces the schema. (b)
+    snapshot_row_count answers COUNT(*) from the manifest alone when
+    every segment recorded stats, and refuses (never lies) when a
+    segment lacks counts or tombstones suppress rows."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        SchemaEvolutionError,
+        delete_snapshot_keys,
+        read_snapshot,
+        snapshot_row_count,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "enforced")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id bigint, tag string"),
+        path, stats_cols=["id"])
+    # type change refused, column named
+    with _pytest.raises(SchemaEvolutionError, match="tag"):
+        write_snapshot(
+            spark.createDataFrame([(2, 5)], "id bigint, tag bigint"), path)
+    # additive column + omitted column both fine
+    write_snapshot(
+        spark.createDataFrame([(2, 1.5)], "id bigint, score double"),
+        path, stats_cols=["id"])
+    got = {(r.id, r.tag, r.score)
+           for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "a", None), (2, None, 1.5)}
+
+    # metadata-only COUNT(*): no data scan, exact
+    assert snapshot_row_count(path) == 2
+    assert snapshot_row_count(path, version=1) == 1
+
+    # a stat-less segment makes the metadata count refuse
+    write_snapshot(spark.createDataFrame([(3,)], "id bigint"), path)
+    with _pytest.raises(ValueError, match="without recorded row counts"):
+        snapshot_row_count(path)
+    # ...but older fully-counted versions still answer
+    assert snapshot_row_count(path, version=2) == 2
+
+    # overwrite resets the schema: the old 'tag' type no longer binds
+    write_snapshot(
+        spark.createDataFrame([(9, 5)], "id bigint, tag bigint"),
+        path, mode="overwrite", stats_cols=["id"])
+    assert snapshot_row_count(path) == 1
+
+    # live tombstones: metadata count refuses rather than overstating
+    delete_snapshot_keys(
+        spark.createDataFrame([(9,)], "id bigint"), path, ["id"])
+    with _pytest.raises(ValueError, match="tombstones"):
+        snapshot_row_count(path)
