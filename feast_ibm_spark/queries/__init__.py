@@ -825,6 +825,11 @@ QUERIES: dict[str, QueryDef] = {
         "CDF consumption ACROSS a certified compaction: fresh, "
         "lagging-pre-compaction, and fully-acked consumer positions "
         "under one hash (round 12)"),
+    "streaming_snapshot_sink_stats": QueryDef(
+        q_streaming_snapshot_sink_stats,
+        ORACLE_STREAM_SNAPSHOT_SINK_STATS,
+        "streaming snapshot sink with per-batch ts stats: stat-pruned "
+        "windowed read + metadata-only COUNT(*) under one hash (round 12)"),
     "layout_snapshot_zonemap": QueryDef(
         q_layout_snapshot_zonemap,
         ORACLE_SNAPSHOT_ZONEMAP,

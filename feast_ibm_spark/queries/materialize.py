@@ -707,6 +707,116 @@ def q_streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_snapshot_sink_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full streaming-table story in one hash (round 12): a
+    time-ordered stream (4 ts-range source files, one per micro-batch)
+    lands in the snapshot format with ``stats_cols=["ts"]`` — every
+    micro-batch commit records its narrow [min, max] ts window — then
+    (phase 1) the whole table reads back, (phase 2) a mid-January
+    window reads STAT-PRUNED (read_snapshot_between skips the early and
+    late segments from the manifest alone — this is why streaming
+    tables want per-segment stats: each batch covers a narrow window,
+    so windowed reads of a 10^5-segment table plan a handful of
+    directories), and (phase 3) COUNT(*) answers from METADATA
+    (snapshot_row_count, no data scan), with n_versions riding the same
+    row. Exact predicates re-apply on top of pruning, so the hash pins
+    content, and the plan subset is pinned in tests/test_plans.py for
+    the batch twin (same operator)."""
+    import datetime
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot,
+        read_snapshot_between,
+        snapshot_row_count,
+        snapshot_versions,
+        write_snapshot_batch,
+    )
+
+    configure_runtime(spark)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("cents"), "ts"
+    )
+    src_dir = tempfile.mkdtemp(prefix="fis_snapzm_src_")
+    # one parquet file per ts QUARTILE: each micro-batch is a narrow
+    # time window, the layout that makes per-segment stats selective
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    dest = tempfile.mkdtemp(prefix="fis_snapzm_tbl_")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: write_snapshot_batch(
+                batch, dest, bid, stats_cols=["ts"])
+        )
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="fis_snapzm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    n_versions = len(snapshot_versions(dest))
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(phase).cast("bigint").alias("phase"),
+            "event_type", "n_events", "sum_cents",
+        )
+
+    lo = datetime.datetime.fromisoformat(SNAPZM_WINDOW_LO)
+    hi = datetime.datetime.fromisoformat(SNAPZM_WINDOW_HI)
+    meta = spark.createDataFrame(
+        [(3, "_metadata_count", snapshot_row_count(dest),
+          n_versions)],
+        "phase bigint, event_type string, n_events bigint, sum_cents bigint",
+    )
+    return (
+        prof(read_snapshot(spark, dest), 1)
+        .unionByName(prof(read_snapshot_between(spark, dest, "ts", lo, hi), 2))
+        .unionByName(meta)
+    )
+
+
+SNAPZM_WINDOW_LO = "2024-01-12 00:00:00"
+SNAPZM_WINDOW_HI = "2024-01-18 00:00:00"
+
+ORACLE_STREAM_SNAPSHOT_SINK_STATS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT CAST(1 AS BIGINT) AS phase, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type,
+       CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM ev
+WHERE ts >= TIMESTAMP '{{SNAPZM_WINDOW_LO}}'
+  AND ts <= TIMESTAMP '{{SNAPZM_WINDOW_HI}}'
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(3 AS BIGINT), '_metadata_count',
+       CAST(count(*) AS BIGINT), CAST(4 AS BIGINT)
+FROM ev
+"""
+
+ORACLE_STREAM_SNAPSHOT_SINK_STATS = ORACLE_STREAM_SNAPSHOT_SINK_STATS.replace(
+    "{SNAPZM_WINDOW_LO}", SNAPZM_WINDOW_LO
+).replace("{SNAPZM_WINDOW_HI}", SNAPZM_WINDOW_HI)
+
+
 ORACLE_STREAM_SNAPSHOT_SINK = """
 SELECT CAST(4 AS INT) AS n_versions, event_type,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -250,6 +250,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_zonemap",
+    "streaming_snapshot_sink_stats",
     "layout_snapshot_consume",
     "trend_ols_counts",
     "agg_mode_exact",

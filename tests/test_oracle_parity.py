@@ -127,6 +127,10 @@ def test_driver_export_r12_rotation_invariants():
 # round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
 _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
+    "streaming_snapshot_sink_stats",    # streaming sink + per-batch ts
+                                        # stats: pruned windowed read +
+                                        # metadata COUNT(*); 3-scale pins
+                                        # from day one
     "layout_snapshot_zonemap",          # manifest zone maps: stat-pruned
                                         # windowed reads; unit net +
                                         # plan pin + 3-scale pins from
@@ -424,6 +428,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_sessionize",
     "streaming_sessionize_files",
     "streaming_snapshot_sink",
+    "streaming_snapshot_sink_stats",
     "streaming_topk",
     "streaming_window_counts",
     "text_bigram_logprob_counts",
