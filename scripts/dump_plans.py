@@ -503,6 +503,27 @@ SHOWCASE: list[tuple[str, str]] = [
         "mean, no ratio, no float until nothing is left to hash.",
     ),
     (
+        "layout_snapshot_zonemap",
+        "Manifest zone maps (round 12): the windowed read's scan lists ONLY\n"
+        "the segments whose manifest-recorded [min, max] ts overlaps the\n"
+        "window — the pruning decision is made from O(metadata) before any\n"
+        "file listing, so a time-windowed read of a 10^5-segment streaming\n"
+        "table plans a handful of directories. The exact predicate re-applies\n"
+        "inside the scan (PushedFilters), so stats change I/O, never answers;\n"
+        "the strict-subset property is pinned in test_plans.py.",
+    ),
+    (
+        "layout_snapshot_partition_overwrite",
+        "Dynamic partition overwrite (round 12): phases 1/2 scan different\n"
+        "MANIFEST versions of the same table — the backfill that corrected\n"
+        "one partition moved metadata only, so phase 2's scan lists the\n"
+        "untouched partitions' ORIGINAL directories plus the replacement.\n"
+        "Phase 3 is the partition-pruned read: one partition's segments,\n"
+        "chosen from the manifest tags, never a directory listing of the\n"
+        "table. At 100 TB this is the daily-backfill pattern: one day's\n"
+        "write, zero table scans.",
+    ),
+    (
         "layout_data_skipping",
         "The zone-map probe plan is the point: the stats table scan is\n"
         "metadata-sized (one row per file), the collected candidate list\n"
