@@ -946,6 +946,22 @@ def contamination_overlap(
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a localCheckpoint'd frame's storage.
+    DataFrame.unpersist only clears cache-manager entries, and a
+    checkpointed frame's blocks are an RDD-LEVEL persist — without
+    this they linger until the async context cleaner runs, making
+    executor storage pressure on long label-propagation chains (and
+    retained-block counts in tests) timing-dependent. Best-effort: the
+    context cleaner remains the backstop."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -1038,15 +1054,15 @@ def dedup_clusters(
         )
         # the superseded frame's blocks are dead once the successor is
         # materialized and the convergence count has run — release them
-        # instead of holding O(rounds) label copies (the star variant's
-        # lifecycle)
-        labels.unpersist()
+        # deterministically (RDD-level; see _release_checkpoint) instead
+        # of holding O(rounds) label copies until the async cleaner runs
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    # the checkpointed edge blocks are reclaimed by the context cleaner
-    # when this frame's reference drops (function exit) — same lifecycle
-    # as the kept label checkpoints
+    # the edge blocks are dead too — the returned frame's lineage bottoms
+    # out at the FINAL label checkpoint alone
+    _release_checkpoint(edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
