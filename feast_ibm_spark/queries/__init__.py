@@ -850,6 +850,11 @@ QUERIES: dict[str, QueryDef] = {
         q_layout_snapshot_mor_delete, ORACLE_SNAPSHOT_MOR_DELETE,
         "merge-on-read key tombstones: O(deletes) suppression commit, "
         "appends carry tombstones, compaction materializes"),
+    "trend_mann_kendall": QueryDef(
+        q_trend_mann_kendall,
+        ORACLE_MANN_KENDALL,
+        "Mann-Kendall S + concordant/discordant/tied pair counts over "
+        "the daily series — calendar-bounded pair join (round 12)"),
     "trend_ols_counts": QueryDef(q_trend_ols_counts, ORACLE_OLS_COUNTS,
                                  "OLS trend sufficient statistics per "
                                  "user, all BIGINT (slope reconstructed "

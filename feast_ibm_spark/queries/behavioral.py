@@ -1636,6 +1636,74 @@ GROUP BY user_id
 """
 
 
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test INGREDIENTS per user, all BIGINT
+    (completing the trend family beside Theil-Sen, CUSUM, and OLS): the
+    S statistic = sum over day-pairs i<j of sign(y_j - y_i) on the
+    DAILY activity series, plus the concordant / discordant / tied
+    pair counts n_days needs for the variance term (the one float
+    step, reconstructed outside the hash like every *_counts query).
+    Shape: one hash aggregate to the daily series first (map-side
+    combine, rows -> days), THEN the pair self-join — so the quadratic
+    term rides the CALENDAR, not the corpus: D(D-1)/2 pairs per key
+    with D = distinct active days (here <= 30; a year is 66k pairs per
+    key), invariant to row count at 100 TB. The join is an equi-join
+    on user with the day inequality as residual, never a cross."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.to_date("ts").alias("__day"),
+        )
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    a = daily.select(
+        F.col("user_id").alias("__u"),
+        F.col("__day").alias("__d1"),
+        F.col("__y").alias("__y1"),
+    )
+    b = daily.select(
+        F.col("user_id").alias("__u2"),
+        F.col("__day").alias("__d2"),
+        F.col("__y").alias("__y2"),
+    )
+    pairs = a.join(
+        b, (F.col("__u") == F.col("__u2")) & (F.col("__d1") < F.col("__d2"))
+    )
+    sgn = F.signum(F.col("__y2") - F.col("__y1")).cast("bigint")
+    return (
+        pairs.groupBy(F.col("__u").alias("user_id"))
+        .agg(
+            F.sum(sgn).alias("s_stat"),
+            F.sum((sgn == 1).cast("bigint")).alias("n_concordant"),
+            F.sum((sgn == -1).cast("bigint")).alias("n_discordant"),
+            F.sum((sgn == 0).cast("bigint")).alias("n_tied"),
+        )
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id,
+       CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                     WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+         AS s_stat,
+       CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tied
+FROM daily a JOIN daily b
+  ON a.user_id = b.user_id AND a.day < b.day
+GROUP BY a.user_id
+"""
+
+
 def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-key MODE with a deterministic tie rule: each user's
     most frequent event type (highest count; lexicographically smallest

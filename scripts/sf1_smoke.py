@@ -251,6 +251,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_zonemap",
     "streaming_snapshot_sink_stats",
+    "trend_mann_kendall",
     "layout_snapshot_consume",
     "trend_ols_counts",
     "agg_mode_exact",

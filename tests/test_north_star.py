@@ -3869,3 +3869,80 @@ if _HAS_HYP_DEDUP:
                 assert len(snapshot_versions(tbl)) >= 1
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+if _HAS_HYP_DEDUP:
+
+    @given(
+        rows=st_hyp.lists(
+            st_hyp.tuples(st_hyp.integers(0, 2),   # user
+                          st_hyp.integers(1, 8),   # day-of-month
+                          st_hyp.integers(1, 3)),  # events that day-slot
+            min_size=1, max_size=25,
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_mann_kendall_property_matches_replay(spark, rows):
+        """trend_mann_kendall must reproduce a brute-force Python
+        Mann-Kendall over the daily count series exactly — S, the
+        concordant/discordant/tied pair counts, and the identity
+        S = concordant - discordant — on random multi-user event sets
+        with repeated days (the daily aggregation collapses them) and
+        single-day users (no pairs: absent from the output)."""
+        import shutil
+        import tempfile
+
+        from feast_ibm_spark.queries import QUERIES
+
+        rows_full = [
+            (u, 1000 + 10 * u + i, f"2024-01-{d:02d} 12:00:00", 1.0, "view")
+            for i, (u, d, k) in enumerate(rows)
+            for _ in range(k)
+        ]
+        # python replay: daily counts then all day pairs
+        daily = {}
+        for u, d, k in rows:
+            daily.setdefault(u, {})
+            daily[u][d] = daily[u].get(d, 0) + k
+        want = {}
+        for u, series in daily.items():
+            days = sorted(series)
+            if len(days) < 2:
+                continue
+            c = d_ = t = 0
+            for i in range(len(days)):
+                for j in range(i + 1, len(days)):
+                    diff = series[days[j]] - series[days[i]]
+                    if diff > 0:
+                        c += 1
+                    elif diff < 0:
+                        d_ += 1
+                    else:
+                        t += 1
+            want[u] = (c - d_, c, d_, t)
+
+        d = tempfile.mkdtemp(prefix="fis_mk_net_")
+        try:
+            spark.createDataFrame(
+                [(u, eid, ts, v, et) for (u, eid, ts, v, et) in
+                 [(r[0], i, r[2], r[3], r[4])
+                  for i, r in enumerate(rows_full)]],
+                "user_id bigint, event_id bigint, ts string, "
+                "value double, event_type string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "overwrite"
+            ).parquet(d + "/events.parquet")
+            got = {
+                r.user_id: (r.s_stat, r.n_concordant, r.n_discordant,
+                            r.n_tied)
+                for r in QUERIES["trend_mann_kendall"].fn(spark, d).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        assert got == want
+        for s, c, d_, _t in got.values():
+            assert s == c - d_

@@ -127,6 +127,10 @@ def test_driver_export_r12_rotation_invariants():
 # round-13 gate. Keep this list SHORT — it is the only sanctioned
 # source of new never-driver-hashed queries.
 _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
+    "trend_mann_kendall",               # integer Mann-Kendall S +
+                                        # pair counts on the daily
+                                        # series; replica property net
+                                        # + 3-scale pins from day one
     "streaming_snapshot_sink_stats",    # streaming sink + per-batch ts
                                         # stats: pruned windowed read +
                                         # metadata COUNT(*); 3-scale pins
