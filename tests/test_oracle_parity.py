@@ -452,6 +452,7 @@ _EXCLUDED_WITH_ORACLE = [
     "text_unigram_logprob_counts",
     "text_vocab_coverage",
     "training_pipeline_e2e",
+    "trend_mann_kendall",
     "unpivot_part_attrs",
     "window_moving_median",
     "window_rank_suite",
