@@ -737,31 +737,46 @@ def q_streaming_snapshot_sink_stats(
 
     configure_runtime(spark)
 
+    import hashlib
+    import os
+    import shutil
+
+    from .pipelines import _chain_needs_build
+
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", _cents("value").alias("cents"), "ts"
     )
-    src_dir = tempfile.mkdtemp(prefix="fis_snapzm_src_")
-    # one parquet file per ts QUARTILE: each micro-batch is a narrow
-    # time window, the layout that makes per-segment stats selective
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
-    dest = tempfile.mkdtemp(prefix="fis_snapzm_tbl_")
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, bid: write_snapshot_batch(
-                batch, dest, bid, stats_cols=["ts"])
+    # build-once per sf tag (the same reuse discipline as the other
+    # snapshot chains — round-12 review: fresh mkdtemps per run leaked
+    # a full events copy into /tmp on EVERY gate/smoke/bench invocation
+    # and paid the double-write each time; the ts-quartile layout is
+    # deterministic per sf_dir, so the drained chain is reusable)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"fis_snapzm_{tag}")
+    src_dir, dest = base + "_src", base + "_tbl"
+    if _chain_needs_build(dest, 4):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        # one parquet file per ts QUARTILE: each micro-batch is a
+        # narrow time window, the layout that makes per-segment stats
+        # selective
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+            src_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-        .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="fis_snapzm_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: write_snapshot_batch(
+                    batch, dest, bid, stats_cols=["ts"])
+            )
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="fis_snapzm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     n_versions = len(snapshot_versions(dest))
 
     def prof(df: DataFrame, phase: int) -> DataFrame:

@@ -168,6 +168,33 @@ def _resolve_manifest(
     return out
 
 
+def _carry_live_metadata(
+    manifest: dict, prev_full: dict, live_segments: list[str]
+) -> None:
+    """Carry every per-segment/table metadata family a FULL checkpoint
+    must restate, filtered to the segments still live — the one place
+    the carry-forward list exists (round-12 review: four hand-rolled
+    commit loops each restated a different hand-picked subset, and the
+    divergence silently stripped zone maps / partition tags from the
+    chain on routine 32nd-commit checkpoints). Tombstones are NOT
+    carried here: their lifecycle is mode-specific (appends carry,
+    overwrites materialize) and stays with the caller."""
+    live = set(live_segments)
+    stats = {
+        s: v for s, v in prev_full.get("segment_stats", {}).items()
+        if s in live
+    }
+    if stats:
+        manifest.setdefault("segment_stats", {}).update(stats)
+    tags = {
+        s: v for s, v in prev_full.get("segment_partitions", {}).items()
+        if s in live
+    }
+    if tags:
+        manifest.setdefault("segment_partitions", {}).update(tags)
+        manifest.setdefault("partition_col", prev_full.get("partition_col"))
+
+
 _COMMIT_RETRIES = 24
 
 # Exactly-once streaming commits record their batch_id in the manifest;
@@ -369,11 +396,11 @@ def _commit_version(
                 "version": version,
                 "segments": full_prev.get("segments", []) + [seg],
             }
-            prior_stats = full_prev.get("segment_stats", {})
-            if prior_stats or stats:
-                manifest["segment_stats"] = dict(prior_stats)
-                if stats:
-                    manifest["segment_stats"][seg] = stats
+            _carry_live_metadata(
+                manifest, full_prev, full_prev.get("segments", [])
+            )
+            if stats:
+                manifest.setdefault("segment_stats", {})[seg] = stats
             # appends preserve live tombstones (an append must not
             # resurrect erased keys); overwrite commits start clean —
             # the new segment IS the table, so compaction materializes
@@ -800,6 +827,7 @@ def delete_snapshot_keys(
                 "deletes": prev.get("deletes", []) + [del_dir],
                 "delete_keys": key_cols,
             }
+            _carry_live_metadata(manifest, prev, prev["segments"])
         if prev_raw.get("schema"):
             manifest["schema"] = prev_raw["schema"]
         if prev_raw.get("recent_batches"):
@@ -940,6 +968,15 @@ def merge_snapshot(
             "MERGE requires each target row matched at most once"
         )
     data_cols = [c for c in upd.columns if c != "__del"]
+    missing = set(current.columns) - set(data_cols)
+    if missing:
+        raise ValueError(
+            f"updates are missing table columns {sorted(missing)} — the "
+            "copy-on-write MERGE rewrites whole rows, so a column subset "
+            "would silently DESTROY the omitted columns' data; select "
+            "the full row shape (carry current values for untouched "
+            "columns) or use delete/append instead"
+        )
     cur = current.select(*data_cols).withColumn(
         "__del", F.lit(False)
     ).withColumn("__rank", F.lit(1))
@@ -975,13 +1012,19 @@ def _write_partition_segments(
     overwrite workload is a backfill touching few partitions; bulk
     initial loads should use plain appends or accept the one-off
     cost."""
-    vals = sorted(
+    raw_vals = [
         r[0] for r in
         df.select(F.col(partition_col).cast("string")).distinct().collect()
-        if r[0] is not None
-    )
+    ]
+    if None in raw_vals:
+        raise ValueError(
+            f"NULL {partition_col!r} values in the batch — a NULL row "
+            "belongs to no partition segment and would be silently "
+            "dropped; fill or filter them first"
+        )
+    vals = sorted(raw_vals)
     if not vals:
-        raise ValueError("no non-null partition values in the batch")
+        raise ValueError("no partition values in the batch")
     segs, tags = [], {}
     for i, val in enumerate(vals):
         seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}-p{i:04d}"
@@ -1045,11 +1088,12 @@ def write_snapshot_partitioned(
             manifest = {
                 "version": version,
                 "segments": full_prev.get("segments", []) + segs,
-                "segment_partitions": {
-                    **full_prev.get("segment_partitions", {}), **tags
-                },
+                "segment_partitions": tags,
                 "partition_col": partition_col,
             }
+            _carry_live_metadata(
+                manifest, full_prev, full_prev.get("segments", [])
+            )
             if full_prev.get("deletes"):
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
@@ -1132,6 +1176,7 @@ def overwrite_snapshot_partitions(
             },
             "partition_col": partition_col,
         }
+        _carry_live_metadata(manifest, prev, kept)
         # suppression outlives the swap: tombstoned keys stay erased in
         # untouched partitions (and suppress re-introductions, the
         # append rule)
@@ -1173,6 +1218,15 @@ def read_snapshot_partitions(
         version = versions[-1]
     manifest = _resolve_manifest(fs, path, version)
     tags = manifest.get("segment_partitions", {})
+    untagged = [s for s in manifest["segments"] if s not in tags]
+    if untagged:
+        raise ValueError(
+            f"partition-pruned read needs every live segment "
+            f"partition-tagged; {len(untagged)} untagged (e.g. "
+            f"{untagged[0]!r}) — plain appends/compaction discard tags; "
+            "rebuild with write_snapshot_partitioned or read the full "
+            "snapshot"
+        )
     want = {str(v) for v in values}
     known = set(tags.values())
     missing = want - known
@@ -1233,11 +1287,14 @@ def read_snapshot_between(
         )
     ]
     if not dirs:
-        # every segment skipped: an empty frame with the right schema
-        dirs = manifest["segments"][:1]
+        # every segment skipped: an empty frame with the FULL (merged,
+        # schema-evolved) shape — building it from one segment would
+        # drop columns later appends added, making the empty case a
+        # data-dependent schema change (round-12 review)
         out = (
             spark.read.option("mergeSchema", "true")
-            .parquet(*[_join(path, d) for d in dirs]).limit(0)
+            .parquet(*[_join(path, d) for d in manifest["segments"]])
+            .limit(0)
         )
     else:
         out = (

@@ -3,7 +3,7 @@
 the auto (~p95 sampled length) width vs deliberately bad manual widths
 on the ship-windows workload at sf0.1. Both failure directions are
 exercised: bucket=1 inflates the interval EXPLODE (a 7-day window
-becomes 8 bucket rows), bucket=10000 inflates the CANDIDATE SET (52x too wide: each point
+becomes 8 bucket rows), bucket=365 inflates the CANDIDATE SET (52x too wide: each point
 meets every interval within its year-bucket, so the hash join
 degenerates toward all-pairs-per-bucket and the exact filter does all
 the work; wider still — bucket=10000 — is a measured full cartesian

@@ -1682,3 +1682,70 @@ def test_snapshot_schema_enforcement_and_metadata_count(spark, tmp_path):
         spark.createDataFrame([(9,)], "id bigint"), path, ["id"])
     with _pytest.raises(ValueError, match="tombstones"):
         snapshot_row_count(path)
+
+
+def test_round12_review_refusals_and_metadata_carry(spark, tmp_path):
+    """Round-12 review closures: (a) merge_snapshot refuses a
+    column-subset updates frame instead of silently destroying the
+    omitted columns; (b) write_snapshot_partitioned refuses NULL
+    partition values instead of silently dropping those rows; (c)
+    read_snapshot_partitions refuses untagged segments like its write
+    sibling; (d) a tombstone FULL checkpoint carries segment stats and
+    partition tags forward instead of stripping them from the chain;
+    (e) the all-pruned empty frame keeps the full evolved schema."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources import snapshots as S
+
+    # (a) merge column-subset refusal
+    p = str(tmp_path / "m")
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a", 5)], "id bigint, v string, extra bigint"), p)
+    with _pytest.raises(ValueError, match="missing table columns"):
+        S.merge_snapshot(
+            spark.createDataFrame([(1, "B")], "id bigint, v string"), p, ["id"])
+
+    # (b) NULL partition refusal
+    p2 = str(tmp_path / "np")
+    with _pytest.raises(ValueError, match="NULL"):
+        S.write_snapshot_partitioned(
+            spark.createDataFrame([("x", 1), (None, 2)], "day string, id bigint"),
+            p2, "day")
+
+    # (c) untagged-segment partition read refusal
+    p3 = str(tmp_path / "mix")
+    S.write_snapshot_partitioned(
+        spark.createDataFrame([("mon", 1)], "day string, id bigint"), p3, "day")
+    S.write_snapshot(
+        spark.createDataFrame([("tue", 2)], "day string, id bigint"), p3)
+    with _pytest.raises(ValueError, match="partition-tagged"):
+        S.read_snapshot_partitions(spark, p3, ["mon"])
+
+    # (d) tombstone commit at the FULL-checkpoint depth keeps stats+tags
+    import json
+    import os
+    p4 = str(tmp_path / "carry")
+    S.write_snapshot(
+        spark.createDataFrame([(i,) for i in range(3)], "id bigint"),
+        p4, stats_cols=["id"])
+    # force the next commit onto the full-checkpoint path
+    mfp = os.path.join(p4, "_snapshots", "v000001.json")
+    mf = json.load(open(mfp))
+    mf["delta_depth"] = S._FULL_EVERY  # simulate a deep chain tail
+    open(mfp, "w").write(json.dumps(mf))
+    S.delete_snapshot_keys(
+        spark.createDataFrame([(0,)], "id bigint"), p4, ["id"])
+    resolved = S._resolve_manifest(S.get_fs(p4), p4, 2)
+    assert resolved.get("segment_stats"), "tombstone checkpoint dropped stats"
+    # and the stats still answer after compaction clears the tombstone
+    S.compact_snapshots(spark, p4)
+
+    # (e) all-pruned empty frame carries the evolved schema
+    p5 = str(tmp_path / "evolve")
+    S.write_snapshot(
+        spark.createDataFrame([(1,)], "id bigint"), p5, stats_cols=["id"])
+    S.write_snapshot(
+        spark.createDataFrame([(2, "x")], "id bigint, tag string"),
+        p5, stats_cols=["id"])
+    none = S.read_snapshot_between(spark, p5, "id", 100, 200)
+    assert none.count() == 0 and set(none.columns) == {"id", "tag"}
