@@ -835,6 +835,12 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_SNAPSHOT_ZONEMAP,
         "manifest zone maps: per-segment [min,max] stats prune "
         "time-windowed snapshot reads at the metadata level (round 12)"),
+    "layout_snapshot_bloom": QueryDef(
+        q_layout_snapshot_bloom,
+        ORACLE_SNAPSHOT_BLOOM,
+        "manifest bloom filters: point lookups on an interleaved key "
+        "column prune segments zone maps never could; absent keys are "
+        "near-metadata answers (round 12b)"),
     "layout_snapshot_partition_overwrite": QueryDef(
         q_layout_snapshot_partition_overwrite,
         ORACLE_SNAPSHOT_PARTITION_OVERWRITE,

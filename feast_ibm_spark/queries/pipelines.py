@@ -790,6 +790,91 @@ GROUP BY 1, 2
 """
 
 
+BLOOM_PROBE_KEYS = [3, 41, 97, 149]       # present at every scale
+BLOOM_ABSENT_KEY = 10**9 + 7
+
+
+def q_layout_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter segment pruning on the snapshot format (round 12b,
+    sources/snapshots.read_snapshot_lookup): customers are committed as
+    8 segments split by ``c_custkey % 8`` — key ranges FULLY OVERLAP,
+    so zone maps could never prune a point lookup — with
+    ``bloom_cols=["c_custkey"]`` recording a per-segment bloom in the
+    manifest. Phase 1 hashes the looked-up rows for four present keys
+    plus one absent key (the exact IN predicate re-applies, so bloom
+    false positives can cost I/O but never answers — and a present key
+    returning at all proves the driver-side probe hash matches the
+    Spark-side build bit-for-bit); phase 2 hashes the full-table
+    profile proving the chain is lossless. The pruning itself is
+    asserted in-query: present keys scan fewer files than the full
+    table, the absent key prunes to (near) zero segments from metadata
+    alone — at 10^5 segments that is a metadata answer vs a table
+    scan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        read_snapshot,
+        read_snapshot_lookup,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_cust_bloom_{tag}")
+    if _chain_needs_build(dest, 8):
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", _cents("c_acctbal").alias("cents")
+        )
+        for r in range(8):
+            write_snapshot(
+                cust.filter(F.pmod(F.col("c_custkey"), F.lit(8)) == r),
+                dest, bloom_cols=["c_custkey"],
+            )
+
+    full = read_snapshot(spark, dest)
+    full_files = len(full.inputFiles())
+    hits = read_snapshot_lookup(
+        spark, dest, "c_custkey", BLOOM_PROBE_KEYS + [BLOOM_ABSENT_KEY]
+    )
+    assert len(hits.inputFiles()) < full_files, "bloom pruned nothing"
+    miss = read_snapshot_lookup(spark, dest, "c_custkey", [BLOOM_ABSENT_KEY])
+    # deterministic (md5 over fixed data); the false-positive tail is
+    # sized ~0.2% per segment below the bloom cap, a few % above it
+    assert len(miss.inputFiles()) <= full_files // 2, (
+        "absent-key lookup should be (near) metadata-only"
+    )
+
+    phase1 = hits.select(
+        F.lit(1).cast("bigint").alias("phase"),
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
+        "cents",
+    )
+    phase2 = full.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("cents").alias("cents")
+    ).select(
+        F.lit(2).cast("bigint").alias("phase"), "k",
+        F.lit("ALL").alias("name"), "cents",
+    )
+    return phase1.unionByName(phase2)
+
+
+ORACLE_SNAPSHOT_BLOOM = f"""
+WITH c AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT CAST(1 AS BIGINT) AS phase, c_custkey AS k, c_name AS name, cents
+FROM c WHERE c_custkey IN ({", ".join(map(str, BLOOM_PROBE_KEYS))},
+                           {BLOOM_ABSENT_KEY})
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), 'ALL',
+       CAST(SUM(cents) AS BIGINT)
+FROM c
+"""
+
+
 def q_layout_snapshot_partition_overwrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

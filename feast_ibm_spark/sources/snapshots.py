@@ -293,6 +293,120 @@ def _canon_stat(v):
     return v
 
 
+# Bloom-filter tier (round 12b): per-segment bloom filters over KEY
+# columns, stored inside the same per-segment stats record zone maps use
+# — so they ride the delta-manifest / checkpoint-carry / vacuum
+# machinery with zero new plumbing. Zone maps prune RANGE predicates;
+# blooms prune POINT LOOKUPS on columns whose values interleave across
+# segments (where every segment's [min, max] covers the probe and stats
+# prune nothing — the streaming-upsert key shape). Sizing is ~16
+# bits/distinct-key rounded to a power of two (FP ~0.2% at k=4),
+# bounded below by _BLOOM_MIN_BITS and above by _BLOOM_MAX_BITS (16 KiB
+# of bits — base64 ~21 KiB of manifest per column; segments with far
+# more keys than that saturate toward scan-everything, never toward a
+# wrong skip: the exact predicate re-applies on top. Jumbo segments
+# would move blooms to per-segment sidecar files, the Iceberg-puffin
+# tier — not needed at this format's manifest sizes). The hash is
+# md5-of-the-string-cast sliced into _BLOOM_K positions, chosen because
+# Spark (F.md5 over cast-to-string) and the driver-side probe (hashlib
+# over str(value)) compute it IDENTICALLY for int and string keys — no
+# JVM round-trip to probe a value.
+_BLOOM_K = 4
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 17
+
+
+def _bloom_bits(n_keys: int) -> int:
+    m = _BLOOM_MIN_BITS
+    while m < 16 * n_keys and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _bloom_positions_py(value, m: int) -> list[int]:
+    """Driver-side probe positions for ``value`` — MUST mirror the
+    Spark-side expression in :func:`_segment_blooms`: md5 of the
+    string form, four 8-hex-digit slices mod ``m``. ``str(value)``
+    matches Spark's cast-to-string for int and string keys (the
+    supported probe types; floats/timestamps format differently and
+    are refused at the lookup entry point)."""
+    import hashlib
+
+    hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return [int(hx[8 * i:8 * i + 8], 16) % m for i in range(_BLOOM_K)]
+
+
+def _segment_blooms(df: DataFrame, bloom_cols: list[str], n_rows: int) -> dict:
+    """Build the per-column bloom filters for the segment being
+    committed — ONE small job over the increment (explode the k
+    positions per row per column, distinct, collect): the collected set
+    is bounded by k x m bits regardless of segment size, so the driver
+    receives index-sized metadata, never data. NULLs are not indexed
+    (a NULL probe is refused at lookup)."""
+    import base64
+
+    m = _bloom_bits(max(n_rows, 1))
+    structs = []
+    for ci, c in enumerate(bloom_cols):
+        h = F.md5(F.col(c).cast("string"))
+        for i in range(_BLOOM_K):
+            pos = (
+                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
+                .cast("bigint") % m
+            )
+            structs.append(F.struct(
+                F.lit(ci).alias("c"), pos.alias("p")
+            ))
+    hits = (
+        df.select(F.explode(F.array(*structs)).alias("s"))
+        .select(F.col("s.c").alias("c"), F.col("s.p").alias("p"))
+        .where(F.col("p").isNotNull())
+        .distinct()
+        .collect()
+    )
+    out = {}
+    for ci, c in enumerate(bloom_cols):
+        bits = bytearray(m // 8)
+        for r in hits:
+            if r["c"] == ci:
+                p = r["p"]
+                bits[p >> 3] |= 1 << (p & 7)
+        out[c] = {
+            "m": m, "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_prune(manifest: dict, col: str, values: list) -> list[str]:
+    """The segment directories a point lookup ``col IN values`` must
+    scan: a segment is SKIPPED only when its recorded bloom proves no
+    probe value can be present (all k bits set for none of them);
+    segments without a bloom for ``col`` are conservatively kept — like
+    zone maps, blooms change I/O, never answers (the exact predicate
+    re-applies on top, so a false positive costs a scan, nothing
+    else)."""
+    import base64
+
+    stats = manifest.get("segment_stats", {})
+    dirs = []
+    for s in manifest["segments"]:
+        rec = stats.get(s, {}).get("__bloom", {}).get(col)
+        if rec is None:
+            dirs.append(s)
+            continue
+        bits = base64.b64decode(rec["b64"])
+        m = rec["m"]
+        for v in values:
+            if all(
+                (bits[p >> 3] >> (p & 7)) & 1
+                for p in _bloom_positions_py(v, m)
+            ):
+                dirs.append(s)
+                break
+    return dirs
+
+
 def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
     """Per-column [min, max] of the batch being committed — ONE small
     aggregate over the increment (cost proportional to new data, never
@@ -321,6 +435,7 @@ def _commit_version(
     base_version: int | None = None,
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Shared commit tail of :func:`write_snapshot` and
     :func:`write_snapshot_batch`: write the segment, then publish the
@@ -344,7 +459,12 @@ def _commit_version(
     fs.makedirs(_join(path, _MANIFEST_DIR))
     written = None
     nonce = uuid.uuid4().hex[:8]
-    stats = _segment_stats(df, stats_cols) if stats_cols else None
+    stats = (
+        _segment_stats(df, stats_cols or [])
+        if (stats_cols or bloom_cols) else None
+    )
+    if bloom_cols:
+        stats["__bloom"] = _segment_blooms(df, bloom_cols, stats["__rows"])
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for attempt in range(_COMMIT_RETRIES):
         versions = _snapshot_versions(fs, path)
@@ -435,6 +555,7 @@ def _commit_version(
 def write_snapshot(
     df: DataFrame, path: str, mode: str = "append",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new immutable snapshot version; returns the
     committed version number. Version 1 creates the table. ``mode``:
@@ -445,7 +566,9 @@ def write_snapshot(
     rename is the commit point either way."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode={mode!r}: need 'append' or 'overwrite'")
-    return _commit_version(df, path, mode, stats_cols=stats_cols)
+    return _commit_version(
+        df, path, mode, stats_cols=stats_cols, bloom_cols=bloom_cols
+    )
 
 
 def vacuum_snapshots(
@@ -506,6 +629,7 @@ def vacuum_snapshots(
 def write_snapshot_batch(
     df: DataFrame, path: str, batch_id: int,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Exactly-once twin of :func:`write_snapshot` for streaming
     ``foreachBatch`` sinks: the manifest records ``batch_id``, and a
@@ -542,12 +666,13 @@ def write_snapshot_batch(
             return hit
         if batch_id > ledger[-1][0]:
             return _commit_version(df, path, "append", batch_id=batch_id,
-                                   stats_cols=stats_cols)
+                                   stats_cols=stats_cols,
+                                   bloom_cols=bloom_cols)
     for v in reversed(versions):
         if _read_manifest(fs, path, v).get("batch_id") == batch_id:
             return v
     return _commit_version(df, path, "append", batch_id=batch_id,
-                           stats_cols=stats_cols)
+                           stats_cols=stats_cols, bloom_cols=bloom_cols)
 
 
 def compact_snapshots(spark: SparkSession, path: str) -> int:
@@ -1309,6 +1434,70 @@ def read_snapshot_between(
             F.broadcast(tombs), manifest["delete_keys"], "left_anti"
         )
     return out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+def read_snapshot_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Bloom-PRUNED point lookup: ``col IN values`` where whole
+    segments are skipped from the MANIFEST's per-segment bloom filters
+    before any file listing — the complement of
+    :func:`read_snapshot_between`'s zone maps for the predicate shape
+    stats cannot help with: a KEY column whose values interleave across
+    segments, so every segment's [min, max] covers every probe. A
+    streaming-upsert table's "fetch these 5 entity keys" reads the one
+    or two segments that ever saw them (plus the ~0.2% false-positive
+    tail) instead of the whole chain; a probe for an ABSENT key touches
+    zero segments — at 10^5 segments that is the difference between a
+    metadata answer and a table scan. Segments committed without
+    ``bloom_cols`` (or rewritten by a plain compaction) are
+    conservatively scanned, and the exact ``IN`` predicate re-applies
+    on top — blooms change I/O, never answers. Probe values must be
+    ints or strings (their ``str()`` form is what the commit-side hash
+    indexed; other types would hash differently on the two sides) and
+    non-NULL (NULLs are not indexed)."""
+    if not values:
+        raise ValueError("empty probe set — nothing to look up")
+    for v in values:
+        if v is None or not isinstance(v, (int, str)):
+            raise ValueError(
+                f"probe value {v!r}: bloom lookups support non-NULL "
+                "int/string keys (the indexed str() form must match "
+                "Spark's cast-to-string)"
+            )
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    manifest = _resolve_manifest(fs, path, version)
+    dirs = _bloom_prune(manifest, col, values)
+    if not dirs:
+        # every segment skipped: an empty frame with the FULL merged
+        # schema (same discipline as the all-pruned zone-map read)
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(path, d) for d in manifest["segments"]])
+            .limit(0)
+        )
+    else:
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(path, d) for d in dirs])
+        )
+    if manifest.get("deletes"):
+        tombs = spark.read.parquet(
+            *[_join(path, d) for d in manifest["deletes"]]
+        ).distinct()
+        out = out.join(
+            F.broadcast(tombs), manifest["delete_keys"], "left_anti"
+        )
+    return out.filter(F.col(col).isin(values))
 
 
 def snapshot_row_count(

@@ -250,6 +250,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_zonemap",
+    "layout_snapshot_bloom",
     "streaming_snapshot_sink_stats",
     "trend_mann_kendall",
     "layout_snapshot_consume",

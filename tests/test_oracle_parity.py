@@ -135,6 +135,12 @@ _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
                                         # stats: pruned windowed read +
                                         # metadata COUNT(*); 3-scale pins
                                         # from day one
+    "layout_snapshot_bloom",            # manifest bloom filters: point
+                                        # lookups on an interleaved key
+                                        # prune segments stats cannot;
+                                        # unit net (test_sources.py
+                                        # test_snapshot_bloom_lookup) +
+                                        # 3-scale pins from day one
     "layout_snapshot_zonemap",          # manifest zone maps: stat-pruned
                                         # windowed reads; unit net +
                                         # plan pin + 3-scale pins from
@@ -352,6 +358,7 @@ _EXCLUDED_WITH_ORACLE = [
     "knn_pq",
     "layout_bucketed_join",
     "layout_hilbert_roundtrip",
+    "layout_snapshot_bloom",
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_time_travel",

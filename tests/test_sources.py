@@ -1626,6 +1626,73 @@ def test_snapshot_segment_stats_skipping(spark, tmp_path):
     assert got == {3, 4, 5, 6}
 
 
+def test_snapshot_bloom_lookup(spark, tmp_path):
+    """Bloom-filter segment pruning (round 12b): commits with
+    bloom_cols index key columns whose values INTERLEAVE across
+    segments — exactly where zone maps prune nothing — and
+    read_snapshot_lookup answers point lookups scanning only the
+    segments that might hold the probe (inputFiles proves it; an
+    absent key touches zero segments). The probe hash runs driver-side
+    (hashlib) against bits built Spark-side (F.md5): a present key
+    coming back AT ALL proves the two sides hash identically, because
+    a mismatch would prune the key's own segment into a wrong empty
+    answer. Bloom-less segments scan conservatively; tombstones still
+    apply; non-int/str probes are refused."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        delete_snapshot_keys,
+        read_snapshot,
+        read_snapshot_lookup,
+        write_snapshot,
+    )
+
+    def mk(residue):
+        return spark.createDataFrame(
+            [(i, f"name-{i}") for i in range(90) if i % 3 == residue],
+            "id bigint, name string",
+        )
+
+    path = str(tmp_path / "blooms")
+    for r in range(3):  # id ranges fully overlap: stats could not prune
+        write_snapshot(mk(r), path, bloom_cols=["id", "name"])
+
+    full_files = len(read_snapshot(spark, path).inputFiles())
+
+    hit = read_snapshot_lookup(spark, path, "id", [41])
+    assert [(r.id, r.name) for r in hit.collect()] == [(41, "name-41")]
+    assert len(hit.inputFiles()) < full_files  # segments truly skipped
+
+    # string-keyed probe through the same bits
+    hit = read_snapshot_lookup(spark, path, "name", ["name-7", "name-8"])
+    assert {r.id for r in hit.collect()} == {7, 8}
+
+    # an absent key is (deterministically, md5 over fixed data) a
+    # metadata answer: zero segments scanned, zero rows
+    miss = read_snapshot_lookup(spark, path, "id", [10**9 + 7])
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0
+    assert set(miss.columns) == {"id", "name"}  # full schema kept
+
+    # a bloom-less append is conservatively scanned, answer exact
+    write_snapshot(
+        spark.createDataFrame([(1000, "late")], "id bigint, name string"),
+        path,
+    )
+    assert [r.name for r in read_snapshot_lookup(
+        spark, path, "id", [1000]).collect()] == ["late"]
+
+    # merge-on-read tombstones suppress looked-up keys too
+    delete_snapshot_keys(
+        spark.createDataFrame([(41,)], "id bigint"), path, ["id"]
+    )
+    assert read_snapshot_lookup(spark, path, "id", [41]).count() == 0
+
+    # refused probes: empty set, NULL, non-int/str (hash would differ)
+    for bad in ([], [None], [1.5]):
+        with _pytest.raises(ValueError):
+            read_snapshot_lookup(spark, path, "id", bad)
+
+
 def test_snapshot_schema_enforcement_and_metadata_count(spark, tmp_path):
     """Round 12: (a) an append that CHANGES an existing column's type is
     refused at the commit point with the column named (mergeSchema
