@@ -835,6 +835,12 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_SNAPSHOT_ZONEMAP,
         "manifest zone maps: per-segment [min,max] stats prune "
         "time-windowed snapshot reads at the metadata level (round 12)"),
+    "layout_snapshot_cluster_compact": QueryDef(
+        q_layout_snapshot_cluster_compact,
+        ORACLE_SNAPSHOT_CLUSTER_COMPACT,
+        "range-clustered compaction: the sort-order rewrite that makes "
+        "zone maps prune AFTER compaction instead of dying with it; "
+        "certificate row-identity pinned via time travel (round 12b)"),
     "layout_snapshot_bloom": QueryDef(
         q_layout_snapshot_bloom,
         ORACLE_SNAPSHOT_BLOOM,

@@ -790,6 +790,99 @@ GROUP BY 1, 2
 """
 
 
+def q_layout_snapshot_cluster_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-CLUSTERED compaction (round 12b, sources/snapshots
+    compact_snapshots(sort_by=...) — the Delta OPTIMIZE / Iceberg
+    sort-order rewrite reduced to one dimension): events land as 5
+    segments interleaved by an event-id hash, so every segment spans
+    the FULL time range and the zone maps recorded at commit can prune
+    nothing; the clustered rewrite range-buckets on ``ts`` into 8
+    sorted segments with fresh stats, after which the same windowed
+    read scans a strict subset (asserted in-query) — a PLAIN compaction
+    would have destroyed pruning forever (one merged stat-less
+    segment), a clustered one makes the maps tighter than the append
+    chain ever had them. Phase 1 hashes the post-rewrite windowed
+    profile, phase 2 the full table at the compacted version, phase 3
+    the same profile time-traveled to the PRE-compaction version —
+    equality of 2 and 3 pins the compaction_of certificate's
+    row-identity claim under the value hash."""
+    import datetime
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+        read_snapshot_between,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_cc_{tag}")
+    if _chain_needs_build(dest, 6):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        for r in range(5):  # hash-interleaved: each segment spans all ts
+            write_snapshot(
+                ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(5)) == r),
+                dest, stats_cols=["ts"],
+            )
+        compact_snapshots(spark, dest, sort_by="ts", target_segments=8)
+
+    pre_v = snapshot_versions(dest)[-1] - 1
+    full = read_snapshot(spark, dest)
+    lo = datetime.datetime.fromisoformat(SNAPSHOT_CDF_SPLIT1)
+    hi = datetime.datetime.fromisoformat(SNAPSHOT_CDF_SPLIT2)
+    win = read_snapshot_between(spark, dest, "ts", lo, hi)
+    assert 0 < len(win.inputFiles()) < len(full.inputFiles()), (
+        "clustered zone maps should prune the windowed read"
+    )
+
+    def prof(df: DataFrame, phase: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(phase).cast("bigint").alias("phase"),
+            "event_type", "n_events", "sum_cents",
+        )
+
+    return (
+        prof(win, 1)
+        .unionByName(prof(full, 2))
+        .unionByName(prof(read_snapshot(spark, dest, pre_v), 3))
+    )
+
+
+ORACLE_SNAPSHOT_CLUSTER_COMPACT = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+),
+fullp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM ev GROUP BY event_type
+)
+SELECT CAST(1 AS BIGINT) AS phase, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev
+WHERE ts >= TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}'
+  AND ts <= TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}'
+GROUP BY event_type
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type, n_events, sum_cents FROM fullp
+UNION ALL
+SELECT CAST(3 AS BIGINT), event_type, n_events, sum_cents FROM fullp
+"""
+
+
 BLOOM_PROBE_KEYS = [3, 41, 97, 149]       # present at every scale
 BLOOM_ABSENT_KEY = 10**9 + 7
 

@@ -529,6 +529,7 @@ def _commit_version(
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
         manifest["schema"] = table_schema
+        manifest["committed_at"] = int(time.time() * 1_000_000)
         # the batch ledger rides EVERY commit RAW (appends, deltas,
         # overwrites, compactions) so a streaming replay probe after
         # any maintenance operation still finds its batch_id in the
@@ -675,14 +676,42 @@ def write_snapshot_batch(
                            stats_cols=stats_cols, bloom_cols=bloom_cols)
 
 
-def compact_snapshots(spark: SparkSession, path: str) -> int:
-    """Rewrite the LATEST version's segment chain into one segment,
+def compact_snapshots(
+    spark: SparkSession,
+    path: str,
+    sort_by: str | None = None,
+    target_segments: int = 16,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the LATEST version's segment chain into few segments,
     committed as a new ``overwrite`` version — the small-files
     compaction every append-heavy snapshot table eventually needs
     (each streaming micro-batch commit is its own segment; scan
     planning degrades one task per tiny file). Contents are identical
-    by construction (one read, one write, no transformation); history
-    stays time-travelable until :func:`vacuum_snapshots` reclaims it.
+    by construction (a reorder at most, never a transformation);
+    history stays time-travelable until :func:`vacuum_snapshots`
+    reclaims it.
+
+    Without ``sort_by`` the rewrite is ONE segment (optionally
+    re-stated with fresh ``stats_cols`` / ``bloom_cols`` metadata).
+    With ``sort_by`` the rewrite is RANGE-CLUSTERED (round 12b — the
+    Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite reduced to one
+    dimension): rows are range-bucketed on ``sort_by`` into up to
+    ``target_segments`` segments (quantile boundaries, so skew lands
+    evenly), sorted within each, and each segment records fresh
+    [min, max] stats for ``stats_cols`` (default: ``sort_by``). A
+    plain compaction DESTROYS pruning — every windowed read scans the
+    one merged segment forever after — while a clustered one makes the
+    zone maps tighter than the append chain ever had them: micro-batch
+    appends interleave the sort dimension across segments, the rewrite
+    separates it. ONE Spark job writes all buckets (a hash
+    repartition on the bucket id + a per-bucket sort, then a
+    partitioned write renamed into segment directories); one bounded
+    aggregate computes all segment stats. ``bloom_cols`` requires the
+    single-segment path (per-bucket bloom collection is index-sized
+    per bucket but unbounded across many buckets — refused rather
+    than silently heavy).
 
     The manifest records ``compaction_of: <base>`` — the certificate
     that this overwrite is row-identical to version ``base`` — so the
@@ -694,7 +723,16 @@ def compact_snapshots(spark: SparkSession, path: str) -> int:
     concurrent append makes the commit lose with
     :class:`SnapshotConflictError` and the compaction re-runs against
     the new latest (never re-publishing a stale rewrite that would
-    drop the interleaved rows). Returns the new version number."""
+    drop the interleaved rows). The streaming batch ledger rides the
+    commit, so an exactly-once sink's replay probe still answers from
+    the newest manifest. Returns the new version number."""
+    if sort_by is not None and bloom_cols:
+        raise ValueError(
+            "bloom_cols needs the single-segment path (omit sort_by); "
+            "rebuild blooms per-bucket is the not-built sidecar tier"
+        )
+    if target_segments < 1:
+        raise ValueError(f"target_segments={target_segments}: need >= 1")
     last_err: Exception | None = None
     for _ in range(3):
         versions = snapshot_versions(path, spark)
@@ -702,13 +740,109 @@ def compact_snapshots(spark: SparkSession, path: str) -> int:
             raise FileNotFoundError(f"no committed snapshots under {path}")
         base = versions[-1]
         try:
-            return _commit_version(
-                read_snapshot(spark, path, base), path, "overwrite",
-                base_version=base, extra={"compaction_of": base},
+            if sort_by is None:
+                return _commit_version(
+                    read_snapshot(spark, path, base), path, "overwrite",
+                    base_version=base, extra={"compaction_of": base},
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
+                )
+            return _compact_clustered(
+                spark, path, base, sort_by, target_segments,
+                stats_cols or [sort_by],
             )
         except SnapshotConflictError as e:
             last_err = e  # a writer appended mid-rewrite; recompact
     raise last_err
+
+
+def _compact_clustered(
+    spark: SparkSession, path: str, base: int, sort_by: str,
+    target_segments: int, stats_cols: list[str],
+) -> int:
+    """One attempt of the range-clustered rewrite (see
+    :func:`compact_snapshots`); raises :class:`SnapshotConflictError`
+    on a lost CAS race so the caller re-runs against the new latest."""
+    fs = get_fs(path, spark)
+    df = read_snapshot(spark, path, base)
+    version = base + 1
+    nonce = uuid.uuid4().hex[:8]
+
+    # range boundaries from quantiles of the sort dimension (cast to
+    # double: works for numerics and timestamps alike) — a bounded
+    # sketch pass, never a sort of the table. Duplicate boundaries
+    # (heavy skew) just leave some buckets empty; empty buckets write
+    # no directory and list no segment.
+    n_cuts = target_segments - 1
+    probe = df.select(F.col(sort_by).cast("double").alias("__s"))
+    cuts = sorted(set(probe.approxQuantile(
+        "__s", [(i + 1) / target_segments for i in range(n_cuts)], 0.001,
+    ))) if n_cuts else []
+    bucket = F.lit(0)
+    for b in cuts:
+        bucket = bucket + (F.col(sort_by).cast("double") > F.lit(b)).cast("int")
+    # NULL sort keys (no quantile, no order) land in bucket 0 rather
+    # than a NULL bucket the partitioned write would mangle
+    bucket = F.coalesce(bucket.cast("int"), F.lit(0))
+
+    # one job: bucket-partitioned, sorted-within-bucket write into a
+    # dot-prefixed staging dir (hidden from every parquet scan), then
+    # per-bucket directory renames into versioned segment names
+    staging = _join(path, _DATA_DIR, f".compact-{nonce}")
+    (
+        df.withColumn("__cb", bucket)
+        .repartition(target_segments, "__cb")
+        .sortWithinPartitions("__cb", sort_by)
+        .write.partitionBy("__cb").mode("overwrite").parquet(staging)
+    )
+    # one bounded aggregate for every bucket's stats (same shape as
+    # _segment_stats, grouped)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stat_rows = {
+        r["__cb"]: r
+        for r in df.withColumn("__cb", bucket).groupBy("__cb").agg(*aggs)
+        .collect()
+    }
+    segs, seg_stats = [], {}
+    for d in sorted(fs.listdir(staging)):
+        if not d.startswith("__cb="):
+            continue
+        cb = int(d.split("=", 1)[1])
+        seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}-c{cb:04d}"
+        fs.rename(_join(staging, d), _join(path, seg))
+        segs.append(seg)
+        row = stat_rows[cb]
+        rec = {
+            c: [_canon_stat(row[f"__lo_{c}"]), _canon_stat(row[f"__hi_{c}"])]
+            for c in stats_cols if row[f"__lo_{c}"] is not None
+        }
+        rec["__rows"] = row["__n"]
+        seg_stats[seg] = rec
+    fs.rmtree(staging)
+    if not segs:
+        raise ValueError(f"clustered compaction of an empty table {path}")
+
+    prev_raw = _read_manifest(fs, path, base)
+    manifest = {
+        "version": version,
+        "segments": segs,
+        "segment_stats": seg_stats,
+        "compaction_of": base,
+        "schema": {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields},
+    }
+    if prev_raw.get("recent_batches"):
+        manifest["recent_batches"] = prev_raw["recent_batches"]
+    if fs.write_text_exclusive(
+        _manifest_path(path, version), json.dumps(manifest)
+    ):
+        return version
+    raise SnapshotConflictError(
+        f"clustered compaction under {path} was computed from version "
+        f"{base} but lost the commit race — re-running against the new "
+        "latest"
+    )
 
 
 def read_snapshot_changes(

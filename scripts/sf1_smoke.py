@@ -251,6 +251,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_zonemap",
     "layout_snapshot_bloom",
+    "layout_snapshot_cluster_compact",
     "streaming_snapshot_sink_stats",
     "trend_mann_kendall",
     "layout_snapshot_consume",

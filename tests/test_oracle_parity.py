@@ -141,6 +141,11 @@ _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
                                         # unit net (test_sources.py
                                         # test_snapshot_bloom_lookup) +
                                         # 3-scale pins from day one
+    "layout_snapshot_cluster_compact",  # range-clustered compaction:
+                                        # windowed reads prune after the
+                                        # rewrite; unit net
+                                        # (test_clustered_compaction) +
+                                        # 3-scale pins from day one
     "layout_snapshot_zonemap",          # manifest zone maps: stat-pruned
                                         # windowed reads; unit net +
                                         # plan pin + 3-scale pins from
@@ -359,6 +364,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_bucketed_join",
     "layout_hilbert_roundtrip",
     "layout_snapshot_bloom",
+    "layout_snapshot_cluster_compact",
     "layout_snapshot_compact_consume",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_time_travel",

@@ -1626,6 +1626,96 @@ def test_snapshot_segment_stats_skipping(spark, tmp_path):
     assert got == {3, 4, 5, 6}
 
 
+def test_clustered_compaction(spark, tmp_path):
+    """Range-clustered compaction (round 12b): appends interleave the
+    sort dimension across segments (zone maps useless), the clustered
+    rewrite separates it — the windowed read prunes AFTER compaction
+    (a plain compaction destroys pruning forever). Rows are identical
+    (a reorder, never a transformation), the compaction_of certificate
+    lets the CDF flow across, tombstones materialize physically, the
+    streaming batch ledger survives, metadata COUNT(*) still answers,
+    and NULL/skewed sort keys don't break bucketing."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        delete_snapshot_keys,
+        read_snapshot,
+        read_snapshot_between,
+        read_snapshot_changes,
+        snapshot_row_count,
+        snapshot_versions,
+        write_snapshot,
+        write_snapshot_batch,
+    )
+
+    def mk(residue):
+        return spark.createDataFrame(
+            [(i, f"v-{i}") for i in range(60) if i % 3 == residue],
+            "id bigint, val string",
+        )
+
+    path = str(tmp_path / "clustered")
+    for r in range(3):  # id ranges fully overlap across segments
+        write_snapshot_batch(mk(r), path, batch_id=r + 1,
+                             stats_cols=["id"])
+    delete_snapshot_keys(
+        spark.createDataFrame([(7,)], "id bigint"), path, ["id"]
+    )
+
+    # pre-compaction: stats exist but every segment covers [0, 59] —
+    # a window prunes nothing
+    pre = read_snapshot_between(spark, path, "id", 10, 19)
+    full_files = len(read_snapshot(spark, path).inputFiles())
+    assert len(pre.inputFiles()) == full_files
+
+    v = compact_snapshots(spark, path, sort_by="id", target_segments=4)
+    after = read_snapshot(spark, path, v)
+    # row-identical (minus the materialized tombstone), order aside
+    assert {r.id for r in after.collect()} == set(range(60)) - {7}
+    assert snapshot_row_count(path) == 59  # fresh __rows, no tombstones
+    # the same window now scans a strict subset of the segments
+    win = read_snapshot_between(spark, path, "id", 10, 19)
+    assert {r.id for r in win.collect()} == set(range(10, 20)) - {7}
+    assert 0 < len(win.inputFiles()) < len(after.inputFiles())
+
+    # CDF flows across the certified clustered compaction: a consumer
+    # parked just before it sees the rewrite as a no-op, then only the
+    # genuinely new post-compaction append
+    assert read_snapshot_changes(spark, path, from_version=v - 1).count() == 0
+    write_snapshot(
+        spark.createDataFrame([(1000, "late")], "id bigint, val string"),
+        path,
+    )
+    late = read_snapshot_changes(spark, path, from_version=v - 1)
+    assert [r.id for r in late.collect()] == [1000]
+
+    # ledger survives the rewrite: a replayed batch id resolves to its
+    # already-committed version without a new commit
+    n_versions = len(snapshot_versions(path))
+    assert write_snapshot_batch(mk(2), path, batch_id=3) < v
+    assert len(snapshot_versions(path)) == n_versions
+
+    # refusals: bloom_cols with sort_by; bad target
+    with _pytest.raises(ValueError, match="bloom_cols"):
+        compact_snapshots(spark, path, sort_by="id", bloom_cols=["id"])
+    with _pytest.raises(ValueError, match="target_segments"):
+        compact_snapshots(spark, path, sort_by="id", target_segments=0)
+
+    # skew/NULL robustness: constant + NULL sort keys collapse to one
+    # bucket and still round-trip exactly
+    p2 = str(tmp_path / "skewed")
+    write_snapshot_batch(
+        spark.createDataFrame([(1, 5), (2, 5), (3, None)],
+                              "id bigint, k bigint"),
+        p2, batch_id=1,
+    )
+    compact_snapshots(spark, p2, sort_by="k", target_segments=4)
+    assert {(r.id, r.k) for r in read_snapshot(spark, p2).collect()} == {
+        (1, 5), (2, 5), (3, None)
+    }
+
+
 def test_snapshot_bloom_lookup(spark, tmp_path):
     """Bloom-filter segment pruning (round 12b): commits with
     bloom_cols index key columns whose values INTERLEAVE across
