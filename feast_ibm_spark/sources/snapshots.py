@@ -762,6 +762,8 @@ def _compact_clustered(
     """One attempt of the range-clustered rewrite (see
     :func:`compact_snapshots`); raises :class:`SnapshotConflictError`
     on a lost CAS race so the caller re-runs against the new latest."""
+    import time
+
     fs = get_fs(path, spark)
     df = read_snapshot(spark, path, base)
     version = base + 1
@@ -832,6 +834,7 @@ def _compact_clustered(
         "schema": {f.name: f.dataType.simpleString()
                    for f in df.schema.fields},
     }
+    manifest["committed_at"] = int(time.time() * 1_000_000)
     if prev_raw.get("recent_batches"):
         manifest["recent_batches"] = prev_raw["recent_batches"]
     if fs.write_text_exclusive(
@@ -1089,6 +1092,7 @@ def delete_snapshot_keys(
             _carry_live_metadata(manifest, prev, prev["segments"])
         if prev_raw.get("schema"):
             manifest["schema"] = prev_raw["schema"]
+        manifest["committed_at"] = int(time.time() * 1_000_000)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1357,6 +1361,7 @@ def write_snapshot_partitioned(
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
         manifest["schema"] = _merged_schema(prev_raw, df, path)
+        manifest["committed_at"] = int(time.time() * 1_000_000)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1443,6 +1448,7 @@ def overwrite_snapshot_partitions(
             manifest["deletes"] = prev["deletes"]
             manifest["delete_keys"] = prev["delete_keys"]
         manifest["schema"] = _merged_schema(prev_raw, df, path)
+        manifest["committed_at"] = int(time.time() * 1_000_000)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
         if fs.write_text_exclusive(
@@ -1669,16 +1675,59 @@ def snapshot_row_count(
     return sum(stats[s]["__rows"] for s in manifest["segments"])
 
 
+def snapshot_version_at(
+    path: str, ts, spark: SparkSession | None = None
+) -> int:
+    """TIMESTAMP-based time travel resolution (round 12b — the Delta
+    ``timestampAsOf`` / Iceberg snapshot-at-timestamp move): the newest
+    version whose manifest was PUBLISHED at or before ``ts`` (a
+    ``datetime``, naive = UTC, or epoch seconds). Every commit records
+    ``committed_at`` (publish-side wall clock, epoch micros) at its CAS
+    point; pre-round-12b manifests without one are treated as epoch 0
+    (they predate the feature, hence any queryable instant). The usual
+    wall-clock caveats apply exactly as in Delta/Iceberg: writer clock
+    skew can reorder ``committed_at`` across racing writers by
+    milliseconds, so the walk is newest-first and the VERSION dimension
+    stays the authoritative history. Raises when the table's first
+    commit is newer than ``ts``."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        micros = int(ts.timestamp() * 1_000_000)
+    else:
+        micros = int(float(ts) * 1_000_000)
+    fs = get_fs(path, spark)
+    versions = _snapshot_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    for v in reversed(versions):
+        if _read_manifest(fs, path, v).get("committed_at", 0) <= micros:
+            return v
+    raise ValueError(
+        f"table under {path} has no version committed at or before the "
+        "requested timestamp — its first commit is newer"
+    )
+
+
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    as_of=None,
 ) -> DataFrame:
-    """The table AS OF ``version`` (default: latest committed). A plain
+    """The table AS OF ``version`` (default: latest committed), or —
+    mutually exclusive — AS OF the wall-clock instant ``as_of``
+    (resolved through :func:`snapshot_version_at`). A plain
     multi-directory parquet scan over the version's segment list —
     pushdown/pruning intact, no data movement."""
     fs = get_fs(path, spark)
     versions = _snapshot_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path}")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = snapshot_version_at(path, as_of, spark)
     if version is None:
         version = versions[-1]
     if version not in versions:

@@ -1626,6 +1626,57 @@ def test_snapshot_segment_stats_skipping(spark, tmp_path):
     assert got == {3, 4, 5, 6}
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    """Timestamp-based time travel (round 12b): every commit path
+    stamps committed_at at its CAS point; snapshot_version_at resolves
+    an instant to the newest version published at or before it, and
+    read_snapshot(as_of=...) reads that version. Pre-feature manifests
+    (no committed_at) resolve as epoch 0; an instant older than the
+    table refuses; version and as_of are mutually exclusive."""
+    import datetime
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_version_at,
+        write_snapshot,
+    )
+
+    def mk(i):
+        return spark.createDataFrame([(i,)], "id bigint")
+
+    path = str(tmp_path / "ts_travel")
+    write_snapshot(mk(1), path)
+    _time.sleep(0.05)
+    between = datetime.datetime.now(datetime.timezone.utc)
+    _time.sleep(0.05)
+    write_snapshot(mk(2), path)
+
+    assert snapshot_version_at(path, between) == 1
+    assert [r.id for r in read_snapshot(spark, path, as_of=between)
+            .collect()] == [1]
+    # future instant -> latest; naive datetime treated as UTC
+    future = datetime.datetime.now() + datetime.timedelta(days=1)
+    assert snapshot_version_at(path, future) == 2
+    # epoch-seconds float accepted too
+    assert snapshot_version_at(path, between.timestamp()) == 1
+
+    with _pytest.raises(ValueError, match="first commit is newer"):
+        snapshot_version_at(path, 0.0)
+    with _pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, path, version=1, as_of=between)
+
+    # a pre-feature manifest (committed_at stripped) counts as epoch 0
+    mf = f"{path}/_snapshots/v000001.json"
+    raw = _json.load(open(mf))
+    raw.pop("committed_at")
+    open(mf, "w").write(_json.dumps(raw))
+    assert snapshot_version_at(path, 0.0) == 1
+
+
 def test_clustered_compaction(spark, tmp_path):
     """Range-clustered compaction (round 12b): appends interleave the
     sort dimension across segments (zone maps useless), the clustered
