@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     # commits + 2 pipeline cycles + a no-op cycle per run, fresh dirs
     # every run) — the format's write-path regression canary
     "layout_snapshot_pipeline",
+    # round-12b family: the snapshot READ-path levers — stats-recording
+    # commits plus a stat-pruned windowed read (dest cleared before
+    # every timed run so the zone-map write stays inside the
+    # measurement; the r13-plan bench representative)
+    "layout_snapshot_zonemap",
 ]
 
 
@@ -91,7 +96,26 @@ def _clear_hilbert_dest(sf_dir: str) -> None:
     )
 
 
-_PRE_RUN = {"layout_hilbert_roundtrip": _clear_hilbert_dest}
+def _clear_zonemap_dest(sf_dir: str) -> None:
+    """The zone-map chain is built once per sf tag and reused by the
+    gate; for the BENCH the 3 stats-recording commits ARE the write
+    path under measurement, so clear the chain before every timed
+    run."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), f"fis_events_zm_{tag}"),
+        ignore_errors=True,
+    )
+
+
+_PRE_RUN = {
+    "layout_hilbert_roundtrip": _clear_hilbert_dest,
+    "layout_snapshot_zonemap": _clear_zonemap_dest,
+}
 
 
 def _calibrate(seconds: float = 1.0) -> int:

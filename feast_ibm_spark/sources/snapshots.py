@@ -58,16 +58,25 @@ checkpoint, which manifest-LIST indirection would bound in turn —
 noted as the next tier, not built.
 
 Surface (each with its own gate query + unit net): append/overwrite
-commits, time travel, exactly-once streaming sink
+commits, time travel by version and by TIMESTAMP
+(:func:`snapshot_version_at` / ``read_snapshot(as_of=...)``),
+exactly-once streaming sink
 (:func:`write_snapshot_batch` — replay dedup through a bounded batch
 ledger in the newest manifest, O(1) metadata per commit), vacuum,
 compaction (certified row-identical, so the change feed flows across
-it), schema evolution on
-read, change data feed (:func:`read_snapshot_changes`), exactly-once
-incremental consumption (:func:`consume_snapshot_changes` /
-:func:`ack_snapshot_consume` / :func:`pipeline_snapshot_changes`),
-copy-on-write MERGE (:func:`merge_snapshot`), and merge-on-read key
-tombstones (:func:`delete_snapshot_keys`).
+it) — plain or RANGE-CLUSTERED (``sort_by=``: the sort-order rewrite
+that leaves fresh zone maps behind instead of destroying them),
+manifest zone maps (``stats_cols=`` / :func:`read_snapshot_between`)
+and manifest BLOOM filters for point lookups (``bloom_cols=`` /
+:func:`read_snapshot_lookup`), metadata-only COUNT(*)
+(:func:`snapshot_row_count`), schema enforcement at the commit point
+and schema evolution on read, change data feed
+(:func:`read_snapshot_changes`), exactly-once incremental consumption
+(:func:`consume_snapshot_changes` / :func:`ack_snapshot_consume` /
+:func:`pipeline_snapshot_changes`), copy-on-write MERGE
+(:func:`merge_snapshot`), merge-on-read key tombstones
+(:func:`delete_snapshot_keys`), and dynamic partition overwrite
+(:func:`overwrite_snapshot_partitions`).
 """
 
 from __future__ import annotations

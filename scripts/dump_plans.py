@@ -503,6 +503,28 @@ SHOWCASE: list[tuple[str, str]] = [
         "mean, no ratio, no float until nothing is left to hash.",
     ),
     (
+        "layout_snapshot_cluster_compact",
+        "Range-clustered compaction (round 12b): phase 1's windowed scan\n"
+        "lists only the clustered segments whose FRESH [min, max] ts\n"
+        "overlaps the window — the same read that scanned every segment\n"
+        "before the rewrite (each interleaved append spanned the full range)\n"
+        "and would scan the ONE merged stat-less segment forever after a\n"
+        "plain compaction. The rewrite itself is one partitioned write job:\n"
+        "quantile range buckets, sorted within, renamed into versioned\n"
+        "segments; phases 2/3 scan the post- and pre-rewrite manifests of\n"
+        "the same table, pinning certificate row-identity under the hash.",
+    ),
+    (
+        "layout_snapshot_bloom",
+        "Manifest bloom filters (round 12b): the point lookup's segment list\n"
+        "is decided DRIVER-side — the md5-slice probe runs in pure Python\n"
+        "against manifest-carried bits, no Spark job, and the plan scans the\n"
+        "one segment that might hold the key (an absent key scans zero).\n"
+        "Zone maps cannot prune this shape: every segment's [min, max]\n"
+        "covers every probe when keys interleave. The exact IN predicate\n"
+        "lands in PushedFilters on what little remains.",
+    ),
+    (
         "layout_snapshot_zonemap",
         "Manifest zone maps (round 12): the windowed read's scan lists ONLY\n"
         "the segments whose manifest-recorded [min, max] ts overlaps the\n"

@@ -84,6 +84,9 @@ def main() -> None:
         w = max(10, args.commits // 10)
         flat_first = sum(per_commit[:w]) / w
         flat_last = sum(per_commit[-w:]) / w
+        # commits that wrote a FULL checkpoint (delta depth wrapped):
+        # version 1 and every 32nd after — index i commits version i+1
+        ckpt = [t for j, t in enumerate(per_commit) if j % 32 == 0]
 
         # replay probes at both ends of the chain: the newest batch hits
         # the ledger (O(1) manifest reads); batch 0 is older than the
@@ -148,6 +151,18 @@ def main() -> None:
             "per_commit_first_window_ms": round(flat_first * 1000, 1),
             "per_commit_last_window_ms": round(flat_last * 1000, 1),
             "per_commit_flatness_ratio": round(flat_last / flat_first, 2),
+            # the FULL-checkpoint residual (r13 plan item 4): every
+            # 32nd commit restates the whole segment list — these means
+            # isolate whether that O(segments) rewrite grows enough to
+            # need a manifest-LIST indirection tier
+            "ckpt_commit_first_window_ms": round(
+                1000 * (sum(ckpt[:max(1, len(ckpt) // 10)])
+                        / max(1, len(ckpt) // 10)), 1),
+            "ckpt_commit_last_window_ms": round(
+                1000 * (sum(ckpt[-max(1, len(ckpt) // 10):])
+                        / max(1, len(ckpt) // 10)), 1),
+            "per_commit_last_window_max_ms": round(
+                1000 * max(per_commit[-w:]), 1),
             "replay_newest_ms": round(t_replay_newest * 1000, 1),
             "replay_oldest_fallback_ms": round(
                 t_replay_oldest_fallback * 1000, 1),

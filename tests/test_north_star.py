@@ -3858,8 +3858,16 @@ if _HAS_HYP_DEDUP:
                         else:
                             vis[k] = v
                     physical, tombs = vis, set()
-                else:  # certified compaction: materialize + clear tombstones
-                    compact_snapshots(spark, tbl)
+                else:  # certified compaction: materialize + clear
+                    # tombstones; the drawn pair steers plain vs
+                    # range-CLUSTERED (round 12b) — the rewrite is a
+                    # physical reorder, so the model is identical
+                    k0, v0 = pairs[0]
+                    if k0 % 2:
+                        compact_snapshots(spark, tbl, sort_by="v",
+                                          target_segments=1 + (v0 % 4))
+                    else:
+                        compact_snapshots(spark, tbl)
                     physical, tombs = visible(), set()
             if committed:
                 got = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
