@@ -835,6 +835,13 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_SNAPSHOT_ZONEMAP,
         "manifest zone maps: per-segment [min,max] stats prune "
         "time-windowed snapshot reads at the metadata level (round 12)"),
+    "streaming_snapshot_source": QueryDef(
+        q_streaming_snapshot_source,
+        ORACLE_STREAMING_SNAPSHOT_SOURCE,
+        "snapshot table as a Structured Streaming SOURCE (Spark 4 "
+        "Python DataSource API): version offsets, manifest-planned "
+        "micro-batches, Arrow-native reads, _commit_version tagging "
+        "(round 12b)"),
     "layout_snapshot_cluster_compact": QueryDef(
         q_layout_snapshot_cluster_compact,
         ORACLE_SNAPSHOT_CLUSTER_COMPACT,

@@ -790,6 +790,51 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table as a STRUCTURED STREAMING SOURCE (round 12b,
+    sources/snapshot_datasource.py — the Spark 4 Python DataSource API
+    carrying the Delta "stream from a table" move onto this format):
+    ``spark.readStream.format("fis_snapshot")`` tails the 3-version CDF
+    chain, offsets are table VERSIONS, and each micro-batch's
+    partitions are exactly the segment directories the committed range
+    added — planned from manifests alone through the same walk the
+    batch CDF uses, so the source inherits its whole contract
+    (insert-only refusals, certified compactions as no-ops, replay
+    determinism from immutable manifests). The data plane is
+    Arrow-native: Python workers read the parquet segments with
+    pyarrow, null-pad for schema evolution, and tag rows with
+    ``_commit_version``. The drained stream's per-commit profile must
+    hash-match the oracle's split-predicate rebuild — the same answer
+    the BATCH feed gives, proving the two read paths agree row for
+    row."""
+    from ..sources.snapshot_datasource import register_snapshot_datasource
+    from ..streaming.run import drain_available_now
+
+    dest = _cdf_chain(spark, sf_dir)
+    register_snapshot_datasource(spark)
+    tail = spark.readStream.format("fis_snapshot").load(dest)
+    drained = drain_available_now(tail, "fis_snap_source_tail")
+    return (
+        drained.groupBy("_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_STREAMING_SNAPSHOT_SOURCE = f"""
+SELECT CAST(CASE WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT1}' THEN 1
+                 WHEN ts < TIMESTAMP '{SNAPSHOT_CDF_SPLIT2}' THEN 2
+                 ELSE 3 END AS BIGINT) AS _commit_version,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_layout_snapshot_cluster_compact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

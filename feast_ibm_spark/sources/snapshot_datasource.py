@@ -1,0 +1,263 @@
+"""Spark-native access to snapshot tables through the Spark 4 Python
+DataSource API (north-star extension; no reference counterpart — the
+reference's storage has no version dimension at all,
+ibm_data_engine/data_engine_offline_store.py:535-558):
+
+    register_snapshot_datasource(spark)
+    spark.read.format("fis_snapshot").load(path)                  # latest
+    spark.read.format("fis_snapshot").option("version", 3).load(path)
+    spark.readStream.format("fis_snapshot").load(path)            # tail!
+
+The STREAM reader is the Delta "stream from a table" move on this
+format: offsets are table VERSIONS, each micro-batch's partitions are
+exactly the segment directories the committed range added — planned
+from manifests alone through the same :func:`_added_segments` walk the
+change data feed uses, so the source inherits the CDF's whole
+contract: insert-only (overwrites and tombstone changes refuse,
+loudly), certified compactions flow through as no-ops, and replayed
+batches are deterministic because manifests are immutable (Structured
+Streaming checkpoints the version offsets; a restarted query re-plans
+the same segment list bit-for-bit). Rows carry ``_commit_version``.
+
+Execution is Arrow-native: each partition is read in the Python worker
+with pyarrow (no JVM round-trip for the data plane), null-padded and
+cast to the table's declared schema (schema evolution on read), and
+yielded as RecordBatches. Local/file:// paths only — the worker-side
+reads use pyarrow's filesystem; the manifest protocol itself is
+scheme-shaped for object stores (see sources/fsio.py), so widening the
+data plane is a filesystem argument, not a redesign.
+
+The BATCH reader is the same scan at one version (time travel via
+``option("version", N)``); tables with live merge-on-read tombstones
+refuse the batch path (an anti-join cannot run inside a per-partition
+reader) — :func:`~feast_ibm_spark.sources.snapshots.read_snapshot`
+is the MOR-aware read.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .snapshots import (
+    _DATA_DIR,
+    _added_segments,
+    _resolve_manifest,
+    _seg_version,
+    _snapshot_versions,
+    get_fs,
+)
+
+FORMAT_NAME = "fis_snapshot"
+
+
+def register_snapshot_datasource(spark) -> None:
+    """Register the ``fis_snapshot`` format on this session.
+
+    The DataSource class is cloudpickled into Spark's Python workers
+    (both the driver-side planning worker and the executor-side read
+    workers), which do not necessarily have this package on their
+    import path — so the modules it closes over are registered for
+    BY-VALUE pickling first: the format then works from any driver
+    process without installing the package into the worker
+    environment (pyspark itself is imported by reference — the
+    workers always have it)."""
+    from pyspark import cloudpickle
+
+    from . import fsio as _fsio
+    from . import snapshot_datasource as _self
+    from . import snapshots as _snapshots
+
+    for m in (_fsio, _snapshots, _self):
+        cloudpickle.register_pickle_by_value(m)
+    spark.dataSource.register(SnapshotDataSource)
+
+
+def _local_path(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            f"{FORMAT_NAME} reads data worker-side via pyarrow and "
+            f"currently supports local/file:// paths only (got {path!r})"
+        )
+    return path
+
+
+def _segment_files(root: str, seg: str) -> list[str]:
+    """Parquet data files of one segment directory, enumerated
+    driver-side (hidden/marker files excluded, the Spark convention)."""
+    d = os.path.join(root, *seg.split("/"))
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    )
+
+
+class _SegmentPartition(InputPartition):
+    def __init__(self, files: list[str], version: int):
+        self.files = files
+        self.version = version
+
+
+def _read_partition(partition: _SegmentPartition, arrow_schema):
+    """Worker-side: stream one segment's parquet files as RecordBatches
+    conformed to the table schema (missing columns null-padded — schema
+    evolution on read; ``_commit_version`` appended as a constant)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_fields = [f for f in arrow_schema if f.name != "_commit_version"]
+    target = pa.schema(data_fields)
+    for path in partition.files:
+        tbl = pq.read_table(path)
+        cols = []
+        for f in data_fields:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name))
+            else:
+                cols.append(pa.nulls(len(tbl), type=f.type))
+        conformed = pa.table(cols, schema=pa.schema(
+            [pa.field(f.name, c.type) for f, c in zip(data_fields, cols)]
+        )).cast(target)
+        conformed = conformed.append_column(
+            "_commit_version",
+            pa.array([partition.version] * len(tbl), type=pa.int64()),
+        )
+        yield from conformed.to_batches()
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    def __init__(self, options, arrow_schema):
+        path = _local_path(options["path"])
+        fs = get_fs(path)
+        versions = _snapshot_versions(fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {path}")
+        version = int(options.get("version", versions[-1]))
+        if version not in versions:
+            raise ValueError(f"version {version} not in {versions}")
+        manifest = _resolve_manifest(fs, path, version)
+        if manifest.get("deletes"):
+            raise ValueError(
+                "table has live merge-on-read tombstones — the "
+                f"{FORMAT_NAME} batch reader cannot apply the anti-join; "
+                "use read_snapshot (or compact first)"
+            )
+        self._parts = [
+            _SegmentPartition(
+                _segment_files(path, s),
+                _seg_version(posixpath.basename(s.split("/", 1)[1]))
+                if s.startswith(f"{_DATA_DIR}/") else 0,
+            )
+            for s in manifest["segments"]
+        ]
+        self._arrow_schema = arrow_schema
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition):
+        yield from _read_partition(partition, self._arrow_schema)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options, arrow_schema):
+        self._path = _local_path(options["path"])
+        self._start = int(options.get("startingVersion", 0))
+        self._arrow_schema = arrow_schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        versions = _snapshot_versions(get_fs(self._path), self._path)
+        return {"version": versions[-1] if versions else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        fs = get_fs(self._path)
+        versions = _snapshot_versions(fs, self._path)
+        return [
+            _SegmentPartition(_segment_files(self._path, s), v)
+            for v, segs in _added_segments(fs, self._path, versions, lo, hi)
+            for s in segs
+        ]
+
+    def read(self, partition):
+        yield from _read_partition(partition, self._arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
+class SnapshotDataSource(DataSource):
+    """``fis_snapshot``: snapshot tables as a Spark read format —
+    batch time travel and a Structured-Streaming tail of the manifest
+    chain (module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        path = _local_path(self.options["path"])
+        fs = get_fs(path)
+        versions = _snapshot_versions(fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {path}")
+        manifest = _resolve_manifest(fs, path, versions[-1])
+        schema_map = manifest.get("schema")
+        if not schema_map:
+            # pre-round-12 table (no schema in the manifest): merge the
+            # segment parquet FOOTERS in segment order — one metadata
+            # read per segment, once at planning; newly committed
+            # tables never take this path
+            return self._footer_schema(path, manifest["segments"])
+        cols = ", ".join(
+            f"`{name}` {typ}" for name, typ in schema_map.items()
+        )
+        return f"{cols}, `_commit_version` bigint"
+
+    @staticmethod
+    def _footer_schema(path: str, segments: list[str]):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        fields: dict = {}
+        for seg in segments:
+            files = _segment_files(path, seg)
+            if not files:
+                continue
+            for f in from_arrow_schema(
+                pq.read_schema(files[0]), prefer_timestamp_ntz=False
+            ).fields:
+                fields.setdefault(f.name, f)
+        if not fields:
+            raise ValueError(f"no readable segment schema under {path}")
+        return StructType(
+            list(fields.values())
+            + [StructField("_commit_version", LongType())]
+        )
+
+    def _arrow_schema(self, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(schema)
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SnapshotBatchReader(self.options, self._arrow_schema(schema))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(self.options, self._arrow_schema(schema))

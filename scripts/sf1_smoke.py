@@ -252,6 +252,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_zonemap",
     "layout_snapshot_bloom",
     "layout_snapshot_cluster_compact",
+    "streaming_snapshot_source",
     "streaming_snapshot_sink_stats",
     "trend_mann_kendall",
     "layout_snapshot_consume",

@@ -141,6 +141,13 @@ _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
                                         # unit net (test_sources.py
                                         # test_snapshot_bloom_lookup) +
                                         # 3-scale pins from day one
+    "streaming_snapshot_source",        # snapshot table as a Structured
+                                        # Streaming SOURCE (Python
+                                        # DataSource API): version
+                                        # offsets, manifest-planned
+                                        # batches; unit net
+                                        # (test_snapshot_datasource) +
+                                        # 3-scale pins from day one
     "layout_snapshot_cluster_compact",  # range-clustered compaction:
                                         # windowed reads prune after the
                                         # rewrite; unit net
@@ -446,6 +453,7 @@ _EXCLUDED_WITH_ORACLE = [
     "streaming_sessionize_files",
     "streaming_snapshot_sink",
     "streaming_snapshot_sink_stats",
+    "streaming_snapshot_source",
     "streaming_topk",
     "streaming_window_counts",
     "text_bigram_logprob_counts",

@@ -1626,6 +1626,104 @@ def test_snapshot_segment_stats_skipping(spark, tmp_path):
     assert got == {3, 4, 5, 6}
 
 
+def test_snapshot_datasource(spark, tmp_path):
+    """The fis_snapshot Python DataSource (round 12b): batch reads with
+    time travel and schema evolution, the Structured-Streaming tail
+    whose offsets are table versions (checkpointed resume delivers
+    exactly the new rows; a certified compaction flows through as a
+    no-op), _commit_version tagging on both paths, MOR-tombstone
+    refusal on the batch path, and the insert-only refusal surfacing
+    through a streaming drain that crosses an overwrite."""
+    import pytest as _pytest
+
+    from feast_ibm_spark.sources.snapshot_datasource import (
+        register_snapshot_datasource,
+    )
+    from feast_ibm_spark.sources.snapshots import (
+        compact_snapshots,
+        delete_snapshot_keys,
+        write_snapshot,
+    )
+
+    register_snapshot_datasource(spark)
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), path
+    )
+    write_snapshot(  # additive schema evolution
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "k bigint, v string, w double"), path
+    )
+
+    # batch: latest with evolution + tagging; time travel via option
+    out = spark.read.format("fis_snapshot").load(path)
+    assert sorted((r.k, r.v, r.w, r._commit_version)
+                  for r in out.collect()) == [(1, "a", None, 1),
+                                              (2, "b", 1.5, 2)]
+    v1 = spark.read.format("fis_snapshot").option("version", 1).load(path)
+    assert [(r.k, r.w) for r in v1.collect()] == [(1, None)]
+
+    def drain():
+        q = (
+            spark.readStream.format("fis_snapshot").load(path)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert sorted((r.k, r._commit_version) for r in
+                  spark.read.parquet(sink).collect()) == [(1, 1), (2, 2)]
+
+    # append, certified compaction, append — the resumed tail sees
+    # exactly the two genuinely new rows, versions intact
+    write_snapshot(spark.createDataFrame([(3, "c")],
+                                         "k bigint, v string"), path)
+    compact_snapshots(spark, path)
+    write_snapshot(spark.createDataFrame([(4, "d")],
+                                         "k bigint, v string"), path)
+    drain()
+    assert sorted((r.k, r._commit_version) for r in
+                  spark.read.parquet(sink).collect()) == [
+        (1, 1), (2, 2), (3, 3), (4, 5)]
+
+    # an uncertified overwrite breaks the insert-only contract: the
+    # resumed drain refuses rather than silently re-reading the table
+    write_snapshot(spark.createDataFrame([(9, "z")],
+                                         "k bigint, v string"), path,
+                   mode="overwrite")
+    with _pytest.raises(Exception, match="insert-only"):
+        drain()
+
+    # a pre-round-12 table (no schema in the manifest) falls back to
+    # merged segment-footer inference instead of refusing
+    import json as _json
+
+    p3 = str(tmp_path / "legacy")
+    write_snapshot(spark.createDataFrame([(5, "e")],
+                                         "k bigint, v string"), p3)
+    mf = f"{p3}/_snapshots/v000001.json"
+    raw = _json.load(open(mf))
+    raw.pop("schema")
+    open(mf, "w").write(_json.dumps(raw))
+    legacy = spark.read.format("fis_snapshot").load(p3)
+    assert [(r.k, r.v, r._commit_version)
+            for r in legacy.collect()] == [(5, "e", 1)]
+
+    # MOR tombstones refuse the batch path (no per-partition anti-join)
+    p2 = str(tmp_path / "mor")
+    write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "k bigint, v string"), p2)
+    delete_snapshot_keys(spark.createDataFrame([(1,)], "k bigint"),
+                         p2, ["k"])
+    with _pytest.raises(Exception, match="tombstones"):
+        spark.read.format("fis_snapshot").load(p2).collect()
+
+
 def test_timestamp_time_travel(spark, tmp_path):
     """Timestamp-based time travel (round 12b): every commit path
     stamps committed_at at its CAS point; snapshot_version_at resolves
