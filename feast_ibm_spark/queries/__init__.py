@@ -835,6 +835,12 @@ QUERIES: dict[str, QueryDef] = {
         ORACLE_SNAPSHOT_ZONEMAP,
         "manifest zone maps: per-segment [min,max] stats prune "
         "time-windowed snapshot reads at the metadata level (round 12)"),
+    "layout_snapshot_format_write": QueryDef(
+        q_layout_snapshot_format_write,
+        ORACLE_SNAPSHOT_FORMAT_WRITE,
+        "snapshot write path through the Spark DataSource API: staged "
+        "Arrow batches published via the shared CAS commit; "
+        "metadata-only COUNT(*) from footer-summed stats (round 12b)"),
     "streaming_snapshot_source": QueryDef(
         q_streaming_snapshot_source,
         ORACLE_STREAMING_SNAPSHOT_SOURCE,

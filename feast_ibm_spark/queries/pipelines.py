@@ -835,6 +835,80 @@ GROUP BY 1, 2
 """
 
 
+def q_layout_snapshot_format_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot format's WRITE path through the Spark DataSource
+    API (round 12b, sources/snapshot_datasource.py):
+    ``df.write.format("fis_snapshot")`` commits two ts-split event
+    appends — executors stage Arrow batches as parquet, the driver
+    assembles a segment and publishes through the SAME CAS commit
+    every other writer uses (schema enforcement, delta manifests,
+    footer-summed row counts) — and the format READER returns them
+    tagged per introducing commit. Phase 1 hashes the per-commit
+    profile; phase 2 hashes the METADATA-only row count
+    (snapshot_row_count answers from footer-summed stats without
+    reading data — the write path kept COUNT(*) free). In-query assert:
+    no staging residue survives the commits."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.snapshot_datasource import register_snapshot_datasource
+    from ..sources.snapshots import snapshot_row_count
+
+    register_snapshot_datasource(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_dsw_{tag}")
+    if _chain_needs_build(dest, 2):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", _cents("value").alias("cents"), "ts"
+        )
+        split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+        for part in (ev.filter(F.col("ts") < split),
+                     ev.filter(F.col("ts") >= split)):
+            part.write.format("fis_snapshot").mode("append").save(dest)
+    assert [d for d in os.listdir(os.path.join(dest, "data"))
+            if d.startswith(".")] == [], "staging residue leaked"
+
+    full = spark.read.format("fis_snapshot").load(dest)
+    phase1 = (
+        full.groupBy("_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(F.lit(1).cast("bigint").alias("phase"),
+                F.col("_commit_version").alias("cv"),
+                "event_type", "n_events", "sum_cents")
+    )
+    phase2 = spark.range(1).select(
+        F.lit(2).cast("bigint").alias("phase"),
+        F.lit(0).cast("bigint").alias("cv"),
+        F.lit("ALL").alias("event_type"),
+        F.lit(snapshot_row_count(dest)).cast("bigint").alias("n_events"),
+        F.lit(0).cast("bigint").alias("sum_cents"),
+    )
+    return phase1.unionByName(phase2)
+
+
+ORACLE_SNAPSHOT_FORMAT_WRITE = f"""
+WITH ev AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{SNAPSHOT_SPLIT}' THEN 1 ELSE 2 END AS cv,
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(1 AS BIGINT) AS phase, CAST(cv AS BIGINT) AS cv, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY 2, 3
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'ALL',
+       CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM ev
+"""
+
+
 def q_layout_snapshot_cluster_compact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -32,6 +32,26 @@ The BATCH reader is the same scan at one version (time travel via
 refuse the batch path (an anti-join cannot run inside a per-partition
 reader) — :func:`~feast_ibm_spark.sources.snapshots.read_snapshot`
 is the MOR-aware read.
+
+The WRITE paths close the loop (round 12b):
+
+    df.write.format("fis_snapshot").mode("append").save(path)
+    stream.writeStream.format("fis_snapshot").option("path", path)...
+
+Executors stage Arrow batches as parquet files into a hidden directory
+under the table's own data dir (contention-free uuid names, same
+filesystem as the commit target so assembly is pure rename); the
+driver's commit assembles them into a segment-shaped directory, sums
+row counts from the parquet FOOTERS (metadata COUNT(*) stays
+answerable without reading data), and publishes through the SAME CAS
+commit path every other writer uses — schema enforcement, delta
+manifests, ``committed_at``, optimistic retries, and the batch ledger
+all apply unchanged. The STREAMING sink commits each epoch with
+``batch_id=epochId``: a replayed epoch finds its id in the bounded
+ledger and skips the double-commit — the exactly-once contract of
+``write_snapshot_batch`` without needing ``foreachBatch``. Save modes:
+``append`` / ``overwrite`` (the Python DataSource API does not route
+``ErrorIfExists``/``Ignore`` to custom formats).
 """
 
 from __future__ import annotations
@@ -39,16 +59,23 @@ from __future__ import annotations
 import os
 import posixpath
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .snapshots import (
     _DATA_DIR,
     _added_segments,
+    _commit_version,
+    _committed_batch_version,
     _resolve_manifest,
     _seg_version,
     _snapshot_versions,
@@ -200,6 +227,145 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the streaming checkpoint
 
 
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    files: list = field(default_factory=list)
+
+
+def _stage_batches(iterator, staging: str):
+    """Executor-side: stream this task's RecordBatches into ONE staged
+    parquet file (uuid-named, contention-free) under ``staging``;
+    returns the commit message listing it. Empty tasks stage nothing."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    writer = None
+    out = os.path.join(staging, f"part-{_uuid.uuid4().hex}.parquet")
+    try:
+        for batch in iterator:
+            if writer is None:
+                # create the dir only when something is actually
+                # staged — empty tasks leave no residue
+                os.makedirs(staging, exist_ok=True)
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _StagedFiles(files=[out] if writer is not None else [])
+
+
+def _commit_staged(
+    path: str,
+    staging: str,
+    messages,
+    mode: str,
+    schema_fields,
+    batch_id: int | None = None,
+) -> int | None:
+    """Driver-side commit of the executors' staged files: assemble a
+    segment-shaped directory, sum row counts from the parquet FOOTERS
+    (metadata COUNT(*) stays answerable — no data read), and publish
+    through the shared CAS commit (:func:`_commit_version` with
+    ``prewritten=``) — schema enforcement, delta manifests, the batch
+    ledger, and optimistic retries all apply unchanged. An all-empty
+    write commits nothing (None)."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    files = [f for m in messages if m is not None for f in m.files]
+    # clean the dirs the TASKS staged into (from the message paths) as
+    # well as this instance's own path: Spark may instantiate the
+    # writer separately for planning and execution, giving them
+    # different staging uuids — cleaning only "ours" leaks the other
+    staged_dirs = {os.path.dirname(f) for f in files} | {staging}
+    if not files:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return None
+    build = os.path.join(
+        path, _DATA_DIR, f".seg-build-{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(build, exist_ok=True)
+    n_rows = 0
+    for f in files:
+        n_rows += pq.read_metadata(f).num_rows
+        os.rename(f, os.path.join(build, os.path.basename(f)))
+    for d in staged_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return _commit_version(
+        None, path, mode, batch_id=batch_id, prewritten=build,
+        schema_fields=schema_fields, precomputed_stats={"__rows": n_rows},
+    )
+
+
+class _SnapshotBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid as _uuid
+
+        self._path = _local_path(options["path"])
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        # created lazily by the first writing task; commit/abort
+        # remove it, so an all-empty write leaves no residue
+        self._staging = os.path.join(
+            self._path, _DATA_DIR, f".stage-{_uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator):
+        return _stage_batches(iterator, self._staging)
+
+    def commit(self, messages) -> None:
+        _commit_staged(self._path, self._staging, messages,
+                       self._mode, self._schema.fields)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming SINK: each epoch commits as a snapshot
+    version carrying ``batch_id=epochId``, so a replayed epoch finds
+    its id in the bounded batch ledger and skips the double-commit —
+    the same idempotent-sink contract ``write_snapshot_batch`` gives
+    foreachBatch, without the foreachBatch."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid as _uuid
+
+        self._path = _local_path(options["path"])
+        self._schema = schema
+        # lazily created per epoch by the first writing task;
+        # commit/abort remove it (empty epochs leave no residue)
+        self._staging = os.path.join(
+            self._path, _DATA_DIR, f".stage-{_uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator):
+        return _stage_batches(iterator, self._staging)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        if _committed_batch_version(
+            get_fs(self._path), self._path, batchId
+        ) is not None:  # replayed epoch: already durable
+            shutil.rmtree(self._staging, ignore_errors=True)
+            return
+        _commit_staged(self._path, self._staging, messages,
+                       "append", self._schema.fields, batch_id=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class SnapshotDataSource(DataSource):
     """``fis_snapshot``: snapshot tables as a Spark read format —
     batch time travel and a Structured-Streaming tail of the manifest
@@ -261,3 +427,9 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SnapshotStreamReader(self.options, self._arrow_schema(schema))
+
+    def writer(self, schema, overwrite: bool):
+        return _SnapshotBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _SnapshotStreamWriter(self.options, schema, overwrite)

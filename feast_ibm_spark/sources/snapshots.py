@@ -265,11 +265,14 @@ def _reposition_segment(fs, path, written: str | None, df, seg: str) -> str:
     return dst
 
 
-def _merged_schema(prev_raw: dict, df: DataFrame, path: str) -> dict:
-    """Validate-and-merge an appending commit's schema against the
+def _schema_map(fields) -> dict:
+    return {f.name: f.dataType.simpleString() for f in fields}
+
+
+def _merged_schema(prev_raw: dict, new_schema: dict, path: str) -> dict:
+    """Validate-and-merge an appending commit's schema map against the
     table's recorded one (see the enforcement note in
     :func:`_commit_version`); returns the map to record."""
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     table_schema = dict(prev_raw.get("schema", {}))
     conflicts = {
         name: (table_schema[name], typ)
@@ -437,7 +440,7 @@ def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
 
 
 def _commit_version(
-    df: DataFrame,
+    df: DataFrame | None,
     path: str,
     mode: str,
     batch_id: int | None = None,
@@ -445,6 +448,10 @@ def _commit_version(
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    prewritten: str | None = None,
+    schema_fields=None,
+    precomputed_stats: dict | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """Shared commit tail of :func:`write_snapshot` and
     :func:`write_snapshot_batch`: write the segment, then publish the
@@ -461,20 +468,34 @@ def _commit_version(
     and silently drop the interleaved commit's rows — raise
     :class:`SnapshotConflictError` instead (ADVICE r11).
     ``extra`` merges additional keys into the manifest (e.g. the
-    compaction certificate ``compaction_of``)."""
+    compaction certificate ``compaction_of``).
+
+    ``prewritten`` commits an ALREADY-WRITTEN segment-shaped directory
+    (the Python DataSource writer's path: executors staged the parquet
+    files, the driver commits metadata only) — ``df`` is None there,
+    the schema comes from ``schema_fields``, and any stats come
+    precomputed (e.g. row counts summed from parquet footers); the
+    first CAS attempt just renames the staged directory into the
+    version's segment name, so the existing reposition-on-retry
+    machinery applies unchanged."""
     import time
 
-    fs = get_fs(path, df.sparkSession)
+    if (df is None) == (prewritten is None):
+        raise ValueError("exactly one of df / prewritten")
+    fs = get_fs(path, df.sparkSession if df is not None else spark)
     fs.makedirs(_join(path, _MANIFEST_DIR))
-    written = None
+    written = prewritten
     nonce = uuid.uuid4().hex[:8]
-    stats = (
-        _segment_stats(df, stats_cols or [])
-        if (stats_cols or bloom_cols) else None
+    stats = precomputed_stats
+    if df is not None and (stats_cols or bloom_cols):
+        stats = _segment_stats(df, stats_cols or [])
+        if bloom_cols:
+            stats["__bloom"] = _segment_blooms(
+                df, bloom_cols, stats["__rows"]
+            )
+    new_schema = _schema_map(
+        df.schema.fields if df is not None else schema_fields
     )
-    if bloom_cols:
-        stats["__bloom"] = _segment_blooms(df, bloom_cols, stats["__rows"])
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for attempt in range(_COMMIT_RETRIES):
         versions = _snapshot_versions(fs, path)
         version = (versions[-1] + 1) if versions else 1
@@ -497,7 +518,7 @@ def _commit_version(
         # commits replace the schema outright. Pre-round-12 manifests
         # carry no schema: recording starts at the next commit.
         table_schema = (
-            _merged_schema(prev, df, path) if mode == "append"
+            _merged_schema(prev, new_schema, path) if mode == "append"
             else dict(new_schema)
         )
         depth = prev.get("delta_depth", 0)
@@ -665,6 +686,19 @@ def write_snapshot_batch(
     before the ledger existed) falls back to the exhaustive chain walk
     — the rare path, correctness-preserving either way."""
     fs = get_fs(path, df.sparkSession)
+    hit = _committed_batch_version(fs, path, batch_id)
+    if hit is not None:
+        return hit
+    return _commit_version(df, path, "append", batch_id=batch_id,
+                           stats_cols=stats_cols, bloom_cols=bloom_cols)
+
+
+def _committed_batch_version(fs, path: str, batch_id: int) -> int | None:
+    """The version already holding ``batch_id`` (None if uncommitted) —
+    the replay probe shared by :func:`write_snapshot_batch` and the
+    DataSource stream writer: one manifest read through the bounded
+    ledger; ids at-or-below the ledger's newest but absent fall back to
+    the exhaustive chain walk (the rare legacy path)."""
     versions = _snapshot_versions(fs, path)
     ledger = (
         _read_manifest(fs, path, versions[-1]).get("recent_batches")
@@ -675,14 +709,11 @@ def write_snapshot_batch(
         if hit is not None:
             return hit
         if batch_id > ledger[-1][0]:
-            return _commit_version(df, path, "append", batch_id=batch_id,
-                                   stats_cols=stats_cols,
-                                   bloom_cols=bloom_cols)
+            return None
     for v in reversed(versions):
         if _read_manifest(fs, path, v).get("batch_id") == batch_id:
             return v
-    return _commit_version(df, path, "append", batch_id=batch_id,
-                           stats_cols=stats_cols, bloom_cols=bloom_cols)
+    return None
 
 
 def compact_snapshots(
@@ -1384,7 +1415,9 @@ def write_snapshot_partitioned(
             if full_prev.get("deletes"):
                 manifest["deletes"] = full_prev["deletes"]
                 manifest["delete_keys"] = full_prev["delete_keys"]
-        manifest["schema"] = _merged_schema(prev_raw, df, path)
+        manifest["schema"] = _merged_schema(
+            prev_raw, _schema_map(df.schema.fields), path
+        )
         manifest["committed_at"] = int(time.time() * 1_000_000)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]
@@ -1471,7 +1504,9 @@ def overwrite_snapshot_partitions(
         if prev.get("deletes"):
             manifest["deletes"] = prev["deletes"]
             manifest["delete_keys"] = prev["delete_keys"]
-        manifest["schema"] = _merged_schema(prev_raw, df, path)
+        manifest["schema"] = _merged_schema(
+            prev_raw, _schema_map(df.schema.fields), path
+        )
         manifest["committed_at"] = int(time.time() * 1_000_000)
         if prev_raw.get("recent_batches"):
             manifest["recent_batches"] = prev_raw["recent_batches"]

@@ -253,6 +253,7 @@ SMOKE_QUERIES = [
     "layout_snapshot_bloom",
     "layout_snapshot_cluster_compact",
     "streaming_snapshot_source",
+    "layout_snapshot_format_write",
     "streaming_snapshot_sink_stats",
     "trend_mann_kendall",
     "layout_snapshot_consume",

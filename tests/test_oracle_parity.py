@@ -141,6 +141,12 @@ _QUEUED_FOR_R13_GATE: frozenset[str] = frozenset({
                                         # unit net (test_sources.py
                                         # test_snapshot_bloom_lookup) +
                                         # 3-scale pins from day one
+    "layout_snapshot_format_write",     # write path through the Spark
+                                        # DataSource API: staged Arrow
+                                        # batches -> shared CAS commit;
+                                        # unit net
+                                        # (test_snapshot_datasource) +
+                                        # 3-scale pins from day one
     "streaming_snapshot_source",        # snapshot table as a Structured
                                         # Streaming SOURCE (Python
                                         # DataSource API): version
@@ -373,6 +379,7 @@ _EXCLUDED_WITH_ORACLE = [
     "layout_snapshot_bloom",
     "layout_snapshot_cluster_compact",
     "layout_snapshot_compact_consume",
+    "layout_snapshot_format_write",
     "layout_snapshot_partition_overwrite",
     "layout_snapshot_time_travel",
     "layout_snapshot_zonemap",

@@ -1699,6 +1699,62 @@ def test_snapshot_datasource(spark, tmp_path):
     with _pytest.raises(Exception, match="insert-only"):
         drain()
 
+    # WRITE paths (round 12b): the format writer commits through the
+    # same CAS machinery — append versions, overwrite, schema
+    # enforcement, footer-summed row counts, no staging residue
+    from feast_ibm_spark.sources.snapshots import (
+        SchemaEvolutionError,
+        snapshot_row_count,
+        snapshot_versions,
+    )
+
+    pw = str(tmp_path / "written")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string") \
+        .write.format("fis_snapshot").mode("append").save(pw)
+    spark.createDataFrame([(3, "c")], "k bigint, v string") \
+        .write.format("fis_snapshot").mode("append").save(pw)
+    assert snapshot_versions(pw) == [1, 2]
+    assert snapshot_row_count(pw) == 3  # footer-summed, no data read
+    got = spark.read.format("fis_snapshot").load(pw)
+    assert sorted((r.k, r.v, r._commit_version) for r in got.collect()) \
+        == [(1, "a", 1), (2, "b", 1), (3, "c", 2)]
+    with _pytest.raises(Exception, match="changes column types"):
+        spark.createDataFrame([("x", "y")], "k string, v string") \
+            .write.format("fis_snapshot").mode("append").save(pw)
+    spark.createDataFrame([(9, "z")], "k bigint, v string") \
+        .write.format("fis_snapshot").mode("overwrite").save(pw)
+    assert [r.k for r in spark.read.format("fis_snapshot")
+            .load(pw).collect()] == [9]
+    assert [d for d in __import__("os").listdir(f"{pw}/data")
+            if d.startswith(".")] == []  # staging fully reclaimed
+
+    # streaming SINK: epochs commit as ledgered batch versions
+    # (exactly-once); a re-drain with no new data commits nothing
+    src = str(tmp_path / "stream_src")
+    ptbl = str(tmp_path / "stream_tbl")
+    ck2 = str(tmp_path / "stream_ck")
+    spark.createDataFrame([(1, "a")], "k bigint, v string") \
+        .write.parquet(src)
+
+    def sink_drain():
+        q = (
+            spark.readStream.schema("k bigint, v string").parquet(src)
+            .writeStream.format("fis_snapshot").option("path", ptbl)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    sink_drain()
+    sink_drain()  # no new data: no new version
+    assert snapshot_versions(ptbl) == [1]
+    spark.createDataFrame([(2, "b")], "k bigint, v string") \
+        .write.mode("append").parquet(src)
+    sink_drain()
+    assert snapshot_versions(ptbl) == [1, 2]
+    assert sorted(r.k for r in spark.read.format("fis_snapshot")
+                  .load(ptbl).collect()) == [1, 2]
+
     # a pre-round-12 table (no schema in the manifest) falls back to
     # merged segment-footer inference instead of refusing
     import json as _json
