@@ -941,7 +941,7 @@ def q_layout_snapshot_cluster_compact(
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dest = os.path.join(tempfile.gettempdir(), f"fis_events_cc_{tag}")
+    dest = os.path.join(tempfile.gettempdir(), f"fis_events_ccl_{tag}")
     if _chain_needs_build(dest, 6):
         ev = _t(spark, sf_dir, "events").select(
             "event_id", "event_type", _cents("value").alias("cents"), "ts"

@@ -74,6 +74,8 @@ from pyspark.sql.datasource import (
 from .snapshots import (
     _DATA_DIR,
     _added_segments,
+    _bloom_may_contain,
+    _canon_stat,
     _commit_version,
     _committed_batch_version,
     _resolve_manifest,
@@ -141,6 +143,8 @@ def _read_partition(partition: _SegmentPartition, arrow_schema):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if partition is None:
+        return  # an all-pruned scan: Spark still runs one empty task
     data_fields = [f for f in arrow_schema if f.name != "_commit_version"]
     target = pa.schema(data_fields)
     for path in partition.files:
@@ -178,21 +182,129 @@ class _SnapshotBatchReader(DataSourceReader):
                 f"{FORMAT_NAME} batch reader cannot apply the anti-join; "
                 "use read_snapshot (or compact first)"
             )
-        self._parts = [
-            _SegmentPartition(
-                _segment_files(path, s),
-                _seg_version(posixpath.basename(s.split("/", 1)[1]))
-                if s.startswith(f"{_DATA_DIR}/") else 0,
-            )
-            for s in manifest["segments"]
-        ]
+        self._path = path
+        self._manifest = manifest
         self._arrow_schema = arrow_schema
+        self._pushed: list = []
 
     def partitions(self):
-        return self._parts
+        segs = [
+            s for s in self._manifest["segments"]
+            if all(self._segment_may_match(s, f) for f in self._pushed)
+        ]
+        return [
+            _SegmentPartition(
+                _segment_files(self._path, s),
+                _seg_version(posixpath.basename(s)),
+            )
+            for s in segs
+        ]
+
+    def _segment_may_match(self, seg: str, f) -> bool:
+        raise AssertionError("base reader never holds pushed filters")
 
     def read(self, partition):
         yield from _read_partition(partition, self._arrow_schema)
+
+
+class _SnapshotPushdownReader(_SnapshotBatchReader):
+    """The batch reader WITH Catalyst filter pushdown. A separate
+    subclass because Spark hard-refuses ANY reader that merely
+    implements ``pushFilters`` while the (experimental, default-false)
+    session conf is off — so the method must only exist when the user
+    opted in via ``option("pushdown", "true")``."""
+
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown (Spark 4.1, DOUBLE opt-in):
+        comparison and IN/= predicates on top-level columns are
+        remembered for SEGMENT pruning — ``.where("k = 42")`` on a
+        bloom-indexed table or ``.where("ts > ...")`` on a
+        stats-recorded one skips whole segment directories at
+        planning, with no special read function. Every filter is
+        RETURNED (Spark re-applies the exact predicate on what
+        remains): manifest metadata changes I/O, never answers — the
+        zone-map/bloom contract.
+
+        Requires BOTH ``spark.sql.python.filterPushdown.enabled=true``
+        (the experimental session conf, default false) AND
+        ``option("pushdown", "true")`` on the read, and the loaded
+        DataFrame must be used for ONE query: Spark caches the
+        post-pushdown reader (and its planned partitions) on the
+        relation, so reusing a single ``load()`` result across
+        differently-filtered scans replays the FIRST query's pruning
+        against the others (measured: a filterless ``count()`` after a
+        ``k = 41`` scan returned the pruned segment's 30 rows).
+        ``spark.read.format(...).option("pushdown", "true")
+        .load(p).where(...)`` per query is the safe pattern; without
+        the option the plain reader class (no ``pushFilters`` at all)
+        is used and every scan reads the full segment list."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual)
+        # replace, never extend: repeated planning must not accumulate
+        self._pushed = [
+            f for f in filters
+            if isinstance(f, supported) and len(f.attribute) == 1
+        ]
+        return filters
+
+    def _segment_may_match(self, seg: str, f) -> bool:  # noqa: D401
+        """Conservative per-segment verdict for one pushed filter:
+        False ONLY when the manifest metadata PROVES no row can match
+        (bloom says absent for every probe; stats range disjoint from
+        the predicate). Anything unprovable — missing metadata,
+        incomparable types — keeps the segment."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        col = f.attribute[0]
+        rec = self._manifest.get("segment_stats", {}).get(seg, {})
+        values = (
+            list(f.value) if isinstance(f, In) else [f.value]
+        )
+        if isinstance(f, (EqualTo, In)):
+            bloom = rec.get("__bloom", {}).get(col)
+            if bloom is not None and all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                and v is not None for v in values
+            ):
+                if not _bloom_may_contain(bloom, values):
+                    return False
+        bounds = rec.get(col)
+        if not bounds:
+            return True
+        lo, hi = bounds
+        try:
+            if isinstance(f, (EqualTo, In)):
+                return any(
+                    lo <= _canon_stat(v) <= hi for v in values
+                )
+            v = _canon_stat(f.value)
+            if isinstance(f, GreaterThan):
+                return hi > v
+            if isinstance(f, GreaterThanOrEqual):
+                return hi >= v
+            if isinstance(f, LessThan):
+                return lo < v
+            if isinstance(f, LessThanOrEqual):
+                return lo <= v
+        except TypeError:
+            return True  # incomparable literal: never prune on a guess
+        return True
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -423,7 +535,12 @@ class SnapshotDataSource(DataSource):
         return to_arrow_schema(schema)
 
     def reader(self, schema) -> DataSourceReader:
-        return _SnapshotBatchReader(self.options, self._arrow_schema(schema))
+        cls = (
+            _SnapshotPushdownReader
+            if self.options.get("pushdown", "false").lower() == "true"
+            else _SnapshotBatchReader
+        )
+        return cls(self.options, self._arrow_schema(schema))
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SnapshotStreamReader(self.options, self._arrow_schema(schema))

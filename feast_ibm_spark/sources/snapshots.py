@@ -390,6 +390,20 @@ def _segment_blooms(df: DataFrame, bloom_cols: list[str], n_rows: int) -> dict:
     return out
 
 
+def _bloom_may_contain(rec: dict, values: list) -> bool:
+    """Whether a segment's bloom record possibly holds ANY of the probe
+    values (all k bits set for at least one)."""
+    import base64
+
+    bits = base64.b64decode(rec["b64"])
+    m = rec["m"]
+    return any(
+        all((bits[p >> 3] >> (p & 7)) & 1
+            for p in _bloom_positions_py(v, m))
+        for v in values
+    )
+
+
 def _bloom_prune(manifest: dict, col: str, values: list) -> list[str]:
     """The segment directories a point lookup ``col IN values`` must
     scan: a segment is SKIPPED only when its recorded bloom proves no
@@ -398,24 +412,12 @@ def _bloom_prune(manifest: dict, col: str, values: list) -> list[str]:
     zone maps, blooms change I/O, never answers (the exact predicate
     re-applies on top, so a false positive costs a scan, nothing
     else)."""
-    import base64
-
     stats = manifest.get("segment_stats", {})
     dirs = []
     for s in manifest["segments"]:
         rec = stats.get(s, {}).get("__bloom", {}).get(col)
-        if rec is None:
+        if rec is None or _bloom_may_contain(rec, values):
             dirs.append(s)
-            continue
-        bits = base64.b64decode(rec["b64"])
-        m = rec["m"]
-        for v in values:
-            if all(
-                (bits[p >> 3] >> (p & 7)) & 1
-                for p in _bloom_positions_py(v, m)
-            ):
-                dirs.append(s)
-                break
     return dirs
 
 

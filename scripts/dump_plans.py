@@ -525,6 +525,28 @@ SHOWCASE: list[tuple[str, str]] = [
         "lands in PushedFilters on what little remains.",
     ),
     (
+        "streaming_snapshot_source",
+        "The snapshot table as a Structured Streaming SOURCE (round 12b,\n"
+        "Spark 4 Python DataSource API): offsets are table VERSIONS and each\n"
+        "micro-batch's partitions are exactly the segment directories the\n"
+        "committed range added — planned from manifests via the same walk\n"
+        "the batch CDF uses, so certified compactions flow through as no-ops\n"
+        "and checkpointed resume replays deterministically. The captured\n"
+        "plan aggregates the drained memory sink; the source's own work is\n"
+        "Arrow-native pyarrow reads in Python workers, tagged\n"
+        "_commit_version per segment.",
+    ),
+    (
+        "layout_snapshot_format_write",
+        "The snapshot WRITE path through the DataSource API (round 12b):\n"
+        "executors stage Arrow batches as contention-free parquet files, the\n"
+        "driver assembles a segment and publishes through the SAME CAS\n"
+        "commit every writer uses — schema enforcement, delta manifests,\n"
+        "batch ledger. Phase 2's metadata-only COUNT(*) comes from\n"
+        "footer-summed row counts recorded at commit: the write path keeps\n"
+        "the table's metadata answers intact without reading data.",
+    ),
+    (
         "layout_snapshot_zonemap",
         "Manifest zone maps (round 12): the windowed read's scan lists ONLY\n"
         "the segments whose manifest-recorded [min, max] ts overlaps the\n"

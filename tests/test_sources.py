@@ -1755,6 +1755,39 @@ def test_snapshot_datasource(spark, tmp_path):
     assert sorted(r.k for r in spark.read.format("fis_snapshot")
                   .load(ptbl).collect()) == [1, 2]
 
+    # Catalyst filter pushdown (double opt-in: experimental conf +
+    # option): a point lookup plans 1 partition instead of 3, results
+    # identical; the plain reader (no option) is untouched by the conf
+    pp = str(tmp_path / "pushdown")
+    for r in range(3):
+        # k interleaves across segments (only blooms can prune it);
+        # v is range-disjoint per segment (zone maps prune it)
+        write_snapshot(
+            spark.createDataFrame(
+                [(i, r * 1000 + i) for i in range(90) if i % 3 == r],
+                "k bigint, v bigint",
+            ),
+            pp, bloom_cols=["k"], stats_cols=["v"],
+        )
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(conf_key, "true")
+    try:
+        def fresh():
+            return (spark.read.format("fis_snapshot")
+                    .option("pushdown", "true").load(pp))
+
+        hit = fresh().where("k = 41")  # bloom: 1 of 3 segments
+        assert [(r.k, r.v) for r in hit.collect()] == [(41, 2041)]
+        assert hit.rdd.getNumPartitions() == 1
+        rng = fresh().where("v >= 2000")  # stats: 1 of 3 segments
+        assert rng.count() == 30
+        assert rng.rdd.getNumPartitions() == 1
+        assert fresh().count() == 90  # filterless scan stays full
+        # plain reader unaffected by the conf being on
+        assert spark.read.format("fis_snapshot").load(pp).count() == 90
+    finally:
+        spark.conf.set(conf_key, "false")
+
     # a pre-round-12 table (no schema in the manifest) falls back to
     # merged segment-footer inference instead of refusing
     import json as _json
