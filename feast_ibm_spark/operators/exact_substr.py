@@ -122,33 +122,74 @@ def _session_pool_and_slots(spark) -> tuple[float | None, int | None]:
         return None, None
 
 
-def _gram_array(chars_col: str, min_len: int, hashed: bool):
-    """Array of ALL length-``min_len`` character grams of a
-    pre-split char-array column (one per start offset, 1-based); with
-    ``hashed`` each gram is its 64-bit hash (of the char slice — equal
-    40-codepoint sequences hash equal, same 2^-64 collision bound as
-    hashing the joined string).
+def _tiered_seg_cols(df: DataFrame, seg_col: str = "__seg") -> DataFrame:
+    """Attach the per-row gram-tier columns to a STRING segment column:
+    ``__ascii`` (byte length == codepoint length), ``__bin`` (the UTF-8
+    bytes, ASCII rows only) and ``__chars`` (the codepoint array,
+    non-ASCII rows only). ``when()`` evaluates lazily per row, so an
+    all-ASCII corpus never pays the ``split`` (which materializes one
+    single-char UTF8String per codepoint) and a non-ASCII corpus never
+    pays the binary cast."""
+    return (
+        df.withColumn(
+            "__ascii", F.octet_length(seg_col) == F.length(seg_col)
+        )
+        .withColumn(
+            "__bin", F.when(F.col("__ascii"), F.col(seg_col).cast("binary"))
+        )
+        .withColumn(
+            "__chars", F.when(~F.col("__ascii"), F.split(seg_col, ""))
+        )
+    )
 
-    Grams are O(min_len) ARRAY SLICES of the char array, NOT
-    ``substring(text, i, L)`` calls: Spark's UTF8String substring walks
-    codepoint boundaries from the start of the string, making the
-    substring formulation O(len^2) per document — measured 168.7s for
-    ONE 1 MB document pair at 16 KB chunks vs 11.2s with char slices
-    (NOTES.md "ExactSubstr whale document"). ``split(text, '')`` is
-    codepoint-aware (Java regex), so slice indices agree with
-    ``substring``/``length`` semantics exactly.
+
+def _tiered_gram_array(seg_col: str, min_len: int, hashed: bool):
+    """Array of ALL length-``min_len`` character grams of a segment
+    prepared by :func:`_tiered_seg_cols` (one per start offset,
+    1-based); with ``hashed`` each gram is the 64-bit xxhash of its
+    UTF-8 BYTES (same 2^-64 collision bound as hashing the string).
+
+    TIERED per row (round 12, measured 3.6 s -> 0.5 s for the sf0.1
+    gram stage):
+
+    - ASCII rows (byte index == char index) slice the UTF-8 byte
+      buffer directly: ``substring`` on BinaryType is a flat O(L) byte
+      copy — no codepoint walk, no per-char UTF8String allocation —
+      and ``xxhash64`` runs ONCE over 40 contiguous bytes instead of
+      chaining 40 per-element hashes over a sliced char array.
+    - non-ASCII rows keep the char-array slice path (``split(text,
+      '')`` is codepoint-aware, so slice indices agree with
+      ``substring``/``length`` semantics exactly). A STRING
+      ``substring`` formulation would be O(len^2) per document — the
+      UTF8String substring walks codepoint boundaries from the string
+      start; measured 168.7 s for ONE 1 MB document pair at 16 KB
+      chunks vs 11.2 s with char slices (NOTES.md "ExactSubstr whale
+      document").
+
+    The two tiers emit IDENTICAL keys for identical gram text —
+    ``xxhash64(string)`` hashes the string's UTF-8 bytes, which is
+    byte-for-byte what the ASCII tier's binary slice holds (a gram
+    containing a non-ASCII char can only occur in non-ASCII rows, so
+    cross-tier collisions of distinct grams stay at the 2^-64 bound) —
+    so a duplicate shared between an ASCII and a non-ASCII document
+    still meets on its gram key (pinned by
+    test_mixed_ascii_nonascii_grams_share_keys).
 
     Caller must pre-filter ``length >= min_len``: Spark's
     ``sequence(1, n)`` generates a DESCENDING range when n < 1 instead
     of an empty one, which would fabricate short trailing grams."""
-    gram = (
-        f"xxhash64(slice({chars_col}, i, {min_len}))"
-        if hashed
-        else f"array_join(slice({chars_col}, i, {min_len}), '')"
-    )
-    return F.expr(
-        f"transform(sequence(1, size({chars_col}) - {min_len - 1}),"
-        f" i -> {gram})"
+    n_starts = f"length({seg_col}) - {min_len - 1}"
+    if hashed:
+        fast = f"xxhash64(substring(__bin, i, {min_len}))"
+        slow = f"xxhash64(array_join(slice(__chars, i, {min_len}), ''))"
+    else:
+        fast = f"decode(substring(__bin, i, {min_len}), 'UTF-8')"
+        slow = f"array_join(slice(__chars, i, {min_len}), '')"
+    return F.when(
+        F.col("__ascii"),
+        F.expr(f"transform(sequence(1, {n_starts}), i -> {fast})"),
+    ).otherwise(
+        F.expr(f"transform(sequence(1, {n_starts}), i -> {slow})")
     )
 
 
@@ -183,12 +224,16 @@ def exact_substr_pairs(
     :func:`duplicated_spans`, which is flood-linear with no cap.
     """
     grams = (
-        df.filter(F.length(text_col) >= min_len)
-        .select(F.col(id_col), F.split(F.col(text_col), "").alias("__chars"))
+        _tiered_seg_cols(
+            df.filter(F.length(text_col) >= min_len)
+            .select(F.col(id_col), F.col(text_col).alias("__seg"))
+        )
         .select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(_gram_array("__chars", min_len, hash_grams))
+                F.array_distinct(
+                    _tiered_gram_array("__seg", min_len, hash_grams)
+                )
             ).alias("gram"),
         )
     )
@@ -256,7 +301,8 @@ def duplicated_spans(
     char array materializes. Without this, one 32 MB document
     materializes a single ~32M-element array in one task (multi-GB row
     — an OOM ceiling unrelated to the window sort). With chunking plus
-    char-slice grams (see :func:`_gram_array`) the whale cost is the
+    byte/char-slice grams (see :func:`_tiered_gram_array`) the whale
+    cost is the
     interval-merge window's per-doc sort, which is sort-bound and
     spill-safe like sessionize — measured: a fully-duplicated 32 MB
     document pair completes exactly on an 8 GB heap (549s, worst task
@@ -314,14 +360,14 @@ def duplicated_spans(
             ).alias("__c"),
         )
         .select(id_col, F.col("__c.bias").alias("__bias"),
-                F.split(F.col("__c.seg"), "").alias("__chars"))
+                F.col("__c.seg").alias("__seg"))
     )
     offs = (
-        segs.select(
+        _tiered_seg_cols(segs).select(
             F.col(id_col),
             F.col("__bias"),
             F.posexplode(
-                _gram_array("__chars", min_len, hash_grams)
+                _tiered_gram_array("__seg", min_len, hash_grams)
             ).alias("pos0", "gram"),
         )
         .select(

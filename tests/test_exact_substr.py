@@ -389,6 +389,37 @@ def test_chunked_gram_stream_is_bit_identical(spark, corpus_df):
         duplicated_spans(corpus_df, min_len=L, chunk_chars=0)
 
 
+def test_mixed_ascii_nonascii_grams_share_keys(spark):
+    """The round-12 tiered gram path (ASCII rows slice UTF-8 bytes,
+    non-ASCII rows slice the codepoint array) must emit IDENTICAL keys
+    for identical gram text across tiers: a duplicate shared between an
+    ASCII document and a non-ASCII document still meets on its gram —
+    and non-ASCII offsets stay CHARACTER offsets (the é is one position,
+    not two bytes). Pinned against the same Python brute force, with a
+    chunk width straddling the shared run so chunk rebasing is covered
+    on the non-ASCII tier too."""
+    docs = {
+        0: "prefix zero SHARED DUPLICATE RUN tail zero",
+        1: "héllo wörld 日本 SHARED DUPLICATE RUN tail øne",
+        2: "totally unrelated ascii content here",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    assert _pairs_dict(exact_substr_pairs(df, min_len=L)) == _brute_pairs(docs)
+    want = _brute_spans(docs)
+    for chunk in (7, 1_000_000):
+        got: dict[int, list] = {}
+        for r in duplicated_spans(df, min_len=L, chunk_chars=chunk).collect():
+            got.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+        assert {d: sorted(v) for d, v in got.items()} == want, (
+            f"chunk_chars={chunk} diverged"
+        )
+    # unhashed tier must agree as well (string grams, not hashes)
+    plain = _pairs_dict(exact_substr_pairs(df, min_len=L, hash_grams=False))
+    assert plain == _brute_pairs(docs)
+
+
 def test_cut_tiers_are_equivalent(spark, corpus_df):
     """The long-doc distributed rebuild (round 9) must be invisible:
     forcing EVERY doc through it (inrow_max_chars=0) with chunk widths
