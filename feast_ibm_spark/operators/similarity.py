@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
+def _fold_dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,7 +39,7 @@ def _dot(a, b):
     )
 
 
-def _norm_sq(a):
+def _fold_norm_sq(a):
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -47,9 +47,49 @@ def _norm_sq(a):
     )
 
 
-def cosine_col(a, b):
+def _unrolled_sum(terms):
+    """((0.0 + t0) + t1) + ... — the SAME left-to-right double-addition
+    sequence the ``F.aggregate`` fold performs, as a static expression."""
+    import functools
+    import operator
+
+    return functools.reduce(operator.add, terms, F.lit(0.0))
+
+
+def _dot(a, b, dim: int | None = None):
+    """Strict left-to-right dot fold; with ``dim`` set, rows whose arrays
+    are exactly ``dim`` long take an UNROLLED static sum chain instead of
+    the interpreted higher-order-function fold — bit-identical (identical
+    addition order) and measured ~3x faster at pair-scoring volume
+    (NOTES/OPTIMIZATION_r12: 4M 64-dim pairs 23s fold -> 8s guarded; the
+    HOF fold runs interpreted per element, guide §4.1). Rows of any OTHER
+    length (ragged input) fall through to the fold, so semantics are
+    unchanged for every input; ``dim=None`` keeps the pure fold."""
+    if dim is None:
+        return _fold_dot(a, b)
+    unrolled = _unrolled_sum(
+        [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
+    )
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), unrolled
+    ).otherwise(_fold_dot(a, b))
+
+
+def _norm_sq(a, dim: int | None = None):
+    """Squared L2 norm fold; same guarded-unroll tier as :func:`_dot`."""
+    if dim is None:
+        return _fold_norm_sq(a)
+    unrolled = _unrolled_sum(
+        [a[i].cast("double") * a[i].cast("double") for i in range(dim)]
+    )
+    return F.when(F.size(a) == dim, unrolled).otherwise(_fold_norm_sq(a))
+
+
+def cosine_col(a, b, dim: int | None = None):
     """cos(a, b) as a deterministic double expression."""
-    return _dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
+    return _dot(a, b, dim) / (
+        F.sqrt(_norm_sq(a, dim)) * F.sqrt(_norm_sq(b, dim))
+    )
 
 
 def cosine_topk(
@@ -59,8 +99,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector (cosine).
+
+    ``dim``: known embedding dimensionality — enables the guarded
+    unrolled scoring kernel (see :func:`_dot`; bit-identical, rows of
+    any other length fall back to the fold).
 
     Physical shape: broadcast(queries) x corpus -> BroadcastNestedLoopJoin
     producing |q| x |n| candidate rows WITHOUT shuffling the corpus, then a
@@ -74,18 +119,18 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias(qid),
             F.col(vec_col).alias("q_vec"),
-            _norm_sq(F.col(vec_col)).alias("q_nsq"),
+            _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
         )
     )
     # spread the per-pair scoring across cores even off a one-file corpus
     # (a single input partition otherwise serializes the whole kernel)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
-        F.col(id_col), F.col(vec_col), _norm_sq(F.col(vec_col)).alias("c_nsq")
+        F.col(id_col), F.col(vec_col), _norm_sq(F.col(vec_col), dim).alias("c_nsq")
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col))
+        _dot(F.col("q_vec"), F.col(vec_col), dim)
         / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -104,6 +149,7 @@ def retrieval_rank_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Label-relevance ranking eval over exact cosine: for each query
     vector, rank EVERY other corpus vector (cosine desc, id asc — total
@@ -127,17 +173,17 @@ def retrieval_rank_stats(
             F.col(id_col).alias(qid),
             F.col(label_col).alias("__q_label"),
             F.col(vec_col).alias("q_vec"),
-            _norm_sq(F.col(vec_col)).alias("q_nsq"),
+            _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
         )
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
         F.col(id_col), F.col(label_col), F.col(vec_col),
-        _norm_sq(F.col(vec_col)).alias("c_nsq"),
+        _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col))
+        _dot(F.col("q_vec"), F.col(vec_col), dim)
         / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
     )
     w = Window.partitionBy(qid).orderBy(
@@ -162,6 +208,7 @@ def near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All unordered corpus pairs with cosine >= threshold.
 
@@ -174,18 +221,18 @@ def near_dup_pairs(
     a = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        _norm_sq(F.col(vec_col)).alias("na"),
+        _norm_sq(F.col(vec_col), dim).alias("na"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        _norm_sq(F.col(vec_col)).alias("nb"),
+        _norm_sq(F.col(vec_col), dim).alias("nb"),
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"))
+            _dot(F.col("va"), F.col("vb"), dim)
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         )
         .filter(F.col("cosine") >= threshold)
@@ -266,8 +313,9 @@ def lsh_cosine_topk(
     # norms once per surviving pair side; the dot is the only per-pair fold
     scored = cand.withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col))
-        / (F.sqrt(_norm_sq(F.col("q_vec"))) * F.sqrt(_norm_sq(F.col(vec_col)))),
+        _dot(F.col("q_vec"), F.col(vec_col), dim)
+        / (F.sqrt(_norm_sq(F.col("q_vec"), dim))
+           * F.sqrt(_norm_sq(F.col(vec_col), dim))),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -363,6 +411,9 @@ def ivf_cosine_topk(
             if cache_key:
                 _SEED_CENTROID_CACHE[cache_key] = cents
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # known dimensionality (from the index vectors) enables the guarded
+    # unrolled scoring kernel — see _dot
+    dim = int(cents.shape[1])
 
     @pandas_udf(LongType())
     def nearest_cell(v: pd.Series) -> pd.Series:
@@ -385,13 +436,13 @@ def ivf_cosine_topk(
     c_assigned = corpus.repartition(par, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_sq(F.col(vec_col)).alias("c_nsq"),
+        _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
         nearest_cell(F.col(vec_col)).alias("cell"),
     )
     q_m = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        _norm_sq(F.col(vec_col)).alias("q_nsq"),
+        _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
 
@@ -401,7 +452,7 @@ def ivf_cosine_topk(
         .filter(F.col(qid) != F.col(id_col))
         .withColumn(
             "cosine",
-            _dot(F.col("q_vec"), F.col(vec_col))
+            _dot(F.col("q_vec"), F.col(vec_col), dim)
             / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
         )
     )
@@ -577,7 +628,7 @@ def near_dup_pairs_lsh(
     m = corpus.repartition(par, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_sq(F.col(vec_col)).alias("nsq"),
+        _norm_sq(F.col(vec_col), dim).alias("nsq"),
         F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
     )
     if max_bucket_size is not None:
@@ -607,12 +658,12 @@ def near_dup_pairs_lsh(
         va = corpus.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _norm_sq(F.col(vec_col)).alias("na"),
+            _norm_sq(F.col(vec_col), dim).alias("na"),
         )
         vb = corpus.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
-            _norm_sq(F.col(vec_col)).alias("nb"),
+            _norm_sq(F.col(vec_col), dim).alias("nb"),
         )
         cand = cand.join(va, "id_a").join(vb, "id_b")
     else:
@@ -639,7 +690,7 @@ def near_dup_pairs_lsh(
     return (
         cand.withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"))
+            _dot(F.col("va"), F.col("vb"), dim)
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         )
         .filter(F.col("cosine") >= threshold)
@@ -754,13 +805,13 @@ def pq_cosine_topk(
     qid = f"q_{id_col}"
     coded = corpus.select(
         F.col(id_col),
-        F.sqrt(_norm_sq(F.col(vec_col))).alias("c_norm"),
+        F.sqrt(_norm_sq(F.col(vec_col), dim)).alias("c_norm"),
         encode(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_norm_sq(F.col(vec_col))).alias("q_norm"),
+        F.sqrt(_norm_sq(F.col(vec_col), dim)).alias("q_norm"),
         adc_lut(F.col(vec_col)).alias("lut"),
     )
 
@@ -794,7 +845,7 @@ def pq_cosine_topk(
 
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec"), dim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))
@@ -943,14 +994,14 @@ def ivfpq_cosine_topk(
 
     qid = f"q_{id_col}"
     coded = corpus.select(
-        F.col(id_col), _norm_sq(F.col(vec_col)).alias("c_nsq"),
+        F.col(id_col), _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
         encode(F.col(vec_col)).alias("e"),
     ).select(id_col, "c_nsq", F.col("e.cell").alias("cell"),
              F.col("e.codes").alias("codes"))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        _norm_sq(F.col(vec_col)).alias("q_nsq"),
+        _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
         query_luts(F.col(vec_col)).alias("lut"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
@@ -980,7 +1031,7 @@ def ivfpq_cosine_topk(
     )
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec"), dim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))

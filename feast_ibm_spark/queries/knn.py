@@ -9,6 +9,7 @@ from ._shared import *  # noqa: F401,F403
 
 KNN_K = 5
 KNN_QUERY_IDS = 8  # vec_id < 8 are the query vectors
+EMB_DIM = 64  # embeddings table dimensionality (the oracle SQL pins range(1, 65))
 
 _DUCK_DOT = """
 list_reduce(
@@ -30,7 +31,7 @@ def _duck_cosine(a: str, b: str) -> str:
 def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
-    return cosine_topk(emb, queries, k=KNN_K)
+    return cosine_topk(emb, queries, k=KNN_K, dim=EMB_DIM)
 
 
 ORACLE_KNN = f"""
@@ -139,7 +140,7 @@ NEAR_DUP_COS = 0.4
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return near_dup_pairs(emb, threshold=NEAR_DUP_COS)
+    return near_dup_pairs(emb, threshold=NEAR_DUP_COS, dim=EMB_DIM)
 
 
 ORACLE_NEAR_DUP = f"""
@@ -181,7 +182,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs(emb, threshold=NEAR_DUP_COS)
+    pairs = near_dup_pairs(emb, threshold=NEAR_DUP_COS, dim=EMB_DIM)
     return dedup_clusters(pairs, a_col="id_a", b_col="id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
@@ -780,7 +781,8 @@ def q_eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
-    return retrieval_rank_stats(emb, queries, label_col="label", k=RANK_K)
+    return retrieval_rank_stats(emb, queries, label_col="label", k=RANK_K,
+                                dim=EMB_DIM)
 
 
 ORACLE_RETRIEVAL_RANKS = f"""

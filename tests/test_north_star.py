@@ -113,6 +113,30 @@ def test_near_dup_pairs_threshold(vectors):
     assert (0, 4) not in pairs  # cosine -1
 
 
+def test_cosine_kernel_unrolled_bit_identical(spark):
+    """The dim-guarded unrolled scoring kernel (r12 optimization) must be
+    BIT-identical to the higher-order-function fold — same left-to-right
+    double-addition order — and ragged rows must fall back to the fold."""
+    import struct
+
+    from feast_ibm_spark.operators.similarity import cosine_col
+
+    rows = [
+        (0, [0.1 * i + 0.07 for i in range(64)], [1.0 / (i + 3) for i in range(64)]),
+        (1, [math.sin(i) for i in range(64)], [math.cos(i) * 0.3 for i in range(64)]),
+        # ragged pair (len 5) exercises the fold fallback branch
+        (2, [1.0, 2.0, 3.0, 4.0, 5.0], [0.5, 0.25, 0.125, 2.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, a array<double>, b array<double>")
+    got = df.select(
+        "i",
+        cosine_col(F.col("a"), F.col("b")).alias("fold"),
+        cosine_col(F.col("a"), F.col("b"), dim=64).alias("guarded"),
+    ).collect()
+    for r in got:
+        assert struct.pack("<d", r.fold) == struct.pack("<d", r.guarded), r.i
+
+
 def test_lsh_topk_subset_of_exact(spark, sf_dir):
     from feast_ibm_spark.sources.reader import load_table
 
