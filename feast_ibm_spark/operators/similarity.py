@@ -56,6 +56,49 @@ def _unrolled_sum(terms):
     return functools.reduce(operator.add, terms, F.lit(0.0))
 
 
+def _sql_name(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+# SQL twins of _fold_dot / _fold_norm_sq (identical expression trees after
+# parsing: same casts, same 0.0D double seed, same left-to-right fold)
+_FOLD_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS "
+    "DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+)
+_FOLD_NORM_SQL = (
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "0.0D, (acc, v) -> acc + v)"
+)
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The guarded unrolled dot kernel as ONE SQL string. Building the
+    64-term chain through the Column API costs hundreds of py4j round
+    trips per instantiation (measured: the knn query family spent 60-80%
+    of its bench time in driver-side query CONSTRUCTION); parsing a
+    single expr string moves that to one JVM call with an identical
+    expression tree."""
+    ra, rb = _sql_name(a), _sql_name(b)
+    s = "0.0D"
+    for i in range(dim):
+        s = f"({s} + (CAST({ra}[{i}] AS DOUBLE) * CAST({rb}[{i}] AS DOUBLE)))"
+    fold = _FOLD_DOT_SQL.format(a=ra, b=rb)
+    return (
+        f"CASE WHEN (size({ra}) = {dim}) AND (size({rb}) = {dim}) "
+        f"THEN {s} ELSE {fold} END"
+    )
+
+
+def _norm_sq_sql(a: str, dim: int) -> str:
+    ra = _sql_name(a)
+    s = "0.0D"
+    for i in range(dim):
+        s = f"({s} + (CAST({ra}[{i}] AS DOUBLE) * CAST({ra}[{i}] AS DOUBLE)))"
+    fold = _FOLD_NORM_SQL.format(a=ra)
+    return f"CASE WHEN (size({ra}) = {dim}) THEN {s} ELSE {fold} END"
+
+
 def _dot(a, b, dim: int | None = None):
     """Strict left-to-right dot fold; with ``dim`` set, rows whose arrays
     are exactly ``dim`` long take an UNROLLED static sum chain instead of
@@ -64,7 +107,15 @@ def _dot(a, b, dim: int | None = None):
     (NOTES/OPTIMIZATION_r12: 4M 64-dim pairs 23s fold -> 8s guarded; the
     HOF fold runs interpreted per element, guide §4.1). Rows of any OTHER
     length (ragged input) fall through to the fold, so semantics are
-    unchanged for every input; ``dim=None`` keeps the pure fold."""
+    unchanged for every input; ``dim=None`` keeps the pure fold.
+
+    ``a``/``b`` may be plain column NAMES (str) — with ``dim`` set that
+    path builds the whole kernel as one parsed SQL string (one py4j call
+    instead of ~300; see :func:`_dot_sql`)."""
+    if isinstance(a, str) and isinstance(b, str) and dim is not None:
+        return F.expr(_dot_sql(a, b, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     if dim is None:
         return _fold_dot(a, b)
     unrolled = _unrolled_sum(
@@ -76,7 +127,11 @@ def _dot(a, b, dim: int | None = None):
 
 
 def _norm_sq(a, dim: int | None = None):
-    """Squared L2 norm fold; same guarded-unroll tier as :func:`_dot`."""
+    """Squared L2 norm fold; same guarded-unroll tier (and one-shot SQL
+    construction for str inputs) as :func:`_dot`."""
+    if isinstance(a, str) and dim is not None:
+        return F.expr(_norm_sq_sql(a, dim))
+    a = F.col(a) if isinstance(a, str) else a
     if dim is None:
         return _fold_norm_sq(a)
     unrolled = _unrolled_sum(
@@ -87,6 +142,11 @@ def _norm_sq(a, dim: int | None = None):
 
 def cosine_col(a, b, dim: int | None = None):
     """cos(a, b) as a deterministic double expression."""
+    if isinstance(a, str) and isinstance(b, str) and dim is not None:
+        return F.expr(
+            f"({_dot_sql(a, b, dim)}) / (SQRT({_norm_sq_sql(a, dim)}) * "
+            f"SQRT({_norm_sq_sql(b, dim)}))"
+        )
     return _dot(a, b, dim) / (
         F.sqrt(_norm_sq(a, dim)) * F.sqrt(_norm_sq(b, dim))
     )
@@ -119,18 +179,18 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias(qid),
             F.col(vec_col).alias("q_vec"),
-            _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
+            _norm_sq(vec_col, dim).alias("q_nsq"),
         )
     )
     # spread the per-pair scoring across cores even off a one-file corpus
     # (a single input partition otherwise serializes the whole kernel)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
-        F.col(id_col), F.col(vec_col), _norm_sq(F.col(vec_col), dim).alias("c_nsq")
+        F.col(id_col), F.col(vec_col), _norm_sq(vec_col, dim).alias("c_nsq")
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col), dim)
+        _dot("q_vec", vec_col, dim)
         / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -173,17 +233,17 @@ def retrieval_rank_stats(
             F.col(id_col).alias(qid),
             F.col(label_col).alias("__q_label"),
             F.col(vec_col).alias("q_vec"),
-            _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
+            _norm_sq(vec_col, dim).alias("q_nsq"),
         )
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
         F.col(id_col), F.col(label_col), F.col(vec_col),
-        _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
+        _norm_sq(vec_col, dim).alias("c_nsq"),
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col), dim)
+        _dot("q_vec", vec_col, dim)
         / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
     )
     w = Window.partitionBy(qid).orderBy(
@@ -221,18 +281,18 @@ def near_dup_pairs(
     a = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        _norm_sq(F.col(vec_col), dim).alias("na"),
+        _norm_sq(vec_col, dim).alias("na"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        _norm_sq(F.col(vec_col), dim).alias("nb"),
+        _norm_sq(vec_col, dim).alias("nb"),
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"), dim)
+            _dot("va", "vb", dim)
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         )
         .filter(F.col("cosine") >= threshold)
@@ -313,9 +373,9 @@ def lsh_cosine_topk(
     # norms once per surviving pair side; the dot is the only per-pair fold
     scored = cand.withColumn(
         "cosine",
-        _dot(F.col("q_vec"), F.col(vec_col), dim)
-        / (F.sqrt(_norm_sq(F.col("q_vec"), dim))
-           * F.sqrt(_norm_sq(F.col(vec_col), dim))),
+        _dot("q_vec", vec_col, dim)
+        / (F.sqrt(_norm_sq("q_vec", dim))
+           * F.sqrt(_norm_sq(vec_col, dim))),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -436,13 +496,13 @@ def ivf_cosine_topk(
     c_assigned = corpus.repartition(par, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
+        _norm_sq(vec_col, dim).alias("c_nsq"),
         nearest_cell(F.col(vec_col)).alias("cell"),
     )
     q_m = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
+        _norm_sq(vec_col, dim).alias("q_nsq"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
 
@@ -452,7 +512,7 @@ def ivf_cosine_topk(
         .filter(F.col(qid) != F.col(id_col))
         .withColumn(
             "cosine",
-            _dot(F.col("q_vec"), F.col(vec_col), dim)
+            _dot("q_vec", vec_col, dim)
             / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))),
         )
     )
@@ -628,7 +688,7 @@ def near_dup_pairs_lsh(
     m = corpus.repartition(par, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_sq(F.col(vec_col), dim).alias("nsq"),
+        _norm_sq(vec_col, dim).alias("nsq"),
         F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
     )
     if max_bucket_size is not None:
@@ -658,12 +718,12 @@ def near_dup_pairs_lsh(
         va = corpus.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _norm_sq(F.col(vec_col), dim).alias("na"),
+            _norm_sq(vec_col, dim).alias("na"),
         )
         vb = corpus.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
-            _norm_sq(F.col(vec_col), dim).alias("nb"),
+            _norm_sq(vec_col, dim).alias("nb"),
         )
         cand = cand.join(va, "id_a").join(vb, "id_b")
     else:
@@ -690,7 +750,7 @@ def near_dup_pairs_lsh(
     return (
         cand.withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"), dim)
+            _dot("va", "vb", dim)
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         )
         .filter(F.col("cosine") >= threshold)
@@ -805,13 +865,13 @@ def pq_cosine_topk(
     qid = f"q_{id_col}"
     coded = corpus.select(
         F.col(id_col),
-        F.sqrt(_norm_sq(F.col(vec_col), dim)).alias("c_norm"),
+        F.sqrt(_norm_sq(vec_col, dim)).alias("c_norm"),
         encode(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_norm_sq(F.col(vec_col), dim)).alias("q_norm"),
+        F.sqrt(_norm_sq(vec_col, dim)).alias("q_norm"),
         adc_lut(F.col(vec_col)).alias("lut"),
     )
 
@@ -845,7 +905,7 @@ def pq_cosine_topk(
 
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec"), dim))
+    ).withColumn("cosine", cosine_col("q_vec", "c_vec", dim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))
@@ -994,14 +1054,14 @@ def ivfpq_cosine_topk(
 
     qid = f"q_{id_col}"
     coded = corpus.select(
-        F.col(id_col), _norm_sq(F.col(vec_col), dim).alias("c_nsq"),
+        F.col(id_col), _norm_sq(vec_col, dim).alias("c_nsq"),
         encode(F.col(vec_col)).alias("e"),
     ).select(id_col, "c_nsq", F.col("e.cell").alias("cell"),
              F.col("e.codes").alias("codes"))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        _norm_sq(F.col(vec_col), dim).alias("q_nsq"),
+        _norm_sq(vec_col, dim).alias("q_nsq"),
         query_luts(F.col(vec_col)).alias("lut"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
@@ -1031,7 +1091,7 @@ def ivfpq_cosine_topk(
     )
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec"), dim))
+    ).withColumn("cosine", cosine_col("q_vec", "c_vec", dim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))

@@ -539,20 +539,34 @@ def _copurchase_edges(
     min_both: int = PR_EDGE_MIN_BOTH,
 ) -> DataFrame:
     """Co-purchase graph from a distinct (l_orderkey, l_partkey) item
-    set: parts ordered together in >= ``min_both`` orders become an
+    set (need NOT be pre-deduped — ``collect_set`` dedups per order):
+    parts ordered together in >= ``min_both`` orders become an
     undirected edge, optionally doubled into a directed list (the shape
-    pagerank consumes; triangle counting canonicalizes either)."""
-    a, b = items.alias("a"), items.alias("b")
+    pagerank consumes; triangle counting canonicalizes either).
+
+    Pair generation is one ``groupBy(order) -> sorted part set ->
+    in-row (i < j) expansion`` instead of the former distinct +
+    equi-self-join: two shuffles rather than four, with the k^2
+    per-order pair fan-out produced MAP-SIDE by a generate expression
+    (identical pair multiset — each order contributes each unordered
+    pair once either way; verified edge-set-equal on sf0.1). Per-order
+    state is the distinct part set (k elements), the same bound the
+    self-join's per-key build side had; the hub-order hazard class is
+    unchanged."""
+    per_order = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_both)
     )
@@ -580,7 +594,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_fixed_point
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     edges = _copurchase_edges(items)
     out = pagerank_fixed_point(edges, iterations=PR_ITERS)
     return out.select(F.col("node").alias("part"), "score_scaled")
@@ -646,7 +660,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     out = triangle_counts(_copurchase_edges(items, directed=False))
     return out.select(F.col("node").alias("part"), "n_triangles")
 
@@ -701,7 +715,7 @@ def q_graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     base_items = items.filter(
         F.col("l_orderkey") % PR_INCR_BASE_MOD != 0
     )
@@ -737,7 +751,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     out = kcore_peel(
         _copurchase_edges(items, directed=False), k=KCORE_K,
         rounds=KCORE_ROUNDS,
@@ -790,7 +804,7 @@ def q_graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     edges = _copurchase_edges(items)
     seeds = (
         edges.select(F.col("src").alias("node"))
@@ -956,7 +970,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_levels
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")
     # the edge build is checkpointed inside _copurchase_edges — every
     # BFS round joins against it (measured 8.43 -> 3.37 s at sf0.1)
     edges = _copurchase_edges(items, min_both=1)
