@@ -570,9 +570,26 @@ def _copurchase_edges(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_both)
     )
-    edges = pairs.selectExpr("pa AS src", "pb AS dst")
     if directed:
-        edges = edges.unionByName(pairs.selectExpr("pb AS src", "pa AS dst"))
+        # both directions emitted map-side from one pass over the pair
+        # aggregate — a union of two selects over ``pairs`` embeds the
+        # whole build subtree twice and Spark 4.1 does not reuse the
+        # exchanges, so the eager checkpoint below used to EXECUTE the
+        # groupBy pipeline twice (row set identical either way)
+        edges = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    else:
+        edges = pairs.selectExpr("pa AS src", "pb AS dst")
     # materialized ONCE for every caller: all seven consumers are
     # iterative (pagerank rounds, k-core peels, BFS frontiers) or
     # multi-pass (triangle wedges), and Spark 4.1 reuses no exchanges —

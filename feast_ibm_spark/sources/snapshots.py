@@ -86,7 +86,7 @@ import posixpath
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .fsio import get_fs
@@ -421,15 +421,19 @@ def _bloom_prune(manifest: dict, col: str, values: list) -> list[str]:
     return dirs
 
 
-def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
-    """Per-column [min, max] of the batch being committed — ONE small
-    aggregate over the increment (cost proportional to new data, never
-    the table), stored in the manifest so stat-pruned reads can skip
-    whole segments without touching the data plane."""
+def _stats_aggs(stats_cols: list[str]) -> list:
+    """The aggregate list behind segment stats — shared by the
+    standalone job (:func:`_segment_stats`) and the observe-on-write
+    path in :func:`_commit_version`."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    row = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def _stats_from_row(row, stats_cols: list[str]) -> dict:
+    """Manifest stats dict from one aggregated row (a Row or the
+    Observation.get mapping — both index by alias)."""
     out = {
         c: [_canon_stat(row[f"__lo_{c}"]), _canon_stat(row[f"__hi_{c}"])]
         for c in stats_cols
@@ -439,6 +443,18 @@ def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
     # metadata-only COUNT(*) (snapshot_row_count) for free
     out["__rows"] = row["__n"]
     return out
+
+
+def _segment_stats(df: DataFrame, stats_cols: list[str]) -> dict:
+    """Per-column [min, max] of the batch being committed — ONE small
+    aggregate over the increment (cost proportional to new data, never
+    the table), stored in the manifest so stat-pruned reads can skip
+    whole segments without touching the data plane. The commit path
+    itself rides these aggregates on the segment write via
+    ``df.observe`` (zero extra pass); this standalone job remains for
+    callers that need stats without writing."""
+    row = df.agg(*_stats_aggs(stats_cols)).collect()[0]
+    return _stats_from_row(row, stats_cols)
 
 
 def _commit_version(
@@ -489,12 +505,18 @@ def _commit_version(
     written = prewritten
     nonce = uuid.uuid4().hex[:8]
     stats = precomputed_stats
-    if df is not None and (stats_cols or bloom_cols):
-        stats = _segment_stats(df, stats_cols or [])
-        if bloom_cols:
-            stats["__bloom"] = _segment_blooms(
-                df, bloom_cols, stats["__rows"]
-            )
+    obs = None
+    bloom_src = df
+    if df is not None and stats is None and (stats_cols or bloom_cols):
+        # stats RIDE the segment write (guide §1: one pass, not two):
+        # observe() collects the min/max/count aggregates as metrics of
+        # the write job itself, so a stats-recording commit touches the
+        # increment once. Blooms still need their own bounded job (the
+        # filter is sized from the observed row count, known only after
+        # the write) — harvested right after the first segment write
+        # below.
+        obs = Observation()
+        df = df.observe(obs, *_stats_aggs(stats_cols or []))
     new_schema = _schema_map(
         df.schema.fields if df is not None else schema_fields
     )
@@ -509,6 +531,15 @@ def _commit_version(
             )
         seg = f"{_DATA_DIR}/seg-{version:06d}-{nonce}"
         written = _reposition_segment(fs, path, written, df, seg)
+        if obs is not None and stats is None:
+            # first attempt just wrote the segment — the observed
+            # metrics are ready (CAS retries rename, never rewrite, so
+            # this harvests exactly once)
+            stats = _stats_from_row(obs.get, stats_cols or [])
+            if bloom_cols:
+                stats["__bloom"] = _segment_blooms(
+                    bloom_src, bloom_cols, stats["__rows"]
+                )
         prev = _read_manifest(fs, path, versions[-1]) if versions else {}
         # SCHEMA ENFORCEMENT at the commit point (round 12): every
         # manifest carries the table's field->type map RAW; an append

@@ -151,7 +151,7 @@ def main():
 
     failures = 0
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         t0 = time.time()
         try:

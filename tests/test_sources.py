@@ -2144,3 +2144,44 @@ def test_round12_review_refusals_and_metadata_carry(spark, tmp_path):
         p5, stats_cols=["id"])
     none = S.read_snapshot_between(spark, p5, "id", 100, 200)
     assert none.count() == 0 and set(none.columns) == {"id", "tag"}
+
+
+def test_snapshot_stats_observed_on_write_match_standalone(spark, tmp_path):
+    """r12 optimization: a stats/bloom commit collects its min/max/count
+    via df.observe ON the segment write (one data pass) — the recorded
+    manifest stats must be byte-identical to the standalone aggregate
+    job's, including the None-min column-drop rule and the empty-segment
+    edge, and the bloom (sized from the observed row count) must keep
+    working."""
+    from feast_ibm_spark.sources import snapshots as S
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}", None if i == 3 else i * 10) for i in range(50)],
+        "id bigint, tag string, v bigint",
+    )
+    path = str(tmp_path / "obs")
+    v = S.write_snapshot(df, path, stats_cols=["id", "v"], bloom_cols=["tag"])
+    fs = S.get_fs(path, spark)
+    mf = S._resolve_manifest(fs, path, v)
+    recorded = next(iter(mf["segment_stats"].values()))
+    standalone = S._segment_stats(df, ["id", "v"])
+    assert recorded["id"] == standalone["id"]
+    assert recorded["v"] == standalone["v"]
+    assert recorded["__rows"] == standalone["__rows"] == 50
+    assert "__bloom" in recorded and "tag" in recorded["__bloom"]
+
+    # all-NULL stats column is dropped exactly like the standalone job
+    df2 = spark.createDataFrame([(1, None), (2, None)], "id bigint, w bigint")
+    p2 = str(tmp_path / "obs_null")
+    v2 = S.write_snapshot(df2, p2, stats_cols=["w"])
+    rec2 = next(iter(S._resolve_manifest(
+        S.get_fs(p2, spark), p2, v2)["segment_stats"].values()))
+    assert "w" not in rec2 and rec2["__rows"] == 2
+
+    # empty segment: observed count 0, no column stats, commit succeeds
+    p3 = str(tmp_path / "obs_empty")
+    from pyspark.sql import functions as F
+    v3 = S.write_snapshot(df.filter(F.lit(False)), p3, stats_cols=["id"])
+    rec3 = next(iter(S._resolve_manifest(
+        S.get_fs(p3, spark), p3, v3)["segment_stats"].values()))
+    assert rec3 == {"__rows": 0}
