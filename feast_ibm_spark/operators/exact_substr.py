@@ -377,30 +377,26 @@ def duplicated_spans(
         )
     )
     if n_safe is not None:
-        # pin the gram shuffle: the agg below and the SMJ both reuse
-        # this hash partitioning, so the whole agg->sort pipeline runs
-        # at n_safe concurrent tasks (fair share back above the edge)
+        # pin the gram shuffle: the window below reuses this hash
+        # partitioning, so the whole sort pipeline runs at n_safe
+        # concurrent tasks (fair share back above the edge)
         offs = offs.repartition(n_safe, "gram")
-    # grams present in >= 2 distinct documents (per-gram agg, no join fan-out)
-    dup_grams = (
-        offs.groupBy("gram")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("gram")
-    )
-    # sort-merge, NOT broadcast and NOT shuffled-hash: dup_grams is
-    # data-dependent — boilerplate-tail-sized on organic corpora but
-    # CORPUS-sized under floods/whales. Catalyst's post-filter estimate
-    # can still pick broadcast (measured: driver OOM on a 3 GB heap at
-    # an 8 MB fully-duplicated whale pair), and a shuffled-hash build
-    # side cannot spill (measured: cannotAcquireMemoryToBuildLongHashedRelation
-    # at 16 MB on the same heap). SMJ spills BOTH sides; on the organic
-    # sf0.1 corpus it is also FASTER than the unhinted broadcast plan
-    # (6.3-10.0s vs 10.9-19.9s interleaved same-session) because the
-    # dup-set broadcast build was never free. Measurements: NOTES.md
-    # "ExactSubstr whale document".
+    # Grams present in >= 2 distinct documents, decided IN PLACE by a
+    # whole-partition window over the one gram shuffle (round 12: the
+    # former groupBy(min,max) + SMJ-back shape planned the ENTIRE gram
+    # generation twice — Spark 4.1 reused neither exchange because the
+    # agg side pruned `off` below its exchange — so the corpus-sized
+    # xxhash gram pass executed 2x and the plan carried 3 exchanges.
+    # The window computes the same min/max per gram on the same sorted
+    # run the SMJ needed anyway: one gram pass, 2 exchanges total, and
+    # the sort spills both ways like the SMJ did, so the whale-document
+    # ledger is unchanged; the broadcast/shuffled-hash OOM hazards the
+    # old comment documented are gone with the join itself).
+    w_gram = Window.partitionBy("gram")
     covered = (
-        offs.join(dup_grams.hint("merge"), "gram")
+        offs.withColumn("__lo", F.min(id_col).over(w_gram))
+        .withColumn("__hi", F.max(id_col).over(w_gram))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select(id_col, "off")
     )
     if n_safe is not None:

@@ -516,10 +516,11 @@ def test_fair_share_guard_fires_loudly_and_preserves_results(
     n_safe = es._whale_safe_partitions(pool, slots)
     assert n_safe == 1  # edge of 2*pool -> pool//edge == 0 -> clamped
     plan = guarded._jdf.queryExecution().analyzed().toString()
-    # TWO pinned shuffles added — the gram agg/join + the window; the
-    # gram one prints twice (offs feeds both dup_grams and covered, and
-    # the logical tree duplicates shared subplans), so 3 nodes total
-    assert plan.lower().count("repartitionbyexpression") == n_base + 3
+    # TWO pinned shuffles added — the gram window + the interval-merge
+    # window (round 12: the duplicate-gram test is a whole-partition
+    # window over ONE gram pass, so the gram subplan — and its pinned
+    # repartition — appears exactly once in the tree)
+    assert plan.lower().count("repartitionbyexpression") == n_base + 2
     assert "RepartitionByExpression [gram" in plan
     assert f"RepartitionByExpression [{corpus_df.columns[0]}" in plan
     got = {(r.doc_id, r.span_start, r.span_len) for r in guarded.collect()}
