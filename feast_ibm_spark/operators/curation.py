@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_col, token_count_col
 from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+from .spread import input_size_bytes  # noqa: F401
 
 # Measured crossover (scripts/sf1_smoke.py, NOTES.md): exact tier wins at
 # sf0.1 (~5 MB of text; 0.6s vs 1.1s) but loses decisively at 10x that
@@ -38,49 +39,9 @@ from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
 DEFAULT_LSH_MIN_BYTES = 16 << 20
 
 
-def _dir_file_sizes(sc, directory: str) -> dict[str, int]:
-    """{file name: byte length} for one directory — a SINGLE listStatus
-    RPC against the filesystem/object store."""
-    jvm = sc._jvm
-    conf = sc._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(directory)
-    fs = p.getFileSystem(conf)
-    return {
-        st.getPath().getName(): st.getLen()
-        for st in fs.listStatus(p)
-        if st.isFile()
-    }
-
-
-def input_size_bytes(df: DataFrame) -> int | None:
-    """Total size of the files backing ``df`` (None when not file-backed).
-    Driver-side Hadoop FS metadata only — never touches row data.
-
-    Cost model: ONE ``listStatus`` RPC per distinct PARENT DIRECTORY of
-    the input files, not one ``getFileStatus`` per file (the pre-round-5
-    shape) — a 100 TB dataset is ~10^6 objects but typically a few
-    hundred partition directories, so this is the difference between a
-    sub-second listing and 10^6 sequential namenode/S3 round-trips
-    before the query even starts."""
-    from urllib.parse import unquote
-
-    files = df.inputFiles()
-    if not files:
-        return None
-    by_parent: dict[str, set] = {}
-    for f in files:
-        parent, _, name = f.rpartition("/")
-        # inputFiles() returns URIs (possibly %-encoded); listStatus
-        # names come back decoded
-        by_parent.setdefault(parent, set()).add(unquote(name))
-    sc = df.sparkSession.sparkContext
-    total = 0
-    for parent, names in by_parent.items():
-        sizes = _dir_file_sizes(sc, parent)
-        total += sum(sizes.get(n, 0) for n in names)
-    return total
-
-
+# input_size_bytes moved to operators/spread.py (round 12) so the
+# UDF-spread helper can use it without a curation<->dedup import cycle;
+# re-exported here for existing callers.
 def remove_boilerplate_segments(
     docs: DataFrame,
     seg_tokens: int = 3,

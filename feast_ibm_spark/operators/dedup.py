@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .spread import spread_for_udf
+
 from ..functions.text import FP_MOD, tokens_col, token_fingerprint_expr
 
 
@@ -118,8 +120,7 @@ def ngram_jaccard_topk(
     # the whole shingle array once per shingle (3.5s vs 0.7s for this
     # stage at sf0.1; worse after CollapseProject re-inlines a two-step
     # projection). Sizes come from a separate map-only branch instead.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    sh_c = corpus.repartition(par, id_col).select(
+    sh_c = spread_for_udf(corpus, id_col).select(
         F.col(id_col), F.explode(arr).alias("shingle")
     )
     # query side: n_q rides the exploded rows (few query docs, so the
@@ -144,7 +145,7 @@ def ngram_jaccard_topk(
     # distinct, so size(array) == exploded distinct count), joined to the
     # small candidate aggregate — broadcast the candidates, not the
     # corpus, so the size branch never shuffles
-    sizes_c = corpus.repartition(par).select(
+    sizes_c = spread_for_udf(corpus).select(
         F.col(id_col), F.size(arr).alias("n_c")
     )
     scored = sizes_c.join(F.broadcast(common), id_col).withColumn(
@@ -188,10 +189,9 @@ def jaccard_dedup_against(
     ``ngram_jaccard_pairs`` (applied to the JOIN only; sizes keep every
     shingle, so Jaccards never increase)."""
     arr = shingles_col(text_col, n)
-    par = incoming.sparkSession.sparkContext.defaultParallelism
 
     def _index(df: DataFrame, alias: str) -> DataFrame:
-        sh = df.repartition(par, id_col).select(
+        sh = spread_for_udf(df, id_col).select(
             F.col(id_col).alias(alias), F.explode(arr).alias("shingle")
         )
         if hash_shingles:
@@ -223,10 +223,10 @@ def jaccard_dedup_against(
         .groupBy("__in", "__ex")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sz_in = incoming.repartition(par).select(
+    sz_in = spread_for_udf(incoming).select(
         F.col(id_col).alias("__in"), F.size(arr).alias("n_in")
     )
-    sz_ex = corpus.repartition(par).select(
+    sz_ex = spread_for_udf(corpus).select(
         F.col(id_col).alias("__ex"), F.size(arr).alias("n_ex")
     )
     thr_num = int(round(threshold * 1000))
@@ -271,8 +271,7 @@ def _shingle_common_counts(
     Jaccard and containment operators differ only in the threshold
     projection applied on top (factored in round 6 so the cap/sizes
     ordering can never drift between them)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    sh = _exploded_shingles(spread_for_udf(df, id_col), text_col, id_col, n)
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     if persist:
@@ -404,8 +403,7 @@ def _prefix_sorted_docs(
     later); scale callers that materialize once should pass True — the
     same knob and rationale as ``_shingle_common_counts``.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _exploded_shingles(df.repartition(par, id_col), text_col, id_col, n)
+    sh = _exploded_shingles(spread_for_udf(df, id_col), text_col, id_col, n)
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
 
@@ -683,13 +681,13 @@ def minhash_lsh_pairs(
             out.append(acc.tolist())
         return pd.Series(out)
 
-    # The explicit repartition spreads UDF work across all cores even when
-    # the source is one small file; explicit count keeps AQE from
-    # coalescing it away. Docs with no shingles emit no bands (posexplode
-    # of an empty array) and so never pair.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # The spread keeps UDF work parallel when the source is one small
+    # file, sized from input bytes (operators/spread.py) so tiny corpora
+    # skip the shuffle and huge ones keep the scan's own partitioning.
+    # Docs with no shingles emit no bands (posexplode of an empty array)
+    # and so never pair.
     bands_df = (
-        df.repartition(par, id_col)
+        spread_for_udf(df, id_col)
         .select(F.col(id_col), F.posexplode(band_sigs(F.col(text_col))).alias("band", "sig"))
     )
     if persist:

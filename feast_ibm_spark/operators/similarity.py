@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .spread import spread_for_udf
+
 
 def _fold_dot(a, b):
     return F.aggregate(
@@ -182,10 +184,9 @@ def cosine_topk(
             _norm_sq(vec_col, dim).alias("q_nsq"),
         )
     )
-    # spread the per-pair scoring across cores even off a one-file corpus
-    # (a single input partition otherwise serializes the whole kernel)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par, id_col).select(
+    # spread the per-pair scoring across cores even off a one-file corpus,
+    # sized from input bytes (operators/spread.py)
+    c = spread_for_udf(corpus, id_col).select(
         F.col(id_col), F.col(vec_col), _norm_sq(vec_col, dim).alias("c_nsq")
     )
     scored = q.join(c, F.col(qid) != F.col(id_col)).withColumn(
@@ -236,8 +237,7 @@ def retrieval_rank_stats(
             _norm_sq(vec_col, dim).alias("q_nsq"),
         )
     )
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par, id_col).select(
+    c = spread_for_udf(corpus, id_col).select(
         F.col(id_col), F.col(label_col), F.col(vec_col),
         _norm_sq(vec_col, dim).alias("c_nsq"),
     )
@@ -277,8 +277,7 @@ def near_dup_pairs(
     Norms are precomputed per vector (n folds) instead of per pair
     (n^2 folds); the probe side is repartitioned so the O(n^2) scoring
     parallelizes even off a one-file corpus."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    a = corpus.repartition(par, id_col).select(
+    a = spread_for_udf(corpus, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm_sq(vec_col, dim).alias("na"),
@@ -359,9 +358,8 @@ def lsh_cosine_topk(
         )
 
     qid = f"q_{id_col}"
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     q_m = melt(queries, qid, "q_vec")
-    c_m = melt(corpus.repartition(par, id_col), id_col, vec_col)
+    c_m = melt(spread_for_udf(corpus, id_col), id_col, vec_col)
 
     cand = (
         F.broadcast(q_m)
@@ -490,10 +488,9 @@ def ivf_cosine_topk(
         return pd.Series(list(order))
 
     qid = f"q_{id_col}"
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     # norms precomputed ONCE per vector (1 fold each side) so each candidate
     # pair pays a single dot-product fold, not three
-    c_assigned = corpus.repartition(par, id_col).select(
+    c_assigned = spread_for_udf(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         _norm_sq(vec_col, dim).alias("c_nsq"),
@@ -684,8 +681,7 @@ def near_dup_pairs_lsh(
         packed = bits.reshape(len(mat), n_tables, n_planes) @ pack_w
         return pd.Series(list(packed))
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    m = corpus.repartition(par, id_col).select(
+    m = spread_for_udf(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         _norm_sq(vec_col, dim).alias("nsq"),

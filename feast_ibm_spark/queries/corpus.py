@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
 
+from ..operators.spread import spread_for_udf  # noqa: E402
+
 # North-star: deduplication
 # --------------------------------------------------------------------------
 
@@ -889,8 +891,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         )
     )
-    par = spark.sparkContext.defaultParallelism
-    big = docs.repartition(par, "doc_id").select(
+    big = spread_for_udf(docs, "doc_id").select(
         "doc_id", F.explode(grams).alias("bigram")
     )
     freq = (
@@ -1056,8 +1057,7 @@ def q_text_bigram_logprob_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         )
     )
-    par = spark.sparkContext.defaultParallelism
-    big = docs.repartition(par, "doc_id").select(
+    big = spread_for_udf(docs, "doc_id").select(
         "doc_id", F.explode(grams).alias("bigram")
     )
     freq = (

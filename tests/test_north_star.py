@@ -735,7 +735,7 @@ def test_input_size_bytes_one_listing_per_directory(spark, tmp_path, monkeypatch
     must match the on-disk bytes of exactly the input part-files."""
     import os
 
-    from feast_ibm_spark.operators import curation
+    from feast_ibm_spark.operators import spread as curation
 
     out = str(tmp_path / "multi")
     spark.range(1000).repartition(8).write.parquet(out)
@@ -763,6 +763,39 @@ def test_input_size_bytes_one_listing_per_directory(spark, tmp_path, monkeypatch
 
     # non-file-backed frames still answer None
     assert curation.input_size_bytes(spark.range(3)) is None
+
+
+def test_spread_for_udf_skips_shuffle_when_scan_out_splits_cores(
+    spark, tmp_path
+):
+    """The UDF-spread helper (round 12, operators/spread.py) must keep
+    the all-cores repartition for under-split inputs (the small-file
+    case every bench table hits) and SKIP the shuffle when the scan's
+    own split count already meets the core count — at 100 TB the
+    unconditional repartition was a full payload shuffle that REDUCED
+    parallelism to the core count."""
+    from feast_ibm_spark.operators.spread import spread_for_udf
+
+    out = str(tmp_path / "spreadsrc")
+    spark.range(20_000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(out)
+    df = spark.read.parquet(out)
+
+    def has_repartition(d):
+        return "epartition" in d._jdf.queryExecution().analyzed().toString()
+
+    # small file, default 128 MB splits: scan is 1 split < cores -> spread
+    assert has_repartition(spread_for_udf(df, "id"))
+    # same bytes, 8 KB splits: scan out-splits cores -> no shuffle added
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+        assert not has_repartition(spread_for_udf(df, "id"))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # derived frames keep the historical spread (partitioning unknown)
+    assert has_repartition(spread_for_udf(spark.range(3)))
+    # row content is untouched either way
+    assert spread_for_udf(df, "id").count() == 20_000
 
 
 def test_dedup_clusters_chain_topology(spark):
