@@ -143,6 +143,33 @@ _HILBERT_S = [4, 0, 7, 0, 1, 6, 1, 5, 6, 2, 5, 2, 3, 4, 3, 7,
               0, 3, 4, 4, 5, 5, 2, 1, 2, 1, 6, 6, 7, 7, 0, 3]
 
 
+def _compose_hilbert_tables(width: int) -> tuple[list[int], list[int]]:
+    """Run ``width`` rounds of the 1-bit state machine for every
+    (state, x-nibble, y-nibble) combination, yielding composite lookup
+    tables that consume ``width`` bits of each coordinate per fold round
+    (round 12: 8 rounds -> 2 at bits=8; the per-round state chain
+    re-embeds quadratically, so fewer rounds shrink both the tree and
+    the per-row work ~4x — measured 1.0-1.5 s -> ~0.25 s for the sf0.1
+    hvalue projection). Index layout:
+    ``state * 4^width + xbits * 2^width + ybits``."""
+    d_tab, s_tab = [], []
+    for state in range(8):
+        for xb in range(1 << width):
+            for yb in range(1 << width):
+                st, dd = state, 0
+                for k in range(width - 1, -1, -1):
+                    idx = st * 4 + ((xb >> k) & 1) * 2 + ((yb >> k) & 1)
+                    dd = dd * 4 + _HILBERT_D[idx]
+                    st = _HILBERT_S[idx]
+                d_tab.append(dd)
+                s_tab.append(st)
+    return d_tab, s_tab
+
+
+_H_STEP = 4  # coordinate bits consumed per fold round
+_H_TABLES = {w: _compose_hilbert_tables(w) for w in range(1, _H_STEP + 1)}
+
+
 def hvalue_col(x: str | Column, y: str | Column, bits: int = 8) -> Column:
     """2-D Hilbert-curve index of two non-negative integer columns on the
     ``2^bits x 2^bits`` grid, as a pure Catalyst expression.
@@ -189,15 +216,25 @@ def hvalue_col(x: str | Column, y: str | Column, bits: int = 8) -> Column:
                          "past 16 (measured OOM at 31)")
     cx = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     cy = (F.col(y) if isinstance(y, str) else y).cast("bigint")
-    d_arr = F.array([F.lit(v) for v in _HILBERT_D])
-    s_arr = F.array([F.lit(v) for v in _HILBERT_S])
     state = F.lit(0)
     d = F.lit(0).cast("bigint")
-    for k in range(bits - 1, -1, -1):
-        bx = F.shiftrightunsigned(cx, k) % 2
-        by = F.shiftrightunsigned(cy, k) % 2
-        idx = (state * 4 + bx * 2 + by + 1).cast("int")
-        d = d * 4 + F.element_at(d_arr, idx).cast("bigint")
+    rem = bits
+    while rem > 0:
+        w = min(_H_STEP, rem)
+        rem -= w
+        d_tab, s_tab = _H_TABLES[w]
+        # ONE JVM-side parse per table: building a 2048-element array
+        # from per-element F.lit() Columns costs thousands of py4j
+        # round-trips per invocation (measured: the composite tables
+        # went 4x SLOWER than the 1-bit machine from construction alone)
+        d_arr = F.expr(f"array({','.join(map(str, d_tab))})")
+        s_arr = F.expr(f"array({','.join(map(str, s_tab))})")
+        bx = F.shiftrightunsigned(cx, rem).bitwiseAND(F.lit((1 << w) - 1))
+        by = F.shiftrightunsigned(cy, rem).bitwiseAND(F.lit((1 << w) - 1))
+        idx = (
+            state * (1 << (2 * w)) + bx * (1 << w) + by + 1
+        ).cast("int")
+        d = d * (1 << (2 * w)) + F.element_at(d_arr, idx).cast("bigint")
         state = F.element_at(s_arr, idx)
     return d.alias("hvalue")
 
