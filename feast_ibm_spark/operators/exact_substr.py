@@ -223,9 +223,12 @@ def exact_substr_pairs(
     (default) is exact. For flood-heavy corpora prefer
     :func:`duplicated_spans`, which is flood-linear with no cap.
     """
+    from .spread import spread_for_udf
+
     grams = (
         _tiered_seg_cols(
-            df.filter(F.length(text_col) >= min_len)
+            spread_for_udf(df, id_col, derived="keep")
+            .filter(F.length(text_col) >= min_len)
             .select(F.col(id_col), F.col(text_col).alias("__seg"))
         )
         .select(
@@ -343,8 +346,16 @@ def duplicated_spans(
     # min_len - 1 chars of lookahead so every start's full gram is local
     step = chunk_chars
     seg_len = step + min_len - 1
+    # spread the gram-generation stage: a one-file corpus otherwise
+    # runs the whole explode+hash pass in ONE scan task (measured 1.1 s
+    # serialized of the 2.6 s query at sf0.1); derived frames (the cut
+    # path's checkpointed passes) keep their upstream partitioning —
+    # adding a corpus shuffle there would be a new at-scale cost
+    from .spread import spread_for_udf
+
     segs = (
-        df.filter(F.length(text_col) >= min_len)
+        spread_for_udf(df, id_col, derived="keep")
+        .filter(F.length(text_col) >= min_len)
         .select(
             F.col(id_col),
             F.explode(

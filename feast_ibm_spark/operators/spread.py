@@ -79,15 +79,29 @@ def _parse_bytes_conf(s: str) -> int:
     return int(s)
 
 
-def spread_for_udf(df: DataFrame, *key_cols: str) -> DataFrame:
+def spread_for_udf(
+    df: DataFrame, *key_cols: str, derived: str = "spread"
+) -> DataFrame:
     """Spread ``df``'s rows for a following per-row Arrow-UDF stage,
     shuffling only when the shuffle buys parallelism the scan does not
     already have (see module docstring). ``key_cols`` keep the historical
     hash-partitioning key where one was used (any deterministic spread is
-    semantically equivalent — the UDFs are per-row)."""
+    semantically equivalent — the UDFs are per-row).
+
+    ``derived`` picks the policy for non-file-backed frames, whose
+    partitioning the helper cannot inspect cheaply: ``"spread"`` (the
+    historical all-cores repartition — right for operators that always
+    repartitioned) or ``"keep"`` (leave the frame alone — right for call
+    sites that never shuffled derived inputs before, where adding a
+    corpus-wide shuffle would be a new at-scale cost, e.g. the
+    ExactSubstr gram stage over a post-dedup frame)."""
+    if derived not in ("spread", "keep"):
+        raise ValueError(f"derived must be 'spread' or 'keep', got {derived!r}")
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     size = input_size_bytes(df)
+    if size is None and derived == "keep":
+        return df
     if size is not None:
         try:
             mpb = _parse_bytes_conf(
