@@ -130,7 +130,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_substr_min_len: int | None = None,
-    persist_survivors: bool = True,
+    persist_survivors: bool = False,
 ) -> DataFrame:
     """Returns surviving ``(id, n_tokens, quality_score)`` rows after
     exact dedup, the quality floor, and near-dup pruning (the LOWER id of
@@ -156,13 +156,14 @@ def curate_corpus(
     plan (anti-join left side, signature pass, and both verify text
     fetches) and Spark 4.1 reuses none of them (r9 audit: zero Reused*
     nodes in the executed plan), so without the cache it executes 4x.
-    ON by default since round 12: the same-window A/B at sf0.1 now has
-    the cache winning in BOTH tiers (exact 5.06 -> 4.30 s, lsh 3.58 ->
-    3.29 s medians of 5) where the r9 measurement saw parity; the cache
-    is MEMORY_AND_DISK (spills, never OOMs), bounded by the surviving
-    corpus, and at scale it replaces four scans + dedup shuffles of the
-    corpus with one. Pass False to trade the cache write back for
-    recomputes on memory-starved sessions."""
+    A round-12 A/B first showed the cache winning in both tiers, but
+    that gain was Spark's CacheManager substituting earlier runs' caches
+    into later identical plans (cross-run reuse — a measurement
+    artifact, not a within-query win); with caches dropped between runs
+    the r9 parity verdict stands, so the default stays False. Flip it
+    when the input corpus is large enough that scanning +
+    dedup-shuffling it four times dominates (the cache is
+    MEMORY_AND_DISK and lives until the session drops it)."""
     if tier not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown tier: {tier}")
     if tier == "auto":

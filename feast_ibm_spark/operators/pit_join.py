@@ -145,7 +145,7 @@ def point_in_time_join(
     spine_timestamp_field: str = "event_timestamp",
     full_feature_names: bool = False,
     strategy: str = "broadcast",
-    persist_spine: bool = True,
+    persist_spine: bool = False,
     time_range: tuple | None = None,
     auto_broadcast_rows: int = 5_000_000,
     salt_partition_budget_rows: int | None = 4_000_000,
@@ -179,14 +179,14 @@ def point_in_time_join(
     join, AND (under ``auto``, only when total rows exceed the salt
     budget) one eager hot-key histogram probe per DISTINCT join-key
     tuple — so the spine subtree is otherwise recomputed 2 + n_views
-    (+ n_probes) times. ON by default since round 12: re-measured on
-    Spark 4.1 the cache wins at bench scale in BOTH the broadcast and
-    melt strategies (1.40 -> 1.03 s / 1.25 -> 1.13 s noop medians at
-    sf0.1; the round-4 measurement that found the cache write more
-    expensive predates the current plan shapes). The cache is
-    MEMORY_AND_DISK (spills, never OOMs) and bounded by the spine —
-    which every strategy materializes in some form anyway; pass False
-    for a spine that is a trivial scan you'd rather re-read than cache.
+    (+ n_probes) times — turn this on for spines that are EXPENSIVE to
+    derive. Off by default: the round-12 re-measurement first showed the
+    cache "winning" at bench scale, but that was Spark's CacheManager
+    substituting run 1's cache into later identical runs (cross-run
+    reuse, not within-query reuse); with the cache dropped between runs
+    the interleaved A/B is parity-to-slightly-worse (1.00 vs 1.12 s
+    trimmed means at sf0.1) because the one-time cache write costs about
+    what the cheap-spine recomputes save — confirming the round-4 call.
     """
     if strategy not in (
         "broadcast", "shuffle", "union_window", "union_window_salted", "auto"

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
 
-from pyspark.storagelevel import StorageLevel  # noqa: E402
-
 # Round 4: the remaining TPC-H join topologies the testdata can express.
 # The schema has no partsupp table and no l_shipmode/commit/receipt dates,
 # so Q12 is out of reach and Q2/Q9/Q11/Q16 use the distinct
@@ -600,17 +598,15 @@ def _copurchase_edges(
     # multi-pass (triangle wedges), and Spark 4.1 reuses no exchanges —
     # without this the distinct+self-join+aggregate build re-executes
     # once per round (measured: BFS 8.43 -> 3.37 s, PageRank 3.79 ->
-    # 2.69 s median at sf0.1 from materializing alone). Round 12:
-    # persist (columnar, compressed — two bigints/row) replaces
-    # localCheckpoint (deserialized row objects): the cached edge list
-    # every round re-scans shrank ~6x in memory (191 MB -> ~30 MB at
-    # sf0.1) and the same-window A/B medians moved BFS 11.1 -> 8.3 s,
-    # PageRank 14.8 -> 6.5 s (loaded host; idle-host bench deltas in
-    # OPTIMIZATION_r12.md). Lineage stays (recompute on eviction is
-    # safe); consumers' per-round state keeps its own checkpoints.
-    out = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    return out
+    # 2.69 s median at sf0.1 from the checkpoint alone). Round 12
+    # re-audit: a columnar persist() was tried here and REVERTED — it
+    # first looked 2x faster, but only because Spark's CacheManager was
+    # substituting the previous run's cache into later identical runs;
+    # with caches dropped between runs the interleaved A/B has the
+    # checkpoint clearly ahead (BFS 3.49 vs 5.14 s trimmed means at
+    # sf0.1: the rounds re-decompress an InMemoryRelation every scan,
+    # while checkpointed rows are ready to stream).
+    return edges.localCheckpoint(eager=True)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

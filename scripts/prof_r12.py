@@ -62,6 +62,7 @@ def main() -> None:
         for i in range(RUNS):
             if name in benchmod._PRE_RUN:
                 benchmod._PRE_RUN[name](SF_DIR)
+            spark.catalog.clearCache()  # same discipline as bench.py
             t0 = time.time()
             df = qd.fn(spark, SF_DIR)
             t_build = time.time() - t0
