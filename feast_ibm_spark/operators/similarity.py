@@ -769,6 +769,7 @@ def pq_cosine_topk(
     n_codes: int = 16,
     n_candidates: int = 128,
     codebooks: list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization (ADC) + exact
     re-rank — the third ANN tier beside LSH and IVF.
@@ -804,8 +805,11 @@ def pq_cosine_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
+    if dim is None:
+        # one LIMIT-1 probe job; callers that know the embedding width
+        # pass ``dim`` and skip it (round 12 — the probe was a whole
+        # Spark job spent learning a constant the contract already pins)
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
@@ -917,6 +921,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    dim: int | None = None,
 ) -> list:
     """Train PQ codebooks: one k-means per subspace (MLlib k-means||,
     like train_ivf_centroids). Returns a plain (m, n_codes, dsub) nested
@@ -925,7 +930,9 @@ def train_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        # see pq_cosine_topk: skipped entirely when the caller passes dim
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -954,6 +961,7 @@ def ivfpq_cosine_topk(
     m: int = 8,
     n_codes: int = 16,
     n_candidates: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF+PQ residual composition — the production large-scale ANN shape
     (route, then scan codes, then re-rank exactly):
@@ -978,7 +986,9 @@ def ivfpq_cosine_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        # see pq_cosine_topk: skipped entirely when the caller passes dim
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

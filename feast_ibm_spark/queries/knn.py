@@ -70,8 +70,8 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact at sf0.01 and sf0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
-    return pq_cosine_topk(emb, queries, k=KNN_K,
-                          m=PQ_M, n_codes=PQ_CODES, n_candidates=PQ_CANDS)
+    return pq_cosine_topk(emb, queries, k=KNN_K, m=PQ_M, n_codes=PQ_CODES,
+                          n_candidates=PQ_CANDS, dim=EMB_DIM)
 
 
 ORACLE_KNN_PQ = f"""
@@ -396,7 +396,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). Recall/determinism additionally pinned in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
-    return ivfpq_cosine_topk(emb, queries, k=KNN_K)
+    return ivfpq_cosine_topk(emb, queries, k=KNN_K, dim=EMB_DIM)
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
