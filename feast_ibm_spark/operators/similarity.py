@@ -993,19 +993,28 @@ def ivfpq_cosine_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    seed_rows = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_cells + n_codes)
-        .select(vec_col)
-        .collect()
-    )
-    if len(seed_rows) < n_cells + n_codes:
-        raise ValueError(
-            f"ivfpq needs a corpus of at least n_cells + n_codes = "
-            f"{n_cells + n_codes} vectors to seed its cells and residual "
-            f"codebooks; got {len(seed_rows)}"
+    # same per-input-files seed cache as the IVF/PQ tiers: a stable
+    # file-backed corpus yields the same seed vectors every call, so the
+    # top-k collect job runs once per (files, params) per process
+    files = tuple(sorted(corpus.inputFiles()))
+    cache_key = (files, id_col, vec_col, n_cells, n_codes) if files else None
+    seeds = _SEED_CENTROID_CACHE.get(("ivfpq",) + cache_key) if cache_key else None
+    if seeds is None:
+        seed_rows = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_cells + n_codes)
+            .select(vec_col)
+            .collect()
         )
-    seeds = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+        if len(seed_rows) < n_cells + n_codes:
+            raise ValueError(
+                f"ivfpq needs a corpus of at least n_cells + n_codes = "
+                f"{n_cells + n_codes} vectors to seed its cells and residual "
+                f"codebooks; got {len(seed_rows)}"
+            )
+        seeds = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+        if cache_key:
+            _SEED_CENTROID_CACHE[("ivfpq",) + cache_key] = seeds
     cents = seeds[:n_cells]
     cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     # residual codebooks from the NEXT n_codes seeds' residuals
