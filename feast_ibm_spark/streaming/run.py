@@ -72,6 +72,55 @@ def rocksdb_state_store(spark: SparkSession, bounded_memory_mb: int | None = Non
             conf.set(k, old) if old is not None else conf.unset(k)
 
 
+STATE_PARTITIONS_CONF = "spark.feast_ibm_spark.streaming.statePartitions"
+
+
+def _stream_state_partitions(spark: SparkSession) -> int:
+    """Shuffle/state partition count for a NEW streaming query.
+
+    Streaming plans never go through AQE, so every stateful operator
+    runs — and checkpoints a state-store instance — at the session's
+    raw ``spark.sql.shuffle.partitions`` for the life of the query
+    (the count is frozen into the checkpoint at the first batch).
+    The engine's batch sessions deliberately over-provision that conf
+    (2x cores) because AQE coalesces it per-stage; for streams that
+    over-provisioning is pure per-batch overhead: 64 near-empty state
+    tasks + 64 state-store commits per micro-batch (measured at sf0.1:
+    the drained interval join runs ~16 s at 64 partitions, ~4 s at 16).
+
+    Default: one state partition per task slot
+    (``defaultParallelism``) — cluster-adaptive (a 10k-core cluster
+    gets 10k state partitions), never a local constant; more instances
+    than slots adds checkpoint overhead without adding parallelism.
+    Jobs whose STATE outgrows ``slots x
+    executor-memory-per-slot`` should raise ``{STATE_PARTITIONS_CONF}``
+    to bound per-partition state instead (same sizing rule as batch
+    shuffle partitions: aim for ~100-200 MB of state per partition).
+    """
+    v = spark.conf.get(STATE_PARTITIONS_CONF, None)
+    if v is not None:
+        return int(v)
+    return spark.sparkContext.defaultParallelism
+
+
+@contextlib.contextmanager
+def _state_partitions_for_start(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` around a stream ``start()``:
+    the query snapshots the conf into its own cloned session (and its
+    checkpoint) at start, so the parent session's value can be restored
+    immediately — concurrent batch work never sees the pin."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(_stream_state_partitions(spark)))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def drain_available_now(
     sdf: DataFrame,
     query_name: str,
@@ -97,7 +146,9 @@ def drain_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    _run_to_fixed_point(writer.start(), query_name, timeout_s, poll_s)
+    with _state_partitions_for_start(spark):
+        q = writer.start()
+    _run_to_fixed_point(q, query_name, timeout_s, poll_s)
     return spark.table(query_name)
 
 
@@ -153,5 +204,7 @@ def drain_available_now_to_files(
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    _run_to_fixed_point(writer.start(), output_dir, timeout_s, poll_s)
+    with _state_partitions_for_start(spark):
+        q = writer.start()
+    _run_to_fixed_point(q, output_dir, timeout_s, poll_s)
     return spark.read.format(fmt).load(output_dir)
