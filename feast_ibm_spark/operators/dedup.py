@@ -1292,6 +1292,17 @@ def simhash_near_dup_pairs(
             )
         )
     else:
+        # Single-level pigeonhole kept deliberately (round 12): a
+        # two-level refinement (parent block + max_hamming+1 sub-blocks
+        # of the remaining bits — exactness-preserving by the same
+        # pigeonhole argument) was implemented and MEASURED AT PARITY
+        # on this corpus (10.9-15.8 s vs 9.6-15.2 s interleaved at
+        # sf0.1), because the sf0.1 flood is true-positive-dense: the
+        # 1.6M output rows ARE near-dup pairs, so no candidate key can
+        # prune below them and the refinement's 4x index-row fan-out
+        # buys nothing. Corpora where the hot block's members diverge
+        # in their remaining bits are the case it would help; the cap +
+        # star/drop path remains the documented flood lever.
         a = blocks.alias("a")
         b = blocks.alias("b")
         cand = (
@@ -1308,14 +1319,22 @@ def simhash_near_dup_pairs(
                 F.col("b.simhash").alias("sim_b"),
             )
         )
+    # verify BEFORE dedup (round 12): hamming is a pure per-row
+    # expression of columns the candidates already carry, so filtering
+    # first costs nothing extra map-side while the distinct()'s shuffle
+    # shrinks from the full candidate multiset (quadratic in the hottest
+    # block — measured ~10^7 rows on this corpus's 96%-hot block) to the
+    # surviving pairs times their block multiplicity (~10^4). Same
+    # output: distinct-of-filtered == filter-of-distinct for a
+    # deterministic row-level predicate.
     return (
-        cand.distinct()
-        .withColumn(
+        cand.withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
