@@ -1039,31 +1039,34 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        nxt = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                nxt.alias("label"),
+                # convergence flag carried IN the frame (round 12): the
+                # old shape re-joined new labels against old per round
+                # just to count changes — a whole extra join job; the
+                # flag is a free projection here and the count below
+                # reads the already-checkpointed blocks. Downstream
+                # joins prune the column; the final select drops it.
+                (nxt != F.col("label")).alias("__changed"),
             )
         )
         # EVERY round lands in an eager localCheckpoint (round 12 —
-        # VERDICT r11 item 5): each round references ``labels`` twice
-        # (the neighbor-min join AND the convergence-count join), so a
-        # plain persist doubles the rendered plan per round — 4 rounds
-        # between checkpoints compounded to a 1507-broadcast-node
-        # dumped plan and 66 s at sf1 where the work itself was
-        # seconds. The checkpoint pins per-round plan size at O(1); it
-        # materializes the same rows the persist did, so the data-plane
-        # cost is unchanged. Same discipline as dedup_clusters_star.
+        # VERDICT r11 item 5): each round references ``labels`` in the
+        # neighbor-min join, so anything short of a per-round lineage
+        # cut compounds the compiled plan per round — 4 rounds between
+        # checkpoints compounded to a 1507-broadcast-node plan and 66 s
+        # at sf1 where the work itself was seconds. The checkpoint pins
+        # per-round plan size at O(1); it materializes the same rows
+        # the persist did, so the data-plane cost is unchanged. Same
+        # discipline as dedup_clusters_star.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__changed")).count()
         # the superseded frame's blocks are dead once the successor is
         # materialized and the convergence count has run — release them
         # deterministically (RDD-level; see _release_checkpoint) instead
