@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
 
+from ..operators.spread import spread_for_udf  # noqa: E402
+
 # North-star: multimodal columns (binary payload + Arrow-batched Pandas UDF)
 # --------------------------------------------------------------------------
 
@@ -238,7 +240,15 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(png_encode(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)))
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the heavy Arrow codec kernel off the one-split corpus file
+    # (operators/spread.py; measured: frame_sample 9.4 -> 1.9 s at
+    # sf0.1). The CHEAP kernels (byte stats, 4x4 PNG decode, 64-sample
+    # PCM) deliberately stay unspread: 32 near-empty Arrow tasks cost
+    # more than their single-task run (same finding as the knn spread
+    # A/B).
+    docs = spread_for_udf(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id")
     media = attach_media_columns(
         docs, "doc_id", synth_png(F.col("doc_id")), "image", "png"
     )
@@ -295,7 +305,15 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(gif_encode(frames))
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the heavy Arrow codec kernel off the one-split corpus file
+    # (operators/spread.py; measured: frame_sample 9.4 -> 1.9 s at
+    # sf0.1). The CHEAP kernels (byte stats, 4x4 PNG decode, 64-sample
+    # PCM) deliberately stay unspread: 32 near-empty Arrow tasks cost
+    # more than their single-task run (same finding as the knn spread
+    # A/B).
+    docs = spread_for_udf(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id")
     media = attach_media_columns(
         docs, "doc_id", synth_gif(F.col("doc_id")), "video", "gif"
     )
@@ -346,7 +364,15 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(png_encode(px.astype(np.uint8).reshape(IMG_H, IMG_W, 3)))
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the heavy Arrow codec kernel off the one-split corpus file
+    # (operators/spread.py; measured: frame_sample 9.4 -> 1.9 s at
+    # sf0.1). The CHEAP kernels (byte stats, 4x4 PNG decode, 64-sample
+    # PCM) deliberately stay unspread: 32 near-empty Arrow tasks cost
+    # more than their single-task run (same finding as the knn spread
+    # A/B).
+    docs = spread_for_udf(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id")
     media = attach_media_columns(
         docs, "doc_id", synth_png(F.col("doc_id")), "image", "png"
     )
@@ -416,7 +442,15 @@ def q_multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(wav_encode(v.astype(np.int16), AUDIO_SR))
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the heavy Arrow codec kernel off the one-split corpus file
+    # (operators/spread.py; measured: frame_sample 9.4 -> 1.9 s at
+    # sf0.1). The CHEAP kernels (byte stats, 4x4 PNG decode, 64-sample
+    # PCM) deliberately stay unspread: 32 near-empty Arrow tasks cost
+    # more than their single-task run (same finding as the knn spread
+    # A/B).
+    docs = spread_for_udf(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id")
     media = attach_media_columns(
         docs, "doc_id", synth_wav(F.col("doc_id")), "audio", "wav"
     )
