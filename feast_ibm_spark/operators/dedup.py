@@ -292,14 +292,22 @@ def _shingle_common_counts(
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
     )
-    # sizes map-only: shingles_col is already distinct per doc, so the
-    # array length IS the exploded distinct count (the ngram_jaccard_topk
-    # trick) — no explode, no shuffle, and the caller referencing sizes
-    # twice (size_a/size_b) re-runs only a cheap projection branch
-    # instead of re-embedding the whole bucket aggregate.
-    sizes = spread_for_udf(df, id_col).select(
-        F.col(id_col), F.size(shingles_col(text_col, n)).alias("n_shingles")
-    )
+    if persist:
+        # the persist contract is ONE realization of the index for every
+        # consumer (nondeterministic upstreams) — sizes must read the
+        # SAME cached rows the buckets aggregate, not re-derive shingles
+        # from a fresh pass over ``df``
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        # sizes map-only: shingles_col is already distinct per doc, so
+        # the array length IS the exploded distinct count (the
+        # ngram_jaccard_topk trick) — no explode, no shuffle, and the
+        # caller referencing sizes twice (size_a/size_b) re-runs only a
+        # cheap projection branch instead of re-embedding the whole
+        # bucket aggregate.
+        sizes = spread_for_udf(df, id_col).select(
+            F.col(id_col), F.size(shingles_col(text_col, n)).alias("n_shingles")
+        )
     cand = buckets
     if max_shingle_freq is not None:
         cand = cand.filter(F.size("__ids") <= max_shingle_freq)
