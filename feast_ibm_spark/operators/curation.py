@@ -130,7 +130,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_substr_min_len: int | None = None,
-    persist_survivors: bool = True,
+    persist_survivors: bool = False,
 ) -> DataFrame:
     """Returns surviving ``(id, n_tokens, quality_score)`` rows after
     exact dedup, the quality floor, and near-dup pruning (the LOWER id of
@@ -151,21 +151,19 @@ def curate_corpus(
     they carry zero novel text. None (default) skips the stage.
 
     ``persist_survivors`` caches the post-dedup post-floor frame before
-    the near-dup stage. The survivors subplan (scan + exact-dedup
-    shuffle + quality scoring) is referenced FOUR times in the final
-    plan (anti-join left side, signature pass, and both verify text
-    fetches) and Spark 4.1 reuses none of them (r9 audit: zero Reused*
-    nodes in the executed plan), so without the cache it executes 4x.
-    ON by default since round 12, measured under the honest protocol
-    (caches dropped between runs so CacheManager cross-run substitution
-    — which contaminated the first round-12 A/B — cannot inflate the
-    numbers): interleaved trimmed means at sf0.1 are 4.5-5.0 s cached vs
-    5.45 s uncached for the exact tier, a genuine WITHIN-query win —
-    this subtree (scan + dedup window + quality scoring) is heavy enough
-    to beat its own cache write, unlike the cheap PIT spine whose
-    matching flip re-measured as parity and was reverted. The cache is
-    MEMORY_AND_DISK (spills, never OOMs) and bounded by the surviving
-    corpus; pass False on memory-starved sessions."""
+    the near-dup stage. OFF by default again since round 13: the round-12
+    ON default was justified by an A/B run on a degraded host where the
+    query cost 4.5-5.5 s; at the query's real ~1.3-1.7 s operating point
+    the per-run MEMORY_AND_DISK cache write is a net LOSS on both tiers
+    (round-13 interleaved medians at sf0.1, caches dropped between runs:
+    exact 2.73 s cached vs 1.69 s uncached on the r12 index shape and
+    parity-to-worse on the restored self-join shape; lsh 2.05 cached vs
+    1.69 uncached). The survivors subplan's repeated references mostly
+    resolve to ONE reused broadcast exchange at physical planning, so
+    the recompute the cache was buying off is far cheaper than assumed.
+    Pass True for nondeterministic upstreams (e.g. a sampled corpus),
+    where recompute would be WRONG, not just slow — that is the flag's
+    remaining contract."""
     if tier not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown tier: {tier}")
     if tier == "auto":

@@ -277,49 +277,44 @@ def _shingle_common_counts(
     if persist:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ONE pass over the shingle index (round 12: the former shape
-    # computed ``sh`` THREE times — both self-join branches plus sizes —
-    # because Spark 4.1 reuses none of the identical subtrees, and a
-    # fourth time for the frequency cap's hot-set aggregate). Group each
-    # shingle's postings into a sorted id array once; pair counts unfold
-    # map-side from each bucket (every unordered pair once, doc_a <
-    # doc_b by the sort — the same guarded expansion minhash_lsh_pairs
-    # uses, same row-size bound: 8 B/doc per bucket), per-doc set sizes
-    # fall out of exploding the SAME aggregate (each bucket is one
-    # distinct shingle of each member doc), and the frequency cap
-    # becomes a pure filter on bucket size — applied to the JOIN side
-    # only, after sizes, exactly as before.
-    buckets = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
-    )
-    if persist:
-        # the persist contract is ONE realization of the index for every
-        # consumer (nondeterministic upstreams) — sizes must read the
-        # SAME cached rows the buckets aggregate, not re-derive shingles
-        # from a fresh pass over ``df``
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    else:
-        # sizes map-only: shingles_col is already distinct per doc, so
-        # the array length IS the exploded distinct count (the
-        # ngram_jaccard_topk trick) — no explode, no shuffle, and the
-        # caller referencing sizes twice (size_a/size_b) re-runs only a
-        # cheap projection branch instead of re-embedding the whole
-        # bucket aggregate.
-        sizes = spread_for_udf(df, id_col).select(
-            F.col(id_col), F.size(shingles_col(text_col, n)).alias("n_shingles")
-        )
-    cand = buckets
+    # Shape history (round 13): the round-12 "one pass" rewrite (group
+    # postings per shingle into a sorted array, unfold pairs map-side,
+    # sizes as a map-only projection) was REVERTED after same-host
+    # interleaved A/Bs showed it NET SLOWER at every measured scale —
+    # sf0.1 documents 1.28 s self-join vs 3.90 s buckets, 4x corpus 3.30
+    # vs 6.24, 16x (~9 MB, near the exact tier's auto ceiling) 43.3 vs
+    # 47.8. Two reasons: (a) at exact-tier scales the self-join plans as
+    # a BroadcastHashJoin of the shingle frame (zero pair shuffle; the
+    # bucket shape always pays a full collect_list shuffle PLUS a pair
+    # aggregate shuffle), and (b) the identical sh/sizes subtrees reuse
+    # ONE broadcast exchange at physical planning, so "computed three
+    # times" was wrong at this operating point — a map-only sizes branch
+    # that avoids sh actually ADDED two executions of the upstream
+    # (curation survivors) subtree (2.75 vs 1.35 s in curate_corpus).
+    # Above the exact tier's operating range the right lever is the LSH
+    # tier (curation auto crossover), not a different exact-index shape.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
     if max_shingle_freq is not None:
-        cand = cand.filter(F.size("__ids") <= max_shingle_freq)
-    common = (
-        cand.select(F.col("__ids"), F.explode("__ids").alias("doc_a"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.filter("__ids", lambda x: x > F.col("doc_a"))
-            ).alias("doc_b"),
+        # same hot-set anti-join shape as the decontamination cap: the
+        # over-cap set is bounded by total_occurrences/cap (boilerplate
+        # tail in practice) where the keep set is ~every distinct
+        # shingle, so this side broadcasts and ``sh`` never reshuffles
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") > max_shingle_freq)
+            .select("shingle")
         )
-        .groupBy("doc_a", "doc_b")
+        sh = sh.join(hot, "shingle", "left_anti")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return common, sizes
