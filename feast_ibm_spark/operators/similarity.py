@@ -30,7 +30,55 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .spread import spread_for_udf
+from .spread import input_size_bytes, spread_for_udf
+
+# Round 13: the guarded unrolled scoring kernel (round 12) beats the
+# interpreted HOF fold per ELEMENT (~2x at high volume), but its ~500-node
+# expression tree costs a per-RUN constant (~0.2-0.5 s of codegen/JIT —
+# the generated method embeds fresh expression ids, so the compile is not
+# amortized across runs) that exceeds the savings at small pair volumes:
+# the r12 driver bench measured the knn family 1.3-1.6x SLOWER unrolled
+# at sf0.1. Measured crossover (round 13, same-host interleaved A/Bs on
+# sf0.1 embeddings scaled up to 32x): fold wins at <=1.3M pair scorings
+# (sf0.1 brute force 0.59 vs 1.13 s; 32x corpus with 8 queries 0.84 vs
+# 0.92), unroll wins from ~10M scorings up (10M: 1.53 vs 2.01; 41M: 3.10
+# vs 6.46) — the break-even sits near ~5M scorings. Pair volume is not
+# knowable without a job, so the gate uses the corpus's file bytes
+# (driver-side listing, no job — the curation auto-tier convention) as
+# the row-count proxy, with TWO thresholds by operator shape:
+#
+# - query-driven operators (|q| x bounded-candidates volumes: top-k,
+#   rank stats, the LSH/IVF/PQ tiers): 32 MiB — scoring volume reaches
+#   the crossover only with far more corpus than the bench scales carry;
+# - the corpus-QUADRATIC self-pair operator (near_dup_pairs, n^2/2
+#   scorings): 512 KiB — sf0.1's 0.78 MB corpus is already 12.5M pairs,
+#   past the crossover (measured: unroll 1.25 vs fold 1.36 s).
+#
+# Below the threshold the pure fold scores the pairs; above it, or when
+# the input size is unknowable (derived frames — the scale-safe
+# default), the unrolled chain takes over. Both paths are bit-identical
+# by construction, so the gate trades only constant overheads.
+UNROLL_MIN_INPUT_BYTES = 32 << 20
+UNROLL_MIN_INPUT_BYTES_SELF_PAIRS = 512 << 10
+
+
+def _kernel_dim(
+    corpus: DataFrame, dim: int | None, threshold: int | None = None
+) -> int | None:
+    """The ``dim`` to hand the scoring kernel for this corpus: ``None``
+    (pure fold) below the measured input-bytes crossover, the real
+    ``dim`` (guarded unrolled chain) above it or when the corpus is not
+    file-backed. Structural uses of ``dim`` (subspace widths, hyperplane
+    construction) must keep the caller's value — this gate only picks
+    the scoring-kernel shape."""
+    if dim is None:
+        return None
+    if threshold is None:
+        threshold = UNROLL_MIN_INPUT_BYTES
+    size = input_size_bytes(corpus)
+    if size is not None and size < threshold:
+        return None
+    return dim
 
 
 def _fold_dot(a, b):
@@ -175,6 +223,7 @@ def cosine_topk(
     broken by corpus id for full determinism. Self-matches excluded.
     """
     qid = query_id_col or f"q_{id_col}"
+    dim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     # precompute each side's squared norm ONCE per vector (not per pair):
     # same fold -> bit-identical to recomputing, but 3x fewer flops
     q = F.broadcast(
@@ -229,6 +278,7 @@ def retrieval_rank_stats(
     is never materialized beyond the window pass.
     """
     qid = query_id_col or f"q_{id_col}"
+    dim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(qid),
@@ -277,6 +327,9 @@ def near_dup_pairs(
     Norms are precomputed per vector (n folds) instead of per pair
     (n^2 folds); the probe side is repartitioned so the O(n^2) scoring
     parallelizes even off a one-file corpus."""
+    # quadratic scoring volume: the unroll pays off at a far smaller
+    # corpus than the query-driven operators — see _kernel_dim
+    dim = _kernel_dim(corpus, dim, UNROLL_MIN_INPUT_BYTES_SELF_PAIRS)
     a = spread_for_udf(corpus, id_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -369,11 +422,12 @@ def lsh_cosine_topk(
         .agg(F.first("q_vec").alias("q_vec"), F.first(vec_col).alias(vec_col))
     )
     # norms once per surviving pair side; the dot is the only per-pair fold
+    kdim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     scored = cand.withColumn(
         "cosine",
-        _dot("q_vec", vec_col, dim)
-        / (F.sqrt(_norm_sq("q_vec", dim))
-           * F.sqrt(_norm_sq(vec_col, dim))),
+        _dot("q_vec", vec_col, kdim)
+        / (F.sqrt(_norm_sq("q_vec", kdim))
+           * F.sqrt(_norm_sq(vec_col, kdim))),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -470,8 +524,8 @@ def ivf_cosine_topk(
                 _SEED_CENTROID_CACHE[cache_key] = cents
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     # known dimensionality (from the index vectors) enables the guarded
-    # unrolled scoring kernel — see _dot
-    dim = int(cents.shape[1])
+    # unrolled scoring kernel above the crossover — see _dot/_kernel_dim
+    dim = _kernel_dim(corpus, int(cents.shape[1]))
 
     @pandas_udf(LongType())
     def nearest_cell(v: pd.Series) -> pd.Series:
@@ -681,10 +735,11 @@ def near_dup_pairs_lsh(
         packed = bits.reshape(len(mat), n_tables, n_planes) @ pack_w
         return pd.Series(list(packed))
 
+    kdim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     m = spread_for_udf(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_sq(vec_col, dim).alias("nsq"),
+        _norm_sq(vec_col, kdim).alias("nsq"),
         F.posexplode(table_sigs(F.col(vec_col))).alias("t", "sig"),
     )
     if max_bucket_size is not None:
@@ -714,12 +769,12 @@ def near_dup_pairs_lsh(
         va = corpus.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _norm_sq(vec_col, dim).alias("na"),
+            _norm_sq(vec_col, kdim).alias("na"),
         )
         vb = corpus.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
-            _norm_sq(vec_col, dim).alias("nb"),
+            _norm_sq(vec_col, kdim).alias("nb"),
         )
         cand = cand.join(va, "id_a").join(vb, "id_b")
     else:
@@ -746,7 +801,7 @@ def near_dup_pairs_lsh(
     return (
         cand.withColumn(
             "cosine",
-            _dot("va", "vb", dim)
+            _dot("va", "vb", kdim)
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         )
         .filter(F.col("cosine") >= threshold)
@@ -863,15 +918,16 @@ def pq_cosine_topk(
         return pd.Series(luts)
 
     qid = f"q_{id_col}"
+    kdim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     coded = corpus.select(
         F.col(id_col),
-        F.sqrt(_norm_sq(vec_col, dim)).alias("c_norm"),
+        F.sqrt(_norm_sq(vec_col, kdim)).alias("c_norm"),
         encode(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_norm_sq(vec_col, dim)).alias("q_norm"),
+        F.sqrt(_norm_sq(vec_col, kdim)).alias("q_norm"),
         adc_lut(F.col(vec_col)).alias("lut"),
     )
 
@@ -905,7 +961,7 @@ def pq_cosine_topk(
 
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col("q_vec", "c_vec", dim))
+    ).withColumn("cosine", cosine_col("q_vec", "c_vec", kdim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))
@@ -1068,15 +1124,16 @@ def ivfpq_cosine_topk(
         return pd.Series(out)
 
     qid = f"q_{id_col}"
+    kdim = _kernel_dim(corpus, dim)  # fold below the unroll crossover
     coded = corpus.select(
-        F.col(id_col), _norm_sq(vec_col, dim).alias("c_nsq"),
+        F.col(id_col), _norm_sq(vec_col, kdim).alias("c_nsq"),
         encode(F.col(vec_col)).alias("e"),
     ).select(id_col, "c_nsq", F.col("e.cell").alias("cell"),
              F.col("e.codes").alias("codes"))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("q_vec"),
-        _norm_sq(vec_col, dim).alias("q_nsq"),
+        _norm_sq(vec_col, kdim).alias("q_nsq"),
         query_luts(F.col(vec_col)).alias("lut"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
@@ -1106,7 +1163,7 @@ def ivfpq_cosine_topk(
     )
     rescored = cands.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).withColumn("cosine", cosine_col("q_vec", "c_vec", dim))
+    ).withColumn("cosine", cosine_col("q_vec", "c_vec", kdim))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         rescored.withColumn("__rn", F.row_number().over(w))

@@ -137,6 +137,31 @@ def test_cosine_kernel_unrolled_bit_identical(spark):
         assert struct.pack("<d", r.fold) == struct.pack("<d", r.guarded), r.i
 
 
+def test_kernel_dim_gate_by_input_bytes(spark, sf_dir, tmp_path):
+    """The r13 unroll gate: small file-backed corpora score with the pure
+    fold (kernel dim None), large or non-file-backed corpora keep the
+    unrolled kernel (dim passed through). Both kernels are bit-identical
+    (test above); the gate trades only per-run codegen constants."""
+    from feast_ibm_spark.operators import similarity as sim
+    from feast_ibm_spark.sources.reader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the test-scale embeddings file sits far below the 32 MiB crossover
+    assert sim._kernel_dim(emb, 64) is None
+    # ... but past the quadratic self-pair threshold the gate is per-shape
+    assert sim._kernel_dim(emb, 64, threshold=1) == 64
+    # non-file-backed frames (no inputFiles to size) keep the unroll —
+    # the scale-safe default when the input size is unknowable; note a
+    # DERIVED frame over a scan still resolves to the scan's files, so
+    # the gate sees through projections/aggregates
+    local = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    assert sim._kernel_dim(local, 64) == 64
+    # dim=None always stays the fold
+    assert sim._kernel_dim(emb, None) is None
+
+
 def test_lsh_topk_subset_of_exact(spark, sf_dir):
     from feast_ibm_spark.sources.reader import load_table
 
