@@ -150,7 +150,10 @@ def q_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+        # no broadcast hint on customer: it scales with SF, and a hint
+        # overrides the size threshold — the planner/AQE broadcasts it
+        # while it fits and degrades to a shuffle join at scale (§3.1)
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"))
@@ -226,7 +229,7 @@ def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         culprits.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("supp_nation"), "numwait")
     )
@@ -277,7 +280,7 @@ def q_join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "sum_qty")
     )
@@ -322,7 +325,7 @@ def q_join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_rev").over(Window.partitionBy())
     ).filter(F.col("total_rev") == F.col("max_rev"))
     return (
-        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -360,7 +363,7 @@ def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.filter(
         (F.col("l_shipdate") >= F.lit(PROMO_MONTH_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(PROMO_MONTH_END).cast("timestamp"))
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
     promo_num = F.sum(
         F.when(F.col("p_type") == "ECONOMY", revenue_num).otherwise(F.lit(0))
     )
@@ -407,7 +410,7 @@ def q_join_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"))
@@ -451,7 +454,9 @@ def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        # dims is customer-derived (scales with SF): no broadcast hint —
+        # AQE converts the join to broadcast while dims fits (§3.1)
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg((F.sum(revenue_num).cast("double") / 10000.0).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
@@ -558,7 +563,7 @@ def q_agg_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "r_name", "n_name")
     )
     return (
-        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .rollup("r_name", "n_name")
         .agg(
             (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
@@ -722,7 +727,7 @@ def q_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         clause = c if clause is None else clause | c
     revenue_num = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(clause)
         .agg(
             (F.sum(revenue_num).cast("double") / 10000.0).alias("promo_revenue"),
@@ -1046,8 +1051,8 @@ def q_join_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
         .agg(
@@ -1177,7 +1182,7 @@ def q_join_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )
     return excess.join(
-        F.broadcast(supp.select("s_suppkey", "s_name")),
+        supp.select("s_suppkey", "s_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     ).select("s_name", "n_dominated_parts")
 

@@ -29,7 +29,11 @@ def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vol = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("__v")
     target = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+        # no broadcast hints on part/supplier/customer: they scale with
+        # SF, and a hint overrides the size threshold — the planner/AQE
+        # broadcasts while they fit and degrades to shuffle joins at
+        # scale (§3.1); nation/region hints stay (25/5 rows forever)
+        li.join(part.filter(F.col("p_type") == "STANDARD"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -38,7 +42,7 @@ def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region),
               (F.col("cn.n_regionkey") == F.col("r_regionkey"))
               & (F.col("r_name") == "AMERICA"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.alias("sn")),
               F.col("s_nationkey") == F.col("sn.n_nationkey"))
         .select(
@@ -101,9 +105,9 @@ def q_join_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _cents("p_retailprice") * F.round(F.col("l_quantity")).cast("bigint") * 100
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").contains("red"))),
+        li.join(part.filter(F.col("p_name").contains("red")),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -162,8 +166,8 @@ def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cost").asc(), F.col("s_suppkey").asc()
     )
     return (
-        ps.join(F.broadcast(europe), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part.filter(F.col("p_size") == 15)),
+        ps.join(europe, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.filter(F.col("p_size") == 15),
               F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -215,10 +219,10 @@ def q_agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
 
     german = (
-        li.join(F.broadcast(
+        li.join(
             supp.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
                       F.col("s_nationkey") == F.col("n_nationkey"))
-            .select("s_suppkey")),
+            .select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("__value"))
@@ -265,8 +269,8 @@ def q_agg_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        pairs.join(F.broadcast(blocked), "l_suppkey", "left_anti")
-        .join(F.broadcast(part.filter(F.col("p_brand") != "Brand#4")),
+        pairs.join(blocked, "l_suppkey", "left_anti")
+        .join(part.filter(F.col("p_brand") != "Brand#4"),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -1191,7 +1195,7 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
 
     base = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
