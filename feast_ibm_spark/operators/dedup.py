@@ -1067,9 +1067,16 @@ def dedup_clusters(
         # at sf1 where the work itself was seconds. The checkpoint pins
         # per-round plan size at O(1); it materializes the same rows
         # the persist did, so the data-plane cost is unchanged. Same
-        # discipline as dedup_clusters_star.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).count()
+        # discipline as dedup_clusters_star. The convergence count rides
+        # the checkpoint job itself via ``observe`` (round 13): one job
+        # per round instead of checkpoint + count-over-cached-blocks.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("__changed").cast("bigint")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
         # the superseded frame's blocks are dead once the successor is
         # materialized and the convergence count has run — release them
         # deterministically (RDD-level; see _release_checkpoint) instead
@@ -1125,9 +1132,12 @@ def dedup_clusters_star(
     checkpointed frame's data is self-contained, so nothing downstream
     reads through it once its successor exists.
     """
+    from pyspark.sql import Observation
+
     nodes_src = pairs.select(F.col(a_col).alias("u")).unionByName(
         pairs.select(F.col(b_col).alias("u"))
     ).distinct()
+    eobs = Observation()
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -1135,8 +1145,10 @@ def dedup_clusters_star(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
         .distinct()
+        .observe(eobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    edges_n = int(eobs.get["n"])
     for i in range(max_iterations):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1165,13 +1177,18 @@ def dedup_clusters_star(
             )
             .distinct()
         )
-        new_edges = new_edges.localCheckpoint(eager=True)
+        # the round's edge count rides the checkpoint job via ``observe``
+        # (round 13) and the previous round's count is carried in a
+        # variable — two count jobs per round become zero
+        obs = Observation()
+        new_edges = new_edges.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        new_n = int(obs.get["n"])
         # converged when the edge SET is unchanged (count equality
         # first, then the set-difference only when counts agree)
-        same = new_edges.count() == edges.count() and (
-            new_edges.exceptAll(edges).isEmpty()
-        )
-        old, edges = edges, new_edges
+        same = new_n == edges_n and new_edges.exceptAll(edges).isEmpty()
+        old, edges, edges_n = edges, new_edges, new_n
         # new_edges is self-contained (eager checkpoint), so the
         # superseded round's blocks drop immediately
         old.unpersist()

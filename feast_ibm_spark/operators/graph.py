@@ -591,49 +591,60 @@ def bfs_levels(
 
     Output: (node, lvl) — BIGINT hop distance in [0, max_hops].
     """
+    from pyspark.sql import Observation
+
     if max_hops < 0:
         raise ValueError(f"max_hops={max_hops}: need >= 0")
-    visited = sources.select("node").distinct().withColumn(
-        "lvl", F.lit(0).cast("bigint")
-    ).localCheckpoint(eager=True)
-    # Frontier/visited sizes are KNOWN each round (the checkpoint
-    # materializes them; count() over cached partitions replaces the old
-    # isEmpty() probe at the same bounded cost and additionally drives
-    # the join strategy): a small frontier/visited side is broadcast so
-    # the per-round expansion and anti-join need no shuffle of the edge
+    # Frontier/visited sizes are KNOWN each round without their own job
+    # (round 13): a count aggregate rides the eager checkpoint via
+    # ``observe`` — Spark materializes the checkpoint through a SQL
+    # action, so the CollectMetrics accumulator is harvested from the
+    # SAME job that the round already pays (one job per round instead of
+    # checkpoint + count; the seed's size is now also free, so even the
+    # FIRST round's frontier join can broadcast). The sizes drive the
+    # join strategy: a small frontier/visited side is broadcast so the
+    # per-round expansion and anti-join need no shuffle of the edge
     # list — at sf0.1 this cut the round loop from ~4 SMJ exchanges to
     # the single distinct() shuffle. Past the threshold (frontiers on
     # billion-node graphs) both joins fall back to shuffles, which is
     # the only strategy that works at that size anyway.
+    vobs = Observation()
+    visited = (
+        sources.select("node").distinct()
+        .withColumn("lvl", F.lit(0).cast("bigint"))
+        .observe(vobs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    visited_n = int(vobs.get["n"])
     frontier = visited.select("node")
-    frontier_n = visited_n = None  # unknown for the seed round
+    frontier_n = visited_n
     for h in range(1, max_hops + 1):
         f_side = (
             F.broadcast(frontier)
-            if frontier_n is not None and frontier_n <= BFS_BROADCAST_MAX_ROWS
+            if frontier_n <= BFS_BROADCAST_MAX_ROWS
             else frontier
         )
+        obs = Observation()
         nxt = (
             f_side.join(edges, frontier["node"] == edges[src_col])
             .select(F.col(dst_col).alias("node"))
             .distinct()
             .join(
                 F.broadcast(visited)
-                if visited_n is not None and visited_n <= BFS_BROADCAST_MAX_ROWS
+                if visited_n <= BFS_BROADCAST_MAX_ROWS
                 else visited,
                 "node",
                 "left_anti",
             )
             .withColumn("lvl", F.lit(h).cast("bigint"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = nxt.count()
+        n = int(obs.get["n"])
         if n == 0:
             break
         # visited is a union of <= max_hops checkpointed frontiers —
         # lineage stays shallow without its own per-round checkpoint
-        if visited_n is None:
-            visited_n = visited.count()
         visited = visited.unionByName(nxt)
         visited_n += n
         frontier = nxt.select("node")
@@ -673,6 +684,8 @@ def sssp_hops(
     Output: (node, cost) BIGINT; unreachable nodes absent; sources at
     cost 0.
     """
+    from pyspark.sql import Observation
+
     if max_hops < 0:
         raise ValueError(f"max_hops={max_hops}: need >= 0")
     # plain renamed-column joins throughout (no alias-qualified refs):
@@ -698,6 +711,9 @@ def sssp_hops(
         old = dist.select(
             F.col("node").alias("__onode"), F.col("cost").alias("__ocost")
         )
+        # the emptiness probe rides the eager checkpoint via ``observe``
+        # (round 13): one job per round instead of checkpoint + LIMIT-1
+        obs = Observation()
         improved = (
             cand.join(old, cand["node"] == old["__onode"], "left")
             .filter(
@@ -705,9 +721,10 @@ def sssp_hops(
                 | (F.col("cost") < F.col("__ocost"))
             )
             .select("node", "cost")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
