@@ -52,6 +52,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Partition-discovery listing tasks capped at a multiple of task
+        # slots (round 13): the default parallelism of 10,000 launches
+        # ~one task PER DIRECTORY, so a 5,000-partition media corpus
+        # spent 11.3 s scheduling 2 ms listing tasks (measured; 0.6 s
+        # after the cap). Concurrent listing is bounded by task slots
+        # regardless, so 4x slots keeps latency hiding and retry
+        # granularity on slow object stores while killing the
+        # scheduling storm; a 2,500-slot cluster reaches the old
+        # default again. Runtime-settable, so hosts can override.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            str(min(10_000, 4 * int(cpus))),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -74,4 +87,9 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # see get_spark: one listing task per directory is a scheduling storm
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        str(min(10_000, 4 * spark.sparkContext.defaultParallelism)),
+    )
     return spark
