@@ -41,6 +41,47 @@ def _run_stream(sdf, query_name, mode):
     drain_available_now(sdf, query_name, output_mode=mode, timeout_s=120)
 
 
+def test_state_partition_heuristic_resolution(spark, event_dir):
+    """r13 state-partition derivation: explicit conf wins; Python-stateful
+    plans keep one partition per task slot; JVM-stateful plans with a
+    stamped source-bytes hint get bytes/16MiB clamped to [4, 8x slots];
+    no hint falls back to slots. The hint is consumed on read."""
+    from feast_ibm_spark.streaming import run as srun
+    from feast_ibm_spark.streaming import stream_parquet_source
+    from feast_ibm_spark.streaming.stateful import streaming_sessionize
+
+    d, schema = event_dir
+    slots = spark.sparkContext.defaultParallelism
+
+    # tiny source -> hint stamped by the reader -> clamped floor of 4
+    sdf = stream_parquet_source(spark, d, schema)
+    agg = sdf.groupBy("user_id").count()
+    assert srun._stream_state_partitions(spark, agg) == 4
+    # hint consumed: a second resolution without a fresh reader falls back
+    assert srun._stream_state_partitions(spark, agg) == slots
+
+    # bytes scale the count: 100 GiB of input -> 8x-slots ceiling
+    srun.add_source_bytes_hint(spark, 100 << 30)
+    assert srun._stream_state_partitions(spark, agg) == min(
+        -(-(100 << 30) // srun.STATE_TARGET_BYTES_PER_PARTITION),
+        srun.STATE_MAX_SLOT_MULTIPLE * slots,
+    )
+
+    # python-stateful plans ignore the bytes hint and keep the slots
+    sdf2 = stream_parquet_source(spark, d, schema).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    sess = streaming_sessionize(sdf2, ["user_id"], "ts")
+    assert srun._stream_state_partitions(spark, sess) == slots
+
+    # explicit conf always wins
+    spark.conf.set(srun.STATE_PARTITIONS_CONF, "7")
+    try:
+        assert srun._stream_state_partitions(spark, sess) == 7
+    finally:
+        spark.conf.unset(srun.STATE_PARTITIONS_CONF)
+
+
 def test_streaming_latest_per_key(spark, event_dir):
     d, schema = event_dir
     src = stream_parquet_source(spark, d, schema)
