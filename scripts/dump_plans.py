@@ -106,10 +106,11 @@ SHOWCASE: list[tuple[str, str]] = [
     (
         "join_top_orders",
         "TPC-H Q3 shape. The two fact tables shuffle on the join key once;\n"
-        "the customer dimension is explicitly `broadcast()` after its\n"
-        "selective filter, so the plan shows a single `BroadcastHashJoin`\n"
-        "feeding sort-merge of the facts. `TakeOrderedAndProject` caps the\n"
-        "result driver-side — no global sort materializes.",
+        "the filtered customer dimension broadcasts by SIZE (no hint since\n"
+        "round 13 — customer scales with SF, so the plan must degrade to a\n"
+        "shuffle join at 100 TB instead of a forced executor-sized build).\n"
+        "`TakeOrderedAndProject` caps the result driver-side — no global\n"
+        "sort materializes.",
     ),
     (
         "agg_rollup_region_revenue",
@@ -123,9 +124,10 @@ SHOWCASE: list[tuple[str, str]] = [
         "TPC-H Q7 shape: two independent dimension branches\n"
         "(supplier->nation, customer->nation) each collapse to a broadcast\n"
         "before touching the facts, so the only shuffle in the plan is the\n"
-        "lineitem-orders equi-join and the final aggregate. At 100 TB the\n"
-        "dimension branches stay broadcast-sized however large the facts\n"
-        "grow — the plan scales with the fact shuffle alone.",
+        "lineitem-orders equi-join and the final aggregate. The branch\n"
+        "broadcasts are size-based, not hinted (round 13): supplier and\n"
+        "customer scale with SF, so at 100 TB the planner/AQE degrades\n"
+        "these to shuffle joins instead of forcing executor-sized builds.",
     ),
     (
         "dedup_minhash_lsh",
